@@ -1,0 +1,52 @@
+"""Text primitives for the LLM-data-pipeline surface (SURVEY.md §2.11).
+
+Tokenization / normalization / shingling as pure Column expressions —
+the building blocks for dedup, language ID, quality scoring, and
+fingerprinting. JVM-side only; the hot path never leaves codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Whitespace tokenizer: the fixture `documents.text` is space-separated
+# word soup (FIXTURES.md), so split-on-space is exact. `regex_tokens`
+# below is the BPE-ish fallback for messier corpora.
+TOKEN_SPLIT_RE = r"\s+"
+WORD_RE = r"[a-zA-Z0-9]+"
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens, empty strings dropped."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(c, TOKEN_SPLIT_RE), lambda t: t != "")
+
+
+def regex_tokens(text: Column | str, pattern: str = WORD_RE) -> Column:
+    """Regex word tokens (BPE-ish pre-tokenization pass)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit(pattern), F.lit(0))
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Canonical form for hashing/dedup: lowercase, collapse runs of
+    whitespace, trim. Mirrors what exact-dedup pipelines hash."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def shingles(text: Column | str, k: int = 3) -> Column:
+    """k-token shingles (n-grams of the whitespace tokens) as an
+    array<string> — the MinHash/Jaccard unit (SURVEY.md §2.11).
+
+    Expression-level: sequence + transform + slice; no UDF.
+    """
+    toks = tokens(text)
+    n = F.size(toks)
+    return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+    )

@@ -1,0 +1,164 @@
+"""Climate-domain operators: the reference's actual pipeline, lazily.
+
+Re-expresses sppidy/climate-data-pipelines' per-month eager stages
+(SURVEY.md §3.1: download → melt → filter → polygonize → GeoJSON) as
+one lazy DataFrame chain. The observation table is long-format
+``(time, lat, lon, value)`` — cube axes are columns, never an index
+(SURVEY.md §1.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from climate_data_pipelines_spark.functions.scalar import inclusive_month_range
+
+# MERRA-2 native grid fallbacks, used when an axis has <2 distinct
+# coordinates (reference: precipitation_pipeline.py:177-184).
+DEFAULT_LAT_RES = 0.5
+DEFAULT_LON_RES = 0.625
+
+
+def observations(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    start: tuple[int, int] | None = None,
+    end: tuple[int, int] | None = None,
+) -> DataFrame:
+    """Scan→filter→derive core (SURVEY.md §7.1, steps P2+P3+F1).
+
+    Inclusive year-month window + null/NaN drop + year/month derivation.
+    NaN is normalized to NULL at this boundary (SURVEY.md §1.2: the
+    reference uses pandas NaN-as-null; the engine uses SQL NULL).
+    """
+    out = df
+    if start is not None and end is not None:
+        out = out.filter(inclusive_month_range(ts_col, start[0], start[1], end[0], end[1]))
+    v = F.col(value_col)
+    out = out.withColumn(value_col, F.when(F.isnan(v), F.lit(None)).otherwise(v))
+    out = out.filter(F.col(value_col).isNotNull())
+    return out.withColumn("year", F.year(ts_col)).withColumn("month", F.month(ts_col))
+
+
+def land_filter(obs: DataFrame, land_cells: DataFrame, keys: list[str]) -> DataFrame:
+    """Land-only filter as a left-semi join (SURVEY.md §2.2 P4 / §2.3 J2).
+
+    The reference calls ``globe.is_land(lat, lon)`` per row
+    (precipitation_pipeline.py:160-161) — a lookup into a static
+    land/ocean grid. Distributed form: broadcast left-semi join of the
+    observation table against a precomputed land-cell dimension on the
+    (rounded) grid keys. The mask table for the full 0.5°×0.625° globe
+    is ~208k rows (BASELINE.md) — well under any broadcast threshold,
+    so this never shuffles the fact table.
+    """
+    return obs.join(F.broadcast(land_cells), on=keys, how="left_semi")
+
+
+def ocean_filter(obs: DataFrame, land_cells: DataFrame, keys: list[str]) -> DataFrame:
+    """Anti-join variant: points NOT in the mask (SURVEY.md Q08)."""
+    return obs.join(F.broadcast(land_cells), on=keys, how="left_anti")
+
+
+def grid_resolution(
+    df: DataFrame, coord_col: str, fallback: float
+) -> DataFrame:
+    """Grid-resolution inference (SURVEY.md §2.5 W2).
+
+    The reference takes the *first* neighbor gap of the sorted distinct
+    coordinates with a hardcoded fallback for singleton axes
+    (precipitation_pipeline.py:169-184). The engine generalizes to the
+    *minimum* neighbor gap (robust to irregular grids) — computed with
+    a lag window over the distinct coordinate values. Returns a 1-row
+    DataFrame ``(resolution DOUBLE)``.
+
+    Scale note: the window runs over *distinct coordinates* (hundreds
+    of rows for a global grid), not the fact table — the distinct() is
+    a map-side-combined shuffle of the single column, then the sort is
+    trivial.
+    """
+    w = Window.orderBy(coord_col)
+    gaps = (
+        df.select(coord_col).distinct()
+        .withColumn("_prev", F.lag(coord_col).over(w))
+        .withColumn("_gap", F.abs(F.col(coord_col) - F.col("_prev")))
+    )
+    return gaps.agg(
+        F.coalesce(F.min("_gap"), F.lit(float(fallback))).alias("resolution")
+    )
+
+
+def polygonize(
+    obs: DataFrame,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    lat_res: float = DEFAULT_LAT_RES,
+    lon_res: float = DEFAULT_LON_RES,
+) -> DataFrame:
+    """Cell → closed 5-point rectangle ring, as pure column expressions.
+
+    Replaces the reference's row-at-a-time ``iterrows`` feature loop
+    (precipitation_pipeline.py:188-223, 36 LoC of Python per row —
+    SURVEY.md §2.8 U1) with vectorized nested-array construction
+    (§2.7 F3+F7): the headline "no UDF needed" win. Adds a
+    ``coordinates array<array<array<double>>>`` column in GeoJSON ring
+    order [SW, SE, NE, NW, SW].
+    """
+    lat = F.col(lat_col).cast("double")
+    lon = F.col(lon_col).cast("double")
+    hlat = F.lit(lat_res / 2.0)
+    hlon = F.lit(lon_res / 2.0)
+    sw = F.array(lon - hlon, lat - hlat)
+    se = F.array(lon + hlon, lat - hlat)
+    ne = F.array(lon + hlon, lat + hlat)
+    nw = F.array(lon - hlon, lat + hlat)
+    ring = F.array(sw, se, ne, nw, sw)
+    return obs.withColumn("coordinates", F.array(ring))
+
+
+def geojson_features(
+    polys: DataFrame, value_col: str = "value", props: list[str] | None = None
+) -> DataFrame:
+    """Assemble GeoJSON Feature structs + JSON text (SURVEY.md F7/F8).
+
+    Mirrors the reference's feature dicts
+    (precipitation_pipeline.py:210-228) as a nested StructType column,
+    serialized with ``to_json`` (compact, like the reference's
+    ``separators=(',',':')`` at humidity_pipeline.py:172).
+    """
+    prop_cols = [F.col(p).alias(p) for p in (props or [])]
+    feature = F.struct(
+        F.lit("Feature").alias("type"),
+        F.struct(
+            F.lit("Polygon").alias("type"),
+            F.col("coordinates").alias("coordinates"),
+        ).alias("geometry"),
+        F.struct(F.col(value_col).alias(value_col), *prop_cols).alias("properties"),
+    )
+    return polys.withColumn("feature", feature).withColumn(
+        "feature_json", F.to_json(F.col("feature"))
+    )
+
+
+def feature_collection(features: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Per-group FeatureCollection JSON (one row per (year,month) —
+    the reference's one-GeoJSON-file-per-month, SURVEY.md K2).
+
+    ``collect_list`` is bounded by cells-per-month (~208k for the
+    global grid — MBs of JSON, safe); the heavy lifting (feature
+    assembly) stayed distributed.
+    """
+    return (
+        features.groupBy(*group_cols)
+        .agg(F.collect_list("feature_json").alias("_feats"))
+        .withColumn(
+            "feature_collection",
+            F.concat(
+                F.lit('{"type":"FeatureCollection","features":['),
+                F.concat_ws(",", F.col("_feats")),
+                F.lit("]}"),
+            ),
+        )
+        .drop("_feats")
+    )

@@ -1,0 +1,70 @@
+"""SparkSession factory with scale-ready defaults.
+
+The reference (sppidy/climate-data-pipelines) has no session concept —
+each pipeline is an eager pandas script. Here one lazy SparkSession
+replaces the per-stage file IR (SURVEY.md §3.1). Defaults are chosen
+for correctness on local[N] test runs *and* sanity at cluster scale:
+
+- AQE on (runtime partition coalescing, skew-join splitting, join
+  strategy switch) — replaces the reference's hand-rolled adaptivity
+  (spot-instance fallback ladder, SURVEY.md §4).
+- Session timezone pinned to UTC so ``year()/month()/window()`` agree
+  with the DuckDB oracle on naive parquet timestamps.
+- Arrow enabled for the pandas-UDF surface (vectorized exchange).
+- ``spark.sql.shuffle.partitions`` sized by caller; at real scale this
+  is superseded by AQE coalescing + initialPartitionNum.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "climate-data-pipelines-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    Parameters mirror what a cluster deploy would template in; on the
+    test rig we default to ``local[$SPARK_GRAFT_CPUS]``.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # --- adaptivity: let AQE re-plan at runtime ---------------------
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # --- determinism vs the DuckDB oracle ---------------------------
+        .config("spark.sql.session.timeZone", "UTC")
+        # --- shuffle sizing ---------------------------------------------
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # --- python exchange: Arrow batches, never row-at-a-time --------
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # --- parquet scan behavior --------------------------------------
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # events.ts is TIMESTAMP(NANOS) parquet (FIXTURES.md); Spark has
+        # no ns timestamp — read as long, convert ns→µs at ingest
+        # (catalog.load_table).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # quieter local runs
+        .config("spark.ui.showConsoleProgress", "false")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,129 @@
+"""Local differential harness mimicking the driver's correctness gate.
+
+Runs every registered query's Spark DataFrame AND its DuckDB oracle SQL
+on the same parquet tables, then compares row count, column names, and
+an order-insensitive value comparison (columns sorted by name, rows
+sorted, values canonicalized). Run this before the driver does:
+
+    python tools/check_oracle.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLE_NAMES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(v):
+    """Canonicalize a value for comparison (float bits → repr, ts → iso)."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return repr(int(v) + 0.0)
+        return repr(v)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return str(v)
+
+
+def rows_to_canonical(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(canon(r[i]) for i in order))
+    out.sort()
+    return [cols[i] for i in order], out
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from climate_data_pipelines_spark import get_spark
+    from climate_data_pipelines_spark.queries import REGISTRY
+
+    spark = get_spark(app_name="oracle-check", shuffle_partitions=8)
+
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    passed, failed, rows_only = [], [], []
+    for name, spec in sorted(REGISTRY.items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = spec.fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            failed.append((name, f"SPARK ERROR: {e}"))
+            print(f"FAIL  {name}: spark error: {e}")
+            continue
+        if spec.oracle is None:
+            rows_only.append(name)
+            status = "ok" if len(srows) >= 0 else "??"
+            print(f"ROWS  {name}: {len(srows)} rows ({time.time()-t0:.1f}s) [{status}]")
+            continue
+        try:
+            res = con.execute(spec.oracle)
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:
+            failed.append((name, f"ORACLE ERROR: {e}"))
+            print(f"FAIL  {name}: oracle error: {e}")
+            continue
+
+        problems = []
+        if len(srows) != len(orows):
+            problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
+        if not problems:
+            _, sc = rows_to_canonical(scols, srows)
+            _, oc = rows_to_canonical(ocols, orows)
+            if sc != oc:
+                ndiff = sum(1 for a, b in zip(sc, oc) if a != b)
+                problems.append(f"values differ ({ndiff}/{len(sc)} rows)")
+                for a, b in zip(sc, oc):
+                    if a != b:
+                        problems.append(f"  spark : {a}\n  oracle: {b}")
+                        break
+        if problems:
+            failed.append((name, "; ".join(problems[:2])))
+            print(f"FAIL  {name}: " + "\n".join(problems[:3]))
+        else:
+            passed.append(name)
+            print(f"PASS  {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+
+    print(
+        f"\n== {len(passed)} passed, {len(failed)} failed, "
+        f"{len(rows_only)} rows-only =="
+    )
+    if failed:
+        for n, p in failed:
+            print(f"   FAILED {n}: {p[:200]}")
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
