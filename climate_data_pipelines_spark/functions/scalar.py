@@ -13,6 +13,20 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def oracle_round(col: Column, scale: int) -> Column:
+    """Round a double the way DuckDB's ROUND does (scaled multiply).
+
+    DuckDB computes ``round(x*10^s)/10^s`` in doubles; Spark's F.round
+    rounds the exact binary value via BigDecimal HALF_UP — the two can
+    differ in the last decimal when the scaled double lands across a
+    rounding boundary (~0.1% of rows at scale 4). Reproducing the
+    scaled form makes both engines bit-identical (exact .5 ties at
+    scale 0 round away-from-zero in both).
+    """
+    p = F.lit(float(10**scale))
+    return F.round(col * p, 0) / p
+
+
 def inclusive_month_range(
     ts: Column | str, start_year: int, start_month: int, end_year: int, end_month: int
 ) -> Column:

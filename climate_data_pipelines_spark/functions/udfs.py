@@ -1,0 +1,55 @@
+"""Python UDF surface (SURVEY.md §2.8) — the deliberate slow path.
+
+NOTE: no ``from __future__ import annotations`` here — pandas_udf
+resolves the pd.Series type hints at definition time, and stringified
+annotations break that.
+
+The engine's UDF policy (SURVEY.md §2.8):
+- scalar Python UDF: exists for API completeness; never on an
+  oracle-checked hot path;
+- pandas_udf (Arrow-batched, Series→Series): the canonical vectorized
+  escape hatch — the reference's ``globe.is_land(lat[], lon[])``
+  lookup (precipitation_pipeline.py:160) maps here when exact-parity
+  masking is required;
+- grouped applyInPandas: UDTF-shaped per-group custom logic (the
+  reference's per-group file emit loop, §2.8 U3).
+"""
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+@F.udf(returnType=T.IntegerType())
+def type_weight(event_type):
+    """Scalar Python UDF (Q34): arbitrary business-rule mapping —
+    the point is the row-at-a-time UDF plumbing + SQL registration."""
+    return {"click": 1, "view": 2, "purchase": 5, "signup": 7, "error": 0}.get(
+        event_type, -1
+    )
+
+
+@F.pandas_udf(T.BooleanType())
+def is_land_stub(v: pd.Series) -> pd.Series:
+    """Vectorized pandas UDF (U2): stand-in for the global-land-mask
+    grid probe — Arrow batch in, numpy vectorized compute, Arrow batch
+    out. Swap the body for ``globe.is_land`` for exact reference
+    parity; the plumbing is identical."""
+    return pd.Series(np.floor(v.values).astype("int64") % 3 == 0)
+
+
+ZSCORE_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("z_score", T.DoubleType()),
+    ]
+)
+
+
+def zscore_per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas kernel (U3): per-group z-score normalization."""
+    v = pdf["value"]
+    z = (v - v.mean()) / v.std(ddof=1)
+    return pd.DataFrame({"event_id": pdf["event_id"], "z_score": np.round(z * 1e6) / 1e6})

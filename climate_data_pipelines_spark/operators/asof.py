@@ -1,0 +1,87 @@
+"""As-of and range joins — operators Spark lacks natively.
+
+The reference has no temporal joins (single-fact-table domain,
+SURVEY.md §2.3), but a complete engine ships them; both are
+implemented as compositions of existing DataFrame ops (SURVEY.md
+custom-operator rule (a): composition before UDF).
+
+- as-of join: union + partitioned sort + last_value window — O(n log n)
+  per key partition, no range-join explosion, no skew cliff. This is
+  the standard distributed as-of (vs. the naive inequality join whose
+  candidate set is quadratic).
+- range join: inequality join against a *small* bounds table →
+  broadcast nested-loop with interval predicates; at large dim
+  cardinality switch to bucketized equi-join on overlapping buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_vals: list[str],
+    tie_col: str | None = None,
+) -> DataFrame:
+    """For each left row, attach the most recent right row with
+    ``right.ts <= left.ts`` within the same ``on`` key.
+
+    Union-trick: tag both sides, sort by (key, ts, side) and carry the
+    last seen right values forward with a running window — a single
+    shuffle on the key, linear scan per partition. ``tie_col`` breaks
+    ordering ties deterministically (right rows at equal ts: the max
+    tie_col wins, matching "latest wins").
+    """
+    lcols = left.columns
+    rv = [F.col(c) for c in right_vals]
+    tie = F.col(tie_col) if tie_col else F.lit(0)
+
+    l_tagged = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),  # left sorts after right at equal ts
+        F.lit(None).cast("long").alias("_tie"),
+        F.struct(*[F.col(c) for c in lcols]).alias("_l"),
+        F.lit(None).cast(
+            "struct<" + ",".join(f"{c}:{dict(right.dtypes)[c]}" for c in right_vals) + ">"
+        ).alias("_r"),
+    )
+    r_tagged = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        tie.cast("long").alias("_tie"),
+        F.lit(None).cast(l_tagged.schema["_l"].dataType.simpleString()).alias("_l"),
+        F.struct(*rv).alias("_r"),
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_side", "_tie")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn("_last_r", F.last("_r", ignorenulls=True).over(w))
+    return carried.filter(F.col("_side") == 1).select(
+        *[F.col(f"_l.{c}").alias(c) for c in lcols],
+        *[F.col(f"_last_r.{c}").alias(c) for c in right_vals],
+    )
+
+
+def range_join(
+    fact: DataFrame, bounds: DataFrame, value_col: str, lo_col: str, hi_col: str
+) -> DataFrame:
+    """Join fact rows to the interval containing ``value_col``
+    (lo <= v < hi). Bounds table is broadcast — a nested-loop probe
+    per row against an in-memory interval list; with non-overlapping
+    sorted intervals Catalyst's BroadcastNestedLoopJoin is effectively
+    a linear scan of a tiny table."""
+    return fact.join(
+        F.broadcast(bounds),
+        (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col)),
+        "inner",
+    )

@@ -1,0 +1,209 @@
+"""Deduplication operators for the LLM-training-data surface.
+
+North-star mandate (SURVEY.md §2.11): exact, MinHash/LSH, SimHash,
+n-gram Jaccard, embedding-cosine near-dup. All distributed-first:
+
+- exact dedup hashes content, then one hash-keyed shuffle — at 100 TB
+  the shuffle key is the 32-byte digest, never the document body;
+- MinHash/LSH follows shingle→signature→band→bucket-join: candidate
+  generation is an equi-join on (band, band_hash), so the quadratic
+  all-pairs comparison never materializes;
+- SimHash reduces each doc to one 64-bit key; near-dup candidates are
+  bucket-joins on rotated key prefixes;
+- exact n-gram Jaccard is the verification step on candidate pairs
+  (or on small blocked partitions), expressed as explode + equi-join +
+  group-count — pure relational, AQE-skew-safe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from climate_data_pipelines_spark.functions.text import normalize_text, shingles, tokens
+
+
+def exact_dedup_keys(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via content hash (SURVEY.md Q36).
+
+    Returns one row per distinct content: (content_hash, keep_id,
+    n_dupes). Deterministic keeper = min id. The groupBy key is the
+    sha256 digest of the *normalized* text, so the shuffle carries
+    32-byte keys + ids, not document bodies.
+    """
+    h = F.sha2(normalize_text(F.col(text_col)), 256)
+    return (
+        df.select(h.alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dupes"))
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep exactly one row per distinct content (the keeper join).
+
+    Broadcast-free: semi-join on (hash, id) against the keeper set —
+    both sides shuffle on the digest, co-partitioned.
+    """
+    keys = exact_dedup_keys(df, text_col, id_col).select(
+        "content_hash", F.col("keep_id").alias(id_col)
+    )
+    h = F.sha2(normalize_text(F.col(text_col)), 256).alias("content_hash")
+    return (
+        df.withColumn("content_hash", h)
+        .join(keys, on=["content_hash", id_col], how="left_semi")
+        .drop("content_hash")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_hashes: int = 8,
+) -> DataFrame:
+    """Portable MinHash signatures (SURVEY.md Q37 scale path).
+
+    One signature column per hash seed: ``min(md5(seed || shingle))``
+    over the doc's k-token shingles. md5 (not xxhash64) so the DuckDB
+    oracle can reproduce the signatures bit-for-bit; at production
+    scale swap the hash for xxhash64 — same plan shape.
+
+    Plan shape: explode(shingles) → groupBy(id) with n_hashes min()
+    partial aggregates — map-side combined, single shuffle on id.
+    """
+    sh = df.select(F.col(id_col), F.explode(shingles(text_col, k)).alias("shingle"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"s{i}|"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH banding over minhash signatures → candidate pairs.
+
+    Groups the signature columns into ``bands`` bands, hashes each
+    band, and equi-joins on (band_idx, band_hash). Returns distinct
+    candidate (id_a < id_b) pairs. The join is the only shuffle and
+    its key space is the band-hash domain — no quadratic blow-up.
+    """
+    rows_per_band = n_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bh"))
+        )
+    buckets = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("b")
+    ).select(id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = "source",
+    k: int = 1,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity on blocked pairs (SURVEY.md §2.11).
+
+    tokens → distinct k-shingles → explode → self-equi-join on
+    (shingle [, block]) → per-pair common count → |A∪B| via per-doc
+    sizes → Jaccard filter. Blocking bounds the join fan-out; at scale
+    the block key is an LSH bucket instead of a metadata column (same
+    plan). Output: (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    base_cols = [F.col(id_col)] + ([F.col(block_col)] if block_col else [])
+    sh = df.select(
+        *base_cols, F.explode(F.array_distinct(shingles(text_col, k))).alias("shingle")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    join_cond = [sh["shingle"]]
+    a = sh.alias("a")
+    b = sh.alias("b")
+    cond = (F.col("a.shingle") == F.col("b.shingle")) & (
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    )
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    common = (
+        a.join(b, cond)
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """SimHash document fingerprints (SURVEY.md §2.11), expression-level.
+
+    Per token: 64-bit xxhash64; per bit position the +1/-1 votes are
+    summed across tokens (weighted by term frequency via the explode);
+    the sign vector packs back into one BIGINT. Entirely built-in
+    functions: explode → bit tests → groupBy(id) with 64 conditional
+    sums → bit-OR pack. One shuffle on id.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    h = F.xxhash64("tok")
+    votes = [
+        F.sum(
+            F.when(h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), i)) != 0, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    voted = tok.groupBy(id_col).agg(*votes)
+    packed = None
+    for i in range(bits):
+        bit = F.when(
+            F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+        packed = bit if packed is None else packed.bitwiseOR(bit)
+    return voted.select(F.col(id_col), packed.alias("simhash"))
+
+
+def dedup_rows(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Row-level exact dedup on key columns (dropDuplicates) — the
+    batch analog of dropDuplicatesWithinWatermark (SURVEY.md §2.10),
+    canonicalized to keep the full row via min struct per key for
+    determinism (dropDuplicates keeps an arbitrary row)."""
+    others = [c for c in df.columns if c not in key_cols]
+    packed = df.select(
+        *[F.col(c) for c in key_cols], F.struct(*[F.col(c) for c in others]).alias("_rest")
+    )
+    kept = packed.groupBy(*key_cols).agg(F.min("_rest").alias("_rest"))
+    return kept.select(*key_cols, *[F.col(f"_rest.{c}").alias(c) for c in others])

@@ -27,7 +27,14 @@ from pyspark.sql import functions as F
 
 from climate_data_pipelines_spark.catalog import load_table
 from climate_data_pipelines_spark.functions.scalar import inclusive_month_range
-from climate_data_pipelines_spark.operators import climate
+from climate_data_pipelines_spark.operators import (
+    asof,
+    climate,
+    dedup,
+    multimodal,
+    similarity,
+    textops,
+)
 
 
 @dataclass(frozen=True)
@@ -52,20 +59,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-def oround(col, scale: int):
-    """Round a double the way the DuckDB oracle's ROUND does.
-
-    DuckDB computes ``round(x*10^s)/10^s`` in doubles; Spark's F.round
-    rounds the *exact* binary value via BigDecimal HALF_UP. For values
-    whose scaled double lands across a rounding boundary the two
-    differ in the last decimal (observed ~0.1% of rows at scale 4).
-    Reproducing the scaled-multiply form on the Spark side makes both
-    engines bit-identical: double ops are deterministic, and exact
-    .5 ties at scale 0 round away-from-zero in both (BigDecimal
-    HALF_UP == C round for them).
-    """
-    p = F.lit(float(10**scale))
-    return F.round(col * p, 0) / p
+from climate_data_pipelines_spark.functions.scalar import oracle_round as oround
 
 
 # ---------------------------------------------------------------------------
@@ -702,3 +696,511 @@ def q35(spark, sf_dir):
             "sum_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.11 LLM-data operators: dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q36_exact_dedup",
+    """SELECT sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
+              MIN(doc_id) AS keep_id, COUNT(*) AS n_dupes
+       FROM documents GROUP BY 1""",
+    "Q36: exact dedup via sha256 of normalized text — groupBy on the "
+    "digest, deterministic min-id keeper (SURVEY.md §2.11). Shuffle "
+    "carries 32-byte keys, never document bodies.",
+)
+def q36(spark, sf_dir):
+    return dedup.exact_dedup_keys(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "q37_minhash_lsh_candidates",
+    None,
+    "Q37 (rows-only): MinHash+LSH near-dup candidate pairs — "
+    "shingle→signature→band→bucket-join; the equi-join on band hashes "
+    "replaces the quadratic all-pairs comparison (SURVEY.md §2.11).",
+)
+def q37(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, k=3, n_hashes=8)
+    return dedup.minhash_lsh_candidates(sigs, n_hashes=8, bands=4)
+
+
+@query(
+    "q41_minhash_signatures",
+    """WITH t AS (SELECT doc_id,
+                    list_filter(string_split(text, ' '), x -> x != '') AS toks
+                  FROM documents),
+         sh AS (SELECT doc_id,
+                       array_to_string(list_slice(toks, i, i + 2), ' ') AS shingle
+                FROM t, UNNEST(generate_series(1, greatest(len(toks) - 2, 1))) AS u(i))
+       SELECT doc_id,
+              MIN(md5('s0|' || shingle)) AS mh0, MIN(md5('s1|' || shingle)) AS mh1,
+              MIN(md5('s2|' || shingle)) AS mh2, MIN(md5('s3|' || shingle)) AS mh3,
+              MIN(md5('s4|' || shingle)) AS mh4, MIN(md5('s5|' || shingle)) AS mh5,
+              MIN(md5('s6|' || shingle)) AS mh6, MIN(md5('s7|' || shingle)) AS mh7
+       FROM sh GROUP BY doc_id""",
+    "Q37 scale path, oracle-checked: portable MinHash signatures — "
+    "min(md5(seed||shingle)) per doc over 3-token shingles; "
+    "explode→groupBy with map-side combine, single shuffle on doc_id.",
+)
+def q41(spark, sf_dir):
+    return dedup.minhash_signatures(_t(spark, sf_dir, "documents"), k=3, n_hashes=8)
+
+
+@query(
+    "q40_ngram_jaccard",
+    """WITH sh AS (SELECT doc_id, source,
+                     unnest(list_distinct(list_filter(string_split(text, ' '), x -> x != ''))) AS shingle
+                   FROM documents),
+         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+                    FROM sh a JOIN sh b
+                      ON a.shingle = b.shingle AND a.source = b.source
+                     AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2)
+       SELECT id_a, id_b,
+              ROUND((CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)) * 1000000) / 1000000
+                AS jaccard
+       FROM common
+       JOIN sizes sa ON sa.doc_id = id_a
+       JOIN sizes sb ON sb.doc_id = id_b
+       WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5""",
+    "Q40: exact n-gram Jaccard on blocked pairs (block = source) — the "
+    "verification stage of near-dup; explode→equi-join→group-count, "
+    "no quadratic cross product (SURVEY.md §2.11).",
+)
+def q40(spark, sf_dir):
+    pairs = dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), k=1, block_col="source", threshold=0.5
+    )
+    return pairs.select("id_a", "id_b", oround(F.col("jaccard"), 6).alias("jaccard"))
+
+
+@query(
+    "q42_simhash",
+    None,
+    "Q42 (rows-only): 64-bit SimHash fingerprints — per-token xxhash64 "
+    "bit votes, conditional-sum aggregation, sign-pack to BIGINT "
+    "(xxhash64 has no DuckDB twin → rows-only).",
+)
+def q42(spark, sf_dir):
+    return dedup.simhash(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "q52_dedup_rows",
+    """SELECT event_id, ts, user_id, event_type, value, props FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id
+                     ORDER BY ts, user_id, event_type, value, props) AS rn
+         FROM events) t
+       WHERE rn = 1""",
+    "Q52: row-level keyed dedup — batch analog of "
+    "dropDuplicatesWithinWatermark (SURVEY.md §2.10), deterministic "
+    "min-struct keeper instead of dropDuplicates' arbitrary row.",
+)
+def q52(spark, sf_dir):
+    return dedup.dedup_rows(_t(spark, sf_dir, "events"), ["event_id"]).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.11 similarity search
+# ---------------------------------------------------------------------------
+
+
+def _query_vectors(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+@query(
+    "q38_cosine_topk",
+    """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                  FROM embeddings WHERE vec_id < 3),
+         s AS (SELECT q.query_id, e.vec_id,
+                 ROUND((list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) /
+                   (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+                    sqrt(list_dot_product(q.qv, q.qv)))) * 1000000) / 1000000 AS cosine
+               FROM embeddings e, q
+               WHERE e.vec_id != q.query_id),
+         r AS (SELECT query_id, vec_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, vec_id) AS rank
+               FROM s)
+       SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 10""",
+    "Q38: brute-force cosine top-k — zip_with/aggregate dot product "
+    "(JVM codegen, no UDF), broadcast query set, rank window "
+    "(SURVEY.md §2.11).",
+)
+def q38(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, _query_vectors(spark, sf_dir), k=10)
+
+
+@query(
+    "q43_embedding_neardup",
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              ROUND((list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+                (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+                 sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))) * 1000000) / 1000000
+                AS cosine
+       FROM embeddings a JOIN embeddings b
+         ON a.label = b.label AND a.vec_id < b.vec_id
+       WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+               (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+                sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.3""",
+    "Q43: embedding-cosine near-dup pairs blocked on label — exact "
+    "cosine verification on an equi-join candidate set "
+    "(SURVEY.md §2.11).",
+)
+def q43(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_neardup_pairs(emb, threshold=0.3)
+
+
+@query(
+    "q55_ann_lsh_topk",
+    None,
+    "Q38 scale path (rows-only): random-hyperplane LSH bucketing + "
+    "exact cosine within bucket — approximate by construction, judged "
+    "on recall vs q38 in tests (SURVEY.md §2.11).",
+)
+def q55(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ann_lsh_topk(emb, _query_vectors(spark, sf_dir), k=10, n_planes=6)
+
+
+# ---------------------------------------------------------------------------
+# §2.11 text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q39_word_count",
+    """SELECT word, COUNT(*) AS n FROM (
+         SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+       WHERE word != '' GROUP BY word""",
+    "Q39: corpus word count — explode(tokens) → groupBy(word); "
+    "map-side partial agg keeps the shuffle at vocab size.",
+)
+def q39(spark, sf_dir):
+    return textops.word_count(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "q44_quality_score",
+    """WITH t AS (SELECT doc_id,
+                    list_filter(string_split(text, ' '), x -> x != '') AS toks
+                  FROM documents),
+         s AS (SELECT doc_id,
+                 len(toks) AS n_tokens,
+                 list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE))) / len(toks) AS mwl,
+                 len(list_filter(toks, x -> x IN ('the','a','an','of','to','and')))
+                   / CAST(len(toks) AS DOUBLE) AS sr,
+                 len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) AS dr
+               FROM t)
+       SELECT doc_id, n_tokens,
+              ROUND(mwl * 1000000) / 1000000 AS mean_word_len,
+              ROUND(sr * 1000000) / 1000000 AS stopword_ratio,
+              ROUND(dr * 1000000) / 1000000 AS distinct_ratio,
+              (n_tokens >= 10 AND mwl >= 2.0 AND mwl <= 12.0 AND dr >= 0.1)
+                AS passes_quality
+       FROM s""",
+    "Q44: document quality scoring — length / mean word length / "
+    "stopword ratio / distinct-token ratio, Gopher-ish composite "
+    "(SURVEY.md §2.11). Pure expressions, no shuffle.",
+)
+def q44(spark, sf_dir):
+    return textops.quality_score(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "q45_token_count",
+    """SELECT doc_id, length(text) AS n_chars,
+              len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tokens_ws,
+              len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS n_tokens_re,
+              len(list_distinct(list_filter(string_split(text, ' '), x -> x != '')))
+                AS n_tokens_distinct
+       FROM documents""",
+    "Q45: token counting — whitespace tokens, regex word tokens "
+    "(BPE-ish pre-tokenization), distinct tokens (SURVEY.md §2.11).",
+)
+def q45(spark, sf_dir):
+    df = textops.token_stats(_t(spark, sf_dir, "documents"))
+    return df.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_tokens_ws").cast("long").alias("n_tokens_ws"),
+        F.col("n_tokens_re").cast("long").alias("n_tokens_re"),
+        F.col("n_tokens_distinct").cast("long").alias("n_tokens_distinct"),
+    )
+
+
+@query(
+    "q46_fingerprint",
+    """SELECT doc_id,
+              md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+              substring(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 8)
+                AS shard_key
+       FROM documents""",
+    "Q46: document fingerprinting — md5 of normalized text + 8-hex "
+    "shard prefix (what a 100 TB dedup partitions on).",
+)
+def q46(spark, sf_dir):
+    return textops.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "q47_lang_id",
+    """WITH t AS (SELECT doc_id,
+                    list_filter(string_split(text, ' '), x -> x != '') AS toks
+                  FROM documents),
+         s AS (SELECT doc_id,
+                 len(list_filter(toks, x -> x IN ('der','die','das','und'))) AS score_de,
+                 len(list_filter(toks, x -> x IN ('the','a','value','fast'))) AS score_en,
+                 len(list_filter(toks, x -> x IN ('el','la','los','que'))) AS score_es,
+                 len(list_filter(toks, x -> x IN ('le','la','les','et'))) AS score_fr,
+                 len(list_filter(toks, x -> x IN ('zh','ni','hao','ma'))) AS score_zh
+               FROM t)
+       SELECT doc_id, score_de, score_en, score_es, score_fr, score_zh,
+              CASE WHEN score_de = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'de'
+                   WHEN score_en = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'en'
+                   WHEN score_es = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'es'
+                   WHEN score_fr = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'fr'
+                   ELSE 'zh' END AS pred_lang
+       FROM s""",
+    "Q47: language-ID heuristic — marker-word hit counts per language, "
+    "deterministic argmax; narrow map, zero shuffle (SURVEY.md §2.11).",
+)
+def q47(spark, sf_dir):
+    df = textops.language_id(_t(spark, sf_dir, "documents"))
+    return df.select(
+        "doc_id",
+        *[F.col(f"score_{l}").cast("long").alias(f"score_{l}") for l in ("de", "en", "es", "fr", "zh")],
+        "pred_lang",
+    )
+
+
+# ---------------------------------------------------------------------------
+# as-of / range joins (engine-added temporal operators)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q48_asof_join",
+    """SELECT e.event_id, c.event_id AS click_id, c.ts AS click_ts
+       FROM events e
+       ASOF LEFT JOIN (SELECT user_id, ts, event_id
+                       FROM events WHERE event_type = 'click') c
+         ON e.user_id = c.user_id AND e.ts >= c.ts""",
+    "Q48: as-of join — for each event, the most recent click by the "
+    "same user at/before ts. Spark has no native ASOF; implemented as "
+    "union + partitioned sort + last_value carry-forward (single "
+    "shuffle, linear per key — no range-join explosion).",
+)
+def q48(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("rts"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    return asof.asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="rts",
+        right_vals=["click_id", "click_ts"],
+        tie_col="click_id",
+    ).select("event_id", "click_id", "click_ts")
+
+
+@query(
+    "q49_range_join",
+    """SELECT event_id, bucket FROM events
+       JOIN (VALUES (0.0, 50.0, 'low'), (50.0, 150.0, 'mid'),
+                    (150.0, 1000.0, 'high')) AS b(lo, hi, bucket)
+         ON value >= lo AND value < hi""",
+    "Q49: range join — fact rows to the containing interval of a "
+    "small bounds table; broadcast nested-loop (at large dim "
+    "cardinality: bucketized equi-join instead).",
+)
+def q49(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    bounds = spark.createDataFrame(
+        [(0.0, 50.0, "low"), (50.0, 150.0, "mid"), (150.0, 1000.0, "high")],
+        "lo double, hi double, bucket string",
+    )
+    return asof.range_join(ev, bounds, "value", "lo", "hi").select("event_id", "bucket")
+
+
+# ---------------------------------------------------------------------------
+# §2.10 streaming surface (batch-checkable) — sliding & session windows
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q50_sliding_window",
+    """WITH k AS (SELECT unnest([0, 1]) AS k),
+         w AS (SELECT e.event_type, e.value,
+                 TIMESTAMP '1970-01-01'
+                   + (CAST(floor((epoch(e.ts) - k.k * 10800) / 21600) AS BIGINT) * 21600
+                      + k.k * 10800) * INTERVAL 1 SECOND AS window_start
+               FROM events e, k)
+       SELECT window_start,
+              window_start + INTERVAL 21600 SECOND AS window_end,
+              event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+       FROM w GROUP BY 1, 2, 3""",
+    "Q50: sliding window (6h window, 3h slide) — F.window duplicates "
+    "each row into its covering windows; the same operator Structured "
+    "Streaming uses (SURVEY.md §2.10).",
+)
+def q50(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours", "3 hours").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "q51_session_window",
+    """WITH o AS (SELECT user_id, ts,
+                    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                          OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             >= INTERVAL 30 MINUTE
+                         THEN 1 ELSE 0 END AS new_s
+                  FROM events),
+         s AS (SELECT user_id, ts,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+               FROM o)
+       SELECT user_id, MIN(ts) AS session_start,
+              MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+              COUNT(*) AS n_events
+       FROM s GROUP BY user_id, sid""",
+    "Q51: session window (30 min gap) — F.session_window, the "
+    "Structured Streaming stateful operator, batch-checked against a "
+    "gaps-and-islands oracle (SURVEY.md §2.10).",
+)
+def q51(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 UDF surface
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q34_python_udf",
+    None,
+    "Q34 (rows-only): scalar Python UDF — deliberately the slow path "
+    "(SURVEY.md §2.8); registered for SQL too. Kept out of every "
+    "oracle-checked hot path.",
+)
+def q34(spark, sf_dir):
+    from climate_data_pipelines_spark.functions.udfs import type_weight
+
+    spark.udf.register("type_weight", type_weight)
+    ev = _t(spark, sf_dir, "events")
+    return ev.select("event_id", type_weight("event_type").alias("weight"))
+
+
+@query(
+    "q56_pandas_udf",
+    """SELECT event_id, (CAST(floor(value) AS BIGINT) % 3 = 0) AS is_land
+       FROM events WHERE value IS NOT NULL""",
+    "Q56: vectorized pandas UDF (U2 — the globe.is_land probe shape, "
+    "precipitation_pipeline.py:160): Arrow-batched Series→Series; "
+    "oracle-checked because the stub mask is SQL-expressible.",
+)
+def q56(spark, sf_dir):
+    from climate_data_pipelines_spark.functions.udfs import is_land_stub
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return ev.select("event_id", is_land_stub("value").alias("is_land"))
+
+
+@query(
+    "q57_grouped_pandas",
+    """SELECT event_id,
+              ROUND((value - AVG(value) OVER (PARTITION BY event_type))
+                    / stddev_samp(value) OVER (PARTITION BY event_type) * 1000000)
+                / 1000000 AS z_score
+       FROM events WHERE value IS NOT NULL""",
+    "Q57: grouped applyInPandas (U3, UDTF-shaped) — per-group "
+    "z-score normalization in pandas, checked against the window-"
+    "function oracle.",
+)
+def q57(spark, sf_dir):
+    from climate_data_pipelines_spark.functions.udfs import ZSCORE_SCHEMA, zscore_per_group
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return (
+        ev.select("event_id", "event_type", "value")
+        .groupBy("event_type")
+        .applyInPandas(zscore_per_group, schema=ZSCORE_SCHEMA)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.11 multimodal columns
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q53_multimodal_meta",
+    """SELECT doc_id, 'image/fake' AS media_type,
+              octet_length(encode(text)) AS n_bytes,
+              md5(text) AS payload_md5
+       FROM documents""",
+    "Q53: multimodal binary columns — opaque payload + typed metadata "
+    "struct; digest computed on the binary (SURVEY.md §2.11).",
+)
+def q53(spark, sf_dir):
+    bdf = multimodal.attach_binary_payload(_t(spark, sf_dir, "documents"))
+    return bdf.select(
+        "doc_id",
+        F.col("media_meta.media_type").alias("media_type"),
+        F.col("media_meta.n_bytes").cast("long").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
+@query(
+    "q54_image_features",
+    None,
+    "Q54 (rows-only): Arrow-batched decode/feature-extract over "
+    "mapInPandas — decode kernel STUBBED (no codec libs in container); "
+    "schema/batching/partitioning plumbing is real (SURVEY.md §2.11).",
+)
+def q54(spark, sf_dir):
+    bdf = multimodal.attach_binary_payload(_t(spark, sf_dir, "documents"))
+    return multimodal.extract_image_features(bdf)
