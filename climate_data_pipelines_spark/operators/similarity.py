@@ -88,16 +88,17 @@ def embedding_neardup_pairs(
     )
 
 
-def _hyperplane_sign(vec_col: str, plane: int) -> F.Column:
-    """Sign bit of vec · w_plane with deterministic pseudo-random
-    weights: w[d] = (xxhash64(plane, d) % 1001 - 500) / 500 — computed
-    expression-side from the element index, no weight table shipped."""
+def _hyperplane_sign(vec_col: str, table: int, plane: int) -> F.Column:
+    """Sign bit of vec · w_(table,plane) with deterministic
+    pseudo-random weights: w[d] = (xxhash64(table, plane, d) % 1001
+    - 500) / 500 — computed expression-side from the element index, no
+    weight table shipped to executors."""
     dot = F.aggregate(
         F.zip_with(
             F.col(vec_col),
             F.sequence(F.lit(0), F.size(vec_col) - 1),
             lambda x, i: x.cast("double")
-            * ((F.xxhash64(F.lit(plane), i) % 1001).cast("double") / 500.0),
+            * (((F.xxhash64(F.lit(table), F.lit(plane), i) % 1001) - 500).cast("double") / 500.0),
         ),
         F.lit(0.0),
         lambda acc, v: acc + v,
@@ -109,37 +110,53 @@ def ann_lsh_topk(
     df: DataFrame,
     query_df: DataFrame,
     k: int = 10,
-    n_planes: int = 8,
+    n_planes: int = 4,
+    n_tables: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Approximate top-k: random-hyperplane LSH bucketing + exact
-    cosine within the query's bucket (SURVEY.md §2.11 scale path).
+    """Approximate top-k: multi-table random-hyperplane LSH + exact
+    cosine on the candidate union (SURVEY.md §2.11 scale path).
 
-    Corpus rows and query rows hash to an n_planes-bit bucket; the
-    candidate join is an equi-join on the bucket key, then exact
-    cosine + rank. Recall is tunable via n_planes / multiprobe; the
-    exactness contract is "top-k of the candidate set", which is why
-    this ships rows-only (the oracle covers the exact variant).
+    Each of ``n_tables`` independent hash tables buckets every vector
+    by n_planes sign bits; a corpus row is a candidate if it collides
+    with the query in ANY table (OR-amplification — recall rises with
+    tables, precision with planes). Candidate generation is an
+    equi-join on (table, bucket); exact cosine runs only on the
+    distinct candidate set. Approximate by construction → rows-only
+    (the exact variant q38 is the oracle-checked baseline; tests gate
+    recall against it).
     """
-    def bucketed(frame: DataFrame, vcol: str, idc) -> DataFrame:
-        bucket = None
-        for p in range(n_planes):
-            bit = _hyperplane_sign(vcol, p) * (1 << p)
-            bucket = bit if bucket is None else bucket + bit
-        return frame.withColumn("bucket", bucket)
 
-    corpus = bucketed(df, vec_col, id_col).select("bucket", F.col(id_col), F.col(vec_col))
-    queries = bucketed(
-        query_df.withColumnRenamed("query_vec", "_qv"), "_qv", "query_id"
-    ).select("bucket", "query_id", "_qv")
-    scored = (
-        corpus.join(F.broadcast(queries), "bucket")
+    def bucketed(frame: DataFrame, vcol: str, keep: list[str]) -> DataFrame:
+        tables = []
+        for t in range(n_tables):
+            bucket = None
+            for p in range(n_planes):
+                bit = _hyperplane_sign(vcol, t, p) * (1 << p)
+                bucket = bit if bucket is None else bucket + bit
+            tables.append(F.struct(F.lit(t).alias("table"), bucket.alias("bucket")))
+        return frame.select(
+            *keep, F.explode(F.array(*tables)).alias("_tb")
+        ).select(*keep, F.col("_tb.table").alias("table"), F.col("_tb.bucket").alias("bucket"))
+
+    corpus_b = bucketed(df, vec_col, [id_col])
+    query_b = bucketed(
+        query_df.withColumnRenamed("query_vec", "_qv"), "_qv", ["query_id"]
+    )
+    candidates = (
+        corpus_b.join(F.broadcast(query_b.select("query_id", "table", "bucket")), ["table", "bucket"])
         .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col)
+        .distinct()
+    )
+    scored = (
+        candidates.join(df.select(F.col(id_col), F.col(vec_col)), id_col)
+        .join(F.broadcast(query_df), "query_id")
         .select(
             "query_id",
             F.col(id_col),
-            oracle_round(cosine_similarity(vec_col, "_qv"), 6).alias("cosine"),
+            oracle_round(cosine_similarity(vec_col, "query_vec"), 6).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))

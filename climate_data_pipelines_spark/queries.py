@@ -874,7 +874,7 @@ def q43(spark, sf_dir):
 )
 def q55(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.ann_lsh_topk(emb, _query_vectors(spark, sf_dir), k=10, n_planes=6)
+    return similarity.ann_lsh_topk(emb, _query_vectors(spark, sf_dir), k=10, n_planes=4, n_tables=4)
 
 
 # ---------------------------------------------------------------------------

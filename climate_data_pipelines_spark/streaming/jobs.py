@@ -1,0 +1,133 @@
+"""Structured Streaming jobs re-expressing the reference's
+incremental-batch cadence (SURVEY.md §2.10).
+
+The reference is batch, but *incremental* batch: the spot manager
+computes "previous month" as the processing target
+(utils/spot_manager.py:52-58) — a monthly micro-batch with
+month-partitioned state, resumed via --skip-* flags. Here that
+becomes real Structured Streaming:
+
+- file source (parquet dir) + ``trigger(availableNow=True)`` — the
+  deterministic catch-up run (test mode and the monthly-batch analog);
+- watermarks bound state for late data (the reference's rerun-with-
+  --force overwrite becomes watermark-expired state);
+- ``dropDuplicatesWithinWatermark`` replaces delete-and-rewrite
+  idempotency (humidity_pipeline.py:193-195);
+- windows (tumbling/sliding/session) are the same F.window /
+  F.session_window operators the batch queries use — one definition,
+  two execution modes.
+
+All functions take a *streaming* DataFrame (``spark.readStream``) and
+return the transformed streaming DataFrame; sinks/checkpoints are the
+caller's (tests use memory sink; production uses parquet/kafka +
+checkpointLocation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from climate_data_pipelines_spark.catalog import TABLES, ensure_session_confs
+
+
+def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source stream over a directory of events parquet files.
+
+    Explicit schema (streaming file sources require one — and at
+    100 TB you never infer). maxFilesPerTrigger bounds micro-batch
+    size when running continuously.
+    """
+    ensure_session_confs(spark)
+    schema = TABLES["events"]
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(events_dir)
+    )
+
+
+def tumbling_counts(stream: DataFrame, window: str = "1 day", watermark: str = "1 hour") -> DataFrame:
+    """Q35 streaming form: watermarked tumbling-window counts.
+
+    Watermark bounds state: windows older than (max event time -
+    watermark) finalize and evict. Append output mode emits each
+    window exactly once — the idempotent monthly-file analog.
+    """
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    stream: DataFrame,
+    window: str = "6 hours",
+    slide: str = "3 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Sliding-window variant (engine-added; SURVEY.md §2.10)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def session_counts(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Session-window variant — stateful merge of per-user activity
+    bursts; watermark keeps the session state store bounded
+    (SURVEY.md §7.4 scale risk)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Stateful dedup on event_id with watermark-bounded state —
+    replaces the reference's delete-then-rewrite idempotency
+    (--force at precipitation_pipeline.py:255)."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_available_now(
+    result: DataFrame, checkpoint_dir: str, query_name: str = "stream"
+):
+    """Execute a streaming result to a memory sink with
+    ``availableNow`` (process everything present, then stop) — the
+    deterministic test/catch-up trigger. Returns the StreamingQuery;
+    caller awaits termination and reads ``SELECT * FROM {query_name}``.
+    """
+    return (
+        result.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,67 @@
+from __future__ import annotations
+
+import datetime
+
+from climate_data_pipelines_spark.operators import asof
+
+
+def _ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_asof_join_picks_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 100, _ts("2024-01-01 10:00:00")),
+            (2, 100, _ts("2024-01-01 12:00:00")),
+            (3, 200, _ts("2024-01-01 11:00:00")),  # key with no right rows
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, _ts("2024-01-01 09:00:00"), 90, _ts("2024-01-01 09:00:00")),
+            (100, _ts("2024-01-01 11:30:00"), 91, _ts("2024-01-01 11:30:00")),
+            (100, _ts("2024-01-01 13:00:00"), 92, _ts("2024-01-01 13:00:00")),
+        ],
+        "user_id long, rts timestamp, click_id long, click_ts timestamp",
+    )
+    out = {
+        r.event_id: r.click_id
+        for r in asof.asof_join(
+            left, right, on="user_id", left_ts="ts", right_ts="rts",
+            right_vals=["click_id", "click_ts"], tie_col="click_id",
+        ).collect()
+    }
+    assert out[1] == 90      # 09:00 is latest ≤ 10:00
+    assert out[2] == 91      # 11:30 is latest ≤ 12:00 (13:00 excluded)
+    assert out[3] is None    # no right rows for key 200
+
+
+def test_asof_join_equal_ts_matches(spark):
+    left = spark.createDataFrame(
+        [(1, 100, _ts("2024-01-01 10:00:00"))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(100, _ts("2024-01-01 10:00:00"), 7, _ts("2024-01-01 10:00:00"))],
+        "user_id long, rts timestamp, click_id long, click_ts timestamp",
+    )
+    out = asof.asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="rts",
+        right_vals=["click_id", "click_ts"], tie_col="click_id",
+    ).first()
+    assert out.click_id == 7  # at-or-before is inclusive
+
+
+def test_range_join_boundaries(spark):
+    fact = spark.createDataFrame(
+        [(1, 0.0), (2, 49.999), (3, 50.0), (4, 150.0), (5, None)],
+        "event_id long, value double",
+    )
+    bounds = spark.createDataFrame(
+        [(0.0, 50.0, "low"), (50.0, 150.0, "mid"), (150.0, 1000.0, "high")],
+        "lo double, hi double, bucket string",
+    )
+    out = {r.event_id: r.bucket for r in
+           asof.range_join(fact, bounds, "value", "lo", "hi").collect()}
+    assert out == {1: "low", 2: "low", 3: "mid", 4: "high"}  # lo incl, hi excl; null drops

@@ -1,0 +1,92 @@
+from __future__ import annotations
+
+import datetime
+import json
+import math
+
+from pyspark.sql import functions as F
+
+from climate_data_pipelines_spark.operators import climate
+
+
+def _obs_df(spark, rows):
+    return spark.createDataFrame(rows, "ts timestamp, lat double, lon double, value double")
+
+
+TS = datetime.datetime(2024, 1, 15, 12, 0, 0)
+
+
+def test_observations_normalizes_nan_and_drops_nulls(spark):
+    df = _obs_df(
+        spark,
+        [
+            (TS, 10.0, 20.0, 1.5),
+            (TS, 10.5, 20.0, float("nan")),  # NaN → NULL → dropped
+            (TS, 11.0, 20.0, None),
+        ],
+    )
+    out = climate.observations(df, ts_col="ts", value_col="value").collect()
+    assert len(out) == 1
+    assert out[0].value == 1.5
+    assert out[0].year == 2024 and out[0].month == 1
+
+
+def test_observations_empty_input(spark):
+    df = _obs_df(spark, [])
+    assert climate.observations(df).count() == 0
+
+
+def test_grid_resolution_min_gap(spark):
+    df = _obs_df(
+        spark,
+        [(TS, lat, 0.0, 1.0) for lat in (10.0, 10.5, 11.0, 12.0)],
+    )
+    res = climate.grid_resolution(df, "lat", fallback=99.0).first().resolution
+    assert math.isclose(res, 0.5)
+
+
+def test_grid_resolution_singleton_fallback(spark):
+    # reference fallback: single distinct coordinate → hardcoded res
+    # (precipitation_pipeline.py:174-184)
+    df = _obs_df(spark, [(TS, 10.0, 0.0, 1.0), (TS, 10.0, 1.0, 2.0)])
+    res = climate.grid_resolution(df, "lat", fallback=0.625).first().resolution
+    assert res == 0.625
+
+
+def test_land_filter_semi_and_anti_partition(spark, sf_dir):
+    from climate_data_pipelines_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    mask = ev.select("user_id").distinct().filter(F.col("user_id") % 2 == 0)
+    land = climate.land_filter(ev, mask, ["user_id"])
+    ocean = climate.ocean_filter(ev, mask, ["user_id"])
+    assert land.count() + ocean.count() == ev.count()
+    assert land.join(ocean, "event_id", "inner").count() == 0
+
+
+def test_polygonize_ring_is_closed_rectangle(spark):
+    df = _obs_df(spark, [(TS, 10.0, 20.0, 1.0)])
+    ring = climate.polygonize(df, lat_res=0.5, lon_res=0.625).first().coordinates[0]
+    assert len(ring) == 5
+    assert ring[0] == ring[4]  # closed
+    lons = sorted({p[0] for p in ring})
+    lats = sorted({p[1] for p in ring})
+    assert math.isclose(lons[1] - lons[0], 0.625)
+    assert math.isclose(lats[1] - lats[0], 0.5)
+    # GeoJSON ring order [SW, SE, NE, NW, SW]
+    assert ring[0] == [20.0 - 0.3125, 10.0 - 0.25]
+    assert ring[2] == [20.0 + 0.3125, 10.0 + 0.25]
+
+
+def test_geojson_feature_collection_parses(spark):
+    df = _obs_df(spark, [(TS, 10.0, 20.0, 1.0), (TS, 10.5, 20.0, 2.0)])
+    obs = climate.observations(df)
+    feats = climate.geojson_features(climate.polygonize(obs), props=["year", "month"])
+    fc = climate.feature_collection(feats, ["year", "month"]).first()
+    doc = json.loads(fc.feature_collection)
+    assert doc["type"] == "FeatureCollection"
+    assert len(doc["features"]) == 2
+    f = doc["features"][0]
+    assert f["type"] == "Feature"
+    assert f["geometry"]["type"] == "Polygon"
+    assert f["properties"]["year"] == 2024

@@ -1,0 +1,78 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from climate_data_pipelines_spark.operators import dedup
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog", "a"),
+    (2, "the quick brown fox jumps over the lazy dog", "a"),  # exact dup of 1
+    (3, "The  quick  brown fox jumps over the lazy dog", "a"),  # normalized dup
+    (4, "completely different content about the spark engines", "a"),
+    (5, "the quick brown fox jumps over the lazy cat", "a"),  # near dup of 1
+    (6, "unrelated text in another block entirely here", "b"),
+]
+
+
+def test_exact_dedup_keeps_min_id_per_normalized_content(spark):
+    df = _docs(spark, DOCS)
+    kept = dedup.exact_dedup(df).select("doc_id").rdd.map(lambda r: r[0]).collect()
+    # 1,2,3 normalize to the same content → keeper is 1
+    assert sorted(kept) == [1, 4, 5, 6]
+    keys = dedup.exact_dedup_keys(df)
+    assert keys.filter(F.col("n_dupes") == 3).first().keep_id == 1
+
+
+def test_minhash_identical_docs_share_signature(spark):
+    df = _docs(spark, DOCS)
+    sigs = {r.doc_id: tuple(r[i] for i in range(1, 9)) for r in
+            dedup.minhash_signatures(df, k=3, n_hashes=8).collect()}
+    assert sigs[1] == sigs[2]
+    # near-dup shares most minhashes, different doc shares few
+    shared_near = sum(a == b for a, b in zip(sigs[1], sigs[5]))
+    shared_far = sum(a == b for a, b in zip(sigs[1], sigs[4]))
+    assert shared_near > shared_far
+
+
+def test_lsh_candidates_contain_exact_pair(spark):
+    df = _docs(spark, DOCS)
+    sigs = dedup.minhash_signatures(df, k=3, n_hashes=8)
+    pairs = {(r.id_a, r.id_b) for r in dedup.minhash_lsh_candidates(sigs).collect()}
+    assert (1, 2) in pairs
+    assert all(a < b for a, b in pairs)
+
+
+def test_ngram_jaccard_identical_is_one(spark):
+    df = _docs(spark, DOCS)
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(df, k=1, block_col="source", threshold=0.0).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 6) not in pairs  # different block never compared
+    assert 0.0 < pairs[(1, 4)] < pairs[(1, 5)] <= 1.0
+
+
+def test_simhash_identical_equal_near_close(spark):
+    df = _docs(spark, DOCS)
+    sh = {r.doc_id: r.simhash for r in dedup.simhash(df).collect()}
+    assert sh[1] == sh[2]
+
+    def hamming(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    assert hamming(sh[1], sh[5]) < hamming(sh[1], sh[6])
+
+
+def test_dedup_rows_deterministic_keeper(spark):
+    df = spark.createDataFrame(
+        [(1, "b", 2.0), (1, "a", 9.0), (2, "z", 1.0)], "k long, s string, v double"
+    )
+    out = {r.k: (r.s, r.v) for r in dedup.dedup_rows(df, ["k"]).collect()}
+    assert out[1] == ("a", 9.0)  # min struct by (s, v)
+    assert out[2] == ("z", 1.0)

@@ -1,0 +1,115 @@
+from __future__ import annotations
+
+import datetime
+import json
+import shutil
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from climate_data_pipelines_spark import sinks
+from climate_data_pipelines_spark.catalog import load_table
+from climate_data_pipelines_spark.operators import climate, multimodal
+from climate_data_pipelines_spark.sources import readers
+
+
+@pytest.fixture(scope="module")
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="cdp_sink_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_binary_payload_roundtrip(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    bdf = multimodal.attach_binary_payload(docs)
+    joined = bdf.join(docs, "doc_id").select(
+        "doc_id", F.decode("payload", "UTF-8").alias("back"), "text", "media_meta"
+    )
+    for r in joined.collect():
+        assert r.back == r.text
+        assert r.media_meta.n_bytes == len(r.text.encode())
+
+
+def test_extract_image_features_deterministic(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    bdf = multimodal.attach_binary_payload(docs)
+    a = {r.doc_id: (r.width, r.height, r.mean_luma) for r in
+         multimodal.extract_image_features(bdf).collect()}
+    b = {r.doc_id: (r.width, r.height, r.mean_luma) for r in
+         multimodal.extract_image_features(bdf).collect()}
+    assert a == b and len(a) == 20
+    assert all(16 <= w < 80 and 16 <= h < 80 for w, h, _ in a.values())
+
+
+def test_frame_sample_counts(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    bdf = multimodal.attach_binary_payload(docs)
+    frames = multimodal.frame_sample(bdf, every_n_bytes=100)
+    per_doc = {r.doc_id: r.n for r in frames.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    sizes = {r.doc_id: r.media_meta.n_bytes for r in bdf.collect()}
+    for d, n in per_doc.items():
+        assert n == max(1, sizes[d] // 100)
+
+
+def test_parquet_partitioned_roundtrip(spark, sf_dir, tmpdir):
+    ev = load_table(spark, sf_dir, "events")
+    obs = climate.observations(ev, ts_col="ts", value_col="value")
+    sinks.write_parquet_partitioned(obs, f"{tmpdir}/obs", ["year", "month"])
+    back = spark.read.parquet(f"{tmpdir}/obs")
+    assert back.count() == obs.count()
+    # partition pruning works on the layout
+    pruned = back.filter((F.col("year") == 2024) & (F.col("month") == 1))
+    assert pruned.count() == obs.count()
+
+
+def test_geojson_sink_one_doc_per_group(spark, tmpdir):
+    df = spark.createDataFrame(
+        [(datetime.datetime(2024, 1, 15), 10.0, 20.0, 1.0),
+         (datetime.datetime(2024, 2, 15), 10.0, 20.0, 2.0)],
+        "ts timestamp, lat double, lon double, value double",
+    )
+    obs = climate.observations(df)
+    feats = climate.geojson_features(climate.polygonize(obs))
+    fc = climate.feature_collection(feats, ["year", "month"])
+    sinks.write_geojson_per_group(fc, f"{tmpdir}/geojson")
+    back = spark.read.text(f"{tmpdir}/geojson")
+    docs = [json.loads(r.value) for r in back.collect()]
+    assert len(docs) == 2
+    assert all(d["type"] == "FeatureCollection" for d in docs)
+
+
+def test_csv_reader_explicit_schema(spark, tmpdir):
+    from pyspark.sql import types as T
+
+    p = f"{tmpdir}/pop.csv"
+    with open(p, "w") as f:
+        f.write("country,value\nDE,83000000\nXX,not_a_number\n")
+    schema = T.StructType(
+        [T.StructField("country", T.StringType()), T.StructField("value", T.StringType())]
+    )
+    df = readers.read_csv(spark, f"file://{p}", schema)
+    # P6 validity filter (population_pipeline.py:44)
+    valid = df.filter(F.col("value").rlike("^[0-9]+$"))
+    assert valid.count() == 1
+
+
+def test_melt_cube(spark):
+    cube = spark.createDataFrame(
+        [
+            (
+                datetime.datetime(2024, 1, 1),
+                [10.0, 10.5],
+                [20.0, 20.625, 21.25],
+                [[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]],
+            )
+        ],
+        "time timestamp, lats array<double>, lons array<double>, values array<array<double>>",
+    )
+    long = readers.melt_cube(cube)
+    rows = {(r.lat, r.lon): r.value for r in long.collect()}
+    assert len(rows) == 6
+    assert rows[(10.0, 20.0)] == 1.0
+    assert rows[(10.5, 21.25)] == 6.0

@@ -1,0 +1,67 @@
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from climate_data_pipelines_spark.catalog import load_table
+from climate_data_pipelines_spark.operators import similarity
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_cosine_topk_known_geometry(spark):
+    df = _vecs(
+        spark,
+        [
+            (0, [1.0, 0.0], 0),
+            (1, [1.0, 0.01], 0),   # nearly parallel to 0
+            (2, [0.0, 1.0], 0),    # orthogonal
+            (3, [-1.0, 0.0], 0),   # opposite
+        ],
+    )
+    q = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = similarity.cosine_topk(df, q, k=3).orderBy("rank").collect()
+    assert [r.vec_id for r in got] == [1, 2, 3]
+    assert math.isclose(got[0].cosine, 1.0, abs_tol=1e-4)
+    assert math.isclose(got[1].cosine, 0.0, abs_tol=1e-9)
+    assert math.isclose(got[2].cosine, -1.0, abs_tol=1e-9)
+    # query never matches itself
+    assert all(r.vec_id != 0 for r in got)
+
+
+def test_neardup_pairs_blocked(spark):
+    df = _vecs(
+        spark,
+        [
+            (0, [1.0, 0.0], 0),
+            (1, [1.0, 0.001], 0),
+            (2, [1.0, 0.0], 1),  # identical but different block
+        ],
+    )
+    pairs = similarity.embedding_neardup_pairs(df, threshold=0.99).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(0, 1)]
+
+
+def test_ann_recall_against_exact(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = similarity.cosine_topk(emb, q, k=10)
+    approx = similarity.ann_lsh_topk(emb, q, k=10, n_planes=4, n_tables=4)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    # multi-table LSH (4 tables x 4 planes) on 500 vecs: require
+    # substantial recall of the exact top-k
+    assert len(a & e) / len(e) >= 0.5
+    # approx scores must equal exact scores for shared pairs (exact
+    # cosine within bucket)
+    es = {(r.query_id, r.vec_id): r.cosine for r in exact.collect()}
+    for r in approx.collect():
+        if (r.query_id, r.vec_id) in es:
+            assert math.isclose(r.cosine, es[(r.query_id, r.vec_id)], abs_tol=1e-9)

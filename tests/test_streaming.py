@@ -1,0 +1,81 @@
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from climate_data_pipelines_spark.catalog import load_table
+from climate_data_pipelines_spark.streaming import jobs
+
+
+@pytest.fixture(scope="module")
+def stream_dirs(request):
+    d = tempfile.mkdtemp(prefix="cdp_stream_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _events_dir(spark, sf_dir, base):
+    # stage the events fixture as a plain parquet *directory* (after
+    # ns→µs normalization) so the file-source stream can read it
+    out = f"{base}/events_in"
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(out)
+    return out
+
+
+def test_tumbling_counts_stream_matches_batch(spark, sf_dir, stream_dirs):
+    events_dir = _events_dir(spark, sf_dir, stream_dirs)
+    stream = jobs.read_events_stream(spark, events_dir)
+    assert stream.isStreaming
+    result = jobs.tumbling_counts(stream, window="1 day", watermark="1 hour")
+    q = jobs.run_available_now(result, f"{stream_dirs}/ckpt_tumble", "tumble")
+    q.awaitTermination(120)
+
+    got = {
+        (r.window_start, r.event_type): r.n
+        for r in spark.sql("SELECT * FROM tumble").collect()
+    }
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+    )
+    want = {(r.ws, r.event_type): r.n for r in batch.collect()}
+    # append mode emits only watermark-closed windows; with availableNow
+    # the final window may be held back — everything emitted must match
+    # batch, and most windows must have been emitted
+    assert got, "stream emitted nothing"
+    for k, v in got.items():
+        assert want[k] == v
+    assert len(got) >= len(want) - 10  # ≤ open-window holdback per type
+
+
+def test_dedup_within_watermark_removes_duplicates(spark, sf_dir, stream_dirs):
+    dup_dir = f"{stream_dirs}/events_dup"
+    ev = load_table(spark, sf_dir, "events").limit(200)
+    ev.write.mode("overwrite").parquet(dup_dir)
+    ev.write.mode("append").parquet(dup_dir)  # every event twice
+
+    stream = jobs.read_events_stream(spark, dup_dir)
+    result = jobs.dedup_within_watermark(stream, watermark="10 minutes")
+    q = jobs.run_available_now(result, f"{stream_dirs}/ckpt_dedup", "deduped")
+    q.awaitTermination(120)
+
+    out = spark.sql("SELECT event_id, count(*) AS c FROM deduped GROUP BY event_id")
+    assert out.filter(F.col("c") > 1).count() == 0
+    assert out.count() == 200
+
+
+def test_session_counts_stream_runs(spark, sf_dir, stream_dirs):
+    events_dir = _events_dir(spark, sf_dir, stream_dirs)
+    stream = jobs.read_events_stream(spark, events_dir)
+    result = jobs.session_counts(stream, gap="30 minutes", watermark="1 hour")
+    q = jobs.run_available_now(result, f"{stream_dirs}/ckpt_sess", "sessions")
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM sessions").collect()
+    assert rows, "no sessions emitted"
+    assert all(r.session_end > r.session_start for r in rows)

@@ -1,0 +1,57 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from climate_data_pipelines_spark.operators import textops
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_word_count_sums_to_token_total(spark):
+    df = _docs(spark, [(1, "a b a"), (2, "b c")])
+    wc = {r.word: r.n for r in textops.word_count(df).collect()}
+    assert wc == {"a": 2, "b": 2, "c": 1}
+
+
+def test_token_stats_whitespace_vs_regex(spark):
+    df = _docs(spark, [(1, "hello,  world foo-bar")])
+    r = textops.token_stats(df).first()
+    assert r.n_tokens_ws == 3          # split on whitespace runs
+    assert r.n_tokens_re == 4          # hello, world, foo, bar
+    assert r.n_chars == len("hello,  world foo-bar")
+
+
+def test_quality_score_flags(spark):
+    good = " ".join(["word"] * 9 + ["the"])           # 10 tokens, mwl 3.7+
+    short = "tiny doc"
+    df = _docs(spark, [(1, good), (2, short)])
+    rows = {r.doc_id: r for r in textops.quality_score(df).collect()}
+    assert rows[1].passes_quality
+    assert not rows[2].passes_quality  # < 10 tokens
+    assert rows[1].stopword_ratio == 0.1
+
+
+def test_language_id_markers(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "der hund und die katze und das haus"),
+            (2, "the value is a fast the the"),
+            (3, "xyz qrs tuv"),  # no markers: all scores 0 → alphabetical first
+        ],
+    )
+    rows = {r.doc_id: r for r in textops.language_id(df).collect()}
+    assert rows[1].pred_lang == "de"
+    assert rows[2].pred_lang == "en"
+    assert rows[3].pred_lang == "de"   # deterministic tie-break
+
+
+def test_fingerprint_normalization_invariance(spark):
+    df = _docs(spark, [(1, "Hello  World"), (2, "hello world"), (3, "other")])
+    fps = {r.doc_id: r.fingerprint for r in textops.fingerprint(df).collect()}
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]
+    shard = textops.fingerprint(df).first().shard_key
+    assert len(shard) == 8
