@@ -153,15 +153,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) in parquet; with
-        # spark.sql.legacy.parquet.nanosAsLong it scans as LongType
-        # nanoseconds. Truncate to µs (integer floor-div — matches the
-        # DuckDB oracle's ns→µs cast) and restore TimestampType.
-        from pyspark.sql import functions as F
+        df = normalize_ns_timestamp(df, "ts")
+    return df
 
-        if dict(df.dtypes).get("ts") == "bigint":
-            # integer div — float division loses ulps above 2^53 ns
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+def normalize_ns_timestamp(df: DataFrame, col: str) -> DataFrame:
+    """TIMESTAMP(NANOS) parquet scans as LongType nanoseconds under
+    spark.sql.legacy.parquet.nanosAsLong; truncate to µs (integer
+    div — float division loses ulps above 2^53 ns, and matches the
+    DuckDB oracle's ns→µs cast) and restore TimestampType."""
+    from pyspark.sql import functions as F
+
+    if dict(df.dtypes).get(col) == "bigint":
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
     return df
 
 

@@ -1204,3 +1204,405 @@ def q53(spark, sf_dir):
 def q54(spark, sf_dir):
     bdf = multimodal.attach_binary_payload(_t(spark, sf_dir, "documents"))
     return multimodal.extract_image_features(bdf)
+
+
+# ---------------------------------------------------------------------------
+# §2.7 F7/F8: GeoJSON assembly (the reference's output format)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q32_geojson_feature",
+    """SELECT event_id,
+              '{"type":"Feature","geometry":{"type":"Polygon","coordinates":[[['
+              || printf('%.4f,%.4f', value - 0.3125, value * 0.5 - 0.25) || '],['
+              || printf('%.4f,%.4f', value + 0.3125, value * 0.5 - 0.25) || '],['
+              || printf('%.4f,%.4f', value + 0.3125, value * 0.5 + 0.25) || '],['
+              || printf('%.4f,%.4f', value - 0.3125, value * 0.5 + 0.25) || '],['
+              || printf('%.4f,%.4f', value - 0.3125, value * 0.5 - 0.25)
+              || ']]]},"properties":{"event_id":' || CAST(event_id AS VARCHAR) || '}}'
+                AS feature_json
+       FROM events WHERE value IS NOT NULL""",
+    "F7/F8 (Q32): GeoJSON Feature serialization — the reference's "
+    "feature dict + json.dump (precipitation_pipeline.py:210-232) as "
+    "one string expression; ring order [SW,SE,NE,NW,SW], fixed-decimal "
+    "coordinate formatting.",
+)
+def q32(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v = F.col("value")
+    w_, e_, s_, n_ = v - 0.3125, v + 0.3125, v * 0.5 - 0.25, v * 0.5 + 0.25
+
+    def pt(x, y):
+        return F.format_string("%.4f,%.4f", x, y)
+
+    feature = F.concat(
+        F.lit('{"type":"Feature","geometry":{"type":"Polygon","coordinates":[[['),
+        pt(w_, s_), F.lit("],["), pt(e_, s_), F.lit("],["),
+        pt(e_, n_), F.lit("],["), pt(w_, n_), F.lit("],["), pt(w_, s_),
+        F.lit(']]]},"properties":{"event_id":'),
+        F.col("event_id").cast("string"),
+        F.lit("}}"),
+    )
+    return ev.select("event_id", feature.alias("feature_json"))
+
+
+# ---------------------------------------------------------------------------
+# §2.4 extended grouping + pivot/unpivot
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q58_cube_grouping",
+    """SELECT l_returnflag, l_linestatus,
+              GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls,
+              ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n
+       FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
+    "Q19 extension: CUBE grouping sets with GROUPING() indicators "
+    "(df.cube + F.grouping).",
+)
+def q58(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("long").alias("g_rf"),
+        F.grouping("l_linestatus").cast("long").alias("g_ls"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count("*").alias("n"),
+    ).select("l_returnflag", "l_linestatus", "g_rf", "g_ls", "sum_qty", "n")
+
+
+@query(
+    "q59_approx_count_distinct",
+    None,
+    "Q18 sketch path (rows-only): approx_count_distinct (HyperLogLog++) "
+    "— sketch values differ from exact by design; tests bound the "
+    "relative error instead.",
+)
+def q59(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts")
+    )
+
+
+@query(
+    "q60_percentiles",
+    """SELECT o_orderstatus,
+              ROUND(quantile_cont(o_totalprice, 0.25) * 10000) / 10000 AS p25,
+              ROUND(quantile_cont(o_totalprice, 0.50) * 10000) / 10000 AS p50,
+              ROUND(quantile_cont(o_totalprice, 0.75) * 10000) / 10000 AS p75
+       FROM orders GROUP BY o_orderstatus""",
+    "Engine-added: exact interpolated percentiles (F.percentile ≡ "
+    "quantile_cont). The 100 TB path is approx_percentile (t-digest) — "
+    "exercised rows-only in tests.",
+)
+def q60(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        oround(F.percentile("o_totalprice", F.lit(0.25)), 4).alias("p25"),
+        oround(F.percentile("o_totalprice", F.lit(0.50)), 4).alias("p50"),
+        oround(F.percentile("o_totalprice", F.lit(0.75)), 4).alias("p75"),
+    )
+
+
+@query(
+    "q61_unpivot",
+    """SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS val FROM lineitem
+       UNION ALL
+       SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice FROM lineitem
+       UNION ALL
+       SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+       UNION ALL
+       SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem""",
+    "P7 (wide→long): unpivot/melt of measure columns — the reference's "
+    "dynamic column pick (population_pipeline.py:43) done relationally "
+    "(df.unpivot ≡ stack()).",
+)
+def q61(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    ).withColumn("measure", F.expr("substring(measure, 3)"))
+
+
+@query(
+    "q62_pivot",
+    """SELECT year(l_shipdate) AS ship_year,
+              ROUND(SUM(l_quantity) FILTER (l_returnflag = 'A'), 2) AS qty_a,
+              ROUND(SUM(l_quantity) FILTER (l_returnflag = 'N'), 2) AS qty_n,
+              ROUND(SUM(l_quantity) FILTER (l_returnflag = 'R'), 2) AS qty_r
+       FROM lineitem GROUP BY 1""",
+    "Long→wide pivot (df.groupBy().pivot()) — per-year quantity by "
+    "return flag.",
+)
+def q62(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = (
+        li.withColumn("ship_year", F.year("l_shipdate"))
+        .groupBy("ship_year")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+    return p.select(
+        "ship_year",
+        F.col("A").alias("qty_a"),
+        F.col("N").alias("qty_n"),
+        F.col("R").alias("qty_r"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 function suites: string / math / array / date / regexp
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q63_string_suite",
+    """SELECT event_id,
+              upper(event_type) AS up, lower(event_type) AS lo,
+              substring(event_type, 1, 3) AS sub3,
+              reverse(event_type) AS rev,
+              repeat(event_type, 2) AS rep2,
+              replace(event_type, 'c', 'k') AS repl,
+              length(event_type) AS slen,
+              instr(event_type, 'i') AS pos_i
+       FROM events""",
+    "F5/F6 (string library): case, substring, reverse, repeat, "
+    "replace, length, position.",
+)
+def q63(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    c = F.col("event_type")
+    return ev.select(
+        "event_id",
+        F.upper(c).alias("up"),
+        F.lower(c).alias("lo"),
+        F.substring(c, 1, 3).alias("sub3"),
+        F.reverse(c).alias("rev"),
+        F.repeat(c, 2).alias("rep2"),
+        F.replace(c, F.lit("c"), F.lit("k")).alias("repl"),
+        F.length(c).cast("long").alias("slen"),
+        F.instr(c, "i").cast("long").alias("pos_i"),
+    )
+
+
+@query(
+    "q64_math_suite",
+    """SELECT l_orderkey, l_linenumber,
+              ROUND(sqrt(l_quantity) * 1000000) / 1000000 AS sqrt_qty,
+              ROUND(ln(l_quantity + 1) * 1000000) / 1000000 AS ln_qty,
+              ROUND(exp(l_discount) * 1000000) / 1000000 AS exp_disc,
+              ROUND(pow(l_quantity, 2) * 100) / 100 AS qty_sq,
+              CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+              CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+              CAST(sign(l_discount - l_tax) AS BIGINT) AS rate_sign,
+              CAST(l_linenumber % 3 AS BIGINT) AS mod3,
+              greatest(l_discount, l_tax) AS max_rate,
+              least(l_discount, l_tax) AS min_rate
+       FROM lineitem""",
+    "F3/F4 (math library): sqrt/ln/exp/pow/floor/ceil/sign/mod/"
+    "greatest/least.",
+)
+def q64(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    q, d, t, p = F.col("l_quantity"), F.col("l_discount"), F.col("l_tax"), F.col("l_extendedprice")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        oround(F.sqrt(q), 6).alias("sqrt_qty"),
+        oround(F.log(q + 1), 6).alias("ln_qty"),
+        oround(F.exp(d), 6).alias("exp_disc"),
+        oround(F.pow(q, 2), 2).alias("qty_sq"),
+        F.floor(p).alias("price_floor"),
+        F.ceil(p).alias("price_ceil"),
+        F.signum(d - t).cast("long").alias("rate_sign"),
+        (F.col("l_linenumber") % 3).cast("long").alias("mod3"),
+        F.greatest(d, t).alias("max_rate"),
+        F.least(d, t).alias("min_rate"),
+    )
+
+
+@query(
+    "q65_conditional_suite",
+    """SELECT event_id,
+              coalesce(nullif(event_type, 'click'), 'was_click') AS not_click,
+              CASE WHEN value >= 100 THEN 'high'
+                   WHEN value >= 50 THEN 'mid'
+                   WHEN value IS NULL THEN 'unknown'
+                   ELSE 'low' END AS value_band,
+              ifnull(value, -1.0) AS value_or_default
+       FROM events""",
+    "Conditional expressions: coalesce/nullif/CASE/ifnull (SQL "
+    "tri-state logic the reference's pandas NaN semantics lacked).",
+)
+def q65(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    v = F.col("value")
+    return ev.select(
+        "event_id",
+        F.coalesce(F.nullif(F.col("event_type"), F.lit("click")), F.lit("was_click")).alias("not_click"),
+        F.when(v >= 100, "high").when(v >= 50, "mid").when(v.isNull(), "unknown").otherwise("low").alias("value_band"),
+        F.ifnull(v, F.lit(-1.0)).alias("value_or_default"),
+    )
+
+
+@query(
+    "q66_array_suite",
+    """SELECT vec_id,
+              len(embedding) AS dim,
+              ROUND(CAST(embedding[1] AS DOUBLE) * 1000000) / 1000000 AS first_elem,
+              ROUND(CAST(embedding[64] AS DOUBLE) * 1000000) / 1000000 AS last_elem,
+              ROUND(CAST(list_max(embedding) AS DOUBLE) * 1000000) / 1000000 AS max_elem,
+              ROUND(list_sum(CAST(list_slice(embedding, 1, 8) AS DOUBLE[])) * 1000000) / 1000000
+                AS head_sum
+       FROM embeddings""",
+    "F7 (array library): size/element_at/slice/array_max + "
+    "higher-order aggregate over a slice.",
+)
+def q66(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    head_sum = F.aggregate(
+        F.slice(e, 1, 8), F.lit(0.0), lambda acc, x: acc + x.cast("double")
+    )
+    return emb.select(
+        "vec_id",
+        F.size(e).cast("long").alias("dim"),
+        oround(F.element_at(e, 1).cast("double"), 6).alias("first_elem"),
+        oround(F.element_at(e, 64).cast("double"), 6).alias("last_elem"),
+        oround(F.array_max(e).cast("double"), 6).alias("max_elem"),
+        oround(head_sum, 6).alias("head_sum"),
+    )
+
+
+@query(
+    "q67_date_suite",
+    """SELECT o_orderkey,
+              year(o_orderdate) AS y, quarter(o_orderdate) AS q,
+              dayofyear(o_orderdate) AS doy,
+              isodow(o_orderdate) - 1 AS wd,
+              CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+              CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+              CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP) AS plus3m,
+              date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since
+       FROM orders""",
+    "F1/F2 (date library): parts, truncation, month arithmetic with "
+    "end-of-month clamping, day diffs.",
+)
+def q67(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).cast("long").alias("y"),
+        F.quarter(d).cast("long").alias("q"),
+        F.dayofyear(d).cast("long").alias("doy"),
+        F.weekday(d).cast("long").alias("wd"),
+        F.date_trunc("month", d).cast("timestamp_ntz").alias("month_start"),
+        F.last_day(d).cast("string").alias("month_end"),
+        F.add_months(d, 3).cast("timestamp_ntz").alias("plus3m"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).cast("long").alias("days_since"),
+    )
+
+
+@query(
+    "q68_regexp_suite",
+    """SELECT doc_id,
+              regexp_extract(text, '[a-z]*ing') AS first_ing,
+              len(regexp_extract_all(text, 'the')) AS n_the,
+              regexp_matches(text, 'spark') AS has_spark,
+              regexp_replace(text, '[aeiou]', '_', 'g') AS devoweled
+       FROM documents""",
+    "F6 (regexp library): extract, count, match, global replace.",
+)
+def q68(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract(t, "[a-z]*ing", 0).alias("first_ing"),
+        F.size(F.regexp_extract_all(t, F.lit("the"), F.lit(0))).cast("long").alias("n_the"),
+        t.rlike("spark").alias("has_spark"),
+        F.regexp_replace(t, "[aeiou]", "_").alias("devoweled"),
+    )
+
+
+@query(
+    "q69_sample",
+    None,
+    "TABLESAMPLE (rows-only): seeded Bernoulli sample — engine-"
+    "deterministic, not oracle-reproducible (different PRNGs). The "
+    "--drop-densest size-budget analog (SURVEY.md §4).",
+)
+def q69(spark, sf_dir):
+    return _t(spark, sf_dir, "lineitem").sample(0.1, seed=42).select(
+        "l_orderkey", "l_linenumber"
+    )
+
+
+@query(
+    "q70_rank_suite",
+    """SELECT o_orderkey, o_orderstatus,
+              RANK() OVER w AS rnk,
+              DENSE_RANK() OVER w AS drnk,
+              ROUND(PERCENT_RANK() OVER w * 1000000) / 1000000 AS prnk,
+              ROUND(CUME_DIST() OVER w * 1000000) / 1000000 AS cdist,
+              NTILE(4) OVER (PARTITION BY o_orderstatus
+                             ORDER BY o_totalprice DESC, o_orderkey) AS quartile,
+              LEAD(o_orderkey, 1) OVER (PARTITION BY o_orderstatus
+                                        ORDER BY o_totalprice DESC, o_orderkey) AS next_key,
+              LAG(o_orderkey, 1) OVER (PARTITION BY o_orderstatus
+                                       ORDER BY o_totalprice DESC, o_orderkey) AS prev_key
+       FROM orders
+       WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC)""",
+    "W3 extension: full ranking-function suite (rank/dense_rank/"
+    "percent_rank/cume_dist/ntile/lead/lag).",
+)
+def q70(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(F.desc("o_totalprice"))
+    wt = Window.partitionBy("o_orderstatus").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        oround(F.percent_rank().over(w), 6).alias("prnk"),
+        oround(F.cume_dist().over(w), 6).alias("cdist"),
+        F.ntile(4).over(wt).cast("long").alias("quartile"),
+        F.lead("o_orderkey", 1).over(wt).alias("next_key"),
+        F.lag("o_orderkey", 1).over(wt).alias("prev_key"),
+    )
+
+
+@query(
+    "q71_value_windows",
+    """SELECT event_id, user_id,
+              FIRST_VALUE(value) OVER w AS first_val,
+              LAST_VALUE(value) OVER w AS latest_val,
+              NTH_VALUE(value, 2) OVER w AS second_val,
+              ROUND(SUM(value) OVER w * 10000) / 10000 AS running_sum
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+    "W4 extension: value windows (first/last/nth) + running sum over "
+    "an explicit frame.",
+)
+def q71(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first("value").over(w).alias("first_val"),
+        F.last("value").over(w).alias("latest_val"),
+        F.nth_value("value", 2).over(w).alias("second_val"),
+        oround(F.sum("value").over(w), 4).alias("running_sum"),
+    )
