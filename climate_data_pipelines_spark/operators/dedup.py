@@ -196,6 +196,44 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     return voted.select(F.col(id_col), packed.alias("simhash"))
 
 
+def minhash_lsh_ml(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hash_tables: int = 8,
+    max_jaccard_distance: float = 0.9,
+) -> DataFrame:
+    """MLlib variant of MinHash near-dup (SURVEY.md Q37): HashingTF
+    over k-token shingles → ``ml.feature.MinHashLSH`` →
+    ``approxSimilarityJoin``. Same banding idea as
+    ``minhash_lsh_candidates`` but using Spark's built-in estimator
+    (and returning the estimated Jaccard *distance* per pair).
+
+    Rows with zero non-empty shingles are filtered (MinHashLSH
+    requires ≥1 non-zero feature). Returns (id_a, id_b, jaccard_dist),
+    id_a < id_b.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    shingled = df.select(
+        F.col(id_col), F.array_distinct(shingles(text_col, k)).alias("sh")
+    ).filter(F.size("sh") > 0)
+    tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=1 << 18)
+    feats = tf.transform(shingled)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42)
+    model = lsh.fit(feats)
+    joined = model.approxSimilarityJoin(feats, feats, max_jaccard_distance, distCol="jaccard_dist")
+    return (
+        joined.filter(F.col(f"datasetA.{id_col}") < F.col(f"datasetB.{id_col}"))
+        .select(
+            F.col(f"datasetA.{id_col}").alias("id_a"),
+            F.col(f"datasetB.{id_col}").alias("id_b"),
+            F.round("jaccard_dist", 6).alias("jaccard_dist"),
+        )
+    )
+
+
 def dedup_rows(df: DataFrame, key_cols: list[str]) -> DataFrame:
     """Row-level exact dedup on key columns (dropDuplicates) — the
     batch analog of dropDuplicatesWithinWatermark (SURVEY.md §2.10),

@@ -730,6 +730,19 @@ def q37(spark, sf_dir):
 
 
 @query(
+    "q72_minhash_lsh_ml",
+    None,
+    "Q37 MLlib variant (rows-only): HashingTF shingles → "
+    "ml.feature.MinHashLSH.approxSimilarityJoin — Spark's built-in "
+    "banded LSH join with estimated Jaccard distance per pair "
+    "(SURVEY.md §2.11).",
+)
+def q72(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_ml(docs, k=3, num_hash_tables=8, max_jaccard_distance=0.9)
+
+
+@query(
     "q41_minhash_signatures",
     """WITH t AS (SELECT doc_id,
                     list_filter(string_split(text, ' '), x -> x != '') AS toks

@@ -115,18 +115,68 @@ def dedup_within_watermark(stream: DataFrame, watermark: str = "1 hour") -> Data
     )
 
 
+def running_user_totals(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``
+    (SURVEY.md §2.10 'custom stateful operators'): per-user running
+    event count + value total, maintained across micro-batches in the
+    state store. The built-in windows cover time-bucketed aggs; this
+    is the escape hatch for arbitrary per-key state machines.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 4)]}
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_available_now(
-    result: DataFrame, checkpoint_dir: str, query_name: str = "stream"
+    result: DataFrame,
+    checkpoint_dir: str,
+    query_name: str = "stream",
+    output_mode: str = "append",
 ):
     """Execute a streaming result to a memory sink with
     ``availableNow`` (process everything present, then stop) — the
     deterministic test/catch-up trigger. Returns the StreamingQuery;
     caller awaits termination and reads ``SELECT * FROM {query_name}``.
+    Stateful update-mode operators (``applyInPandasWithState``) need
+    ``output_mode="update"``.
     """
     return (
         result.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("append")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -76,3 +76,16 @@ def test_dedup_rows_deterministic_keeper(spark):
     out = {r.k: (r.s, r.v) for r in dedup.dedup_rows(df, ["k"]).collect()}
     assert out[1] == ("a", 9.0)  # min struct by (s, v)
     assert out[2] == ("z", 1.0)
+
+
+def test_minhash_lsh_ml_finds_near_dup_pair(spark):
+    df = _docs(spark, DOCS)
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_ml(df, max_jaccard_distance=0.5).collect()
+    }
+    # exact dups (1,2) must surface; ids are ordered a < b
+    assert (1, 2) in pairs
+    assert all(a < b for a, b in pairs)
+    # unrelated doc 6 should not pair with doc 1 at distance <= 0.5
+    assert (1, 6) not in pairs

@@ -79,3 +79,44 @@ def test_session_counts_stream_runs(spark, sf_dir, stream_dirs):
     rows = spark.sql("SELECT * FROM sessions").collect()
     assert rows, "no sessions emitted"
     assert all(r.session_end > r.session_start for r in rows)
+
+
+def test_running_user_totals_matches_batch(spark, sf_dir, stream_dirs):
+    events_dir = _events_dir(spark, sf_dir, stream_dirs)
+    stream = jobs.read_events_stream(spark, events_dir)
+    result = jobs.running_user_totals(stream)
+    q = jobs.run_available_now(
+        result, f"{stream_dirs}/ckpt_state", "user_totals", output_mode="update"
+    )
+    q.awaitTermination(120)
+
+    # update mode: keep the last emitted row per user (highest n_events)
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in spark.sql(
+            """SELECT user_id, n_events, total_value FROM (
+                 SELECT *, row_number() OVER (PARTITION BY user_id
+                                              ORDER BY n_events DESC) AS rn
+                 FROM user_totals) WHERE rn = 1"""
+        ).collect()
+    }
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("value").isNull() | F.isnan("value"), F.lit(0.0)
+                    ).otherwise(F.col("value"))
+                ),
+                4,
+            ).alias("tot"),
+        )
+    )
+    want = {r.user_id: (r.n, r.tot) for r in batch.collect()}
+    assert got.keys() == want.keys()
+    for uid, (n, tot) in want.items():
+        assert got[uid][0] == n
+        assert abs(got[uid][1] - tot) < 1e-6

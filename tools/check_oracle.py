@@ -96,8 +96,10 @@ def main():
         problems = []
         if len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
-        if sorted(scols) != sorted(ocols):
-            problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
+        if scols != ocols:
+            # strict: same names in the same order (driver may compare
+            # ordered schemas; keep both sides aligned)
+            problems.append(f"col order spark={scols} oracle={ocols}")
         if not problems:
             _, sc = rows_to_canonical(scols, srows)
             _, oc = rows_to_canonical(ocols, orows)
