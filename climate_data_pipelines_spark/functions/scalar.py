@@ -13,7 +13,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def oracle_round(col: Column, scale: int) -> Column:
+def oracle_round(col: Column | str, scale: int) -> Column:
     """Round a double the way DuckDB's ROUND does (scaled multiply).
 
     DuckDB computes ``round(x*10^s)/10^s`` in doubles; Spark's F.round
@@ -23,8 +23,9 @@ def oracle_round(col: Column, scale: int) -> Column:
     scaled form makes both engines bit-identical (exact .5 ties at
     scale 0 round away-from-zero in both).
     """
+    c = F.col(col) if isinstance(col, str) else col
     p = F.lit(float(10**scale))
-    return F.round(col * p, 0) / p
+    return F.round(c * p, 0) / p
 
 
 def inclusive_month_range(

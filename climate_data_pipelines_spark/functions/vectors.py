@@ -39,3 +39,30 @@ def norm(a: Column | str) -> Column:
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     """Cosine similarity between two array columns (double)."""
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def sq_l2(a: Column | str, b: Column | str) -> Column:
+    """Squared L2 distance between two array columns (double) — the
+    IVF coarse-quantizer probe metric."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(
+            ca,
+            cb,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_normalize(a: Column | str) -> Column:
+    """Unit-normalize an array column (double elements); zero vectors
+    pass through unchanged (norm guard avoids div-by-zero NaNs)."""
+    ca = F.col(a) if isinstance(a, str) else a
+    n = norm(ca)
+    return F.when(
+        n > 0, F.transform(ca, lambda x: x.cast("double") / n)
+    ).otherwise(F.transform(ca, lambda x: x.cast("double")))

@@ -1,0 +1,107 @@
+"""Scale-out helpers: skew salting and bucketed co-located joins.
+
+SURVEY.md §2.11 '100 TB design rule' / north-star partitioning notes.
+AQE handles most skew at runtime (`spark.sql.adaptive.skewJoin`); these
+are the explicit, plan-level versions for when a key distribution is
+known pathological ahead of time (a handful of hot users owning most
+events, a hot date partition) or when AQE's post-shuffle split can't
+help (the build side of a broadcast, pre-aggregation fan-in).
+
+Both salted forms are *semantics-preserving*: the result equals the
+unsalted equivalent row-for-row, so they are oracle-checkable against
+plain SQL (queries q74/q75).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the dimension side replicated over ``n_salt``
+    salt buckets and the fact side deterministically salted, so one hot
+    key's rows spread across ``n_salt`` shuffle partitions instead of
+    one straggler task.
+
+    Fact salt is ``pmod(xxhash64(<all fact columns>), n_salt)`` —
+    deterministic (re-runs produce identical partitioning, no
+    ``rand()`` so the plan stays reproducible and cacheable). The dim
+    side explodes ×n_salt (fine for dimension tables; for fact-fact
+    skew joins salt only the hot keys and union the rest unsalted).
+    Result is row-identical to ``fact.join(dim, key, how)``.
+    """
+    fact_cols = [c for c in fact.columns]
+    salted_fact = fact.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in fact_cols]), F.lit(n_salt))
+    )
+    salted_dim = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    return salted_fact.join(salted_dim, [key, "_salt"], how).drop("_salt")
+
+
+def salted_agg_count_sum(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    n_salt: int = 8,
+) -> DataFrame:
+    """Two-stage (salted partial → final) count+sum aggregation:
+    stage 1 groups on (keys, salt) so a hot key's partial state is
+    built by ``n_salt`` tasks; stage 2 merges the partials per key.
+
+    Spark's hash aggregate already does map-side partials, but the
+    *final* stage still lands each key on one reducer — for a key with
+    billions of rows spread over thousands of map partitions, stage 1
+    here bounds the per-task merge fan-in. Result equals the plain
+    ``groupBy(keys).agg(count, sum)``.
+    """
+    salted = df.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salt)),
+    )
+    partial = salted.groupBy(*keys, "_salt").agg(
+        F.count("*").alias("_pc"),
+        F.sum(value_col).alias("_ps"),
+    )
+    return partial.groupBy(*keys).agg(
+        F.sum("_pc").cast("long").alias("n"),
+        F.sum("_ps").alias("sum_value"),
+    )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_key: str,
+    n_buckets: int = 8,
+    sort_key: str | None = None,
+) -> None:
+    """Persist ``df`` as a bucketed (and optionally sorted) managed
+    table — the co-located-join layout: two tables bucketed by the
+    same key into the same bucket count join WITHOUT a shuffle
+    (SortMergeJoin reads bucket i against bucket i directly).
+
+    At 100 TB this is the difference between re-shuffling the fact
+    table on every join and paying the shuffle once at write time.
+    Requires ``saveAsTable`` (bucket metadata lives in the catalog,
+    not in plain parquet paths).
+    """
+    writer = df.write.mode("overwrite").format("parquet")
+    if sort_key is not None:
+        writer = writer.bucketBy(n_buckets, bucket_key).sortBy(sort_key)
+    else:
+        writer = writer.bucketBy(n_buckets, bucket_key)
+    writer.saveAsTable(table_name)
+
+
+def plan_has_exchange(df: DataFrame) -> bool:
+    """True if the physical plan contains a shuffle (Exchange) —
+    the assertion primitive for co-located-join tests and plan audits."""
+    return "Exchange" in df._jdf.queryExecution().executedPlan().toString()

@@ -15,7 +15,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from climate_data_pipelines_spark.functions.scalar import oracle_round
-from climate_data_pipelines_spark.functions.vectors import cosine_similarity
+from climate_data_pipelines_spark.functions.vectors import (
+    cosine_similarity,
+    l2_normalize,
+    sq_l2,
+)
 
 
 def cosine_topk(
@@ -85,6 +89,89 @@ def embedding_neardup_pairs(
             oracle_round(cosine_similarity("_va", "_vb"), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
+    )
+
+
+def ann_ivf_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via an IVF coarse quantizer (SURVEY.md §2.11
+    'IVF variant as the scale path'):
+
+    1. k-means over unit-normalized corpus vectors → ``n_cells``
+       centroids (spherical-ish quantizer: L2 on the unit sphere
+       orders like cosine);
+    2. each corpus vector is assigned to its nearest centroid — the
+       inverted lists, materialized as a (vec_id, cell) table;
+    3. each query probes its ``n_probe`` nearest centroids (centroid
+       table is tiny — n_cells × dim — and broadcast);
+    4. exact cosine runs only on the probed cells' members; rank
+       window keeps k.
+
+    At 100 TB the inverted-list assignment is written once
+    (partitioned/bucketed by cell) and each query touches
+    n_probe/n_cells of the corpus; the KMeans fit itself samples or
+    trains on a fraction. Approximate by construction → rows-only;
+    tests gate recall against the exact q38 baseline.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    normed = df.select(
+        F.col(id_col), l2_normalize(vec_col).alias("_nv")
+    )
+    feats = normed.select(
+        F.col(id_col), array_to_vector("_nv").alias("features")
+    )
+    model = KMeans(
+        k=n_cells, seed=seed, featuresCol="features", predictionCol="cell"
+    ).fit(feats)
+    inverted = model.transform(feats).select(id_col, "cell")
+
+    spark = df.sparkSession
+    cent_rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    centroids = spark.createDataFrame(cent_rows, "cell int, centroid array<double>")
+
+    probed = (
+        query_df.select("query_id", l2_normalize("query_vec").alias("_nq"))
+        .crossJoin(F.broadcast(centroids))
+        .select("query_id", "cell", sq_l2("_nq", "centroid").alias("_d2"))
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.asc("_d2"), F.asc("cell"))
+    probe_cells = (
+        probed.withColumn("_pr", F.row_number().over(wp))
+        .filter(F.col("_pr") <= n_probe)
+        .select("query_id", "cell")
+    )
+
+    candidates = (
+        inverted.join(F.broadcast(probe_cells), "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col)
+    )
+    scored = (
+        candidates.join(df.select(F.col(id_col), F.col(vec_col)), id_col)
+        .join(F.broadcast(query_df), "query_id")
+        .select(
+            "query_id",
+            F.col(id_col),
+            oracle_round(cosine_similarity(vec_col, "query_vec"), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cosine", "rank")
     )
 
 

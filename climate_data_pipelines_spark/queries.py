@@ -743,6 +743,49 @@ def q72(spark, sf_dir):
 
 
 @query(
+    "q74_salted_skew_join",
+    """SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, p.p_name
+       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey""",
+    "Skew-salting join (100 TB design rule): dimension replicated over "
+    "8 salt buckets, fact deterministically salted — a hot part key "
+    "spreads across 8 tasks instead of one straggler. Semantics-"
+    "preserving: hash-matches the plain inner join.",
+)
+def q74(spark, sf_dir):
+    from climate_data_pipelines_spark.operators import scale
+
+    li = _t(spark, sf_dir, "lineitem").withColumnRenamed("l_partkey", "p_partkey")
+    part = _t(spark, sf_dir, "part")
+    return scale.salted_join(li, part, "p_partkey", n_salt=8).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "p_name"
+    )
+
+
+@query(
+    "q75_salted_agg",
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+              ROUND(SUM(l_quantity) * 10000) / 10000 AS sum_value
+       FROM lineitem GROUP BY 1, 2""",
+    "Skew-salting aggregation (100 TB design rule): salted partial "
+    "groupBy bounds the final-stage merge fan-in for hot keys. "
+    "Semantics-preserving: hash-matches the plain groupBy.",
+)
+def q75(spark, sf_dir):
+    from climate_data_pipelines_spark.operators import scale
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = scale.salted_agg_count_sum(
+        li, ["l_returnflag", "l_linestatus"], "l_quantity", n_salt=8
+    )
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        "n",
+        oround(F.col("sum_value"), 4).alias("sum_value"),
+    )
+
+
+@query(
     "q41_minhash_signatures",
     """WITH t AS (SELECT doc_id,
                     list_filter(string_split(text, ' '), x -> x != '') AS toks
@@ -888,6 +931,22 @@ def q43(spark, sf_dir):
 def q55(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.ann_lsh_topk(emb, _query_vectors(spark, sf_dir), k=10, n_planes=4, n_tables=4)
+
+
+@query(
+    "q73_ann_ivf_topk",
+    None,
+    "Q38 scale path #2 (rows-only): IVF coarse quantizer — k-means "
+    "centroids over unit-normalized vectors, inverted-list cell "
+    "assignment, n_probe nearest cells per query, exact cosine on the "
+    "probed members only (SURVEY.md §2.11). Approximate by "
+    "construction; recall gated vs q38 in tests.",
+)
+def q73(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ann_ivf_topk(
+        emb, _query_vectors(spark, sf_dir), k=10, n_cells=8, n_probe=3
+    )
 
 
 # ---------------------------------------------------------------------------

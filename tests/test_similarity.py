@@ -65,3 +65,28 @@ def test_ann_recall_against_exact(spark, sf_dir):
     for r in approx.collect():
         if (r.query_id, r.vec_id) in es:
             assert math.isclose(r.cosine, es[(r.query_id, r.vec_id)], abs_tol=1e-9)
+
+
+def test_ivf_recall_against_exact(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = similarity.cosine_topk(emb, q, k=10)
+    approx = similarity.ann_ivf_topk(emb, q, k=10, n_cells=8, n_probe=3)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    # probing 3/8 cells of a spherical quantizer must recover most of
+    # the exact top-k
+    assert len(a & e) / len(e) >= 0.5
+    # shared pairs score identically (exact cosine on candidates)
+    es = {(r.query_id, r.vec_id): r.cosine for r in exact.collect()}
+    for r in approx.collect():
+        if (r.query_id, r.vec_id) in es:
+            assert math.isclose(r.cosine, es[(r.query_id, r.vec_id)], abs_tol=1e-9)
+    # never more than k results per query, ranks are 1..n
+    per_q = {}
+    for r in approx.collect():
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
