@@ -117,6 +117,54 @@ def polygonize(
     return obs.withColumn("coordinates", F.array(ring))
 
 
+def tile_assign(
+    df: DataFrame,
+    zoom: int,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Assign each observation to its Web-Mercator slippy tile at
+    ``zoom`` — the relational half of the reference's tile pyramid
+    (SURVEY.md §1.1: tippecanoe's z/x/y addressing,
+    precipitation_pipeline.py:241-268), as pure column expressions:
+
+        x = floor((lon + 180) / 360 · 2^z)
+        y = floor((1 − ln(tan φ + sec φ)/π) / 2 · 2^z)
+
+    Adds ``z, x, y`` INT columns. Downstream: per-tile rollups (the
+    in-engine analog of --drop-densest density budgeting) and the
+    partitioned tile sink. Latitudes must be within Mercator bounds
+    (|lat| < 85.05); callers clamp beforehand.
+    """
+    n = F.lit(float(2**zoom))
+    lon = F.col(lon_col).cast("double")
+    lat_rad = F.radians(F.col(lat_col).cast("double"))
+    x = F.floor((lon + 180.0) / 360.0 * n)
+    y = F.floor(
+        (1.0 - F.log(F.tan(lat_rad) + 1.0 / F.cos(lat_rad)) / F.lit(3.141592653589793))
+        / 2.0
+        * n
+    )
+    return (
+        df.withColumn("z", F.lit(zoom).cast("int"))
+        .withColumn("x", x.cast("int"))
+        .withColumn("y", y.cast("int"))
+    )
+
+
+def tile_rollup(
+    tiled: DataFrame, value_col: str = "value"
+) -> DataFrame:
+    """Per-tile aggregate rollup: count + mean value per (z, x, y).
+    The in-engine replacement for density-based tile thinning — a
+    tile's payload becomes its aggregate, not its raw points, so tile
+    size is bounded by construction at any data scale."""
+    return tiled.groupBy("z", "x", "y").agg(
+        F.count("*").alias("n_points"),
+        F.avg(value_col).alias("mean_value"),
+    )
+
+
 def geojson_features(
     polys: DataFrame, value_col: str = "value", props: list[str] | None = None
 ) -> DataFrame:

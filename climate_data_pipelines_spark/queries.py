@@ -786,6 +786,130 @@ def q75(spark, sf_dir):
 
 
 @query(
+    "q76_tile_rollup",
+    """WITH pts AS (
+         SELECT (user_id % 170) - 85 + 0.25 AS lat,
+                (event_id % 360) - 180 + 0.3125 AS lon,
+                value
+         FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+       t AS (
+         SELECT CAST(4 AS INT) AS z,
+                CAST(FLOOR((lon + 180) / 360 * 16) AS INT) AS x,
+                CAST(FLOOR((1 - ln(tan(radians(lat)) + 1 / cos(radians(lat))) / pi())
+                           / 2 * 16) AS INT) AS y,
+                value
+         FROM pts)
+       SELECT z, x, y, COUNT(*) AS n_points,
+              ROUND(AVG(value) * 10000) / 10000 AS mean_value
+       FROM t GROUP BY 1, 2, 3""",
+    "Tile pyramid, relational half (SURVEY.md §1.1/K3): Web-Mercator "
+    "z/x/y assignment as pure column math + per-tile aggregate rollup "
+    "— the in-engine analog of tippecanoe's density budgeting (tile "
+    "payload is the aggregate, bounded at any scale). Synthetic "
+    "lat/lon derived from event ids (events carry no coordinates).",
+)
+def q76(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    pts = (
+        ev.filter(F.col("value").isNotNull() & ~F.isnan("value"))
+        .withColumn(
+            "lat", (F.pmod("user_id", F.lit(170)) - 85).cast("double") + 0.25
+        )
+        .withColumn(
+            "lon", (F.pmod("event_id", F.lit(360)) - 180).cast("double") + 0.3125
+        )
+    )
+    tiled = climate.tile_assign(pts, zoom=4)
+    roll = climate.tile_rollup(tiled)
+    return roll.select(
+        "z",
+        "x",
+        "y",
+        F.col("n_points").cast("long").alias("n_points"),
+        oround("mean_value", 4).alias("mean_value"),
+    )
+
+
+@query(
+    "q77_grouping_sets",
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+              ROUND(SUM(l_quantity) * 10000) / 10000 AS sum_qty
+       FROM lineitem
+       GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                               (l_returnflag), ())""",
+    "Q19 completion: explicit GROUPING SETS (rollup/cube are q19/q58; "
+    "this is the arbitrary-set form, via the SQL entry point over "
+    "registered views — every operator is reachable from spark.sql, "
+    "SURVEY.md §1.3).",
+)
+def q77(spark, sf_dir):
+    from climate_data_pipelines_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                  ROUND(SUM(l_quantity) * 10000) / 10000 AS sum_qty
+           FROM lineitem
+           GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                   (l_returnflag), ())"""
+    )
+
+
+@query(
+    "q78_exists_subquery",
+    """SELECT c_custkey, c_name FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey
+                       AND o.o_totalprice > 200000)
+         AND NOT EXISTS (SELECT 1 FROM orders o2
+                         WHERE o2.o_custkey = c.c_custkey
+                           AND o2.o_orderstatus = 'F'
+                           AND o2.o_totalprice < 1000)""",
+    "Correlated EXISTS / NOT EXISTS subqueries — planned as left-semi "
+    "+ left-anti joins by Catalyst (SURVEY.md §2.3 J-suite via the "
+    "SQL entry point).",
+)
+def q78(spark, sf_dir):
+    from climate_data_pipelines_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """SELECT c_custkey, c_name FROM customer c
+           WHERE EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_totalprice > 200000)
+             AND NOT EXISTS (SELECT 1 FROM orders o2
+                             WHERE o2.o_custkey = c.c_custkey
+                               AND o2.o_orderstatus = 'F'
+                               AND o2.o_totalprice < 1000)"""
+    )
+
+
+@query(
+    "q79_scalar_subquery",
+    """SELECT o_orderkey, o_totalprice,
+              ROUND((o_totalprice - (SELECT AVG(o_totalprice) FROM orders))
+                    * 10000) / 10000 AS vs_avg
+       FROM orders
+       WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)""",
+    "Scalar subqueries (uncorrelated) — planned as a broadcast "
+    "one-row subquery result; the filter + projection reuse the same "
+    "subquery (Catalyst ReuseSubquery).",
+)
+def q79(spark, sf_dir):
+    from climate_data_pipelines_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """SELECT o_orderkey, o_totalprice,
+                  ROUND((o_totalprice - (SELECT AVG(o_totalprice) FROM orders))
+                        * 10000) / 10000 AS vs_avg
+           FROM orders
+           WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)"""
+    )
+
+
+@query(
     "q41_minhash_signatures",
     """WITH t AS (SELECT doc_id,
                     list_filter(string_split(text, ' '), x -> x != '') AS toks

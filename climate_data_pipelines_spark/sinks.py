@@ -58,6 +58,42 @@ def write_geojson_per_group(fc: DataFrame, path: str, mode: str = "overwrite") -
     )
 
 
+def write_tile_pyramid(
+    tiles: DataFrame, path: str, mode: str = "overwrite"
+) -> None:
+    """K3/K4 relational form (SURVEY.md §1.1 'tile pyramid'): persist
+    ``(z INT, x INT, y INT, tile BINARY)`` rows partitioned by z/x —
+    the directory layout mirrors the slippy z/x/y URL scheme the
+    reference serves from S3/CloudFront
+    (docs/PBF_WORKFLOW_SUMMARY.md:43-50), with y + payload inside each
+    z=…/x=… partition. A static tile server maps GET /z/x/y directly
+    onto partition pruning; no MBTiles/SQLite intermediary.
+    """
+    tiles.write.partitionBy("z", "x").mode(mode).parquet(path)
+
+
+def write_tileserver_config(
+    config_path: str,
+    data_types: list[str],
+    base_url: str = "tiles",
+) -> None:
+    """K5: tileserver config JSON (precipitation_pipeline.py:320-347) —
+    a driver-side metadata write, deliberately not a Spark job (one
+    small dict, SURVEY.md §2.9)."""
+    import json
+    import os
+
+    cfg = {
+        "options": {"paths": {"root": base_url}},
+        "data": {
+            t: {"mbtiles": f"{t}.mbtiles"} for t in sorted(data_types)
+        },
+    }
+    os.makedirs(os.path.dirname(config_path) or ".", exist_ok=True)
+    with open(config_path, "w") as fh:
+        json.dump(cfg, fh, separators=(",", ":"), sort_keys=True)
+
+
 def foreach_partition_shell(df: DataFrame, make_cmd) -> None:
     """K3 shape: executor-side subprocess per partition (the
     tippecanoe shell-out, precipitation_pipeline.py:244-259, moved

@@ -90,3 +90,39 @@ def test_geojson_feature_collection_parses(spark):
     assert f["type"] == "Feature"
     assert f["geometry"]["type"] == "Polygon"
     assert f["properties"]["year"] == 2024
+
+
+def test_tile_assign_known_points(spark):
+    # (lat, lon) -> (x, y) at z=1: four quadrants of the world
+    df = spark.createDataFrame(
+        [
+            (1, 40.0, -100.0),   # NW quadrant -> x=0, y=0
+            (2, 40.0, 100.0),    # NE -> x=1, y=0
+            (3, -40.0, -100.0),  # SW -> x=0, y=1
+            (4, -40.0, 100.0),   # SE -> x=1, y=1
+            (5, 0.0, 0.0),       # origin -> x=1, y=1 (on the boundary)
+        ],
+        "id long, lat double, lon double",
+    )
+    got = {r.id: (r.z, r.x, r.y) for r in climate.tile_assign(df, 1).collect()}
+    assert got[1] == (1, 0, 0)
+    assert got[2] == (1, 1, 0)
+    assert got[3] == (1, 0, 1)
+    assert got[4] == (1, 1, 1)
+    assert got[5] == (1, 1, 1)
+
+
+def test_tile_rollup_bounds_payload(spark):
+    import pyspark.sql.functions as SF
+
+    df = spark.createDataFrame(
+        [(i, 10.0 + (i % 3) * 0.1, 20.0, float(i)) for i in range(30)],
+        "id long, lat double, lon double, value double",
+    )
+    tiled = climate.tile_assign(df, 4)
+    roll = climate.tile_rollup(tiled)
+    rows = roll.collect()
+    # all 30 points share one z=4 tile; payload is one aggregate row
+    assert len(rows) == 1
+    assert rows[0].n_points == 30
+    assert abs(rows[0].mean_value - sum(range(30)) / 30) < 1e-9

@@ -113,3 +113,40 @@ def test_melt_cube(spark):
     assert len(rows) == 6
     assert rows[(10.0, 20.0)] == 1.0
     assert rows[(10.5, 21.25)] == 6.0
+
+
+def test_tile_pyramid_sink_layout(spark, tmpdir):
+    import os
+
+    from climate_data_pipelines_spark import sinks
+
+    tiles = spark.createDataFrame(
+        [
+            (1, 0, 0, bytearray(b"\x01\x02")),
+            (1, 0, 1, bytearray(b"\x03")),
+            (1, 1, 0, bytearray(b"\x04")),
+        ],
+        "z int, x int, y int, tile binary",
+    )
+    path = str(tmpdir.join("pyramid"))
+    sinks.write_tile_pyramid(tiles, path)
+    # slippy z/x directory layout
+    assert os.path.isdir(f"{path}/z=1/x=0")
+    assert os.path.isdir(f"{path}/z=1/x=1")
+    back = spark.read.parquet(path)
+    # partition pruning serves GET /z/x/y without scanning the pyramid
+    got = back.filter("z = 1 AND x = 0 AND y = 1").collect()
+    assert len(got) == 1
+    assert bytes(got[0].tile) == b"\x03"
+
+
+def test_tileserver_config_write(tmpdir):
+    import json as J
+
+    from climate_data_pipelines_spark import sinks
+
+    p = str(tmpdir.join("cfg/config.json"))
+    sinks.write_tileserver_config(p, ["temperature", "humidity"])
+    cfg = J.load(open(p))
+    assert set(cfg["data"]) == {"temperature", "humidity"}
+    assert cfg["options"]["paths"]["root"] == "tiles"
