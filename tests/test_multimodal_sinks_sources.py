@@ -128,7 +128,7 @@ def test_tile_pyramid_sink_layout(spark, tmpdir):
         ],
         "z int, x int, y int, tile binary",
     )
-    path = str(tmpdir.join("pyramid"))
+    path = f"{tmpdir}/pyramid"
     sinks.write_tile_pyramid(tiles, path)
     # slippy z/x directory layout
     assert os.path.isdir(f"{path}/z=1/x=0")
@@ -145,7 +145,7 @@ def test_tileserver_config_write(tmpdir):
 
     from climate_data_pipelines_spark import sinks
 
-    p = str(tmpdir.join("cfg/config.json"))
+    p = f"{tmpdir}/cfg/config.json"
     sinks.write_tileserver_config(p, ["temperature", "humidity"])
     cfg = J.load(open(p))
     assert set(cfg["data"]) == {"temperature", "humidity"}
