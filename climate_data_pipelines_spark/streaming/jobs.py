@@ -115,6 +115,81 @@ def dedup_within_watermark(stream: DataFrame, watermark: str = "1 hour") -> Data
     )
 
 
+def stream_static_enrich(stream: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the event stream with a batch
+    dimension table (the population-lookup shape, SURVEY.md J1, in
+    streaming form). The static side is re-read per micro-batch — at
+    scale, broadcast it (small dim) or pre-bucket both sides."""
+    return stream.join(F.broadcast(dim), "user_id", "left")
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    watermark: str = "1 hour",
+    max_delay: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner join with watermarks + a time-range
+    condition (SURVEY.md §2.10 engine-added surface).
+
+    Both sides are watermarked and the join condition bounds how far
+    apart matching events may be (``right.ts`` within [left.ts,
+    left.ts + max_delay]) — together these let Spark evict buffered
+    state: without the range bound a stream-stream join must hold
+    every row forever. Returns one row per matching (user_id, ts
+    proximity) pair.
+    """
+    l = left.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("l_user_id"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_event_id"),
+    )
+    r = right.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("r_user_id"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+    )
+    cond = (
+        (F.col("l_user_id") == F.col("r_user_id"))
+        & (F.col("l_event_id") < F.col("r_event_id"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return l.join(r, cond, "inner").select(
+        F.col("l_user_id").alias("user_id"),
+        "l_event_id",
+        "r_event_id",
+        "l_ts",
+        "r_ts",
+    )
+
+
+def write_foreach_batch_parquet(
+    result: DataFrame, out_dir: str, checkpoint_dir: str
+):
+    """``foreachBatch`` sink: per-micro-batch custom write (here:
+    idempotent parquet append keyed by batch_id). This is the
+    escape hatch for sinks Spark lacks natively — each micro-batch
+    arrives as a *batch* DataFrame, so any batch writer works; Spark
+    guarantees at-least-once per batch_id, and the writer makes it
+    effectively-once by being idempotent per batch.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    return (
+        result.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def running_user_totals(stream: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``
     (SURVEY.md §2.10 'custom stateful operators'): per-user running

@@ -1,0 +1,120 @@
+"""Property-based tests (hypothesis) for semantics-critical helpers.
+
+Each property runs a bounded number of examples, and every example
+batches its cases into ONE Spark job — hypothesis explores the input
+space, Spark executes once per example, keeping runtime sane.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from climate_data_pipelines_spark.functions.scalar import inclusive_month_range
+from climate_data_pipelines_spark.operators import climate, scale
+
+_SETTINGS = dict(max_examples=12, deadline=None)
+
+_ym = st.tuples(st.integers(1990, 2030), st.integers(1, 12))
+_ts = st.datetimes(
+    min_value=datetime.datetime(1990, 1, 1),
+    max_value=datetime.datetime(2030, 12, 31),
+)
+
+
+@settings(**_SETTINGS)
+@given(
+    bounds=st.tuples(_ym, _ym).map(sorted),
+    stamps=st.lists(_ts, min_size=1, max_size=30),
+)
+def test_inclusive_month_range_matches_python_semantics(spark, bounds, stamps):
+    (y0, m0), (y1, m1) = bounds
+    df = spark.createDataFrame([(t,) for t in stamps], "ts timestamp")
+    got = {
+        r.ts
+        for r in df.filter(inclusive_month_range("ts", y0, m0, y1, m1)).collect()
+    }
+    # reference semantics: inclusive year-month window, month-granular
+    # (precipitation_pipeline.py:66-70)
+    want = {
+        t
+        for t in stamps
+        if (y0, m0) <= (t.year, t.month) <= (y1, m1)
+    }
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    zoom=st.integers(0, 8),
+    pts=st.lists(
+        st.tuples(
+            st.floats(-84.9, 84.9, allow_nan=False),
+            st.floats(-180.0, 179.999, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+)
+def test_tile_assign_always_in_pyramid_bounds(spark, zoom, pts):
+    df = spark.createDataFrame(
+        [(float(lat), float(lon)) for lat, lon in pts], "lat double, lon double"
+    )
+    rows = climate.tile_assign(df, zoom).collect()
+    n = 2**zoom
+    for r in rows:
+        assert 0 <= r.x < n
+        assert 0 <= r.y < n
+        assert r.z == zoom
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 1000)),
+        min_size=0,
+        max_size=40,
+    ),
+    dim_keys=st.lists(st.integers(0, 5), min_size=0, max_size=6, unique=True),
+    n_salt=st.integers(1, 5),
+)
+def test_salted_join_equals_plain_join(spark, rows, dim_keys, n_salt):
+    fact = spark.createDataFrame(
+        [(k, v) for k, v in rows] or [(None, None)], "k int, v int"
+    ).filter(F.col("k").isNotNull())
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in dim_keys] or [(None, None)], "k int, name string"
+    ).filter(F.col("k").isNotNull())
+    plain = sorted(
+        (r.k, r.v, r.name) for r in fact.join(dim, "k").collect()
+    )
+    salted = sorted(
+        (r.k, r.v, r.name)
+        for r in scale.salted_join(fact, dim, "k", n_salt=n_salt).collect()
+    )
+    assert salted == plain
+
+
+@settings(**_SETTINGS)
+@given(
+    lat=st.floats(-89.0, 89.0, allow_nan=False),
+    lon=st.floats(-179.0, 179.0, allow_nan=False),
+    lat_res=st.floats(0.1, 2.0, allow_nan=False),
+    lon_res=st.floats(0.1, 2.0, allow_nan=False),
+)
+def test_polygonize_ring_closed_and_centered(spark, lat, lon, lat_res, lon_res):
+    df = spark.createDataFrame([(lat, lon)], "lat double, lon double")
+    ring = climate.polygonize(df, lat_res=lat_res, lon_res=lon_res).first().coordinates[0]
+    # closed 5-point ring
+    assert len(ring) == 5
+    assert ring[0] == ring[4]
+    # centered on the cell with the given half-resolutions
+    lons = [p[0] for p in ring[:4]]
+    lats = [p[1] for p in ring[:4]]
+    assert abs((max(lons) + min(lons)) / 2 - lon) < 1e-9
+    assert abs((max(lats) + min(lats)) / 2 - lat) < 1e-9
+    assert abs((max(lons) - min(lons)) - lon_res) < 1e-9
+    assert abs((max(lats) - min(lats)) - lat_res) < 1e-9

@@ -120,3 +120,65 @@ def test_running_user_totals_matches_batch(spark, sf_dir, stream_dirs):
     for uid, (n, tot) in want.items():
         assert got[uid][0] == n
         assert abs(got[uid][1] - tot) < 1e-6
+
+
+def test_stream_static_enrich(spark, sf_dir, stream_dirs):
+    events_dir = _events_dir(spark, sf_dir, stream_dirs)
+    stream = jobs.read_events_stream(spark, events_dir)
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn("segment", (F.col("user_id") % 3).cast("int"))
+    )
+    result = jobs.stream_static_enrich(stream, dim)
+    q = jobs.run_available_now(result, f"{stream_dirs}/ckpt_enrich", "enriched")
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM enriched")
+    assert out.count() == load_table(spark, sf_dir, "events").count()
+    assert out.filter(F.col("segment").isNull()).count() == 0
+    assert out.filter(F.col("segment") != F.col("user_id") % 3).count() == 0
+
+
+def test_stream_stream_join_bounded_pairs(spark, sf_dir, stream_dirs):
+    events_dir = _events_dir(spark, sf_dir, stream_dirs)
+    left = jobs.read_events_stream(spark, events_dir)
+    right = jobs.read_events_stream(spark, events_dir)
+    result = jobs.stream_stream_join(left, right, watermark="2 hours", max_delay="10 minutes")
+    q = jobs.run_available_now(result, f"{stream_dirs}/ckpt_ssj", "joined")
+    q.awaitTermination(180)
+    got = spark.sql("SELECT * FROM joined")
+    # batch reference: same self-join condition
+    ev = load_table(spark, sf_dir, "events")
+    l = ev.select(
+        F.col("user_id").alias("l_user_id"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_event_id"),
+    )
+    r = ev.select(
+        F.col("user_id").alias("r_user_id"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+    )
+    want = l.join(
+        r,
+        (F.col("l_user_id") == F.col("r_user_id"))
+        & (F.col("l_event_id") < F.col("r_event_id"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 10 minutes")),
+    ).count()
+    assert got.count() == want
+    assert want > 0
+
+
+def test_foreach_batch_parquet_sink(spark, sf_dir, stream_dirs):
+    events_dir = _events_dir(spark, sf_dir, stream_dirs)
+    stream = jobs.read_events_stream(spark, events_dir)
+    out_dir = f"{stream_dirs}/fb_out"
+    q = jobs.write_foreach_batch_parquet(
+        stream.select("event_id", "user_id"), out_dir, f"{stream_dirs}/ckpt_fb"
+    )
+    q.awaitTermination(120)
+    back = spark.read.parquet(out_dir)
+    assert back.count() == load_table(spark, sf_dir, "events").count()
+    assert "_batch_id" in back.columns
