@@ -40,13 +40,23 @@ def shingles(text: Column | str, k: int = 3) -> Column:
     """k-token shingles (n-grams of the whitespace tokens) as an
     array<string> — the MinHash/Jaccard unit (SURVEY.md §2.11).
 
-    Expression-level: sequence + transform + slice; no UDF.
+    Expression-level, no UDF. Built by zipping k shifted copies of the
+    token array (``zip_with(slice(toks,1,m), slice(toks,2,m), …)``)
+    rather than ``transform(sequence(…), i -> slice(toks, i, k))``:
+    Catalyst's projection collapse re-inlines the token-split
+    subexpression at every reference, so the transform form
+    re-tokenizes the document once per shingle *position* (O(n²) per
+    doc), while the shifted-zip form references it k+1 times (O(k·n))
+    — ~10× faster on real documents.
     """
     toks = tokens(text)
     n = F.size(toks)
-    return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), n - k + 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    m = n - k + 1  # shingle count when n >= k
+    combined = F.slice(toks, 1, m)
+    for j in range(1, k):
+        combined = F.zip_with(
+            combined,
+            F.slice(toks, j + 1, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
         )
-    )
+    return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(combined)

@@ -64,17 +64,31 @@ def minhash_signatures(
 ) -> DataFrame:
     """Portable MinHash signatures (SURVEY.md Q37 scale path).
 
-    One signature column per hash seed: ``min(md5(seed || shingle))``
-    over the doc's k-token shingles. md5 (not xxhash64) so the DuckDB
-    oracle can reproduce the signatures bit-for-bit; at production
-    scale swap the hash for xxhash64 — same plan shape.
+    Double hashing (Kirsch–Mitzenmacher): ONE md5 per shingle yields
+    two independent 60-bit integers (hex halves of the digest); the
+    i-th hash function is ``h1 + i·h2`` and the signature column is
+    ``mh_i = min(h1 + i·h2)`` over the doc's k-token shingles. This
+    replaces n_hashes md5 evaluations per shingle with one — ~3× less
+    hash work in the hot loop — while staying bit-reproducible in the
+    DuckDB oracle (``CAST('0x'||substring(md5(s),…) AS BIGINT)``).
+    No overflow: h1,h2 < 2^60 and i ≤ 7, so h1 + 7·h2 < 2^63.
 
-    Plan shape: explode(shingles) → groupBy(id) with n_hashes min()
-    partial aggregates — map-side combined, single shuffle on id.
+    Plan shape: explode(distinct shingles) → groupBy(id) with n_hashes
+    min() partial aggregates — map-side combined, single shuffle on id.
+    ``array_distinct`` before the explode cuts the exploded row count
+    without changing any min() — a minhash is a min over the shingle
+    *set*.
     """
-    sh = df.select(F.col(id_col), F.explode(shingles(text_col, k)).alias("shingle"))
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(text_col, k))).alias("shingle"),
+    )
+    h = F.md5(F.col("shingle"))
+    h1 = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(h, 16, 15), 16, 10).cast("long")
+    sh = sh.select(F.col(id_col), h1.alias("_h1"), h2.alias("_h2"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"s{i}|"), F.col("shingle")))).alias(f"mh{i}")
+        F.min(F.col("_h1") + F.lit(i) * F.col("_h2")).alias(f"mh{i}")
         for i in range(n_hashes)
     ]
     return sh.groupBy(id_col).agg(*aggs)

@@ -914,17 +914,22 @@ def q79(spark, sf_dir):
     """WITH t AS (SELECT doc_id,
                     list_filter(string_split(text, ' '), x -> x != '') AS toks
                   FROM documents),
-         sh AS (SELECT doc_id,
+         sh AS (SELECT DISTINCT doc_id,
                        array_to_string(list_slice(toks, i, i + 2), ' ') AS shingle
-                FROM t, UNNEST(generate_series(1, greatest(len(toks) - 2, 1))) AS u(i))
+                FROM t, UNNEST(generate_series(1, greatest(len(toks) - 2, 1))) AS u(i)),
+         hh AS (SELECT doc_id,
+                       CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS h1,
+                       CAST('0x' || substring(md5(shingle), 16, 15) AS BIGINT) AS h2
+                FROM sh)
        SELECT doc_id,
-              MIN(md5('s0|' || shingle)) AS mh0, MIN(md5('s1|' || shingle)) AS mh1,
-              MIN(md5('s2|' || shingle)) AS mh2, MIN(md5('s3|' || shingle)) AS mh3,
-              MIN(md5('s4|' || shingle)) AS mh4, MIN(md5('s5|' || shingle)) AS mh5,
-              MIN(md5('s6|' || shingle)) AS mh6, MIN(md5('s7|' || shingle)) AS mh7
-       FROM sh GROUP BY doc_id""",
-    "Q37 scale path, oracle-checked: portable MinHash signatures — "
-    "min(md5(seed||shingle)) per doc over 3-token shingles; "
+              MIN(h1 + 0 * h2) AS mh0, MIN(h1 + 1 * h2) AS mh1,
+              MIN(h1 + 2 * h2) AS mh2, MIN(h1 + 3 * h2) AS mh3,
+              MIN(h1 + 4 * h2) AS mh4, MIN(h1 + 5 * h2) AS mh5,
+              MIN(h1 + 6 * h2) AS mh6, MIN(h1 + 7 * h2) AS mh7
+       FROM hh GROUP BY doc_id""",
+    "Q37 scale path, oracle-checked: portable MinHash signatures via "
+    "Kirsch-Mitzenmacher double hashing — one md5 per shingle, hex "
+    "halves as h1/h2, mh_i = min(h1 + i*h2) over 3-token shingles; "
     "explode→groupBy with map-side combine, single shuffle on doc_id.",
 )
 def q41(spark, sf_dir):
