@@ -13,6 +13,7 @@ from climate_data_pipelines_spark.functions.text import (
     WORD_RE,
     normalize_text,
     regex_tokens,
+    shingles,
     tokens,
 )
 
@@ -122,4 +123,84 @@ def word_count(df: DataFrame, text_col: str = "text") -> DataFrame:
         df.select(F.explode(tokens(text_col)).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("n"))
+    )
+
+
+# PII-ish patterns a training-data scrub pass redacts. Deliberately
+# simple (the point is the distributed scrub plan, not regex
+# perfection); production swaps in a vetted pattern set.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+
+
+def redact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """PII/URL scrub (training-data hygiene pass): regexp-replace
+    emails and URLs with typed placeholder tokens, plus match counts
+    so downstream filters can drop documents that were mostly
+    boilerplate. Narrow map — no shuffle, scales linearly.
+    """
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), URL_RE, "<URL>"
+        ).alias("redacted"),
+        F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(URL_RE), F.lit(0))).alias("n_urls"),
+    )
+
+
+def repetition_ratio(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 2
+) -> DataFrame:
+    """Repetition ratio (Gopher-style quality signal): fraction of the
+    document's k-gram occurrences taken by its single most frequent
+    k-gram. Boilerplate and templated spam score high; natural prose
+    scores low.
+
+    Pure per-row expression: build the k-gram array once, count each
+    distinct gram's occurrences with filter(), take the max — no
+    explode, no shuffle (the whole signal is a narrow map).
+    """
+    grams = shingles(text_col, k)
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(grams),
+            lambda g: F.size(F.filter(grams, lambda x: x == g)),
+        )
+    )
+    n = F.size(grams)
+    p = F.lit(1e6)
+    return df.select(
+        F.col(id_col),
+        n.alias("n_grams"),
+        (F.round(top.cast("double") / n.cast("double") * p, 0) / p).alias(
+            "max_gram_ratio"
+        ),
+    )
+
+
+def sentence_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Sentence segmentation stats: split on terminal punctuation,
+    count sentences and mean sentence length in tokens — the
+    length-distribution features C4-style filters threshold on.
+    Narrow map, no shuffle."""
+    sents = F.filter(
+        F.split(F.col(text_col), r"[.!?]+"), lambda s: F.trim(s) != ""
+    )
+    n_sent = F.size(sents)
+    total_toks = F.aggregate(
+        F.transform(sents, lambda s: F.size(tokens(F.trim(s)))),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    p = F.lit(1e6)
+    return df.select(
+        F.col(id_col),
+        n_sent.alias("n_sentences"),
+        (
+            F.round(total_toks.cast("double") / n_sent.cast("double") * p, 0) / p
+        ).alias("mean_sentence_tokens"),
     )

@@ -743,6 +743,80 @@ def q72(spark, sf_dir):
 
 
 @query(
+    "q80_redact",
+    """SELECT doc_id,
+              regexp_replace(regexp_replace(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                'https?://[^\\s]+', '<URL>', 'g') AS redacted,
+              len(regexp_extract_all(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+              len(regexp_extract_all(text, 'https?://[^\\s]+')) AS n_urls
+       FROM documents""",
+    "Training-data hygiene: PII/URL redaction scrub with match counts "
+    "— narrow map, no shuffle, linear at any corpus size "
+    "(SURVEY.md §2.11 text analysis).",
+)
+def q80(spark, sf_dir):
+    out = textops.redact(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        "redacted",
+        F.col("n_emails").cast("long").alias("n_emails"),
+        F.col("n_urls").cast("long").alias("n_urls"),
+    )
+
+
+@query(
+    "q81_repetition_ratio",
+    """WITH t AS (SELECT doc_id,
+                    list_filter(string_split(text, ' '), x -> x != '') AS toks
+                  FROM documents),
+         g AS (SELECT doc_id,
+                      [array_to_string(list_slice(toks, i, i + 1), ' ')
+                       FOR i IN generate_series(1, greatest(len(toks) - 1, 1))] AS grams
+               FROM t)
+       SELECT doc_id, len(grams) AS n_grams,
+              ROUND(CAST(list_max(list_transform(list_distinct(grams),
+                      gg -> len(list_filter(grams, x -> x = gg)))) AS DOUBLE)
+                    / len(grams) * 1000000) / 1000000 AS max_gram_ratio
+       FROM g""",
+    "Gopher-style repetition signal: share of bigram occurrences taken "
+    "by the most frequent bigram — per-row higher-order functions, no "
+    "explode, no shuffle (SURVEY.md §2.11 quality scoring).",
+)
+def q81(spark, sf_dir):
+    out = textops.repetition_ratio(_t(spark, sf_dir, "documents"), k=2)
+    return out.select(
+        "doc_id", F.col("n_grams").cast("long").alias("n_grams"), "max_gram_ratio"
+    )
+
+
+@query(
+    "q82_sentence_stats",
+    """WITH s AS (SELECT doc_id,
+                    list_filter(string_split_regex(text, '[.!?]+'),
+                                x -> trim(x) != '') AS sents
+                  FROM documents)
+       SELECT doc_id, len(sents) AS n_sentences,
+              ROUND(CAST(list_sum(list_transform(sents,
+                      x -> len(list_filter(string_split_regex(trim(x), '\\s+'),
+                               w -> w != '')))) AS DOUBLE)
+                    / len(sents) * 1000000) / 1000000 AS mean_sentence_tokens
+       FROM s""",
+    "Sentence segmentation stats (C4-style length features): split on "
+    "terminal punctuation, mean sentence length in tokens — narrow "
+    "map (SURVEY.md §2.11 text analysis).",
+)
+def q82(spark, sf_dir):
+    out = textops.sentence_stats(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_sentences").cast("long").alias("n_sentences"),
+        "mean_sentence_tokens",
+    )
+
+
+@query(
     "q74_salted_skew_join",
     """SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, p.p_name
        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey""",

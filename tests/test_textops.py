@@ -55,3 +55,51 @@ def test_fingerprint_normalization_invariance(spark):
     assert fps[1] != fps[3]
     shard = textops.fingerprint(df).first().shard_key
     assert len(shard) == 8
+
+
+def test_redact_emails_and_urls(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "contact me at alice@example.com or https://a.example/x today"),
+            (2, "no pii here at all"),
+            (3, "two mails a@b.co c@d.org and http://e.f/g"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textops.redact(df).collect()}
+    assert out[1].redacted == "contact me at <EMAIL> or <URL> today"
+    assert (out[1].n_emails, out[1].n_urls) == (1, 1)
+    assert out[2].redacted == "no pii here at all"
+    assert (out[2].n_emails, out[2].n_urls) == (0, 0)
+    assert out[3].n_emails == 2 and out[3].n_urls == 1
+    assert "@" not in out[3].redacted
+
+
+def test_repetition_ratio_flags_boilerplate(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "buy now buy now buy now buy now"),       # highly repetitive
+            (2, "the quick brown fox jumps over the dog"),  # natural-ish
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textops.repetition_ratio(df, k=2).collect()}
+    # doc 1: 7 bigrams, "buy now" occurs 4x -> 4/7
+    assert out[1].n_grams == 7
+    assert abs(out[1].max_gram_ratio - 4 / 7) < 1e-5
+    assert out[2].max_gram_ratio < out[1].max_gram_ratio
+
+
+def test_sentence_stats(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "one two three. four five! six seven eight nine?"),
+            (2, "no terminal punctuation at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textops.sentence_stats(df).collect()}
+    assert out[1].n_sentences == 3
+    assert abs(out[1].mean_sentence_tokens - (3 + 2 + 4) / 3) < 1e-5
+    assert out[2].n_sentences == 1
+    assert abs(out[2].mean_sentence_tokens - 5.0) < 1e-5
