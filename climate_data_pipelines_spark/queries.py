@@ -743,6 +743,42 @@ def q72(spark, sf_dir):
 
 
 @query(
+    "q83_time_rollup",
+    """SELECT year(ts) AS y, month(ts) AS m, day(ts) AS d,
+              COUNT(*) AS n,
+              ROUND(SUM(CASE WHEN isnan(value) THEN NULL ELSE value END)
+                    * 10000) / 10000 AS sum_value,
+              GROUPING(year(ts)) * 4 + GROUPING(month(ts)) * 2
+                + GROUPING(day(ts)) AS lvl
+       FROM events
+       GROUP BY ROLLUP(year(ts), month(ts), day(ts))""",
+    "Hypertable-style continuous aggregate: one pass produces the "
+    "day/month/year/total rollup hierarchy (df.rollup + grouping_id) — "
+    "the multi-resolution materialized-rollup shape time-series stores "
+    "precompute; at 100 TB this is written partitioned by level and "
+    "refreshed incrementally per closed period (SURVEY.md §2.4 Q19 "
+    "extension).",
+)
+def q83(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    v = F.col("value")
+    clean = F.when(F.isnan(v), F.lit(None)).otherwise(v)
+    return (
+        ev.rollup(
+            F.year("ts").alias("y"),
+            F.month("ts").alias("m"),
+            F.dayofmonth("ts").alias("d"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            oround(F.sum(clean), 4).alias("sum_value"),
+            F.grouping_id().cast("long").alias("lvl"),
+        )
+        .select("y", "m", "d", "n", "sum_value", "lvl")
+    )
+
+
+@query(
     "q80_redact",
     """SELECT doc_id,
               regexp_replace(regexp_replace(text,
@@ -1815,6 +1851,21 @@ def q68(spark, sf_dir):
 def q69(spark, sf_dir):
     return _t(spark, sf_dir, "lineitem").sample(0.1, seed=42).select(
         "l_orderkey", "l_linenumber"
+    )
+
+
+@query(
+    "q84_stratified_sample",
+    None,
+    "Stratified sampling (rows-only): per-stratum Bernoulli fractions "
+    "via sampleBy — the class-balanced training-subset draw; seeded "
+    "and engine-deterministic, not oracle-reproducible (PRNG differs).",
+)
+def q84(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    fractions = {"click": 0.05, "view": 0.02, "purchase": 0.5, "signup": 0.5, "error": 1.0}
+    return ev.sampleBy("event_type", fractions, seed=42).select(
+        "event_id", "event_type"
     )
 
 
