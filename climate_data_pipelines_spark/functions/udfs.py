@@ -53,3 +53,34 @@ def zscore_per_group(pdf: pd.DataFrame) -> pd.DataFrame:
     v = pdf["value"]
     z = (v - v.mean()) / v.std(ddof=1)
     return pd.DataFrame({"event_id": pdf["event_id"], "z_score": np.round(z * 1e6) / 1e6})
+
+
+class SplitSentencesUDTF:
+    """Python UDTF (Spark 4 user-defined *table* function): one input
+    row → N output rows (doc_id, sent_idx, sentence). The lateral-join
+    surface for row-expanding Python logic; registered for SQL use via
+    ``register_udtfs``. Row-at-a-time Python — demo surface, not a hot
+    path (the expression-level equivalent is textops.sentence_stats).
+    """
+
+    def eval(self, doc_id, text):
+        import re
+
+        if text is None:
+            return
+        idx = 0
+        for part in re.split(r"[.!?]+", text):
+            s = part.strip()
+            if s:
+                yield doc_id, idx, s
+                idx += 1
+
+
+def register_udtfs(spark) -> None:
+    """Register the UDTF surface for the SQL entry point."""
+    from pyspark.sql.functions import udtf
+
+    spark.udtf.register(
+        "split_sentences",
+        udtf(SplitSentencesUDTF, returnType="doc_id bigint, sent_idx int, sentence string"),
+    )

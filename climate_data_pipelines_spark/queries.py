@@ -743,6 +743,125 @@ def q72(spark, sf_dir):
 
 
 @query(
+    "q85_merge_upsert",
+    """WITH src AS (SELECT o_orderkey, o_custkey,
+                           ROUND(o_totalprice * 1.1 * 10000) / 10000 AS o_totalprice
+                    FROM orders WHERE o_orderkey % 10 = 0)
+       SELECT * FROM src
+       UNION ALL
+       SELECT o_orderkey, o_custkey,
+              ROUND(o_totalprice * 10000) / 10000 AS o_totalprice
+       FROM orders t
+       WHERE NOT EXISTS (SELECT 1 FROM src WHERE src.o_orderkey = t.o_orderkey)""",
+    "Source-wins MERGE/upsert without a table format: source union "
+    "(target anti-join source on key) — the engine's relational form "
+    "of the reference's delete-then-rewrite maintenance "
+    "(precipitation_pipeline.py:255). One key shuffle; pairs with "
+    "bucketed layouts at scale.",
+)
+def q85(spark, sf_dir):
+    from climate_data_pipelines_spark.operators import merge
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", oround(F.col("o_totalprice"), 4).alias("o_totalprice")
+    )
+    src = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.pmod("o_orderkey", F.lit(10)) == 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            oround(F.col("o_totalprice") * 1.1, 4).alias("o_totalprice"),
+        )
+    )
+    return merge.merge_upsert(orders, src, ["o_orderkey"])
+
+
+@query(
+    "q86_latest_per_key",
+    """SELECT user_id,
+              arg_max(event_type, event_id) AS event_type,
+              arg_max(props, event_id) AS props,
+              MAX(event_id) AS event_id
+       FROM events GROUP BY user_id""",
+    "SCD current-snapshot: latest record per key via max_by/arg_max — "
+    "single partial+final hash aggregate, no window sort, no "
+    "self-join (the A4 'value per key' shape done right at scale).",
+)
+def q86(spark, sf_dir):
+    from climate_data_pipelines_spark.operators import merge
+
+    ev = _t(spark, sf_dir, "events")
+    return merge.latest_per_key(
+        ev, ["user_id"], "event_id", ["event_type", "props"]
+    )
+
+
+@query(
+    "q87_variant_json",
+    """SELECT event_id,
+              CAST(json_extract(props, '$.k') AS BIGINT) AS k_value,
+              CAST(json_extract(props, '$.missing') AS BIGINT) AS missing_value
+       FROM events""",
+    "Semi-structured VARIANT path (Spark 4): parse_json once into a "
+    "VariantType column, then typed variant_get extraction — the "
+    "binary-encoded, shreddable alternative to per-access string "
+    "parsing (q33). Same answers as the JSON-string oracle.",
+)
+def q87(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k_value"),
+        F.try_variant_get(v, "$.missing", "bigint").alias("missing_value"),
+    )
+
+
+@query(
+    "q88_hll_sketch_merge",
+    None,
+    "Mergeable HLL sketches (rows-only; estimates are "
+    "implementation-specific): per-day DataSketches HLL of user_id "
+    "via hll_sketch_agg, then hll_union_agg re-aggregates the daily "
+    "sketches to one total estimate — the pre-aggregated-sketch "
+    "rollup pattern that makes COUNT DISTINCT cheap at 100 TB "
+    "(sketches merge; raw distinct sets don't).",
+)
+def q88(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sketch"),
+        F.count("*").alias("n_events"),
+    )
+    return daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("distinct_users_est"),
+        F.sum("n_events").alias("n_events"),
+        F.count("*").alias("n_days"),
+    )
+
+
+@query(
+    "q89_udtf_sentences",
+    None,
+    "Python UDTF (rows-only; Spark 4 table function): LATERAL "
+    "split_sentences(doc_id, text) — one doc row expands to N "
+    "sentence rows through the SQL entry point. Demo surface for "
+    "row-expanding Python; the vectorized path is q82.",
+)
+def q89(spark, sf_dir):
+    from climate_data_pipelines_spark.catalog import register_views
+    from climate_data_pipelines_spark.functions.udfs import register_udtfs
+
+    register_views(spark, sf_dir)
+    register_udtfs(spark)
+    return spark.sql(
+        """SELECT s.doc_id, s.sent_idx, s.sentence
+           FROM documents d, LATERAL split_sentences(d.doc_id, d.text) s"""
+    )
+
+
+@query(
     "q83_time_rollup",
     """SELECT year(ts) AS y, month(ts) AS m, day(ts) AS d,
               COUNT(*) AS n,
