@@ -259,3 +259,64 @@ def dedup_rows(df: DataFrame, key_cols: list[str]) -> DataFrame:
     )
     kept = packed.groupBy(*key_cols).agg(F.min("_rest").alias("_rest"))
     return kept.select(*key_cols, *[F.col(f"_rest.{c}").alias(c) for c in others])
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    node_col: str = "node",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation — the
+    clustering step that turns pairwise near-dup candidates (MinHash/
+    Jaccard/SimHash pairs) into dedup GROUPS, so a keeper can be
+    chosen per cluster rather than per pair (transitivity: if A~B and
+    B~C, all three are one group even if A~C was never scored).
+
+    Each iteration: every node takes the min label among itself and
+    its neighbors (one join + one min-aggregate, both on the node
+    key); converged when no label changes. Label = min node id in the
+    component — deterministic regardless of partitioning/iteration
+    order. Iterations needed = graph diameter (near-dup clusters are
+    shallow; max_iter bounds pathological chains). ``localCheckpoint``
+    truncates lineage each round so the plan doesn't grow with
+    iterations. The per-iteration driver action is a scalar
+    convergence count, never row data.
+
+    ``nodes``: optional 1-column frame of all node ids (isolated nodes
+    become singleton components); defaults to the edge endpoints.
+    Returns (node, component).
+    """
+    sym = edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).unionByName(
+        edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    )
+    if nodes is None:
+        base = sym.select(F.col("src").alias(node_col)).distinct()
+    else:
+        base = nodes.select(F.col(nodes.columns[0]).alias(node_col)).distinct()
+    labels = base.select(F.col(node_col), F.col(node_col).alias("component"))
+    labels = labels.localCheckpoint(eager=True)
+    sym = sym.localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        neighbor_lbls = (
+            labels.join(sym, labels[node_col] == sym["src"])
+            .select(F.col("dst").alias(node_col), F.col("component"))
+        )
+        new_labels = (
+            labels.unionByName(neighbor_lbls)
+            .groupBy(node_col)
+            .agg(F.min("component").alias("component"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), node_col)
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

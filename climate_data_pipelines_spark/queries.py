@@ -1195,6 +1195,46 @@ def q40(spark, sf_dir):
 
 
 @query(
+    "q90_dedup_clusters",
+    """WITH RECURSIVE
+         sh AS (SELECT doc_id, source,
+                  unnest(list_distinct(list_filter(string_split(text, ' '), x -> x != ''))) AS shingle
+                FROM documents),
+         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+                    FROM sh a JOIN sh b
+                      ON a.shingle = b.shingle AND a.source = b.source
+                     AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2),
+         edges AS (SELECT id_a, id_b FROM common
+                   JOIN sizes sa ON sa.doc_id = id_a
+                   JOIN sizes sb ON sb.doc_id = id_b
+                   WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5),
+         sym AS (SELECT id_a AS a, id_b AS b FROM edges
+                 UNION SELECT id_b, id_a FROM edges),
+         reach(src, node) AS (
+             SELECT doc_id, doc_id FROM documents
+           UNION
+             SELECT r.src, s.b FROM reach r JOIN sym s ON r.node = s.a
+         )
+       SELECT src AS doc_id, MIN(node) AS component FROM reach GROUP BY src""",
+    "Dedup clustering: connected components over near-dup candidate "
+    "pairs (Jaccard >= 0.5 edges) by iterative min-label propagation — "
+    "turns pairwise similarity into transitive dedup GROUPS with a "
+    "deterministic component id (min doc_id). Spark side is the "
+    "iterative join+min loop with localCheckpoint lineage truncation; "
+    "the oracle is DuckDB's recursive-CTE transitive closure — same "
+    "fixpoint, two execution strategies (SURVEY.md §2.11).",
+)
+def q90(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    edges = dedup.ngram_jaccard_pairs(docs, k=1, block_col="source", threshold=0.5)
+    return dedup.connected_components(
+        edges, nodes=docs.select("doc_id"), node_col="doc_id"
+    )
+
+
+@query(
     "q42_simhash",
     None,
     "Q42 (rows-only): 64-bit SimHash fingerprints — per-token xxhash64 "

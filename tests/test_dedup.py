@@ -89,3 +89,27 @@ def test_minhash_lsh_ml_finds_near_dup_pair(spark):
     assert all(a < b for a, b in pairs)
     # unrelated doc 6 should not pair with doc 1 at distance <= 0.5
     assert (1, 6) not in pairs
+
+
+def test_connected_components_chain_and_singletons(spark):
+    # chain 1-2-3-...-8 forces multiple propagation rounds; 20, 30 isolated
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)] + [(11, 12)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in list(range(1, 9)) + [11, 12, 20, 30]], "doc_id long"
+    )
+    out = {
+        r.node: r.component
+        for r in dedup.connected_components(edges, nodes).collect()
+    }
+    assert all(out[i] == 1 for i in range(1, 9))
+    assert out[11] == 11 and out[12] == 11
+    assert out[20] == 20 and out[30] == 30
+
+
+def test_connected_components_transitive_merge(spark):
+    # A~B and B~C but never A~C: all three must share one component
+    edges = spark.createDataFrame([(3, 2), (2, 1)], "id_a long, id_b long")
+    out = {r.node: r.component for r in dedup.connected_components(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1}
