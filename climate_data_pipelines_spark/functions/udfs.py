@@ -84,3 +84,59 @@ def register_udtfs(spark) -> None:
         "split_sentences",
         udtf(SplitSentencesUDTF, returnType="doc_id bigint, sent_idx int, sentence string"),
     )
+
+
+ASOF_COGROUP_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("ref_event_id", T.LongType()),
+    ]
+)
+
+
+def asof_merge_cogrouped(left_grouped, right_grouped):
+    """Cogrouped applyInPandas surface: the two groups for one key
+    arrive as pandas frames; pandas.merge_asof attaches the most
+    recent right row per left row. The UDF-based twin of
+    operators.asof.asof_join (which stays JVM-side) — kept as the
+    canonical cogroup example and cross-validated against it in tests.
+
+    Caller contract: left columns (user_id, event_id, ts); right
+    columns (user_id, ref_event_id, rts). The right side MUST carry
+    distinct non-key column names — in a self-cogroup (both sides
+    derived from the same scan) Catalyst's attribute dedup otherwise
+    prunes the right side's duplicate-named columns away.
+
+    Usage:
+        left.groupBy("user_id").cogroup(right.groupBy("user_id"))
+            .applyInPandas(asof_merge_cogrouped, ASOF_COGROUP_SCHEMA)
+    """
+
+    def merge(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        # a key present on only one side arrives as an EMPTY pdf with
+        # no columns — guard both directions before touching columns
+        if len(l) == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.array([], dtype="Int64"),
+                    "event_id": pd.array([], dtype="Int64"),
+                    "ts": pd.array([], dtype="datetime64[us]"),
+                    "ref_event_id": pd.array([], dtype="Int64"),
+                }
+            )
+        l = l.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        if len(r) == 0:
+            out = l[["user_id", "event_id", "ts"]].copy()
+            out["ref_event_id"] = pd.array([None] * len(l), dtype="Int64")
+            return out
+        r = (
+            r.sort_values(["rts", "ref_event_id"])
+            .rename(columns={"rts": "ts"})[["ts", "ref_event_id"]]
+            .reset_index(drop=True)
+        )
+        merged = pd.merge_asof(l, r, on="ts", direction="backward")
+        return merged[["user_id", "event_id", "ts", "ref_event_id"]]
+
+    return merge(left_grouped, right_grouped)

@@ -75,8 +75,25 @@ def run(args, spark=None) -> dict[str, int]:
 
     written = {}
     if not args.skip_parquet:
-        sinks.write_parquet_partitioned(obs, f"{args.output}/observations", ["year", "month"])
-        written["observations"] = spark.read.parquet(f"{args.output}/observations").count()
+        # P9 empty-input guard, lazily: Observation metrics ride the
+        # write action (no second scan of the output), mirroring the
+        # reference's `if df.empty: return False` checks
+        # (humidity_pipeline.py:117-134) without an extra job.
+        from pyspark.sql import Observation
+
+        guard = Observation("observations_guard")
+        observed = obs.observe(
+            guard,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_if(F.col(args.value_col).isNull()).alias("n_null_values"),
+        )
+        sinks.write_parquet_partitioned(
+            observed, f"{args.output}/observations", ["year", "month"]
+        )
+        metrics = guard.get
+        if metrics["n_rows"] == 0:
+            print("WARNING: no observations in the selected range (empty input)")
+        written["observations"] = metrics["n_rows"]
 
     if not args.skip_geojson and args.lat_col and args.lon_col:
         polys = climate.polygonize(obs, lat_col=args.lat_col, lon_col=args.lon_col)

@@ -862,6 +862,35 @@ def q89(spark, sf_dir):
 
 
 @query(
+    "q91_cogrouped_asof",
+    None,
+    "Cogrouped applyInPandas (rows-only): two frames grouped on the "
+    "same key arrive as per-key pandas pairs; pandas.merge_asof "
+    "attaches the most recent right row. UDF twin of the JVM-side "
+    "as-of join q48 — cross-validated row-for-row against it in "
+    "tests (SURVEY.md §2.8 UDF surface).",
+)
+def q91(spark, sf_dir):
+    from climate_data_pipelines_spark.functions.udfs import (
+        ASOF_COGROUP_SCHEMA,
+        asof_merge_cogrouped,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    left = ev.filter(F.pmod("event_id", F.lit(2)) == 0)
+    right = ev.filter(F.pmod("event_id", F.lit(2)) == 1).select(
+        "user_id",
+        F.col("event_id").alias("ref_event_id"),
+        F.col("ts").alias("rts"),
+    )
+    return (
+        left.groupBy("user_id")
+        .cogroup(right.groupBy("user_id"))
+        .applyInPandas(asof_merge_cogrouped, ASOF_COGROUP_SCHEMA)
+    )
+
+
+@query(
     "q83_time_rollup",
     """SELECT year(ts) AS y, month(ts) AS m, day(ts) AS d,
               COUNT(*) AS n,

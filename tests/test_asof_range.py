@@ -2,6 +2,9 @@ from __future__ import annotations
 
 import datetime
 
+from pyspark.sql import functions as F
+
+from climate_data_pipelines_spark.catalog import load_table
 from climate_data_pipelines_spark.operators import asof
 
 
@@ -65,3 +68,38 @@ def test_range_join_boundaries(spark):
     out = {r.event_id: r.bucket for r in
            asof.range_join(fact, bounds, "value", "lo", "hi").collect()}
     assert out == {1: "low", 2: "low", 3: "mid", 4: "high"}  # lo incl, hi excl; null drops
+
+
+def test_cogrouped_pandas_asof_matches_jvm_asof(spark, sf_dir):
+    from climate_data_pipelines_spark.functions.udfs import (
+        ASOF_COGROUP_SCHEMA,
+        asof_merge_cogrouped,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    left = ev.filter(F.col("event_id") % 2 == 0)
+    right = ev.filter(F.col("event_id") % 2 == 1).select(
+        "user_id",
+        F.col("event_id").alias("ref_event_id"),
+        F.col("ts").alias("rts"),
+    )
+
+    cg = (
+        left.groupBy("user_id")
+        .cogroup(right.groupBy("user_id"))
+        .applyInPandas(asof_merge_cogrouped, ASOF_COGROUP_SCHEMA)
+    )
+    got = {(r.user_id, r.event_id): r.ref_event_id for r in cg.collect()}
+
+    jvm = asof.asof_join(
+        left,
+        right,
+        on="user_id",
+        left_ts="ts",
+        right_ts="rts",
+        right_vals=["ref_event_id"],
+        tie_col="ref_event_id",
+    )
+    want = {(r.user_id, r.event_id): r.ref_event_id for r in jvm.collect()}
+    assert len(got) == left.count()
+    assert got == want
