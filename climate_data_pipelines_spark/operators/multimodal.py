@@ -104,3 +104,26 @@ def frame_sample(binary_df: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
         F.posexplode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx", "frame_no"),
         (F.col("frame_no") * every_n_bytes).alias("byte_offset"),
     ).select("doc_id", "frame_idx", "byte_offset")
+
+
+def payload_sizes_arrow(binary_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """mapInArrow surface: operate on raw Arrow RecordBatches with
+    pyarrow.compute — no pandas conversion at all (one hop less than
+    mapInPandas, and binary columns stay zero-copy buffers). Computes
+    payload byte sizes; the template for any Arrow-kernel transform
+    over multimodal payloads (SURVEY.md §2.11).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def fn(batches):
+        for batch in batches:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(id_col),
+                    pc.cast(pc.binary_length(batch.column("payload")), pa.int64()),
+                ],
+                [id_col, "n_bytes"],
+            )
+
+    return binary_df.mapInArrow(fn, f"{id_col} long, n_bytes long")

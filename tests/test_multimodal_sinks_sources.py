@@ -189,3 +189,14 @@ def test_zarr_ingest_gated_when_xarray_missing(spark):
 
     with _pytest.raises(NotImplementedError):
         zarr_ingest.zarr_to_parquet(spark, "s3://bucket/cube.zarr", "T2M", "/tmp/x")
+
+
+def test_map_in_arrow_payload_sizes(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    bdf = multimodal.attach_binary_payload(docs)
+    got = {r.doc_id: r.n_bytes for r in multimodal.payload_sizes_arrow(bdf).collect()}
+    want = {
+        r.doc_id: r.n
+        for r in bdf.select("doc_id", F.length("payload").alias("n")).collect()
+    }
+    assert got == want and len(got) == 50
