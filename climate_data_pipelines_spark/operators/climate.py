@@ -210,3 +210,46 @@ def feature_collection(features: DataFrame, group_cols: list[str]) -> DataFrame:
         )
         .drop("_feats")
     )
+
+
+def land_grid(
+    spark,
+    lat_res: float = DEFAULT_LAT_RES,
+    lon_res: float = DEFAULT_LON_RES,
+) -> DataFrame:
+    """Generate the land-cell dimension table (SURVEY.md §7.2 M2:
+    'precompute the mask grid once as a Parquet dim table').
+
+    Grid cells for the full globe at the given resolution with a
+    deterministic land/ocean flag. The real pipeline derives the flag
+    from the global-land-mask dataset (not installed here); this
+    generator uses a coarse continent-box heuristic so the SHAPE and
+    the join plan are production-real: ~208k rows at MERRA-2
+    resolution (BASELINE.md), always broadcastable. Built with
+    sequence+explode — no driver-side loop, no collect.
+    """
+    lat_steps = int(round(180.0 / lat_res))
+    lon_steps = int(round(360.0 / lon_res))
+    cells = (
+        spark.range(1)
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(lat_steps - 1))).alias("_i")
+        )
+        .select(
+            (F.lit(-90.0) + (F.col("_i") + 0.5) * lat_res).alias("lat"),
+            F.explode(F.sequence(F.lit(0), F.lit(lon_steps - 1))).alias("_j"),
+        )
+        .select(
+            "lat", (F.lit(-180.0) + (F.col("_j") + 0.5) * lon_res).alias("lon")
+        )
+    )
+    # coarse continent boxes (Americas, Africa/Eurasia, Australia) — a
+    # stand-in flag with realistic ~30% land fraction (BASELINE.md)
+    lat, lon = F.col("lat"), F.col("lon")
+    is_land = (
+        ((lat > -55) & (lat < 70) & (lon > -115) & (lon < -40))   # Americas
+        | ((lat > -35) & (lat < 70) & (lon > -10) & (lon < 50))   # Africa/Europe
+        | ((lat > 10) & (lat < 65) & (lon > 60) & (lon < 135))    # Asia
+        | ((lat > -45) & (lat < -10) & (lon > 110) & (lon < 155)) # Australia
+    )
+    return cells.filter(is_land).select("lat", "lon")

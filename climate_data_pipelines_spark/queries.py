@@ -891,6 +891,40 @@ def q91(spark, sf_dir):
 
 
 @query(
+    "q92_land_mask_grid",
+    """WITH pts AS (
+         SELECT event_id,
+                (user_id % 360) * 0.5 - 90 + 0.25 AS lat,
+                (event_id % 576) * 0.625 - 180 + 0.3125 AS lon
+         FROM events)
+       SELECT event_id, lat, lon FROM pts
+       WHERE (lat > -55 AND lat < 70 AND lon > -115 AND lon < -40)
+          OR (lat > -35 AND lat < 70 AND lon > -10 AND lon < 50)
+          OR (lat > 10 AND lat < 65 AND lon > 60 AND lon < 135)
+          OR (lat > -45 AND lat < -10 AND lon > 110 AND lon < 155)""",
+    "P4/J2 with the REAL land-grid dimension: observations snapped to "
+    "0.5x0.625-degree cell centers, broadcast left-semi joined against "
+    "the generated ~60k-row land-cell table (climate.land_grid). The "
+    "oracle applies the grid's defining predicate directly — "
+    "membership in the dim equals the predicate because every point "
+    "is exactly a cell center.",
+)
+def q92(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id",
+        (F.pmod("user_id", F.lit(360)).cast("double") * 0.5 - 90 + 0.25).alias("lat"),
+        (F.pmod("event_id", F.lit(576)).cast("double") * 0.625 - 180 + 0.3125).alias(
+            "lon"
+        ),
+    )
+    grid = climate.land_grid(spark)
+    return climate.land_filter(pts, grid, ["lat", "lon"]).select(
+        "event_id", "lat", "lon"
+    )
+
+
+@query(
     "q83_time_rollup",
     """SELECT year(ts) AS y, month(ts) AS m, day(ts) AS d,
               COUNT(*) AS n,

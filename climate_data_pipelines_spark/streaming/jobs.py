@@ -256,3 +256,22 @@ def run_available_now(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def read_rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
+    """Rate source (SURVEY.md §2.10 source table): synthetic
+    (timestamp, value) stream for load/latency testing — mapped to the
+    events shape so every streaming job here runs against it too."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+        .select(
+            F.col("value").alias("event_id"),
+            F.col("timestamp").alias("ts"),
+            F.pmod("value", F.lit(100)).alias("user_id"),
+            F.lit("tick").alias("event_type"),
+            F.col("value").cast("double").alias("value"),
+            F.lit("{}").alias("props"),
+        )
+    )

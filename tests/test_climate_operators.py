@@ -126,3 +126,23 @@ def test_tile_rollup_bounds_payload(spark):
     assert len(rows) == 1
     assert rows[0].n_points == 30
     assert abs(rows[0].mean_value - sum(range(30)) / 30) < 1e-9
+
+
+def test_land_grid_shape_and_fraction(spark):
+    grid = climate.land_grid(spark)
+    n_land = grid.count()
+    total = int(round(180 / climate.DEFAULT_LAT_RES)) * int(
+        round(360 / climate.DEFAULT_LON_RES)
+    )
+    # ~208k cells globally (BASELINE.md), land fraction in a plausible band
+    assert total == 360 * 576
+    assert 0.15 < n_land / total < 0.45
+    # usable as the broadcast semi-join dimension
+    import pyspark.sql.functions as SF
+
+    obs = spark.createDataFrame(
+        [(10.25, 20.3125), (0.25, -140.3125)], "lat double, lon double"
+    )
+    kept = climate.land_filter(obs, grid, ["lat", "lon"]).collect()
+    # (10.25, 20.3125) is inside the Africa box; mid-Pacific point is not
+    assert [(r.lat, r.lon) for r in kept] == [(10.25, 20.3125)]

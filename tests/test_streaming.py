@@ -182,3 +182,28 @@ def test_foreach_batch_parquet_sink(spark, sf_dir, stream_dirs):
     back = spark.read.parquet(out_dir)
     assert back.count() == load_table(spark, sf_dir, "events").count()
     assert "_batch_id" in back.columns
+
+
+def test_rate_stream_shape(spark, stream_dirs):
+    stream = jobs.read_rate_stream(spark, rows_per_second=500)
+    assert stream.isStreaming
+    assert stream.columns == ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("rate_ticks")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if spark.sql("SELECT count(*) AS n FROM rate_ticks").first().n > 0:
+                break
+            time.sleep(0.5)
+        rows = spark.sql("SELECT * FROM rate_ticks LIMIT 5").collect()
+        assert rows and all(r.event_type == "tick" for r in rows)
+        assert all(0 <= r.user_id < 100 for r in rows)
+    finally:
+        q.stop()
