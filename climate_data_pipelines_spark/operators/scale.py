@@ -105,3 +105,69 @@ def plan_has_exchange(df: DataFrame) -> bool:
     """True if the physical plan contains a shuffle (Exchange) —
     the assertion primitive for co-located-join tests and plan audits."""
     return "Exchange" in df._jdf.queryExecution().executedPlan().toString()
+
+
+def morton_code(col_a, col_b, bits: int = 16) -> "F.Column":
+    """Interleave the low ``bits`` of two non-negative int columns into
+    a Morton (Z-order) code — pure bitwise expressions, JVM-side.
+    Clamps inputs into [0, 2^bits) first (callers bucket/normalize)."""
+    mask = (1 << bits) - 1
+    a = F.least(F.greatest(col_a.cast("long"), F.lit(0)), F.lit(mask))
+    b = F.least(F.greatest(col_b.cast("long"), F.lit(0)), F.lit(mask))
+    code = F.lit(0).cast("long")
+    for i in range(bits):
+        abit = F.shiftright(a, i).bitwiseAND(F.lit(1))
+        bbit = F.shiftright(b, i).bitwiseAND(F.lit(1))
+        code = code.bitwiseOR(F.shiftleft(abit, 2 * i)).bitwiseOR(
+            F.shiftleft(bbit, 2 * i + 1)
+        )
+    return code
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 8,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet write (the OPTIMIZE ZORDER analog):
+    range-partition + sort by the Morton code of two dimensions so
+    each output file covers a compact rectangle of the 2-D key space —
+    parquet min/max row-group stats then prune scans filtered on
+    EITHER dimension, not just a lexicographic prefix. The interleave
+    is pure bitwise expressions; no UDF.
+    """
+    coded = df.withColumn("_z", morton_code(F.col(col_a), F.col(col_b), bits))
+    (
+        coded.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def compact_parquet(spark, path: str, out_path: str, target_file_mb: int = 128) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    size-targeted files (the 100 TB housekeeping job — streaming
+    sinks and fine-grained partitionBy writes accumulate small files
+    that wreck scan throughput). Returns the chosen file count.
+    AQE-free deterministic sizing: total bytes / target.
+    """
+    import math
+
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    total = sum(
+        f.getLen()
+        for f in fs.listStatus(jvm_path)
+        if f.getPath().getName().endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    spark.read.parquet(path).repartition(n_files).write.mode("overwrite").parquet(
+        out_path
+    )
+    return n_files

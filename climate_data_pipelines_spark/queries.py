@@ -891,6 +891,33 @@ def q91(spark, sf_dir):
 
 
 @query(
+    "q93_try_functions",
+    """SELECT l_orderkey, l_linenumber,
+              ROUND((l_quantity / NULLIF(l_discount, 0)) * 10000) / 10000
+                AS qty_per_discount,
+              TRY_CAST(l_returnflag AS DOUBLE) AS flag_as_num,
+              TRY_CAST(l_shipdate AS DATE) AS ship_day
+       FROM lineitem""",
+    "ANSI-mode-safe arithmetic: try_divide/try_cast return NULL "
+    "instead of failing the job on div-by-zero or bad casts — the "
+    "error-tolerant path a 100 TB batch needs (one malformed row must "
+    "not kill a 10-hour job). Oracle uses NULLIF/TRY_CAST for the "
+    "same null-on-error semantics.",
+)
+def q93(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        oround(F.try_divide("l_quantity", F.nullif(F.col("l_discount"), F.lit(0.0))), 4).alias(
+            "qty_per_discount"
+        ),
+        F.try_to_number("l_returnflag", F.lit("9")).cast("double").alias("flag_as_num"),
+        F.col("l_shipdate").cast("date").alias("ship_day"),
+    )
+
+
+@query(
     "q92_land_mask_grid",
     """WITH pts AS (
          SELECT event_id,

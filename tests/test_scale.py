@@ -71,3 +71,70 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_morton_code_interleaves_bits(spark):
+    from pyspark.sql import functions as SF
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (1, 1), (3, 5), (65535, 65535)], "a long, b long"
+    )
+    out = [
+        r.z
+        for r in df.select(
+            scale.morton_code(SF.col("a"), SF.col("b")).alias("z")
+        ).collect()
+    ]
+
+    def ref(a, b):
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert out == [ref(a, b) for a, b in [(0, 0), (1, 0), (0, 1), (1, 1), (3, 5), (65535, 65535)]]
+    # locality property: nearby points share high-order prefix
+    assert ref(3, 5) == 0b100111  # b=101 interleaved above a=011
+
+
+def test_zorder_write_clusters_both_dims(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as SF
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        SF.pmod("user_id", SF.lit(1 << 16)).alias("ua"),
+        SF.pmod("event_id", SF.lit(1 << 16)).alias("ub"),
+    )
+    out = str(tmp_path / "zordered")
+    scale.zorder_write(ev, out, "ua", "ub", n_files=4)
+    back = spark.read.parquet(out)
+    assert back.count() == ev.count()
+    # each file covers a bounded rectangle: per-file spread of the
+    # morton code must be far below the global spread
+    per_file = (
+        back.withColumn("_z", scale.morton_code(SF.col("ua"), SF.col("ub")))
+        .withColumn("_f", SF.input_file_name())
+        .groupBy("_f")
+        .agg((SF.max("_z") - SF.min("_z")).alias("spread"))
+        .collect()
+    )
+    assert len(per_file) == 4
+    global_spread = (1 << 32) - 1
+    assert all(r.spread < global_spread * 0.6 for r in per_file)
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    import os
+
+    src = str(tmp_path / "fragmented")
+    df = spark.range(10000).withColumn("v", F.col("id").cast("double"))
+    df.repartition(40).write.parquet(src)
+    n_small = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert n_small == 40
+    out = str(tmp_path / "compacted")
+    n = scale.compact_parquet(spark, src, out, target_file_mb=128)
+    assert n == 1
+    n_big = len([f for f in os.listdir(out) if f.endswith(".parquet")])
+    assert n_big == 1
+    assert spark.read.parquet(out).count() == 10000
