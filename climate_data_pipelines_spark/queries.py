@@ -891,6 +891,73 @@ def q91(spark, sf_dir):
 
 
 @query(
+    "q94_bitwise_null_suite",
+    """SELECT o_orderkey,
+              o_orderkey & 255 AS low_byte,
+              o_orderkey | 1 AS set_lsb,
+              xor(o_orderkey, 21845) AS xored,
+              o_orderkey << 2 AS shifted_l,
+              o_orderkey >> 3 AS shifted_r,
+              COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_or_open,
+              CASE WHEN NULLIF(o_orderpriority, '1-URGENT') IS NULL THEN 'a' ELSE 'b' END AS nvl2_urgent,
+              GREATEST(o_orderkey % 7, o_orderkey % 5) AS g,
+              LEAST(o_orderkey % 7, o_orderkey % 5) AS l
+       FROM orders""",
+    "Bitwise + null-handling function suite: and/or/xor/shifts, "
+    "coalesce/nullif/nvl2 three-valued logic, greatest/least.",
+)
+def q94(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(1)).alias("set_lsb"),
+        k.bitwiseXOR(F.lit(21845)).alias("xored"),
+        F.shiftleft(k, 2).alias("shifted_l"),
+        F.shiftright(k, 3).alias("shifted_r"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open")).alias(
+            "status_or_open"
+        ),
+        F.nvl2(F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")), F.lit("b"), F.lit("a")).alias("nvl2_urgent"),
+        F.greatest(F.pmod(k, F.lit(7)), F.pmod(k, F.lit(5))).alias("g"),
+        F.least(F.pmod(k, F.lit(7)), F.pmod(k, F.lit(5))).alias("l"),
+    )
+
+
+@query(
+    "q95_struct_update",
+    """SELECT o_orderkey,
+              o_orderkey AS rec_key,
+              o_totalprice AS rec_price,
+              CAST(o_totalprice * 1.1 AS DOUBLE) AS rec_adjusted,
+              2 AS n_extra
+       FROM orders""",
+    "F10 (dict/map update): nested-record update via struct + "
+    "withField and map_concat enrichment — the feat['properties']"
+    "['population'] = x shape (population_pipeline.py:63-64), kept "
+    "relational. Oracle checks the extracted field values (flat "
+    "equivalents of the nested updates).",
+)
+def q95(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    rec = F.struct(
+        F.col("o_orderkey").alias("key"), F.col("o_totalprice").alias("price")
+    )
+    updated = rec.withField("adjusted", F.col("o_totalprice") * 1.1)
+    extra = F.map_concat(
+        F.create_map(F.lit("a"), F.lit(1)), F.create_map(F.lit("b"), F.lit(2))
+    )
+    return o.select(
+        "o_orderkey",
+        updated.getField("key").alias("rec_key"),
+        updated.getField("price").alias("rec_price"),
+        updated.getField("adjusted").cast("double").alias("rec_adjusted"),
+        F.size(extra).cast("int").alias("n_extra"),
+    )
+
+
+@query(
     "q93_try_functions",
     """SELECT l_orderkey, l_linenumber,
               ROUND((l_quantity / NULLIF(l_discount, 0)) * 10000) / 10000
