@@ -891,6 +891,82 @@ def q91(spark, sf_dir):
 
 
 @query(
+    "q96_stats_suite",
+    """SELECT l_returnflag,
+              ROUND(stddev_samp(l_quantity) * 10000) / 10000 AS sd_qty,
+              ROUND(var_samp(l_quantity) * 10000) / 10000 AS var_qty,
+              ROUND(corr(l_quantity, l_extendedprice) * 1000000) / 1000000 AS corr_qty_price,
+              ROUND(covar_samp(l_quantity, l_discount) * 1000000) / 1000000 AS covar_qty_disc,
+              ROUND(regr_slope(l_extendedprice, l_quantity) * 10000) / 10000 AS slope,
+              ROUND(regr_intercept(l_extendedprice, l_quantity) * 10000) / 10000 AS intercept
+       FROM lineitem GROUP BY l_returnflag""",
+    "Statistical aggregate suite: stddev/variance/correlation/"
+    "covariance/linear regression — single-pass partial+final "
+    "(sufficient statistics merge associatively, so map-side combine "
+    "applies exactly as for sum/count).",
+)
+def q96(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    q, p, d = F.col("l_quantity"), F.col("l_extendedprice"), F.col("l_discount")
+    return li.groupBy("l_returnflag").agg(
+        oround(F.stddev_samp(q), 4).alias("sd_qty"),
+        oround(F.var_samp(q), 4).alias("var_qty"),
+        oround(F.corr(q, p), 6).alias("corr_qty_price"),
+        oround(F.covar_samp(q, d), 6).alias("covar_qty_disc"),
+        oround(F.regr_slope(p, q), 4).alias("slope"),
+        oround(F.regr_intercept(p, q), 4).alias("intercept"),
+    )
+
+
+@query(
+    "q97_string_agg",
+    """SELECT n_regionkey,
+              string_agg(n_name, ',' ORDER BY n_name) AS nations,
+              COUNT(*) AS n
+       FROM nation GROUP BY n_regionkey""",
+    "Ordered string aggregation (listagg shape): collect_list → "
+    "array_sort → array_join, deterministic by the explicit sort. At "
+    "scale the collect is bounded per group (cardinality contract, "
+    "like the GeoJSON feature_collection sink).",
+)
+def q97(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    return n.groupBy(F.col("n_regionkey")).agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "q98_histogram",
+    """SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+                        WHEN o_totalprice >= 600000 THEN 13
+                        ELSE FLOOR(o_totalprice / 50000) + 1 END AS BIGINT) AS bucket,
+              COUNT(*) AS n,
+              ROUND(MIN(o_totalprice) * 100) / 100 AS lo,
+              ROUND(MAX(o_totalprice) * 100) / 100 AS hi
+       FROM orders GROUP BY 1""",
+    "Histogram via width_bucket + groupBy: fixed-width binning "
+    "entirely map-side before the tiny per-bucket aggregate — the "
+    "distribution-profiling op every data-quality pass runs.",
+)
+def q98(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.width_bucket("o_totalprice", F.lit(0), F.lit(600000), F.lit(12)).alias(
+                "bucket"
+            )
+        )
+        .agg(
+            F.count("*").alias("n"),
+            oround(F.min("o_totalprice"), 2).alias("lo"),
+            oround(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+@query(
     "q94_bitwise_null_suite",
     """SELECT o_orderkey,
               o_orderkey & 255 AS low_byte,
