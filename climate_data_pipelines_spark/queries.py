@@ -891,6 +891,67 @@ def q91(spark, sf_dir):
 
 
 @query(
+    "q99_map_suite",
+    """SELECT event_id,
+              map(['type','id'], [event_type, CAST(event_id AS VARCHAR)])['type'][1]
+                AS type_val,
+              list_sort(map_keys(map(['type','id'],
+                [event_type, CAST(event_id AS VARCHAR)]))) AS keys_sorted,
+              CAST(cardinality(map(['type','id'],
+                [event_type, CAST(event_id AS VARCHAR)])) AS INT) AS n_entries
+       FROM events""",
+    "Map-type function suite (F10 companion): per-row map "
+    "construction, key lookup, sorted key listing, cardinality — "
+    "Spark MapType vs DuckDB MAP, same logical answers.",
+)
+def q99(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"),
+        F.col("event_type"),
+        F.lit("id"),
+        F.col("event_id").cast("string"),
+    )
+    return ev.select(
+        "event_id",
+        F.element_at(m, "type").alias("type_val"),
+        F.sort_array(F.map_keys(m)).alias("keys_sorted"),
+        F.size(m).cast("int").alias("n_entries"),
+    )
+
+
+@query(
+    "q100_date_spine",
+    """WITH b AS (SELECT MIN(CAST(o_orderdate AS DATE)) AS lo,
+                         MAX(CAST(o_orderdate AS DATE)) AS hi FROM orders),
+         spine AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+                     AS day FROM b),
+         daily AS (SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS c
+                   FROM orders GROUP BY 1)
+       SELECT s.day, COALESCE(d.c, 0) AS n
+       FROM spine s LEFT JOIN daily d USING(day)""",
+    "Date-spine densification: generate the full calendar between min "
+    "and max order dates (sequence+explode — no driver loop) and "
+    "left-join daily counts with zero-fill, so gap days surface as 0 "
+    "rows — the time-series completeness pattern every reporting "
+    "layer needs.",
+)
+def q100(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min(F.to_date("o_orderdate")).alias("lo"),
+        F.max(F.to_date("o_orderdate")).alias("hi"),
+    )
+    spine = bounds.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count("*").alias("c")
+    )
+    return spine.join(daily, "day", "left").select(
+        "day", F.coalesce("c", F.lit(0)).cast("long").alias("n")
+    )
+
+
+@query(
     "q96_stats_suite",
     """SELECT l_returnflag,
               ROUND(stddev_samp(l_quantity) * 10000) / 10000 AS sd_qty,
