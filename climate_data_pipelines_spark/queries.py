@@ -11,10 +11,13 @@ order-insensitive value hash), so:
   double addition is non-associative across partition orders);
 - no query relies on output row order (tie-broken window ranks only).
 
-Spark side is DataFrame-first and stays JVM-side (no Python UDFs in
-any oracle-checked query); oracle side is plain DuckDB SQL against the
-pre-registered views ``region nation customer supplier part orders
-lineitem events documents embeddings``.
+Spark side is DataFrame-first and stays JVM-side: no Python execution
+nodes in any oracle-checked query EXCEPT the queries whose point is
+the Python surface itself (q56 pandas_udf, q57 applyInPandas, q91
+cogroup — Arrow-batched; q34/q89 are rows-only). A test enforces this
+(tests/test_scale_discipline.py). Oracle side is plain DuckDB SQL
+against the pre-registered views ``region nation customer supplier
+part orders lineitem events documents embeddings``.
 """
 
 from __future__ import annotations

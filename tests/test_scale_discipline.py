@@ -1,0 +1,72 @@
+"""Automated scale-discipline checks over the whole query registry
+(SURVEY.md §2.11 '100 TB design rule'): the rules SCALE.md claims are
+enforced here, not just documented."""
+
+from __future__ import annotations
+
+import pytest
+
+from climate_data_pipelines_spark.queries import REGISTRY
+
+# Queries whose PURPOSE is the Python-execution surface (Arrow-batched
+# pandas UDFs / UDTFs) — everything else must stay fully JVM-side.
+PYTHON_SURFACE = {
+    "q34_python_udf",
+    "q54_image_features",  # mapInPandas multimodal decode
+    "q56_pandas_udf",
+    "q57_grouped_pandas",
+    "q72_minhash_lsh_ml",  # MLlib MinHashLSH model fit
+    "q88_hll_sketch_merge",
+    "q89_udtf_sentences",
+    "q91_cogrouped_asof",
+}
+
+# Iterative/recursive queries execute jobs during plan construction
+# (connected components' convergence loop) — exclude from the cheap
+# plan-string sweep to keep the test fast; they have their own tests.
+SLOW_CONSTRUCTION = {"q90_dedup_clusters"}
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    out = {}
+    for name, spec in REGISTRY.items():
+        if name in SLOW_CONSTRUCTION:
+            continue
+        df = spec.fn(spark, sf_dir)
+        out[name] = df._jdf.queryExecution().executedPlan().toString()
+    return out
+
+
+def test_no_python_execution_outside_declared_surface(plans):
+    offenders = [
+        name
+        for name, plan in plans.items()
+        if name not in PYTHON_SURFACE
+        and ("EvalPython" in plan or "FlatMapGroupsInPandas" in plan
+             or "MapInPandas" in plan or "PythonUDTF" in plan)
+    ]
+    assert offenders == [], f"Python execution nodes leaked into: {offenders}"
+
+
+def test_no_cartesian_products(plans):
+    # cross joins must be explicit broadcast probes, never a
+    # CartesianProduct shuffle (the 100x100 TB accident)
+    offenders = [n for n, p in plans.items() if "CartesianProduct" in p]
+    assert offenders == [], f"CartesianProduct in: {offenders}"
+
+
+def test_global_sorts_only_with_limits(plans):
+    # a global Sort (non-partial) is only acceptable under a limit
+    # (TakeOrderedAndProject) or for explicitly-declared ordered output
+    ALLOWED_GLOBAL_SORT = {"q21_sort_limit"}
+    offenders = []
+    for name, plan in plans.items():
+        if name in ALLOWED_GLOBAL_SORT:
+            continue
+        for line in plan.splitlines():
+            s = line.strip().lstrip("+-:* ")
+            if s.startswith("Sort ") and "false, 0" not in line:
+                offenders.append(name)
+                break
+    assert offenders == [], f"unexpected global sort in: {offenders}"
