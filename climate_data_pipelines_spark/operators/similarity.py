@@ -131,7 +131,12 @@ def ann_ivf_topk(
         F.col(id_col), array_to_vector("_nv").alias("features")
     )
     model = KMeans(
-        k=n_cells, seed=seed, featuresCol="features", predictionCol="cell"
+        k=n_cells,
+        seed=seed,
+        maxIter=8,  # coarse quantizer: cell assignment stabilizes fast,
+        # and ANN recall is insensitive to the last k-means ulps
+        featuresCol="features",
+        predictionCol="cell",
     ).fit(feats)
     inverted = model.transform(feats).select(id_col, "cell")
 

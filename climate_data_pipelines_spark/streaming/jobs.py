@@ -275,3 +275,44 @@ def read_rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFra
             F.lit("{}").alias("props"),
         )
     )
+
+
+def streaming_tile_rollup(
+    stream: DataFrame,
+    zoom: int = 4,
+    window: str = "1 day",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming × climate composition: watermarked per-window,
+    per-tile aggregate rollup of the event stream. Synthetic lat/lon
+    derive from event ids (events carry no coordinates — same mapping
+    as batch q76); production swaps in real coordinates unchanged.
+    The batch tile pyramid becomes a continuously-maintained one:
+    each closed window appends its tiles, giving time-versioned
+    z/x/y aggregates with bounded state.
+    """
+    from climate_data_pipelines_spark.operators import climate
+
+    pts = (
+        stream.filter(F.col("value").isNotNull() & ~F.isnan("value"))
+        .withColumn(
+            "lat", (F.pmod("user_id", F.lit(170)) - 85).cast("double") + 0.25
+        )
+        .withColumn(
+            "lon", (F.pmod("event_id", F.lit(360)) - 180).cast("double") + 0.3125
+        )
+    )
+    tiled = climate.tile_assign(pts, zoom)
+    return (
+        tiled.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "z", "x", "y")
+        .agg(F.count("*").alias("n_points"), F.round(F.avg("value"), 4).alias("mean_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "z",
+            "x",
+            "y",
+            "n_points",
+            "mean_value",
+        )
+    )

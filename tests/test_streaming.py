@@ -207,3 +207,35 @@ def test_rate_stream_shape(spark, stream_dirs):
         assert all(0 <= r.user_id < 100 for r in rows)
     finally:
         q.stop()
+
+
+def test_streaming_tile_rollup_matches_batch(spark, sf_dir, stream_dirs):
+    from climate_data_pipelines_spark.operators import climate
+
+    events_dir = _events_dir(spark, sf_dir, stream_dirs)
+    stream = jobs.read_events_stream(spark, events_dir)
+    result = jobs.streaming_tile_rollup(stream, zoom=4, window="1 day")
+    q = jobs.run_available_now(result, f"{stream_dirs}/ckpt_tiles", "tile_windows")
+    q.awaitTermination(120)
+    got = {
+        (r.window_start, r.z, r.x, r.y): (r.n_points, r.mean_value)
+        for r in spark.sql("SELECT * FROM tile_windows").collect()
+    }
+    assert got, "no tile windows emitted"
+
+    ev = load_table(spark, sf_dir, "events")
+    pts = (
+        ev.filter(F.col("value").isNotNull() & ~F.isnan("value"))
+        .withColumn("lat", (F.pmod("user_id", F.lit(170)) - 85).cast("double") + 0.25)
+        .withColumn("lon", (F.pmod("event_id", F.lit(360)) - 180).cast("double") + 0.3125)
+    )
+    tiled = climate.tile_assign(pts, 4)
+    batch = (
+        tiled.groupBy(F.window("ts", "1 day").alias("w"), "z", "x", "y")
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("m"))
+        .select(F.col("w.start").alias("ws"), "z", "x", "y", "n", "m")
+    )
+    want = {(r.ws, r.z, r.x, r.y): (r.n, r.m) for r in batch.collect()}
+    # append mode holds back open windows; everything emitted matches batch
+    for k, v in got.items():
+        assert want[k] == v
