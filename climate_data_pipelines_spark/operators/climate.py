@@ -253,3 +253,45 @@ def land_grid(
         | ((lat > -45) & (lat < -10) & (lon > 110) & (lon < 155)) # Australia
     )
     return cells.filter(is_land).select("lat", "lon")
+
+
+def haversine_km(lat_a, lon_a, lat_b, lon_b) -> Column:
+    """Great-circle distance in km between two (lat, lon) column
+    pairs — pure trig expressions (codegen, no UDF). The
+    climate-domain primitive for nearest-station joins and
+    radius queries."""
+    rlat_a, rlat_b = F.radians(lat_a), F.radians(lat_b)
+    dlat = F.radians(lat_b - lat_a) / 2.0
+    dlon = F.radians(lon_b - lon_a) / 2.0
+    a = (
+        F.sin(dlat) * F.sin(dlat)
+        + F.cos(rlat_a) * F.cos(rlat_b) * F.sin(dlon) * F.sin(dlon)
+    )
+    return 2.0 * 6371.0088 * F.asin(F.sqrt(a))
+
+
+def nearest_station(
+    obs: DataFrame,
+    stations: DataFrame,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Attach the nearest station to every observation: broadcast the
+    (small) station table, score all pairs with haversine, keep the
+    arg-min via one aggregation — no window sort. ``stations`` needs
+    (station_id, s_lat, s_lon). At 100 TB the station table is KBs and
+    the probe is a single narrow pass over the fact table."""
+    scored = obs.join(F.broadcast(stations)).withColumn(
+        "_d",
+        haversine_km(
+            F.col(lat_col), F.col(lon_col), F.col("s_lat"), F.col("s_lon")
+        ),
+    )
+    others = [c for c in obs.columns]
+    return (
+        scored.groupBy(*others)
+        .agg(
+            F.min_by("station_id", "_d").alias("station_id"),
+            F.round(F.min("_d"), 4).alias("station_km"),
+        )
+    )

@@ -894,6 +894,50 @@ def q91(spark, sf_dir):
 
 
 @query(
+    "q101_nearest_station",
+    """WITH pts AS (
+         SELECT event_id,
+                (user_id % 170) - 85 + 0.25 AS lat,
+                (event_id % 360) - 180 + 0.3125 AS lon
+         FROM events),
+       st AS (
+         SELECT n_nationkey AS station_id,
+                (n_nationkey * 7 % 140) - 70 + 0.5 AS s_lat,
+                (n_nationkey * 13 % 340) - 170 + 0.5 AS s_lon
+         FROM nation),
+       scored AS (
+         SELECT p.event_id, p.lat, p.lon, st.station_id,
+                2 * 6371.0088 * asin(sqrt(
+                  sin(radians(st.s_lat - p.lat) / 2) ^ 2
+                  + cos(radians(p.lat)) * cos(radians(st.s_lat))
+                    * sin(radians(st.s_lon - p.lon) / 2) ^ 2)) AS d
+         FROM pts p CROSS JOIN st)
+       SELECT event_id, lat, lon,
+              arg_min(station_id, d) AS station_id,
+              ROUND(MIN(d) * 10000) / 10000 AS station_km
+       FROM scored GROUP BY 1, 2, 3""",
+    "Nearest-station assignment (climate-domain classic): broadcast "
+    "the station dimension, haversine as pure trig expressions "
+    "(codegen, no UDF), arg-min via min_by aggregation — no window "
+    "sort, single narrow pass over the fact table.",
+)
+def q101(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id",
+        ((F.pmod("user_id", F.lit(170)) - 85).cast("double") + 0.25).alias("lat"),
+        ((F.pmod("event_id", F.lit(360)) - 180).cast("double") + 0.3125).alias("lon"),
+    )
+    nation = _t(spark, sf_dir, "nation")
+    stations = nation.select(
+        F.col("n_nationkey").alias("station_id"),
+        (((F.col("n_nationkey") * 7) % 140 - 70).cast("double") + 0.5).alias("s_lat"),
+        (((F.col("n_nationkey") * 13) % 340 - 170).cast("double") + 0.5).alias("s_lon"),
+    )
+    return climate.nearest_station(pts, stations)
+
+
+@query(
     "q99_map_suite",
     """SELECT event_id,
               map(['type','id'], [event_type, CAST(event_id AS VARCHAR)])['type'][1]

@@ -146,3 +146,43 @@ def test_land_grid_shape_and_fraction(spark):
     kept = climate.land_filter(obs, grid, ["lat", "lon"]).collect()
     # (10.25, 20.3125) is inside the Africa box; mid-Pacific point is not
     assert [(r.lat, r.lon) for r in kept] == [(10.25, 20.3125)]
+
+
+def test_haversine_known_distances(spark):
+    import pyspark.sql.functions as SF
+
+    df = spark.createDataFrame(
+        [
+            # Paris -> London ~343.5 km
+            (1, 48.8566, 2.3522, 51.5074, -0.1278),
+            # same point -> 0
+            (2, 10.0, 20.0, 10.0, 20.0),
+            # equator quarter turn -> ~10007.5 km
+            (3, 0.0, 0.0, 0.0, 90.0),
+        ],
+        "id long, a_lat double, a_lon double, b_lat double, b_lon double",
+    )
+    got = {
+        r.id: r.km
+        for r in df.select(
+            "id",
+            climate.haversine_km(
+                SF.col("a_lat"), SF.col("a_lon"), SF.col("b_lat"), SF.col("b_lon")
+            ).alias("km"),
+        ).collect()
+    }
+    assert abs(got[1] - 343.5) < 2.0
+    assert got[2] == 0.0
+    assert abs(got[3] - 10007.5) < 5.0
+
+
+def test_nearest_station_picks_argmin(spark):
+    obs = spark.createDataFrame([(1, 0.0, 0.0), (2, 50.0, 10.0)], "id long, lat double, lon double")
+    stations = spark.createDataFrame(
+        [(100, 1.0, 1.0), (200, 49.0, 9.0), (300, -60.0, 120.0)],
+        "station_id long, s_lat double, s_lon double",
+    )
+    out = {r.id: (r.station_id, r.station_km) for r in climate.nearest_station(obs, stations).collect()}
+    assert out[1][0] == 100
+    assert out[2][0] == 200
+    assert out[1][1] < 200 and out[2][1] < 200
