@@ -295,3 +295,53 @@ def nearest_station(
             F.round(F.min("_d"), 4).alias("station_km"),
         )
     )
+
+
+def anomaly(
+    obs: DataFrame,
+    value_col: str = "value",
+    month_col: str = "month",
+    cell_cols: list[str] | None = None,
+) -> DataFrame:
+    """Climatological anomaly: value minus the long-term mean for the
+    same calendar month (and optionally the same grid cell) — THE
+    standard climate-analytics transform (departure from normals).
+    Expressed as an average over an unbounded window partitioned by
+    (month [, cell]); Catalyst plans one shuffle on the partition key
+    and a single pass — no self-join against a precomputed normals
+    table needed (though at 100 TB you'd materialize the normals once
+    and broadcast them; same result).
+    """
+    keys = [month_col] + (cell_cols or [])
+    w = Window.partitionBy(*keys)
+    clim = F.avg(value_col).over(w)
+    return obs.withColumn("climatology", clim).withColumn(
+        "anomaly", F.col(value_col) - F.col("climatology")
+    )
+
+
+def regrid(
+    obs: DataFrame,
+    factor_lat: float,
+    factor_lon: float,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    value_col: str = "value",
+) -> DataFrame:
+    """Spatial downsampling (xarray ``coarsen``/regrid analog): snap
+    each point to a coarser cell (floor to the target resolution, cell
+    center addressing) and average within the cell — one hash
+    aggregate, map-side combined. Coarse cells are the partition-
+    friendly unit for pyramid levels and reduced-resolution serving.
+    """
+    lat = F.col(lat_col).cast("double")
+    lon = F.col(lon_col).cast("double")
+    clat = (F.floor(lat / factor_lat) * factor_lat + factor_lat / 2.0).alias("c_lat")
+    clon = (F.floor(lon / factor_lon) * factor_lon + factor_lon / 2.0).alias("c_lon")
+    return (
+        obs.groupBy(clat, clon)
+        .agg(
+            F.count("*").alias("n_points"),
+            F.avg(value_col).alias("mean_value"),
+        )
+    )

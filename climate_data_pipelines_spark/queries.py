@@ -894,6 +894,72 @@ def q91(spark, sf_dir):
 
 
 @query(
+    "q102_anomaly",
+    """SELECT event_id,
+              ROUND(AVG(CASE WHEN isnan(value) THEN NULL ELSE value END)
+                      OVER (PARTITION BY month(ts)) * 10000) / 10000
+                AS climatology,
+              ROUND((value - AVG(CASE WHEN isnan(value) THEN NULL ELSE value END)
+                      OVER (PARTITION BY month(ts))) * 10000) / 10000
+                AS anomaly
+       FROM events
+       WHERE value IS NOT NULL AND NOT isnan(value)""",
+    "Climatological anomaly (departure from monthly normals) — the "
+    "standard climate transform, as an unbounded window average "
+    "partitioned by calendar month; one shuffle on the month key, "
+    "single pass, no normals self-join.",
+)
+def q102(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    obs = ev.filter(F.col("value").isNotNull() & ~F.isnan("value")).withColumn(
+        "month", F.month("ts")
+    )
+    out = climate.anomaly(obs)
+    return out.select(
+        "event_id",
+        oround("climatology", 4).alias("climatology"),
+        oround("anomaly", 4).alias("anomaly"),
+    )
+
+
+@query(
+    "q103_regrid",
+    """WITH pts AS (
+         SELECT (user_id % 170) - 85 + 0.25 AS lat,
+                (event_id % 360) - 180 + 0.3125 AS lon,
+                value
+         FROM events WHERE value IS NOT NULL AND NOT isnan(value))
+       SELECT FLOOR(lat / 5.0) * 5.0 + 2.5 AS c_lat,
+              FLOOR(lon / 10.0) * 10.0 + 5.0 AS c_lon,
+              COUNT(*) AS n_points,
+              ROUND(AVG(value) * 10000) / 10000 AS mean_value
+       FROM pts GROUP BY 1, 2""",
+    "Spatial regrid/coarsen (xarray coarsen analog): snap points to "
+    "5x10-degree cells and average — one map-side-combined hash "
+    "aggregate; the pyramid-level downsampling op.",
+)
+def q103(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    pts = (
+        ev.filter(F.col("value").isNotNull() & ~F.isnan("value"))
+        .select(
+            ((F.pmod("user_id", F.lit(170)) - 85).cast("double") + 0.25).alias("lat"),
+            ((F.pmod("event_id", F.lit(360)) - 180).cast("double") + 0.3125).alias(
+                "lon"
+            ),
+            "value",
+        )
+    )
+    out = climate.regrid(pts, 5.0, 10.0)
+    return out.select(
+        "c_lat",
+        "c_lon",
+        F.col("n_points").cast("long").alias("n_points"),
+        oround("mean_value", 4).alias("mean_value"),
+    )
+
+
+@query(
     "q101_nearest_station",
     """WITH pts AS (
          SELECT event_id,

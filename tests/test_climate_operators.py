@@ -186,3 +186,25 @@ def test_nearest_station_picks_argmin(spark):
     assert out[1][0] == 100
     assert out[2][0] == 200
     assert out[1][1] < 200 and out[2][1] < 200
+
+
+def test_anomaly_zero_mean_per_group(spark):
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (2, 1, 20.0), (3, 2, 5.0)], "event_id long, month int, value double"
+    )
+    out = {r.event_id: (r.climatology, r.anomaly) for r in climate.anomaly(df).collect()}
+    assert out[1] == (15.0, -5.0)
+    assert out[2] == (15.0, 5.0)
+    assert out[3] == (5.0, 0.0)
+
+
+def test_regrid_snaps_to_cell_centers(spark):
+    df = spark.createDataFrame(
+        [(1.0, 2.0, 10.0), (4.9, 9.9, 20.0), (5.1, 10.1, 99.0)],
+        "lat double, lon double, value double",
+    )
+    out = {(r.c_lat, r.c_lon): (r.n_points, r.mean_value)
+           for r in climate.regrid(df, 5.0, 10.0).collect()}
+    # first two points share the (2.5, 5.0) cell; third starts a new cell
+    assert out[(2.5, 5.0)] == (2, 15.0)
+    assert out[(7.5, 15.0)] == (1, 99.0)
