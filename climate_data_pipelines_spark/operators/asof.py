@@ -85,3 +85,42 @@ def range_join(
         (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col)),
         "inner",
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """Time-weighted average per key for irregularly-sampled series
+    (the hypertable/monitoring classic): each sample is weighted by
+    how long it was 'current' — the interval to the NEXT sample of
+    the same key (last-observation-carried-forward); the final sample
+    carries zero weight (nothing after it to cover). Keys with a
+    single sample fall back to the plain value.
+
+    Plan: one lead() window (shuffle on key, sort by ts within key) +
+    one hash aggregate. No self-join, no explode.
+
+    ``tie_cols``: extra ordering columns for rows sharing a timestamp.
+    REQUIRED for determinism when duplicate timestamps are possible —
+    a tied pair's weight lands on whichever row sorts first, so the
+    tiebreak changes the weighted sum, not just the order.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, *(tie_cols or []))
+    nxt = F.lead(F.col(ts_col).cast("double")).over(w)
+    weight = nxt - F.col(ts_col).cast("double")
+    weighted = df.withColumn("_w", weight)
+    return weighted.groupBy(key_col).agg(
+        F.when(
+            F.sum("_w").isNull() | (F.sum("_w") == 0),
+            F.avg(value_col),
+        )
+        .otherwise(
+            F.sum(F.col(value_col) * F.col("_w")) / F.sum("_w")
+        )
+        .alias("twa"),
+        F.count("*").alias("n_samples"),
+    )

@@ -894,6 +894,36 @@ def q91(spark, sf_dir):
 
 
 @query(
+    "q104_time_weighted_avg",
+    """WITH s AS (SELECT user_id, epoch_us(ts) / 1000000.0 AS t, value,
+                    lead(epoch_us(ts) / 1000000.0)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+                  FROM events WHERE value IS NOT NULL AND NOT isnan(value))
+       SELECT user_id,
+              ROUND(CASE WHEN SUM(nxt - t) IS NULL OR SUM(nxt - t) = 0
+                         THEN AVG(value)
+                         ELSE SUM(value * (nxt - t)) / SUM(nxt - t) END
+                    * 10000) / 10000 AS twa,
+              COUNT(*) AS n_samples
+       FROM s GROUP BY user_id""",
+    "Time-weighted average for irregular series (hypertable classic): "
+    "each sample weighted by its time-in-effect (interval to the next "
+    "sample, LOCF semantics) — one lead window + one hash aggregate, "
+    "no self-join.",
+)
+def q104(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
+    out = asof.time_weighted_avg(ev, "user_id", "ts", "value", tie_cols=["event_id"])
+    return out.select(
+        "user_id",
+        oround("twa", 4).alias("twa"),
+        F.col("n_samples").cast("long").alias("n_samples"),
+    )
+
+
+@query(
     "q102_anomaly",
     """SELECT event_id,
               ROUND(AVG(CASE WHEN isnan(value) THEN NULL ELSE value END)

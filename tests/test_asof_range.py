@@ -103,3 +103,25 @@ def test_cogrouped_pandas_asof_matches_jvm_asof(spark, sf_dir):
     want = {(r.user_id, r.event_id): r.ref_event_id for r in jvm.collect()}
     assert len(got) == left.count()
     assert got == want
+
+
+def test_time_weighted_avg_known_series(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            # key 1: value 10 holds for 10s, value 20 holds for 30s, 99 is last (0 weight)
+            (1, base, 10.0),
+            (1, base + dt.timedelta(seconds=10), 20.0),
+            (1, base + dt.timedelta(seconds=40), 99.0),
+            # key 2: single sample -> plain value
+            (2, base, 7.0),
+        ],
+        "k long, ts timestamp, v double",
+    )
+    out = {r.k: (r.twa, r.n_samples) for r in
+           asof.time_weighted_avg(df, "k", "ts", "v").collect()}
+    assert abs(out[1][0] - (10 * 10 + 20 * 30) / 40) < 1e-9
+    assert out[1][1] == 3
+    assert out[2] == (7.0, 1)
