@@ -124,3 +124,26 @@ def time_weighted_avg(
         .alias("twa"),
         F.count("*").alias("n_samples"),
     )
+
+
+def locf(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """Gap-fill by last observation carried forward: null values take
+    the most recent non-null value of the same key (the sensor-feed
+    fill; pairs with time_weighted_avg). One window pass —
+    ``last(ignorenulls)`` over an unbounded-preceding frame; rows
+    before the first observation stay null (no lookahead).
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, *(tie_cols or []))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(
+        "filled", F.last(value_col, ignorenulls=True).over(w)
+    )

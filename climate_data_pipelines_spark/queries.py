@@ -894,6 +894,26 @@ def q91(spark, sf_dir):
 
 
 @query(
+    "q105_locf_gapfill",
+    """SELECT event_id, user_id,
+              last_value(CASE WHEN isnan(value) THEN NULL ELSE value END IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+       FROM events""",
+    "Gap-fill via last-observation-carried-forward: null/NaN readings "
+    "take the most recent valid value of the same key — one "
+    "last(ignorenulls) window pass, no self-join (the sensor-feed "
+    "fill, paired with q104's time weighting).",
+)
+def q105(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    v = F.col("value")
+    clean = ev.withColumn("value", F.when(F.isnan(v), F.lit(None)).otherwise(v))
+    out = asof.locf(clean, "user_id", "ts", "value", tie_cols=["event_id"])
+    return out.select("event_id", "user_id", "filled")
+
+
+@query(
     "q104_time_weighted_avg",
     """WITH s AS (SELECT user_id, epoch_us(ts) / 1000000.0 AS t, value,
                     lead(epoch_us(ts) / 1000000.0)

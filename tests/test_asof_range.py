@@ -125,3 +125,22 @@ def test_time_weighted_avg_known_series(spark):
     assert abs(out[1][0] - (10 * 10 + 20 * 30) / 40) < 1e-9
     assert out[1][1] == 3
     assert out[2] == (7.0, 1)
+
+
+def test_locf_fills_forward_only(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (1, base, None),                                # before first obs -> stays null
+            (1, base + dt.timedelta(seconds=1), 5.0),
+            (1, base + dt.timedelta(seconds=2), None),      # -> 5.0
+            (1, base + dt.timedelta(seconds=3), 8.0),
+            (1, base + dt.timedelta(seconds=4), None),      # -> 8.0
+            (2, base, None),                                # lone null key -> null
+        ],
+        "k long, ts timestamp, v double",
+    )
+    out = asof.locf(df, "k", "ts", "v").orderBy("k", "ts").collect()
+    assert [r.filled for r in out] == [None, 5.0, 5.0, 8.0, 8.0, None]
