@@ -345,3 +345,29 @@ def regrid(
             F.avg(value_col).alias("mean_value"),
         )
     )
+
+
+def per_key_trend(
+    obs: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    epoch_offset: int = 1_600_000_000,
+) -> DataFrame:
+    """Per-cell linear trend (warming-rate / drift estimation): OLS
+    slope of value against time within each key group — the per-pixel
+    trend map every climatology product publishes.
+
+    One hash aggregate (`regr_slope` has a partial/final split, so the
+    map side combines before the single keyed shuffle). Time is
+    shifted to a small epoch offset before squaring: raw epoch seconds
+    (~1.7e9) squared burn ~19 digits and lose the slope signal to
+    cancellation even in stable covariance forms.
+    Returns slope per day (per-second slopes of slow climate signals
+    are denormal-small and unreadable).
+    """
+    x = (F.unix_timestamp(ts_col) - F.lit(epoch_offset)).cast("double")
+    return obs.groupBy(*key_cols).agg(
+        (F.regr_slope(F.col(value_col), x) * 86400.0).alias("slope_per_day"),
+        F.count("*").alias("n_obs"),
+    )

@@ -1,0 +1,163 @@
+"""Training-data assembly operators (SURVEY.md §2.11 north star):
+benchmark decontamination, deterministic hash splits, sequence
+packing, TF-IDF term weighting.
+
+These are the corpus-preparation steps downstream of dedup/quality
+filtering in an LLM data pipeline. All pure Column expressions —
+portable hashing (md5, reproducible in the DuckDB oracle), no Python
+in the plan, and every shuffle is keyed so the plans scale: the
+benchmark shingle set broadcasts (benchmarks are MBs against a
+multi-TB train corpus), splits are stateless per-row hashes, packing
+is one bounded window per shard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from climate_data_pipelines_spark.functions.text import shingles, tokens
+
+
+def _md5_bucket(col, seed: str, n_buckets: int):
+    """Deterministic bucket in [0, n_buckets): md5 of seed||value, top
+    15 hex digits as a bigint (same expression is expressible in ANSI
+    SQL / DuckDB, so splits are reproducible across engines)."""
+    h = F.md5(F.concat(F.lit(seed), col.cast("string")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % n_buckets
+
+
+def contaminated_ids(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination detection: train docs sharing any
+    k-token shingle with a benchmark doc (the n-gram overlap rule used
+    to decontaminate pretraining corpora against eval sets).
+
+    Plan shape: benchmark → distinct shingles (tiny: broadcast);
+    train → exploded distinct shingles → broadcast LEFT SEMI join →
+    distinct doc_id. One shuffle (the final distinct on doc_id); the
+    100 TB train side is never shuffled on the shingle key.
+    """
+    bench_sh = (
+        benchmark.select(
+            F.explode(F.array_distinct(shingles(text_col, k))).alias("shingle")
+        )
+        .distinct()
+    )
+    train_sh = train.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles(text_col, k))).alias("shingle")
+    )
+    return (
+        train_sh.join(F.broadcast(bench_sh), "shingle", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Drop contaminated train docs (left anti against the flagged id
+    set — ids are small relative to the corpus, broadcastable)."""
+    bad = contaminated_ids(train, benchmark, text_col, id_col, k)
+    return train.join(F.broadcast(bad), id_col, "left_anti")
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: str = "split-v1",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Deterministic train/val/test split by content-stable hash
+    bucketing — no sampling state, no shuffle, stable under corpus
+    growth (a doc's split never changes when other docs are added).
+    Adds `bucket` (0-99) and `split` columns.
+    """
+    bucket = _md5_bucket(F.col(id_col), seed, 100)
+    split = (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn("bucket", bucket).withColumn("split", split)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_tokens_col: str = "n_tokens",
+    budget: int = 2048,
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Budget-quantized contiguous sequence packing: docs in stable
+    id order are assigned to packs so each pack holds ~`budget`
+    tokens — `pack_id = floor(cum_tokens_before / budget)`, one
+    running-sum window per shard.
+
+    Distributed-friendly by construction: with `shard_col` set the
+    window is per-shard (bounded state, parallel across shards), which
+    is how a 100 TB corpus packs — shard first (e.g. by hash_split
+    bucket), pack within shards. Exact first-fit packing is inherently
+    sequential; boundary docs straddling two packs are re-chunked by
+    the tokenizer downstream, so quantized boundaries are the standard
+    distributed compromise.
+    """
+    part = [shard_col] if shard_col else []
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(n_tokens_col).over(w)
+    return df.withColumn(
+        "pack_id", F.floor((cum - F.col(n_tokens_col)) / F.lit(budget))
+    )
+
+
+def tfidf_top_term(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document top TF-IDF term: tf(doc,term) * ln(N / df(term)),
+    ties broken by token order. The corpus-keyword primitive behind
+    topic bucketing / domain mixing of training data.
+
+    explode → two keyed aggs (term-per-doc, doc-freq) → broadcast of
+    the doc-frequency dim (vocabulary ≪ corpus) → per-doc top-1 via
+    max_by on a (score, token) struct — no rank window over the full
+    exploded table.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    tf = tok.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    dfreq = tok.distinct().groupBy("token").agg(F.count("*").alias("dfreq"))
+    n_docs = df.select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score", F.col("tf") * F.log(F.col("n_docs") / F.col("dfreq"))
+        )
+    )
+    # max_by over a struct: one hash agg (partial+final), no window sort.
+    # Order by (score desc, token asc) == max of (score, negated token);
+    # strings don't negate, so invert via min_by on (-score, token).
+    return scored.groupBy(id_col).agg(
+        F.min_by(
+            F.struct(F.col("token"), F.col("score")),
+            F.struct((-F.col("score")).alias("ns"), F.col("token")),
+        ).alias("top"),
+    ).select(
+        id_col,
+        F.col("top.token").alias("top_token"),
+        F.col("top.score").alias("score"),
+    )

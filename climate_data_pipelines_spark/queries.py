@@ -37,6 +37,7 @@ from climate_data_pipelines_spark.operators import (
     multimodal,
     similarity,
     textops,
+    training,
 )
 
 
@@ -2547,4 +2548,131 @@ def q71(spark, sf_dir):
         F.last("value").over(w).alias("latest_val"),
         F.nth_value("value", 2).over(w).alias("second_val"),
         oround(F.sum("value").over(w), 4).alias("running_sum"),
+    )
+
+
+@query(
+    "q106_decontaminate",
+    """WITH t AS (SELECT doc_id, source,
+                    list_filter(string_split(text, ' '), x -> x != '') AS toks
+                  FROM documents),
+         sh AS (SELECT DISTINCT doc_id, source,
+                       array_to_string(list_slice(toks, i, i + 2), ' ') AS shingle
+                FROM t, UNNEST(generate_series(1, greatest(len(toks) - 2, 1))) AS u(i)),
+         bench AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0')
+       SELECT DISTINCT s.doc_id
+       FROM sh s JOIN bench b USING (shingle)
+       WHERE s.source <> 'src0'""",
+    "Benchmark decontamination (north-star corpus prep): train docs "
+    "sharing any 3-token shingle with the benchmark set (source=src0 "
+    "stands in for the eval corpus). Benchmark shingles broadcast — "
+    "the train side is never shuffled on the shingle key, so the plan "
+    "holds when train is 100 TB and the benchmark is MBs.",
+)
+def q106(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+    return training.contaminated_ids(train, bench, k=3)
+
+
+@query(
+    "q107_hash_split",
+    """SELECT doc_id,
+              CAST(CAST('0x' || substring(md5('split-v1' || CAST(doc_id AS VARCHAR)), 1, 15)
+                        AS BIGINT) % 100 AS BIGINT) AS bucket,
+              CASE WHEN CAST('0x' || substring(md5('split-v1' || CAST(doc_id AS VARCHAR)), 1, 15)
+                        AS BIGINT) % 100 < 80 THEN 'train'
+                   WHEN CAST('0x' || substring(md5('split-v1' || CAST(doc_id AS VARCHAR)), 1, 15)
+                        AS BIGINT) % 100 < 90 THEN 'val'
+                   ELSE 'test' END AS split
+       FROM documents""",
+    "Deterministic train/val/test split by content-stable md5 "
+    "bucketing — stateless per-row hash, no sampling state, no "
+    "shuffle; a doc's split never changes when the corpus grows "
+    "(unlike randomSplit). Same digest expression on both engines.",
+)
+def q107(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return training.hash_split(docs).select("doc_id", "bucket", "split")
+
+
+@query(
+    "q108_pack_sequences",
+    """WITH n AS (SELECT doc_id, lang,
+                    len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tokens
+                  FROM documents)
+       SELECT doc_id, lang, n_tokens,
+              CAST(floor(CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          - n_tokens AS DOUBLE) / 512) AS BIGINT) AS pack_id
+       FROM n""",
+    "Budget-quantized sequence packing for training batches: docs in "
+    "stable id order get pack_id = floor(cum_tokens_before/budget), "
+    "one running-sum window per lang shard — per-shard bounded state "
+    "is the distributed packing compromise (exact first-fit is "
+    "inherently sequential).",
+)
+def q108(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    from climate_data_pipelines_spark.functions.text import tokens
+
+    n = docs.select(
+        "doc_id", "lang", F.size(tokens("text")).alias("n_tokens")
+    )
+    return training.pack_sequences(
+        n, n_tokens_col="n_tokens", budget=512, shard_col="lang"
+    )
+
+
+@query(
+    "q109_tfidf_top_term",
+    """WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != ''))
+                      AS token
+                    FROM documents),
+         tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+         dfreq AS (SELECT token, COUNT(DISTINCT doc_id) AS dfreq FROM tok GROUP BY 1),
+         scored AS (SELECT doc_id, token,
+                           tf * ln(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / dfreq)
+                             AS score
+                    FROM tf JOIN dfreq USING (token)),
+         ranked AS (SELECT doc_id, token, score,
+                           row_number() OVER (PARTITION BY doc_id
+                                              ORDER BY score DESC, token) AS rn
+                    FROM scored)
+       SELECT doc_id, token AS top_token,
+              ROUND(score * 1000000) / 1000000 AS score
+       FROM ranked WHERE rn = 1""",
+    "Per-document top TF-IDF term (corpus keywording for domain "
+    "mixing): explode → two keyed aggs, vocabulary dim broadcast, "
+    "per-doc argmax via min_by on a (-score, token) struct — a single "
+    "partial+final hash agg instead of a rank window sort over the "
+    "full exploded table.",
+)
+def q109(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = training.tfidf_top_term(docs)
+    return out.select("doc_id", "top_token", oround(F.col("score"), 6).alias("score"))
+
+
+@query(
+    "q110_per_key_trend",
+    """SELECT user_id,
+              ROUND(regr_slope(value, CAST(epoch(ts) - 1600000000 AS DOUBLE)) * 86400.0 * 10000)
+                / 10000 AS slope_per_day,
+              COUNT(*) AS n_obs
+       FROM events WHERE NOT isnan(value)
+       GROUP BY user_id""",
+    "Per-cell linear trend (the warming-rate map): OLS slope of value "
+    "vs time per key as one partial/final hash aggregate — no window, "
+    "no collect. Epoch is shifted before squaring so the covariance "
+    "doesn't cancel at double precision; slope reported per day.",
+)
+def q110(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(~F.isnan("value"))
+    out = climate.per_key_trend(ev, ["user_id"], ts_col="ts", value_col="value")
+    return out.select(
+        "user_id",
+        oround(F.col("slope_per_day"), 4).alias("slope_per_day"),
+        "n_obs",
     )

@@ -1,0 +1,90 @@
+"""Training-data assembly operators: decontamination, hash split,
+sequence packing, TF-IDF, per-key trend."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from pyspark.sql import functions as F
+
+from climate_data_pipelines_spark.operators import climate, training
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_contaminated_ids_exact_overlap(spark):
+    train = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta"),      # shares 'alpha beta gamma'
+            (2, "zeta eta theta iota"),          # disjoint
+            (3, "one two alpha beta gamma"),     # shares
+        ],
+    )
+    bench = _docs(spark, [(100, "alpha beta gamma")])
+    bad = {r.doc_id for r in training.contaminated_ids(train, bench, k=3).collect()}
+    assert bad == {1, 3}
+    kept = {r.doc_id for r in training.decontaminate(train, bench, k=3).collect()}
+    assert kept == {2}
+
+
+def test_hash_split_deterministic_and_complete(spark):
+    docs = _docs(spark, [(i, f"doc {i}") for i in range(200)])
+    out = training.hash_split(docs).select("doc_id", "bucket", "split").collect()
+    again = training.hash_split(docs).select("doc_id", "bucket", "split").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    by_split = {}
+    for r in out:
+        assert 0 <= r.bucket < 100
+        by_split.setdefault(r.split, 0)
+        by_split[r.split] += 1
+    assert set(by_split) == {"train", "val", "test"}
+    # 80/10/10 within loose tolerance on 200 ids
+    assert by_split["train"] > 130
+
+
+def test_pack_sequences_quantized_boundaries(spark):
+    df = spark.createDataFrame(
+        [(1, 300), (2, 300), (3, 300), (4, 300)], "doc_id long, n_tokens long"
+    )
+    out = {
+        r.doc_id: r.pack_id
+        for r in training.pack_sequences(df, budget=512).collect()
+    }
+    # cum-before: 0, 300, 600, 900 -> packs 0,0,1,1
+    assert out == {1: 0, 2: 0, 3: 1, 4: 1}
+
+
+def test_tfidf_top_term_known_corpus(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "common rare common"),
+            (2, "common common unique"),
+            (3, "common word word"),
+        ],
+    )
+    out = {r.doc_id: (r.top_token, r.score) for r in
+           training.tfidf_top_term(docs).collect()}
+    # 'common' appears in all 3 docs -> idf 0; doc-unique tokens win
+    assert out[1][0] == "rare"
+    assert out[2][0] == "unique"
+    assert out[3][0] == "word"
+    assert abs(out[1][1] - math.log(3.0)) < 1e-9
+    assert abs(out[3][1] - 2 * math.log(3.0)) < 1e-9
+
+
+def test_per_key_trend_recovers_linear_slope(spark):
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for k, per_day in ((1, 2.0), (2, -0.5)):
+        for d in range(10):
+            rows.append((k, base + dt.timedelta(days=d), 100.0 + per_day * d))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = {r.user_id: (r.slope_per_day, r.n_obs) for r in
+           climate.per_key_trend(df, ["user_id"]).collect()}
+    assert abs(out[1][0] - 2.0) < 1e-6 and out[1][1] == 10
+    assert abs(out[2][0] + 0.5) < 1e-6 and out[2][1] == 10
