@@ -257,3 +257,38 @@ def ann_lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "cosine", "rank")
     )
+
+
+def label_centroids(
+    df: DataFrame, vec_col: str = "embedding", label_col: str = "label"
+) -> DataFrame:
+    """Per-label embedding centroid — the cluster/class prototype used
+    for IVF coarse quantizers, centroid-based topic assignment, and
+    embedding-drift monitoring.
+
+    posexplode → one hash aggregate keyed on (label, dim) — |labels|×dim
+    groups regardless of corpus size, map-side combined — then
+    reassembled into an ordered array with array_agg over a sorted
+    struct collect. No vector ever crosses the shuffle whole.
+    """
+    dims = df.select(
+        F.col(label_col),
+        F.posexplode(F.col(vec_col)).alias("dim", "x"),
+    )
+    per_dim = dims.groupBy(label_col, "dim").agg(
+        F.avg("x").alias("mean_x"), F.count("*").alias("n")
+    )
+    return (
+        per_dim.groupBy(label_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("dim"), F.col("mean_x")))
+            ).alias("pairs"),
+            F.max("n").alias("n_vectors"),
+        )
+        .select(
+            label_col,
+            F.transform(F.col("pairs"), lambda p: p["mean_x"]).alias("centroid"),
+            "n_vectors",
+        )
+    )

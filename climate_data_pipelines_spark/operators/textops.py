@@ -204,3 +204,29 @@ def sentence_stats(
             F.round(total_toks.cast("double") / n_sent.cast("double") * p, 0) / p
         ).alias("mean_sentence_tokens"),
     )
+
+
+def vocab_topk(
+    df: DataFrame,
+    k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus vocabulary: top-k tokens by document frequency (with
+    total term frequency as tiebreak context) — the tokenizer-training
+    / stopword-discovery primitive.
+
+    explode → one hash agg on token computing both frequencies
+    (count distinct docs via a two-level agg, not a count-distinct
+    shuffle of raw pairs), then a global top-k limit: orderBy+limit is
+    a TakeOrderedAndProject — each partition keeps k rows, the driver
+    merges k×partitions, no global sort materializes.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    per_doc = tok.groupBy("token", id_col).agg(F.count("*").alias("tf"))
+    freqs = per_doc.groupBy("token").agg(
+        F.count("*").alias("doc_freq"), F.sum("tf").alias("term_freq")
+    )
+    return freqs.orderBy(
+        F.desc("doc_freq"), F.desc("term_freq"), F.asc("token")
+    ).limit(k)

@@ -161,3 +161,26 @@ def tfidf_top_term(
         F.col("top.token").alias("top_token"),
         F.col("top.score").alias("score"),
     )
+
+
+def shuffle_batches(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: str = "shuffle-v1",
+    n_batches: int = 16,
+) -> DataFrame:
+    """Deterministic global corpus shuffle into fixed microbatches:
+    batch = content-stable hash bucket, position = rank of the hash
+    within the batch. Reproducible across runs and engines (md5, not
+    engine-partitioning-dependent rand()).
+
+    Scale shape: no global sort — the only window is per-batch
+    (bounded partitions, parallel across batches); at 100 TB n_batches
+    is sized so a batch fits an executor's sort spill budget.
+    """
+    h = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    with_key = df.withColumn("shuffle_key", h).withColumn(
+        "batch_id", _md5_bucket(F.col(id_col), seed + "|b", n_batches)
+    )
+    w = Window.partitionBy("batch_id").orderBy("shuffle_key", id_col)
+    return with_key.withColumn("pos", F.row_number().over(w))

@@ -2676,3 +2676,76 @@ def q110(spark, sf_dir):
         oround(F.col("slope_per_day"), 4).alias("slope_per_day"),
         "n_obs",
     )
+
+
+@query(
+    "q111_vocab_topk",
+    """WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != ''))
+                      AS token
+                    FROM documents),
+         per_doc AS (SELECT token, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+         freqs AS (SELECT token, COUNT(*) AS doc_freq, SUM(tf) AS term_freq
+                   FROM per_doc GROUP BY 1)
+       SELECT token, doc_freq, term_freq
+       FROM freqs
+       ORDER BY doc_freq DESC, term_freq DESC, token
+       LIMIT 100""",
+    "Corpus vocabulary: top-100 tokens by document frequency "
+    "(tokenizer-training / stopword-discovery primitive). Two-level "
+    "agg instead of a count-distinct shuffle of raw pairs; the global "
+    "top-k plans as TakeOrderedAndProject — per-partition k rows, "
+    "driver merges k x partitions, no global sort materializes.",
+)
+def q111(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return textops.vocab_topk(docs, k=100)
+
+
+@query(
+    "q112_shuffle_batches",
+    """SELECT doc_id,
+              CAST('0x' || substring(md5('shuffle-v1|b' || CAST(doc_id AS VARCHAR)), 1, 15)
+                   AS BIGINT) % 16 AS batch_id,
+              CAST(row_number() OVER (
+                     PARTITION BY CAST('0x' || substring(md5('shuffle-v1|b' || CAST(doc_id AS VARCHAR)), 1, 15)
+                                       AS BIGINT) % 16
+                     ORDER BY md5('shuffle-v1' || CAST(doc_id AS VARCHAR)), doc_id)
+                AS INT) AS pos
+       FROM documents""",
+    "Deterministic corpus shuffle into fixed microbatches: "
+    "content-stable md5 ordering (reproducible across runs/engines, "
+    "unlike rand()) with per-batch rank — the only window is "
+    "per-batch, bounded partitions, no global sort.",
+)
+def q112(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = training.shuffle_batches(docs, n_batches=16)
+    return out.select("doc_id", "batch_id", "pos")
+
+
+@query(
+    "q113_label_centroids",
+    """WITH dims AS (SELECT label, u.dim, embedding[u.dim] AS x
+                     FROM embeddings,
+                          UNNEST(generate_series(1, len(embedding))) AS u(dim)),
+         per_dim AS (SELECT label, dim, AVG(CAST(x AS DOUBLE)) AS mean_x
+                     FROM dims GROUP BY 1, 2),
+         n AS (SELECT label, COUNT(*) AS n_vectors FROM embeddings GROUP BY 1)
+       SELECT p.label,
+              list(ROUND(mean_x * 1000000) / 1000000 ORDER BY dim) AS centroid,
+              n.n_vectors
+       FROM per_dim p JOIN n USING (label)
+       GROUP BY p.label, n.n_vectors""",
+    "Per-label embedding centroid (IVF coarse-quantizer / class "
+    "prototype): posexplode then one hash agg keyed on (label, dim) — "
+    "|labels| x dim groups regardless of corpus size, map-side "
+    "combined; vectors reassembled ordered, never shuffled whole.",
+)
+def q113(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.label_centroids(emb)
+    return out.select(
+        "label",
+        F.transform("centroid", lambda x: oround(x, 6)).alias("centroid"),
+        "n_vectors",
+    )

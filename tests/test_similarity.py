@@ -90,3 +90,18 @@ def test_ivf_recall_against_exact(spark, sf_dir):
         per_q.setdefault(r.query_id, []).append(r.rank)
     for ranks in per_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_label_centroids_elementwise_mean(spark):
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0], 0),
+            (2, [3.0, 4.0], 0),
+            (3, [10.0, 20.0], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {r.label: (r.centroid, r.n_vectors) for r in
+           similarity.label_centroids(df).collect()}
+    assert out[0][0] == [2.0, 3.0] and out[0][1] == 2
+    assert out[1][0] == [10.0, 20.0] and out[1][1] == 1

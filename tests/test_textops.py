@@ -103,3 +103,20 @@ def test_sentence_stats(spark):
     assert abs(out[1].mean_sentence_tokens - (3 + 2 + 4) / 3) < 1e-5
     assert out[2].n_sentences == 1
     assert abs(out[2].mean_sentence_tokens - 5.0) < 1e-5
+
+
+def test_vocab_topk_ranks_by_doc_freq(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "apple cherry"),
+            (3, "banana banana"),
+        ],
+        "doc_id long, text string",
+    )
+    out = textops.vocab_topk(df, k=2).collect()
+    # apple in 2 docs (tf 3), banana in 2 docs (tf 3) -> tie broken by token
+    assert [(r.token, r.doc_freq, r.term_freq) for r in out] == [
+        ("apple", 2, 3),
+        ("banana", 2, 3),
+    ]

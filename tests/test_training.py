@@ -88,3 +88,18 @@ def test_per_key_trend_recovers_linear_slope(spark):
            climate.per_key_trend(df, ["user_id"]).collect()}
     assert abs(out[1][0] - 2.0) < 1e-6 and out[1][1] == 10
     assert abs(out[2][0] + 0.5) < 1e-6 and out[2][1] == 10
+
+
+def test_shuffle_batches_deterministic_dense_positions(spark):
+    docs = _docs(spark, [(i, f"doc {i}") for i in range(100)])
+    out = training.shuffle_batches(docs, n_batches=4).collect()
+    again = training.shuffle_batches(docs, n_batches=4).collect()
+    key = lambda rows: sorted((r.doc_id, r.batch_id, r.pos) for r in rows)
+    assert key(out) == key(again)
+    by_batch = {}
+    for r in out:
+        assert 0 <= r.batch_id < 4
+        by_batch.setdefault(r.batch_id, []).append(r.pos)
+    # positions within each batch are dense 1..n
+    for poss in by_batch.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
