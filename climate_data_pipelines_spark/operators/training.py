@@ -184,3 +184,29 @@ def shuffle_batches(
     )
     w = Window.partitionBy("batch_id").orderBy("shuffle_key", id_col)
     return with_key.withColumn("pos", F.row_number().over(w))
+
+
+def curate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "split-v1",
+) -> DataFrame:
+    """End-to-end corpus curation: quality filter → exact dedup →
+    deterministic split, composed from the standalone operators as one
+    lazy plan (Catalyst fuses the stages; no intermediate
+    materialization — the Spark analog of the reference's
+    file-per-stage pipeline, cf. reference pipelines/
+    precipitation_pipeline.py stage chain).
+
+    Shuffles: one on the content digest (dedup) — the quality filter
+    is shuffle-free and the split is a stateless projection, so the
+    whole curation pass costs a single exchange of 32-byte keys.
+    """
+    from climate_data_pipelines_spark.operators.dedup import exact_dedup
+    from climate_data_pipelines_spark.operators.textops import quality_score
+
+    qs = quality_score(df, text_col, id_col).filter(F.col("passes_quality"))
+    passed = df.join(qs.select(id_col), id_col, "left_semi")
+    unique = exact_dedup(passed, text_col, id_col)
+    return hash_split(unique, id_col, seed)

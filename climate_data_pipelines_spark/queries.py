@@ -2749,3 +2749,36 @@ def q113(spark, sf_dir):
         F.transform("centroid", lambda x: oround(x, 6)).alias("centroid"),
         "n_vectors",
     )
+
+
+@query(
+    "q114_corpus_curation",
+    """WITH t AS (SELECT doc_id, lang, text,
+                    list_filter(string_split(text, ' '), x -> x != '') AS toks
+                  FROM documents),
+         q AS (SELECT doc_id, lang, text FROM t
+               WHERE len(toks) >= 10
+                 AND list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE)))
+                       / len(toks) BETWEEN 2.0 AND 12.0
+                 AND len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) >= 0.1),
+         keep AS (SELECT MIN(doc_id) AS doc_id
+                  FROM q
+                  GROUP BY sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))),
+         u AS (SELECT q.doc_id, q.lang FROM q JOIN keep USING (doc_id))
+       SELECT doc_id, lang,
+              CASE WHEN CAST('0x' || substring(md5('split-v1' || CAST(doc_id AS VARCHAR)), 1, 15)
+                        AS BIGINT) % 100 < 80 THEN 'train'
+                   WHEN CAST('0x' || substring(md5('split-v1' || CAST(doc_id AS VARCHAR)), 1, 15)
+                        AS BIGINT) % 100 < 90 THEN 'val'
+                   ELSE 'test' END AS split
+       FROM u""",
+    "End-to-end corpus curation composed from the standalone "
+    "operators as ONE lazy plan — quality filter (shuffle-free) → "
+    "exact dedup (the only exchange, 32-byte digest keys) → "
+    "deterministic split (stateless projection). The Spark analog of "
+    "the reference's file-per-stage pipeline chain.",
+)
+def q114(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = training.curate(docs)
+    return out.select("doc_id", "lang", "split")

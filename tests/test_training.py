@@ -103,3 +103,19 @@ def test_shuffle_batches_deterministic_dense_positions(spark):
     # positions within each batch are dense 1..n
     for poss in by_batch.values():
         assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
+def test_curate_filters_dedups_and_splits(spark):
+    good = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [
+            (1, good),                      # keeper
+            (2, good),                      # exact dup of 1 -> dropped
+            (3, "short text"),              # < 10 tokens -> dropped
+            (4, good + " lambda"),          # distinct survivor
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.split for r in training.curate(df).collect()}
+    assert set(out) == {1, 4}
+    assert set(out.values()) <= {"train", "val", "test"}
