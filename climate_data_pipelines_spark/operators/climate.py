@@ -371,3 +371,29 @@ def per_key_trend(
         (F.regr_slope(F.col(value_col), x) * 86400.0).alias("slope_per_day"),
         F.count("*").alias("n_obs"),
     )
+
+
+def degree_days(
+    obs: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    base: float = 18.0,
+) -> DataFrame:
+    """Heating/cooling degree-days per key and month — the standard
+    energy-demand climate product: sum of max(base - T, 0) (heating)
+    and max(T - base, 0) (cooling) over the period.
+
+    One partial+final hash aggregate on (key, year, month); the
+    greatest() clamp is a codegen'd expression, no UDF.
+    """
+    t = F.col(value_col)
+    return obs.groupBy(
+        *key_cols,
+        F.year(ts_col).alias("year"),
+        F.month(ts_col).alias("month"),
+    ).agg(
+        F.sum(F.greatest(F.lit(base) - t, F.lit(0.0))).alias("hdd"),
+        F.sum(F.greatest(t - F.lit(base), F.lit(0.0))).alias("cdd"),
+        F.count("*").alias("n_obs"),
+    )

@@ -210,3 +210,25 @@ def curate(
     passed = df.join(qs.select(id_col), id_col, "left_semi")
     unique = exact_dedup(passed, text_col, id_col)
     return hash_split(unique, id_col, seed)
+
+
+def upsample_by_weight(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic integer upsampling for domain mixing: each row is
+    repeated `weight` times (posexplode of a sequence — a generated
+    column, not a join), tagged with `copy_idx`. Epoch-level corpus
+    mixing (e.g. 3x a high-quality source) without sampling
+    randomness; weights come from a mix-config dimension joined
+    upstream. Fractional weights = integer part here + a hash_split
+    bucket threshold for the remainder.
+    """
+    n = F.col(weight_col).cast("int")
+    # sequence(1, 0) is DESCENDING [1,0] in Spark, not empty — clamp
+    # non-positive weights to an explicit empty array instead.
+    seq = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.withColumn("copy_idx", F.explode(seq))

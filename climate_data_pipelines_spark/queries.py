@@ -2782,3 +2782,55 @@ def q114(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     out = training.curate(docs)
     return out.select("doc_id", "lang", "split")
+
+
+@query(
+    "q115_degree_days",
+    """SELECT user_id,
+              CAST(year(ts) AS INT) AS year, CAST(month(ts) AS INT) AS month,
+              ROUND(SUM(greatest(18.0 - value, 0.0)) * 10000) / 10000 AS hdd,
+              ROUND(SUM(greatest(value - 18.0, 0.0)) * 10000) / 10000 AS cdd,
+              COUNT(*) AS n_obs
+       FROM events WHERE NOT isnan(value)
+       GROUP BY 1, 2, 3""",
+    "Heating/cooling degree-days per key and month (the energy-demand "
+    "climate product): clamped sums in one partial+final hash "
+    "aggregate — codegen'd greatest(), no UDF, no window.",
+)
+def q115(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(~F.isnan("value"))
+    out = climate.degree_days(ev, ["user_id"])
+    return out.select(
+        "user_id",
+        F.col("year").cast("int").alias("year"),
+        F.col("month").cast("int").alias("month"),
+        oround(F.col("hdd"), 4).alias("hdd"),
+        oround(F.col("cdd"), 4).alias("cdd"),
+        "n_obs",
+    )
+
+
+@query(
+    "q116_domain_upsample",
+    """WITH w AS (SELECT doc_id, source,
+                    CASE WHEN source IN ('src0','src1','src2') THEN 3
+                         WHEN source IN ('src3','src4') THEN 2
+                         ELSE 1 END AS weight
+                  FROM documents)
+       SELECT doc_id, source, CAST(u.copy_idx AS INT) AS copy_idx
+       FROM w, UNNEST(generate_series(1, weight)) AS u(copy_idx)""",
+    "Deterministic domain-mix upsampling: high-weight sources are "
+    "repeated N times via a generated sequence column (posexplode — "
+    "no join, no sampling randomness), the epoch-level corpus mixing "
+    "step of a training-data pipeline.",
+)
+def q116(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    w = docs.withColumn(
+        "weight",
+        F.when(F.col("source").isin("src0", "src1", "src2"), F.lit(3))
+        .when(F.col("source").isin("src3", "src4"), F.lit(2))
+        .otherwise(F.lit(1)),
+    )
+    out = training.upsample_by_weight(w, "weight")
+    return out.select("doc_id", "source", F.col("copy_idx").cast("int").alias("copy_idx"))

@@ -208,3 +208,21 @@ def test_regrid_snaps_to_cell_centers(spark):
     # first two points share the (2.5, 5.0) cell; third starts a new cell
     assert out[(2.5, 5.0)] == (2, 15.0)
     assert out[(7.5, 15.0)] == (1, 99.0)
+
+
+def test_degree_days_clamped_sums(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (1, base, 10.0),                      # hdd 8
+            (1, base + dt.timedelta(days=1), 25.0),  # cdd 7
+            (1, base + dt.timedelta(days=2), 18.0),  # neither
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    out = climate.degree_days(df, ["user_id"]).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.year, r.month, r.hdd, r.cdd, r.n_obs) == (2024, 1, 8.0, 7.0, 3)

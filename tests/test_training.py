@@ -119,3 +119,16 @@ def test_curate_filters_dedups_and_splits(spark):
     out = {r.doc_id: r.split for r in training.curate(df).collect()}
     assert set(out) == {1, 4}
     assert set(out.values()) <= {"train", "val", "test"}
+
+
+def test_upsample_by_weight_repeats_rows(spark):
+    df = spark.createDataFrame(
+        [(1, 3), (2, 1), (3, 0)], "doc_id long, weight int"
+    )
+    out = training.upsample_by_weight(df, "weight").collect()
+    counts = {}
+    for r in out:
+        counts.setdefault(r.doc_id, []).append(r.copy_idx)
+    assert sorted(counts[1]) == [1, 2, 3]
+    assert counts[2] == [1]
+    assert 3 not in counts  # zero weight -> dropped
