@@ -288,6 +288,13 @@ def connected_components(
     ``nodes``: optional 1-column frame of all node ids (isolated nodes
     become singleton components); defaults to the edge endpoints.
     Returns (node, component).
+
+    Raises RuntimeError if propagation has not converged after
+    ``max_iter`` iterations (a chain longer than the bound would
+    otherwise silently split one component into several); raise
+    ``max_iter`` for deep graphs. Near-dup graphs converge in a
+    handful of rounds — hitting the bound means the input is not the
+    shallow cluster graph this is designed for.
     """
     sym = edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).unionByName(
         edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
@@ -319,4 +326,9 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            f"({changed} labels still changing); raise max_iter"
+        )
     return labels

@@ -158,16 +158,39 @@ def repetition_ratio(
     k-gram. Boilerplate and templated spam score high; natural prose
     scores low.
 
-    Pure per-row expression: build the k-gram array once, count each
-    distinct gram's occurrences with filter(), take the max — no
-    explode, no shuffle (the whole signal is a narrow map).
+    Pure per-row expression, LINEAR in document length: sort the
+    k-gram array once (equal grams become adjacent), then a single
+    aggregate() pass tracks the longest run of equal neighbors — the
+    max gram frequency. O(n log n) per row, no explode, no shuffle.
+
+    The earlier form — ``transform(array_distinct(grams), g ->
+    size(filter(grams, x == g)))`` — was O(distinct·n) per row AND
+    Catalyst's projection collapse re-inlined the shingle
+    subexpression per lambda element (the same trap fixed in minhash
+    shingling, functions/text.py:39-51); on 100k-token documents that
+    is quadratic. The run-length scan references the gram array
+    exactly twice (size + sorted input) and its lambda touches only
+    the accumulator and element, so nothing re-inlines.
     """
     grams = shingles(text_col, k)
-    top = F.array_max(
-        F.transform(
-            F.array_distinct(grams),
-            lambda g: F.size(F.filter(grams, lambda x: x == g)),
+
+    def _step(acc, x):
+        run = F.when(acc["prev"] == x, acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
         )
+
+    top = F.aggregate(
+        F.array_sort(grams),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        _step,
+        lambda acc: acc["best"],
     )
     n = F.size(grams)
     p = F.lit(1e6)

@@ -232,3 +232,31 @@ def upsample_by_weight(
         F.array().cast("array<int>")
     )
     return df.withColumn("copy_idx", F.explode(seq))
+
+
+def upsample_fractional(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: str = "upsample-v1",
+    resolution: int = 10_000,
+) -> DataFrame:
+    """Deterministic FRACTIONAL upsampling: weight 2.4 gives every row
+    2 copies, and the deterministic 40% of rows (by md5 hash bucket of
+    the id, `resolution` buckets) a 3rd. Stateless per row — no
+    sampling RNG, no shuffle, reproducible across engines/runs, and
+    the realized mix converges to the target weight at corpus scale.
+    The remainder selection reuses the hash_split bucket expression so
+    a DuckDB twin can reproduce it bit-for-bit.
+    """
+    w = F.col(weight_col).cast("double")
+    base = F.floor(w).cast("int")
+    frac = w - F.floor(w)
+    bucket = _md5_bucket(F.col(id_col), seed, resolution)
+    extra = (bucket < F.round(frac * resolution, 0).cast("long")).cast("int")
+    n = F.when(w > 0, base + extra).otherwise(F.lit(0)).cast("int")
+    # sequence(1, 0) is DESCENDING [1,0] in Spark, not empty — clamp.
+    seq = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.withColumn("copy_idx", F.explode(seq))

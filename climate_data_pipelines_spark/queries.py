@@ -1059,8 +1059,8 @@ def q101(spark, sf_dir):
     """SELECT event_id,
               map(['type','id'], [event_type, CAST(event_id AS VARCHAR)])['type'][1]
                 AS type_val,
-              list_sort(map_keys(map(['type','id'],
-                [event_type, CAST(event_id AS VARCHAR)]))) AS keys_sorted,
+              array_to_string(list_sort(map_keys(map(['type','id'],
+                [event_type, CAST(event_id AS VARCHAR)]))), ',') AS keys_sorted,
               CAST(cardinality(map(['type','id'],
                 [event_type, CAST(event_id AS VARCHAR)])) AS INT) AS n_entries
        FROM events""",
@@ -1079,7 +1079,9 @@ def q99(spark, sf_dir):
     return ev.select(
         "event_id",
         F.element_at(m, "type").alias("type_val"),
-        F.sort_array(F.map_keys(m)).alias("keys_sorted"),
+        # Joined to a scalar: the driver's pandas canonicalizer cannot
+        # hash/sort list cells (round-1 driver-RED on array<string>).
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("keys_sorted"),
         F.size(m).cast("int").alias("n_entries"),
     )
 
@@ -2732,7 +2734,8 @@ def q112(spark, sf_dir):
                      FROM dims GROUP BY 1, 2),
          n AS (SELECT label, COUNT(*) AS n_vectors FROM embeddings GROUP BY 1)
        SELECT p.label,
-              list(ROUND(mean_x * 1000000) / 1000000 ORDER BY dim) AS centroid,
+              array_to_string(list(CAST(ROUND(mean_x * 1000000) AS BIGINT) ORDER BY dim), ',')
+                AS centroid_micro,
               n.n_vectors
        FROM per_dim p JOIN n USING (label)
        GROUP BY p.label, n.n_vectors""",
@@ -2746,7 +2749,15 @@ def q113(spark, sf_dir):
     out = similarity.label_centroids(emb)
     return out.select(
         "label",
-        F.transform("centroid", lambda x: oround(x, 6)).alias("centroid"),
+        # Joined to a scalar in integer micro-units: the driver's pandas
+        # canonicalizer cannot hash list cells (round-1 q99 driver-RED),
+        # and double->string renders differently in Spark vs DuckDB.
+        F.array_join(
+            F.transform(
+                "centroid", lambda x: F.round(x * 1e6).cast("long").cast("string")
+            ),
+            ",",
+        ).alias("centroid_micro"),
         "n_vectors",
     )
 
@@ -2834,3 +2845,129 @@ def q116(spark, sf_dir):
     )
     out = training.upsample_by_weight(w, "weight")
     return out.select("doc_id", "source", F.col("copy_idx").cast("int").alias("copy_idx"))
+
+
+@query(
+    "q117_fractional_upsample",
+    """WITH w AS (SELECT doc_id, source,
+                    CASE WHEN source IN ('src0','src1','src2') THEN 2.5
+                         WHEN source IN ('src3','src4') THEN 1.25
+                         ELSE 0.8 END AS weight
+                  FROM documents),
+         n AS (SELECT doc_id, source,
+                 CAST(FLOOR(weight) AS INT)
+                 + CAST(CAST('0x' || substring(md5('upsample-v1' || CAST(doc_id AS VARCHAR)), 1, 15)
+                             AS BIGINT) % 10000
+                        < CAST(ROUND((weight - FLOOR(weight)) * 10000) AS BIGINT)
+                        AS INT) AS n_copies
+               FROM w)
+       SELECT doc_id, source, CAST(u.copy_idx AS INT) AS copy_idx
+       FROM n, UNNEST(generate_series(1, n_copies)) AS u(copy_idx)
+       WHERE n_copies >= 1""",
+    "Fractional-weight domain upsampling: weight 2.5 -> 2 copies for "
+    "every row plus a 3rd for the deterministic hash-selected half; "
+    "weight 0.8 -> deterministic 80% downsample. Stateless md5 bucket "
+    "per row (no RNG, no shuffle), so the epoch mix is reproducible "
+    "and the realized ratio converges to the target at corpus scale.",
+)
+def q117(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    w = docs.withColumn(
+        "weight",
+        F.when(F.col("source").isin("src0", "src1", "src2"), F.lit(2.5))
+        .when(F.col("source").isin("src3", "src4"), F.lit(1.25))
+        .otherwise(F.lit(0.8)),
+    )
+    out = training.upsample_fractional(w, "weight")
+    return out.select(
+        "doc_id", "source", F.col("copy_idx").cast("int").alias("copy_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver correctness-window ordering
+# ---------------------------------------------------------------------------
+#
+# The verification driver checks the FIRST 50 registry entries per round
+# (insertion order). Round 1 covered q01-q37/q72/q85-q105 (44 green); the
+# remaining 66 queries — the whole LLM-data suite among them — got no
+# driver row. The registry is therefore re-ordered here so the round-2
+# window covers the not-yet-driver-verified queries; the rotated-out
+# basics stay regression-covered by tools/check_oracle.py over all
+# entries (tests/test_queries_registry.py runs the same differential).
+#
+# Rotation plan: round 3 promotes whatever DRIVER_WINDOW misses (q32,
+# q34, q42, q48-q57, q59, q69, q73, q84, q92 and any new queries).
+
+DRIVER_WINDOW: list[str] = [
+    "q99_map_suite",  # round-1 driver-RED (array<string> output) — fixed, prove it
+    # LLM-data suite: dedup / similarity / text analysis
+    "q38_cosine_topk",
+    "q39_word_count",
+    "q40_ngram_jaccard",
+    "q41_minhash_signatures",
+    "q43_embedding_neardup",
+    "q44_quality_score",
+    "q45_token_count",
+    "q46_fingerprint",
+    "q47_lang_id",
+    # LLM-data suite: training-pipeline ops
+    "q106_decontaminate",
+    "q107_hash_split",
+    "q108_pack_sequences",
+    "q109_tfidf_top_term",
+    "q110_per_key_trend",
+    "q111_vocab_topk",
+    "q112_shuffle_batches",
+    "q113_label_centroids",
+    "q114_corpus_curation",
+    "q115_degree_days",
+    "q116_domain_upsample",
+    "q117_fractional_upsample",
+    # function suites never driver-checked
+    "q58_cube_grouping",
+    "q60_percentiles",
+    "q61_unpivot",
+    "q62_pivot",
+    "q63_string_suite",
+    "q64_math_suite",
+    "q65_conditional_suite",
+    "q66_array_suite",
+    "q67_date_suite",
+    "q68_regexp_suite",
+    "q70_rank_suite",
+    "q71_value_windows",
+    "q93_try_functions",
+    "q94_bitwise_null_suite",
+    "q95_struct_update",
+    "q97_string_agg",
+    "q98_histogram",
+    # SQL entry points
+    "q77_grouping_sets",
+    "q78_exists_subquery",
+    "q79_scalar_subquery",
+    # scale ops
+    "q74_salted_skew_join",
+    "q75_salted_agg",
+    "q76_tile_rollup",
+    # text analysis over documents
+    "q80_redact",
+    "q81_repetition_ratio",
+    "q82_sentence_stats",
+    "q83_time_rollup",
+    # heavy iterative op
+    "q90_dedup_clusters",
+]
+
+
+def _reorder_registry(priority: list[str]) -> None:
+    """Reorder REGISTRY in place (same dict object — importers keep their
+    reference): priority names first, then the rest in definition order."""
+    head = {n: REGISTRY[n] for n in priority if n in REGISTRY}
+    tail = {n: s for n, s in REGISTRY.items() if n not in head}
+    REGISTRY.clear()
+    REGISTRY.update(head)
+    REGISTRY.update(tail)
+
+
+_reorder_registry(DRIVER_WINDOW)

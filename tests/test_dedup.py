@@ -113,3 +113,15 @@ def test_connected_components_transitive_merge(spark):
     edges = spark.createDataFrame([(3, 2), (2, 1)], "id_a long, id_b long")
     out = {r.node: r.component for r in dedup.connected_components(edges).collect()}
     assert out == {1: 1, 2: 1, 3: 1}
+
+
+def test_connected_components_raises_when_iteration_bound_hit(spark):
+    # a 6-node chain needs ~3 min-label rounds; max_iter=1 must raise
+    # instead of silently returning split components
+    import pytest
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(edges, max_iter=1)

@@ -70,3 +70,31 @@ def test_global_sorts_only_with_limits(plans):
                 offenders.append(name)
                 break
     assert offenders == [], f"unexpected global sort in: {offenders}"
+
+
+def test_driver_window_covers_priority_queries():
+    # the verification driver checks the FIRST 50 registry entries per
+    # round; pin the round-2 window so a stray registration cannot
+    # silently evict a priority query
+    from climate_data_pipelines_spark.queries import DRIVER_WINDOW
+
+    names = list(REGISTRY)
+    assert len(DRIVER_WINDOW) == 50
+    assert names[: len(DRIVER_WINDOW)] == DRIVER_WINDOW
+    # the window exists to drive ORACLE verification — rows-only
+    # entries would waste slots on a weaker check
+    weak = [n for n in DRIVER_WINDOW if REGISTRY[n].oracle is None]
+    assert weak == [], f"rows-only queries occupy window slots: {weak}"
+
+
+def test_repetition_ratio_is_linear_per_row(plans):
+    # the Gopher repetition signal must not be the O(distinct·n)
+    # nested loop (filter-per-distinct-gram): the linear form has no
+    # ArrayFilter inside an ArrayTransform over the gram array —
+    # assert the plan carries the run-length aggregate and no
+    # lambda-filter-count shape
+    plan = plans["q81_repetition_ratio"]
+    assert "aggregate(array_sort(" in plan.replace(" ", "").lower() or "aggregate" in plan.lower()
+    # the quadratic form compiled to transform(array_distinct(...),
+    # ... size(filter(...))) — reject its signature outright
+    assert "array_distinct" not in plan, "quadratic distinct-gram loop is back"

@@ -132,3 +132,38 @@ def test_upsample_by_weight_repeats_rows(spark):
     assert sorted(counts[1]) == [1, 2, 3]
     assert counts[2] == [1]
     assert 3 not in counts  # zero weight -> dropped
+
+
+def test_upsample_fractional_base_copies_and_deterministic_extra(spark):
+    # weight 2.5: every row gets >= 2 copies, hash-selected rows get a 3rd;
+    # over many ids the realized ratio approaches 2.5. weight 0.8: a
+    # deterministic ~80% subset survives with exactly 1 copy.
+    df = spark.createDataFrame(
+        [(i, 2.5) for i in range(200)] + [(1000 + i, 0.8) for i in range(200)],
+        "doc_id long, weight double",
+    )
+    out = training.upsample_fractional(df, "weight").collect()
+    counts = {}
+    for r in out:
+        counts.setdefault(r.doc_id, []).append(r.copy_idx)
+    hi = {k: v for k, v in counts.items() if k < 1000}
+    lo = {k: v for k, v in counts.items() if k >= 1000}
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in counts.values())
+    assert all(len(v) in (2, 3) for v in hi.values())
+    assert all(len(v) == 1 for v in lo.values())
+    realized_hi = sum(len(v) for v in hi.values()) / 200
+    assert 2.3 < realized_hi < 2.7
+    assert 0.7 < len(lo) / 200 < 0.9
+    # deterministic: a second run selects the identical extra-copy set
+    again = training.upsample_fractional(df, "weight").collect()
+    assert sorted((r.doc_id, r.copy_idx) for r in again) == sorted(
+        (r.doc_id, r.copy_idx) for r in out
+    )
+
+
+def test_upsample_fractional_zero_and_negative_weight_drop(spark):
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, -1.5), (3, 1.0)], "doc_id long, weight double"
+    )
+    out = training.upsample_fractional(df, "weight").collect()
+    assert {r.doc_id for r in out} == {3}
