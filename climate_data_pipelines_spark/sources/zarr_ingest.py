@@ -10,11 +10,15 @@ the long observation table, and write partitioned Parquet — after
 which every query runs against Parquet with full predicate pushdown
 and partition pruning.
 
-xarray/zarr are not installed in this environment, so the store-open
-step is gated behind an import-try (NotImplementedError with the
-real-world instruction); the Spark-side plumbing — cube-row schema,
-melt, partitioned write — is real and tested via deterministic fake
-chunks (``cube_rows_to_observations``).
+xarray/zarr are not installed in this environment, so the xarray
+open is gated behind an import-try and the ingest falls back to
+``minimal_zarr`` — a dependency-free reader for the public Zarr v2
+directory format — with the chunk decode DISTRIBUTED: ``zarr_scan``
+ships only (store path, metadata, coordinate arrays) to executors and
+``mapInPandas`` reads/melts each chunk where it lands, so ingest
+throughput scales with the cluster instead of the driver (the
+xarray path below keeps the reference's driver-side batch loop shape
+for environments that have it).
 
 A native DataSourceV2 Zarr reader (SupportsPushDownFilters over chunk
 metadata) is the post-MVP upgrade path (SURVEY.md §4); conversion is
@@ -53,6 +57,88 @@ def cube_rows_to_observations(cube: DataFrame) -> DataFrame:
     )
 
 
+def _normalize_observations(long_df: DataFrame) -> DataFrame:
+    """Shared ingest tail: NaN→NULL, derive partition columns."""
+    v = F.col("value")
+    return (
+        long_df.withColumn("value", F.when(F.isnan(v), F.lit(None)).otherwise(v))
+        .withColumn("year", F.year("time"))
+        .withColumn("month", F.month("time"))
+    )
+
+
+def zarr_scan(
+    spark: SparkSession,
+    store: str,
+    variable: str,
+    time_dim: str = "time",
+    lat_dim: str = "lat",
+    lon_dim: str = "lon",
+) -> DataFrame:
+    """Distributed scan of a local/shared-filesystem Zarr v2 store to
+    the long observation table ``(time, lat, lon, value)`` — no
+    xarray. The driver reads only metadata and the (tiny) coordinate
+    arrays; the (huge) variable chunks are decoded by executors: one
+    input row per chunk index, ``mapInPandas`` reads the chunk file
+    where the task runs and melts it to Arrow batches. Chunk files
+    are independent, so parallelism = chunk count — at 100 TB the
+    store sits on a shared object store/filesystem and every executor
+    pulls only its own chunks (this mirrors how a DataSourceV2 Zarr
+    reader would partition; SURVEY.md §4).
+
+    Python decode is off the declared query path (ingest conversion
+    runs once, then everything reads Parquet); it is Arrow-batched
+    and I/O-bound, not a per-row UDF.
+    """
+    from climate_data_pipelines_spark.sources import minimal_zarr as mz
+
+    meta = mz.open_array(store, variable)
+    if len(meta.shape) != 3:
+        raise ValueError(f"expected 3-D (time,lat,lon) cube, got {meta.shape}")
+    times = mz.decode_time(
+        mz.read_array(store, time_dim),
+        mz.open_array(store, time_dim).attrs.get("units", "seconds since 1970-01-01"),
+    )
+    lats = mz.read_array(store, lat_dim).astype(float)
+    lons = mz.read_array(store, lon_dim).astype(float)
+    grid = meta.chunk_grid
+    chunk_ids = [(int(i), int(j), int(k)) for i in range(grid[0])
+                 for j in range(grid[1]) for k in range(grid[2])]
+    ids = spark.createDataFrame(chunk_ids, "ci int, cj int, ck int").repartition(
+        min(len(chunk_ids), spark.sparkContext.defaultParallelism)
+    )
+    bc = spark.sparkContext.broadcast(
+        {"store": store, "variable": variable, "meta": meta,
+         "times": times, "lats": lats, "lons": lons}
+    )
+
+    def decode(batches):
+        import numpy as np
+        import pandas as pd
+
+        from climate_data_pipelines_spark.sources import minimal_zarr as mz
+
+        b = bc.value
+        m, ct, cy, cx = b["meta"], *b["meta"].chunks
+        for pdf in batches:
+            for ci, cj, ck in pdf.itertuples(index=False):
+                block = mz.read_chunk(b["store"], b["variable"], m, (ci, cj, ck))
+                nt, ny, nx = block.shape
+                t = b["times"][ci * ct : ci * ct + nt]
+                la = b["lats"][cj * cy : cj * cy + ny]
+                lo = b["lons"][ck * cx : ck * cx + nx]
+                yield pd.DataFrame(
+                    {
+                        "time": np.repeat(t, ny * nx),
+                        "lat": np.tile(np.repeat(la, nx), nt),
+                        "lon": np.tile(lo, nt * ny),
+                        "value": block.astype(float).ravel(),
+                    }
+                )
+
+    return ids.mapInPandas(decode, "time timestamp, lat double, lon double, value double")
+
+
 def zarr_to_parquet(
     spark: SparkSession,
     zarr_url: str,
@@ -60,18 +146,19 @@ def zarr_to_parquet(
     out_path: str,
     timesteps_per_batch: int = 12,
 ) -> None:
-    """Convert a cloud Zarr cube to month-partitioned long-format
-    Parquet. Driver-side loop over timestep batches (each batch is one
-    Spark job); executors do the melt + write. Requires xarray+zarr.
+    """Convert a Zarr cube to month-partitioned long-format Parquet.
+
+    With xarray installed: driver-side loop over timestep batches
+    (each batch is one Spark job); executors do the melt + write.
+    Without it: the ``minimal_zarr`` distributed path (``zarr_scan``)
+    — executors decode chunks in parallel, one job total.
     """
     try:
         import xarray as xr  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - env-dependent
-        raise NotImplementedError(
-            "xarray/zarr are not installed here; run this ingest job in an "
-            "environment with `pip install xarray zarr s3fs`, or read the "
-            "already-converted Parquet directly (TESTDATA.md fixtures)."
-        ) from exc
+    except ImportError:  # pragma: no cover - env-dependent
+        obs = _normalize_observations(zarr_scan(spark, zarr_url, variable))
+        obs.write.mode("append").partitionBy("year", "month").parquet(out_path)
+        return
 
     ds = xr.open_dataset(zarr_url, engine="zarr", consolidated=True)
     da = ds[variable]
