@@ -7,6 +7,8 @@ Prints ONE JSON line:
 Each query executes its full plan via the noop sink (distributed
 execution, nothing collected to the driver). JVM/session startup is
 excluded; a warmup query primes the JIT + parquet footer caches.
+Each query is timed as the MEDIAN OF 3 runs (single-shot timings are
+cold-codegen dominated and ±20% noisy under machine load).
 """
 
 from __future__ import annotations
@@ -14,6 +16,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -38,7 +41,13 @@ HEADLINE = [
     "q39_word_count",
     "q41_minhash_signatures",
     "q44_quality_score",
+    # round-2 heavy additions (appended — the original 15 keep their
+    # cross-round comparability)
+    "q90_dedup_clusters",
+    "q114_corpus_curation",
 ]
+
+REPEATS = 3
 
 
 def main() -> None:
@@ -62,9 +71,12 @@ def main() -> None:
         spec = REGISTRY.get(name)
         if spec is None:
             continue
-        t0 = time.perf_counter()
-        run(spec.fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            run(spec.fn(spark, sf_dir))
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 3)
 
     out = {
         "metric": "headline_queries_total",
@@ -72,6 +84,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "repeats": REPEATS,
     }
     print(json.dumps(out))
 

@@ -216,18 +216,34 @@ def land_grid(
     spark,
     lat_res: float = DEFAULT_LAT_RES,
     lon_res: float = DEFAULT_LON_RES,
+    mask_parquet: str | None = None,
 ) -> DataFrame:
-    """Generate the land-cell dimension table (SURVEY.md §7.2 M2:
-    'precompute the mask grid once as a Parquet dim table').
+    """The land-cell dimension table (SURVEY.md §7.2 M2: 'precompute
+    the mask grid once as a Parquet dim table').
 
-    Grid cells for the full globe at the given resolution with a
-    deterministic land/ocean flag. The real pipeline derives the flag
-    from the global-land-mask dataset (not installed here); this
-    generator uses a coarse continent-box heuristic so the SHAPE and
-    the join plan are production-real: ~208k rows at MERRA-2
-    resolution (BASELINE.md), always broadcastable. Built with
-    sequence+explode — no driver-side loop, no collect.
+    Production path: pass ``mask_parquet`` (or set
+    ``SPARK_GRAFT_LAND_MASK``) pointing at a parquet land grid with
+    ``lat``/``lon`` columns (and optionally a boolean ``is_land`` to
+    filter on) — e.g. one exported offline from the public
+    global-land-mask dataset the reference consults per-point
+    (reference pipelines/precipitation_pipeline.py:160). That dataset
+    is not installed/downloadable in this container, so tests fall
+    back to a coarse continent-box heuristic whose flag values are
+    NOT geographically exact — documented parity gap — while the
+    SHAPE and the join plan are production-real: ~208k rows at
+    MERRA-2 resolution (BASELINE.md), always broadcastable. Built
+    with sequence+explode — no driver-side loop, no collect.
     """
+    import os
+
+    mask_parquet = mask_parquet or os.environ.get("SPARK_GRAFT_LAND_MASK")
+    if mask_parquet:
+        dim = spark.read.parquet(mask_parquet)
+        if "is_land" in dim.columns:
+            dim = dim.filter(F.col("is_land"))
+        return dim.select(
+            F.col("lat").cast("double"), F.col("lon").cast("double")
+        )
     lat_steps = int(round(180.0 / lat_res))
     lon_steps = int(round(360.0 / lon_res))
     cells = (

@@ -307,28 +307,33 @@ def connected_components(
     labels = labels.localCheckpoint(eager=True)
     sym = sym.localCheckpoint(eager=True)
 
+    def _label_sum(lbls: DataFrame):
+        # exact decimal sum — labels only ever DECREASE under min-
+        # propagation, so an unchanged total <=> a fixed point; this
+        # replaces a join-based changed-count with a single scan+agg
+        # job per round (no shuffle of the label table).
+        return lbls.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).collect()[0][0]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iter):
         neighbor_lbls = (
             labels.join(sym, labels[node_col] == sym["src"])
             .select(F.col("dst").alias(node_col), F.col("component"))
         )
-        new_labels = (
+        labels = (
             labels.unionByName(neighbor_lbls)
             .groupBy(node_col)
             .agg(F.min("component").alias("component"))
         ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), node_col)
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = _label_sum(labels)
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} iterations "
-            f"({changed} labels still changing); raise max_iter"
+            "(labels still changing); raise max_iter"
         )
     return labels

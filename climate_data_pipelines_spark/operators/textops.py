@@ -7,7 +7,7 @@ once, derive everything from the token array. No Python in the plan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from climate_data_pipelines_spark.functions.text import (
     WORD_RE,
@@ -46,6 +46,21 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def quality_predicate(text_col: str = "text") -> Column:
+    """The boolean quality gate as a standalone Column expression so
+    batch (``quality_score``/``training.curate``) and streaming
+    (``streaming.jobs.curate_documents_stream``) share ONE
+    definition: length >= 10 tokens, mean word length in [2, 12],
+    distinct-token ratio >= 0.1. Stateless narrow map."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    mean_wl = F.aggregate(
+        toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
+    ) / n.cast("double")
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n.cast("double")
+    return (n >= 10) & (mean_wl >= 2.0) & (mean_wl <= 12.0) & (distinct_ratio >= 0.1)
+
+
 def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Quality scoring: length / mean word length / stopword ratio /
     distinct-token ratio (SURVEY.md §2.11 'quality scoring').
@@ -68,12 +83,7 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         (F.round(mean_wl * p, 0) / p).alias("mean_word_len"),
         (F.round(stop_ratio * p, 0) / p).alias("stopword_ratio"),
         (F.round(distinct_ratio * p, 0) / p).alias("distinct_ratio"),
-        (
-            (n >= 10)
-            & (mean_wl >= 2.0)
-            & (mean_wl <= 12.0)
-            & (distinct_ratio >= 0.1)
-        ).alias("passes_quality"),
+        quality_predicate(text_col).alias("passes_quality"),
     )
 
 
@@ -253,3 +263,67 @@ def vocab_topk(
     return freqs.orderBy(
         F.desc("doc_freq"), F.desc("term_freq"), F.asc("token")
     ).limit(k)
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_tokens: int = 8,
+) -> DataFrame:
+    """Corpus-wide line-level dedup (the CCNet/Dolma boilerplate
+    remover): segment each document into fixed-width token lines,
+    drop every line whose exact text already occurred earlier in the
+    corpus (first occurrence by (doc_id, line_id) is the keeper),
+    reassemble the survivors in order. Documents reduced to zero
+    lines drop out (pure-boilerplate filter).
+
+    Built as posexplode → keyed aggregations, NOT as a
+    transform(sequence, i -> slice(toks, ...)) expression: Catalyst's
+    projection collapse re-inlines the tokenizer per lambda element
+    (the minhash-shingling trap, functions/text.py:39-51), which
+    would be O(n²) per document. The exploded form is linear, its
+    shuffles are keyed on (doc, line) / line-text — both map-side
+    combined — and the first-occurrence choice is a min-struct
+    aggregate, not a window over the whole corpus.
+
+    Returns (doc_id, n_lines_kept, text_dedup).
+    """
+    tok = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "token")
+    )
+    lines = (
+        tok.withColumn("line_id", (F.col("pos") / line_tokens).cast("int"))
+        .groupBy(id_col, "line_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                    lambda s: s["token"],
+                ),
+                " ",
+            ).alias("line")
+        )
+    )
+    keepers = lines.groupBy("line").agg(
+        F.min(F.struct(F.col(id_col), F.col("line_id"))).alias("k")
+    )
+    kept = lines.join(
+        keepers.select(
+            F.col("line"),
+            F.col(f"k.{id_col}").alias(id_col),
+            F.col("k.line_id").alias("line_id"),
+        ),
+        [id_col, "line_id", "line"],
+        "left_semi",
+    )
+    return kept.groupBy(id_col).agg(
+        F.count("*").alias("n_lines_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_id", "line"))),
+                lambda s: s["line"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+    )

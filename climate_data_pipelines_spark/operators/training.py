@@ -260,3 +260,88 @@ def upsample_fractional(
         F.array().cast("array<int>")
     )
     return df.withColumn("copy_idx", F.explode(seq))
+
+
+def bigram_lm_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-trained bigram language-model fluency score (the
+    perplexity-style quality signal of training-data pipelines): train
+    MLE bigram probabilities P(w2|w1) = c(w1 w2)/c(w1 ·) on the corpus
+    itself, then score each document by its mean log-probability.
+    Low-scoring docs are the disfluent/boilerplate tail.
+
+    Plan: one explode to bigrams; two vocab-sized hash aggs (bigram
+    counts, then context counts derived FROM the bigram counts — the
+    corpus is never re-scanned); score joins are on vocab-sized dims,
+    co-partitioned by key (broadcastable while the vocab fits, AQE
+    decides). Docs under 2 tokens are excluded (no bigram evidence).
+    Trained-on-self means every doc bigram has count >= 1 — no zero
+    probabilities, no smoothing constant to pick.
+    """
+    from climate_data_pipelines_spark.functions.text import shingles, tokens
+
+    eligible = df.filter(F.size(tokens(text_col)) >= 2)
+    bi = eligible.select(
+        F.col(id_col), F.explode(shingles(text_col, 2)).alias("bigram")
+    )
+    bigram_counts = bi.groupBy("bigram").agg(F.count("*").alias("c_bi"))
+    ctx_counts = bigram_counts.groupBy(
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1")
+    ).agg(F.sum("c_bi").alias("c_w1"))
+    scored = (
+        bi.join(bigram_counts, "bigram")
+        .withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+        .join(ctx_counts, "w1")
+    )
+    lp = F.log(F.col("c_bi").cast("double") / F.col("c_w1").cast("double"))
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.avg(lp).alias("avg_logprob"),
+    )
+
+
+def chunk_windows(
+    df: DataFrame,
+    window: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping fixed-width context windows (the training-example
+    chunker: long documents become window-sized examples every
+    `stride` tokens, so content near chunk boundaries appears in two
+    examples and no context is lost).
+
+    Each exploded token emits the (bounded, <= ceil(window/stride))
+    chunk ids it belongs to, then one keyed agg per (doc, chunk)
+    reassembles ordered chunk text — linear in corpus size times the
+    overlap factor, map-side combined; no per-row quadratic
+    expression (the projection-collapse trap) and no window function
+    over the exploded table.
+
+    Returns (doc_id, chunk_id, n_tokens, chunk_text).
+    """
+    from climate_data_pipelines_spark.functions.text import tokens
+
+    if not (0 < stride <= window):
+        raise ValueError("need 0 < stride <= window")
+    tok = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "token")
+    )
+    pos = F.col("pos").cast("double")
+    lo = F.greatest(
+        F.lit(0), F.ceil((pos - F.lit(window - 1)) / F.lit(stride)).cast("int")
+    )
+    hi = F.floor(pos / F.lit(stride)).cast("int")
+    chunked = tok.withColumn("chunk_id", F.explode(F.sequence(lo, hi)))
+    return chunked.groupBy(id_col, "chunk_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                lambda s: s["token"],
+            ),
+            " ",
+        ).alias("chunk_text"),
+    )

@@ -2884,6 +2884,107 @@ def q117(spark, sf_dir):
     )
 
 
+@query(
+    "q118_bigram_lm_score",
+    """WITH t AS (SELECT doc_id,
+                    list_filter(string_split(text, ' '), x -> x != '') AS toks
+                  FROM documents),
+         g AS (SELECT doc_id,
+                      unnest([array_to_string(list_slice(toks, i, i + 1), ' ')
+                              FOR i IN generate_series(1, len(toks) - 1)]) AS bigram
+               FROM t WHERE len(toks) >= 2),
+         bc AS (SELECT bigram, COUNT(*) AS c_bi FROM g GROUP BY 1),
+         ctx AS (SELECT split_part(bigram, ' ', 1) AS w1, SUM(c_bi) AS c_w1
+                 FROM bc GROUP BY 1)
+       SELECT doc_id,
+              COUNT(*) AS n_bigrams,
+              ROUND(AVG(ln(CAST(c_bi AS DOUBLE) / CAST(c_w1 AS DOUBLE))) * 10000) / 10000
+                AS avg_logprob
+       FROM g
+       JOIN bc USING (bigram)
+       JOIN ctx ON split_part(g.bigram, ' ', 1) = ctx.w1
+       GROUP BY doc_id""",
+    "Corpus-trained bigram LM fluency score (perplexity-style quality "
+    "signal): MLE P(w2|w1) from the corpus's own bigram counts, mean "
+    "log-prob per document — one explode, two vocab-sized aggs, "
+    "vocab-dim joins (SURVEY.md §2.11 quality scoring).",
+)
+def q118(spark, sf_dir):
+    out = training.bigram_lm_score(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        oround(F.col("avg_logprob"), 4).alias("avg_logprob"),
+    )
+
+
+@query(
+    "q119_line_dedup",
+    """WITH t AS (SELECT doc_id,
+                    list_filter(string_split(text, ' '), x -> x != '') AS toks
+                  FROM documents),
+         tok AS (SELECT doc_id, u.i - 1 AS pos, toks[u.i] AS token
+                 FROM t, UNNEST(generate_series(1, len(toks))) AS u(i)),
+         lines AS (SELECT doc_id, CAST(FLOOR(pos / 8) AS INT) AS line_id,
+                          string_agg(token, ' ' ORDER BY pos) AS line
+                   FROM tok GROUP BY 1, 2),
+         kept AS (SELECT doc_id, line_id, line
+                  FROM (SELECT *, row_number() OVER
+                          (PARTITION BY line ORDER BY doc_id, line_id) AS rn
+                        FROM lines)
+                  WHERE rn = 1)
+       SELECT doc_id,
+              COUNT(*) AS n_lines_kept,
+              md5(string_agg(line, ' ' ORDER BY line_id)) AS text_md5
+       FROM kept GROUP BY doc_id""",
+    "Corpus-wide line-level dedup (CCNet/Dolma boilerplate removal): "
+    "fixed-width token lines, drop repeat occurrences keeping the "
+    "first (min (doc_id,line_id)), reassemble survivors in order — "
+    "posexplode + keyed aggs, no window over the corpus on the Spark "
+    "side (min-struct agg instead), linear at 100 TB.",
+)
+def q119(spark, sf_dir):
+    out = textops.line_dedup(_t(spark, sf_dir, "documents"), line_tokens=8)
+    return out.select(
+        "doc_id",
+        F.col("n_lines_kept").cast("long").alias("n_lines_kept"),
+        F.md5(F.col("text_dedup")).alias("text_md5"),
+    )
+
+
+@query(
+    "q120_chunk_windows",
+    """WITH t AS (SELECT doc_id,
+                    list_filter(string_split(text, ' '), x -> x != '') AS toks
+                  FROM documents),
+         tok AS (SELECT doc_id, u.i - 1 AS pos, toks[u.i] AS token
+                 FROM t, UNNEST(generate_series(1, len(toks))) AS u(i)),
+         assigned AS (SELECT doc_id, pos, token,
+                        unnest(generate_series(
+                          GREATEST(0, CAST(ceil((pos - 15) / 12.0) AS INT)),
+                          CAST(floor(pos / 12.0) AS INT))) AS chunk_id
+                      FROM tok)
+       SELECT doc_id, chunk_id,
+              COUNT(*) AS n_tokens,
+              md5(string_agg(token, ' ' ORDER BY pos)) AS chunk_md5
+       FROM assigned GROUP BY 1, 2""",
+    "Overlapping fixed-width context windows (window=16, stride=12): "
+    "the training-example chunker — each token emits its bounded set "
+    "of chunk ids, one keyed agg reassembles ordered chunk text; "
+    "linear x overlap factor, no per-row quadratic expression.",
+)
+def q120(spark, sf_dir):
+    out = training.chunk_windows(
+        _t(spark, sf_dir, "documents"), window=16, stride=12
+    )
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.md5(F.col("chunk_text")).alias("chunk_md5"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering
 # ---------------------------------------------------------------------------

@@ -58,6 +58,9 @@ def get_spark(
         # no ns timestamp — read as long, convert ns→µs at ingest
         # (catalog.load_table).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Python DataSource scans (e.g. the native Zarr source) may
+        # implement pushFilters — let the planner use it
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         # quieter local runs
         .config("spark.ui.showConsoleProgress", "false")

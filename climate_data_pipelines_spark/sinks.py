@@ -105,3 +105,103 @@ def foreach_partition_shell(df: DataFrame, make_cmd) -> None:
         make_cmd(partition)
 
     df.foreachPartition(run)
+
+
+_VIEWER_TEMPLATE = """<!DOCTYPE html>
+<html lang="en">
+<head>
+<meta charset="utf-8"/>
+<meta name="viewport" content="width=device-width, initial-scale=1"/>
+<title>__VARIABLE__ viewer</title>
+<script src="https://unpkg.com/maplibre-gl@3/dist/maplibre-gl.js"></script>
+<link href="https://unpkg.com/maplibre-gl@3/dist/maplibre-gl.css" rel="stylesheet"/>
+<style>
+ html,body{height:100%;margin:0}
+ #map{height:100%}
+ #panel{position:fixed;top:.75rem;left:.75rem;z-index:10;background:#fffefa;
+   border:1px solid #999;border-radius:6px;padding:.6rem .8rem;font:14px system-ui}
+ #status{position:fixed;bottom:.75rem;left:.75rem;z-index:10;background:#222;
+   color:#eee;padding:.4rem .6rem;font:12px monospace;border-radius:4px}
+</style>
+</head>
+<body>
+<div id="map"></div>
+<div id="panel">
+  <strong>__VARIABLE__</strong><br/>
+  <label>period
+    <select id="period">__PERIOD_OPTIONS__</select>
+  </label>
+  <label>opacity
+    <input id="alpha" type="range" min="0" max="100" value="80"/>
+  </label>
+</div>
+<div id="status">layer: <span id="layer">-</span></div>
+<script>
+ const TILESERVER = "__TILESERVER__";
+ const VARIABLE = "__VARIABLE__";
+ const map = new maplibregl.Map({
+   container: "map",
+   style: {version: 8, sources: {}, layers: [
+     {id: "bg", type: "background", paint: {"background-color": "#0b2239"}}]},
+   center: [0, 20], zoom: 1.5,
+ });
+ function layerId(period) {
+   const [y, m] = period.split("-");
+   return `${VARIABLE}_${Number(m)}_${y}_land`;
+ }
+ function show(period) {
+   const id = layerId(period);
+   if (map.getLayer("data")) map.removeLayer("data");
+   if (map.getSource("data")) map.removeSource("data");
+   map.addSource("data", {type: "raster",
+     tiles: [`${TILESERVER}/data/${id}/{z}/{x}/{y}.png`], tileSize: 256});
+   map.addLayer({id: "data", type: "raster", source: "data",
+     paint: {"raster-opacity": document.getElementById("alpha").value / 100}});
+   document.getElementById("layer").textContent = id;
+ }
+ const sel = document.getElementById("period");
+ sel.addEventListener("change", () => show(sel.value));
+ document.getElementById("alpha").addEventListener("input", () => {
+   if (map.getLayer("data"))
+     map.setPaintProperty("data", "raster-opacity",
+       document.getElementById("alpha").value / 100);
+ });
+ map.on("load", () => show(sel.value));
+</script>
+</body>
+</html>
+"""
+
+
+def write_map_viewer(
+    df: DataFrame,
+    path: str,
+    variable: str = "precipitation",
+    tileserver_url: str = "http://localhost:8080",
+) -> None:
+    """K-surface parity with the reference's HTML tile viewer
+    (reference pipelines/precipitation_pipeline.py:349-602, which
+    templates a Mapbox page and hardcodes its period dropdowns): a
+    self-contained MapLibre page whose period selector is DATA-DRIVEN
+    — the distinct (year, month) pairs of the observation DataFrame,
+    collected via one tiny distinct agg (bounded by calendar
+    cardinality, never row data). Layer ids follow the tileserver
+    naming the K3-K5 sinks publish (`{var}_{month}_{year}_land`).
+    """
+    import os
+
+    periods = sorted(
+        (int(r["year"]), int(r["month"]))
+        for r in df.select("year", "month").distinct().collect()
+    )
+    options = "".join(
+        f'<option value="{y}-{m:02d}">{y}-{m:02d}</option>' for y, m in periods
+    )
+    html = (
+        _VIEWER_TEMPLATE.replace("__VARIABLE__", variable)
+        .replace("__PERIOD_OPTIONS__", options)
+        .replace("__TILESERVER__", tileserver_url)
+    )
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as fh:
+        fh.write(html)

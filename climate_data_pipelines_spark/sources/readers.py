@@ -90,27 +90,22 @@ def melt_cube(
     )
 
 
-def fetch_and_unzip(url: str, dest_dir: str) -> list[str]:
-    """S4 driver-side ingest utility (population_pipeline.py:16-25):
-    HTTP fetch + unzip into ``dest_dir``; returns extracted paths.
-    Network ingest is a driver/orchestration concern, not an engine
-    operator — files land somewhere Spark can scan. Gated: requires
-    the ``requests`` package and an allowed network egress.
+def fetch_and_unzip(url: str, dest_dir: str, timeout: int = 60) -> list[str]:
+    """S4 driver-side ingest utility (reference
+    population_pipeline.py:16-25): fetch + unzip into ``dest_dir``;
+    returns extracted paths. Network ingest is a driver/orchestration
+    concern, not an engine operator — files land somewhere Spark can
+    scan. Stdlib-only (urllib), so it also serves ``file://`` URLs,
+    which is how tests exercise it without network egress.
     """
-    try:
-        import requests  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - env-dependent
-        raise NotImplementedError(
-            "requests not installed; fetch externally and point the "
-            "engine at the downloaded files"
-        ) from exc
     import io
     import os
+    import urllib.request
     import zipfile
 
-    resp = requests.get(url, timeout=60)
-    resp.raise_for_status()
+    with urllib.request.urlopen(url, timeout=timeout) as resp:
+        payload = resp.read()
     os.makedirs(dest_dir, exist_ok=True)
-    with zipfile.ZipFile(io.BytesIO(resp.content)) as zf:
+    with zipfile.ZipFile(io.BytesIO(payload)) as zf:
         zf.extractall(dest_dir)
         return [f"{dest_dir}/{n}" for n in zf.namelist()]

@@ -92,6 +92,12 @@ def zarr_scan(
     """
     from climate_data_pipelines_spark.sources import minimal_zarr as mz
 
+    if "://" in store:
+        raise NotImplementedError(
+            "the built-in minimal Zarr reader opens local/shared-filesystem "
+            "stores only; for object-store URLs run the ingest in an "
+            "environment with `pip install xarray zarr s3fs`"
+        )
     meta = mz.open_array(store, variable)
     if len(meta.shape) != 3:
         raise ValueError(f"expected 3-D (time,lat,lon) cube, got {meta.shape}")

@@ -316,3 +316,53 @@ def streaming_tile_rollup(
             "mean_value",
         )
     )
+
+
+def read_documents_stream(spark: SparkSession, docs_dir: str) -> DataFrame:
+    """File-source stream over a directory of documents parquet files
+    — the crawl-feed shape of a continuously-ingesting corpus."""
+    ensure_session_confs(spark)
+    return (
+        spark.readStream.schema(TABLES["documents"])
+        .option("maxFilesPerTrigger", 8)
+        .parquet(docs_dir)
+    )
+
+
+def curate_documents_stream(
+    stream: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming twin of the batch curation pipeline
+    (``training.curate`` / q114): quality filter → exact dedup →
+    deterministic split, over a continuously-arriving document feed.
+
+    - The quality gate and the hash split are STATELESS projections
+      and reuse the exact batch Column expressions
+      (``textops.quality_predicate``, ``training.hash_split``) — one
+      definition, two execution modes.
+    - Exact dedup becomes ``dropDuplicatesWithinWatermark`` on the
+      normalized-content sha256 digest: state is one 32-byte key per
+      unique document inside the watermark horizon, evicted as the
+      watermark advances — bounded regardless of stream length.
+      Keeper semantics differ from batch by design: the stream keeps
+      the FIRST-SEEN copy (arrival order), batch keeps min doc_id;
+      the kept content set is identical.
+
+    Documents carry no event time, so an ingest timestamp is stamped
+    per micro-batch (processing-time dedup horizon — the crawl-dedup
+    semantics).
+    """
+    from climate_data_pipelines_spark.functions.text import normalize_text
+    from climate_data_pipelines_spark.operators.textops import quality_predicate
+    from climate_data_pipelines_spark.operators.training import hash_split
+
+    passed = stream.filter(quality_predicate("text"))
+    deduped = (
+        passed.withColumn(
+            "content_hash", F.sha2(normalize_text(F.col("text")), 256)
+        )
+        .withColumn("ingest_ts", F.current_timestamp())
+        .withWatermark("ingest_ts", watermark)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )
+    return hash_split(deduped).select("doc_id", "lang", "split")

@@ -226,3 +226,15 @@ def test_degree_days_clamped_sums(spark):
     assert len(out) == 1
     r = out[0]
     assert (r.year, r.month, r.hdd, r.cdd, r.n_obs) == (2024, 1, 8.0, 7.0, 3)
+
+
+def test_land_grid_prefers_supplied_mask_parquet(spark, tmp_path):
+    # production path: a real land-mask dim parquet (e.g. exported from
+    # the public global-land-mask grid) overrides the heuristic
+    path = str(tmp_path / "mask")
+    spark.createDataFrame(
+        [(10.0, 20.0, True), (11.0, 21.0, False), (12.0, 22.0, True)],
+        "lat double, lon double, is_land boolean",
+    ).write.parquet(path)
+    out = climate.land_grid(spark, mask_parquet=path).collect()
+    assert sorted((r.lat, r.lon) for r in out) == [(10.0, 20.0), (12.0, 22.0)]

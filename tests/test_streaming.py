@@ -239,3 +239,37 @@ def test_streaming_tile_rollup_matches_batch(spark, sf_dir, stream_dirs):
     # append mode holds back open windows; everything emitted matches batch
     for k, v in got.items():
         assert want[k] == v
+
+
+def test_curate_documents_stream_matches_batch_content_set(spark, sf_dir, stream_dirs):
+    # streaming curation must keep the same CONTENT set and split
+    # labels as batch q114; only the duplicate-keeper id may differ
+    # (first-seen vs min doc_id)
+    from climate_data_pipelines_spark.operators import training
+
+    docs_dir = f"{stream_dirs}/docs_in"
+    docs = load_table(spark, sf_dir, "documents")
+    docs.write.mode("overwrite").parquet(docs_dir)
+
+    out = jobs.curate_documents_stream(jobs.read_documents_stream(spark, docs_dir))
+    q = jobs.run_available_now(out, f"{stream_dirs}/ckpt_curate", "curated")
+    q.awaitTermination(120)
+    streamed = spark.sql("SELECT * FROM curated").collect()
+
+    batch = training.curate(docs).select("doc_id", "lang", "split").collect()
+    assert len(streamed) == len(batch)
+    # split is a pure function of doc_id — identical wherever ids agree
+    batch_split = {r.doc_id: r.split for r in batch}
+    for r in streamed:
+        if r.doc_id in batch_split:
+            assert r.split == batch_split[r.doc_id]
+    # content sets match: join each kept id back to its content hash
+    from climate_data_pipelines_spark.functions.text import normalize_text
+
+    hashed = docs.select(
+        "doc_id", F.sha2(normalize_text(F.col("text")), 256).alias("h")
+    )
+    id_to_hash = {r.doc_id: r.h for r in hashed.collect()}
+    assert {id_to_hash[r.doc_id] for r in streamed} == {
+        id_to_hash[r.doc_id] for r in batch
+    }

@@ -120,3 +120,20 @@ def test_vocab_topk_ranks_by_doc_freq(spark):
         ("apple", 2, 3),
         ("banana", 2, 3),
     ]
+
+
+def test_line_dedup_first_occurrence_wins_and_reassembles(spark):
+    # 2-token lines; doc 1 owns both lines, doc 2 repeats one of doc
+    # 1's lines and contributes a new one, doc 3 is pure boilerplate
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),          # lines: "a b", "c d"
+            (2, "a b x y"),          # "a b" is a repeat; "x y" is new
+            (3, "c d a b"),          # both lines already seen -> drops
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textops.line_dedup(df, line_tokens=2).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].n_lines_kept == 2 and out[1].text_dedup == "a b c d"
+    assert out[2].n_lines_kept == 1 and out[2].text_dedup == "x y"

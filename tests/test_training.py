@@ -6,6 +6,8 @@ from __future__ import annotations
 import datetime as dt
 import math
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from climate_data_pipelines_spark.operators import climate, training
@@ -167,3 +169,36 @@ def test_upsample_fractional_zero_and_negative_weight_drop(spark):
     )
     out = training.upsample_fractional(df, "weight").collect()
     assert {r.doc_id for r in out} == {3}
+
+
+def test_bigram_lm_score_known_corpus(spark):
+    # corpus: "a b" x2 and "a c" -> P(b|a)=2/3, P(c|a)=1/3; single-token
+    # doc excluded (no bigram evidence)
+    df = _docs(spark, [(1, "a b"), (2, "a b"), (3, "a c"), (4, "solo")])
+    out = {r.doc_id: r for r in training.bigram_lm_score(df).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].n_bigrams == 1
+    assert out[1].avg_logprob == pytest.approx(math.log(2 / 3))
+    assert out[3].avg_logprob == pytest.approx(math.log(1 / 3))
+
+
+def test_chunk_windows_overlap_and_boundaries(spark):
+    # 10 tokens, window=4, stride=3 -> chunks at 0,3,6,9:
+    # [0..3], [3..6], [6..9], [9] — boundary tokens land in 2 chunks
+    df = _docs(spark, [(1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")])
+    out = {
+        r.chunk_id: r
+        for r in training.chunk_windows(df, window=4, stride=3).collect()
+    }
+    assert set(out) == {0, 1, 2, 3}
+    assert out[0].chunk_text == "t0 t1 t2 t3"
+    assert out[1].chunk_text == "t3 t4 t5 t6"
+    assert out[2].chunk_text == "t6 t7 t8 t9"
+    assert out[3].chunk_text == "t9"
+    assert out[3].n_tokens == 1
+
+
+def test_chunk_windows_rejects_bad_stride(spark):
+    df = _docs(spark, [(1, "a b")])
+    with pytest.raises(ValueError):
+        training.chunk_windows(df, window=4, stride=5)

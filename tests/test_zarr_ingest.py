@@ -91,3 +91,55 @@ def test_zarr_to_parquet_e2e_partitions_and_null_normalization(spark, store, tmp
     assert obs.count() == values.size
     total = obs.agg({"value": "sum"}).collect()[0][0]
     assert total == pytest.approx(float(np.nansum(values)))
+
+
+def test_zarr_datasource_format_read_matches_scan(spark, store):
+    root, values, times = store
+    from climate_data_pipelines_spark.sources.zarr_datasource import ZarrDataSource
+
+    spark.dataSource.register(ZarrDataSource)
+    df = (
+        spark.read.format("zarr")
+        .option("path", root)
+        .option("variable", "precipitation")
+        .load()
+    )
+    assert df.count() == values.size
+    # the raw source is faithful: NaN cells arrive as NaN (Arrow),
+    # normalization to NULL is the ingest tail's job
+    from pyspark.sql import functions as F
+
+    assert df.filter(F.isnan("value")).count() == 1
+    total = df.filter(~F.isnan("value")).agg({"value": "sum"}).collect()[0][0]
+    assert total == pytest.approx(float(np.nansum(values)))
+
+
+def test_zarr_datasource_time_filter_prunes_chunks(spark, store):
+    root, values, times = store
+    from climate_data_pipelines_spark.sources.zarr_datasource import (
+        ZarrChunkReader,
+        ZarrDataSource,
+    )
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    spark.dataSource.register(ZarrDataSource)
+    cutoff = dt.datetime.utcfromtimestamp(int(times[2]))
+    df = (
+        spark.read.format("zarr")
+        .option("path", root)
+        .option("variable", "precipitation")
+        .load()
+        .filter(f"time >= timestamp'{cutoff.isoformat(sep=' ')}'")
+    )
+    # row-level results are exact regardless of pruning
+    assert df.count() == values[2:].size
+
+    # and the planner-side pruning drops the first time-chunk: chunks
+    # are (2,3,3) over (3,5,4) -> grid (2,2,2); time chunk 0 covers
+    # timesteps 0-1, both before the cutoff
+    rdr = ZarrChunkReader({"path": root, "variable": "precipitation"})
+    unhandled = list(rdr.pushFilters([GreaterThanOrEqual(("time",), cutoff)]))
+    assert len(unhandled) == 1  # partial pushdown: Spark re-checks rows
+    parts = rdr.partitions()
+    assert {p.ci for p in parts} == {1}
+    assert len(parts) == 4  # 1 time-chunk x 2 lat-chunks x 2 lon-chunks
