@@ -273,11 +273,13 @@ def bigram_lm_score(
 
     Plan: one explode to bigrams; two vocab-sized hash aggs (bigram
     counts, then context counts derived FROM the bigram counts — the
-    corpus is never re-scanned); score joins are on vocab-sized dims,
-    co-partitioned by key (broadcastable while the vocab fits, AQE
-    decides). Docs under 2 tokens are excluded (no bigram evidence).
-    Trained-on-self means every doc bigram has count >= 1 — no zero
-    probabilities, no smoothing constant to pick.
+    corpus is never re-scanned). The per-bigram probability dim is
+    assembled by joining the two VOCAB-sized tables first, so the big
+    exploded side is joined exactly once (broadcast while the vocab
+    fits, AQE decides; co-partitioned hash join beyond that). Docs
+    under 2 tokens are excluded (no bigram evidence). Trained-on-self
+    means every doc bigram has count >= 1 — no zero probabilities, no
+    smoothing constant to pick.
     """
     from climate_data_pipelines_spark.functions.text import shingles, tokens
 
@@ -286,18 +288,27 @@ def bigram_lm_score(
         F.col(id_col), F.explode(shingles(text_col, 2)).alias("bigram")
     )
     bigram_counts = bi.groupBy("bigram").agg(F.count("*").alias("c_bi"))
-    ctx_counts = bigram_counts.groupBy(
-        F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1")
-    ).agg(F.sum("c_bi").alias("c_w1"))
-    scored = (
-        bi.join(bigram_counts, "bigram")
-        .withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
-        .join(ctx_counts, "w1")
+    w1 = F.split_part(F.col("bigram"), F.lit(" "), F.lit(1))
+    ctx_counts = bigram_counts.groupBy(w1.alias("w1")).agg(
+        F.sum("c_bi").alias("c_w1")
     )
-    lp = F.log(F.col("c_bi").cast("double") / F.col("c_w1").cast("double"))
-    return scored.groupBy(id_col).agg(
-        F.count("*").alias("n_bigrams"),
-        F.avg(lp).alias("avg_logprob"),
+    prob_dim = (
+        bigram_counts.withColumn("w1", w1)
+        .join(ctx_counts, "w1")
+        .select(
+            "bigram",
+            F.log(F.col("c_bi").cast("double") / F.col("c_w1").cast("double")).alias(
+                "logprob"
+            ),
+        )
+    )
+    return (
+        bi.join(prob_dim, "bigram")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.avg("logprob").alias("avg_logprob"),
+        )
     )
 
 

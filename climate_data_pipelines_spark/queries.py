@@ -722,10 +722,38 @@ def q36(spark, sf_dir):
 
 @query(
     "q37_minhash_lsh_candidates",
-    None,
-    "Q37 (rows-only): MinHash+LSH near-dup candidate pairs — "
-    "shingle→signature→band→bucket-join; the equi-join on band hashes "
-    "replaces the quadratic all-pairs comparison (SURVEY.md §2.11).",
+    """WITH t AS (SELECT doc_id,
+                    list_filter(string_split(text, ' '), x -> x != '') AS toks
+                  FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                       array_to_string(list_slice(toks, i, i + 2), ' ') AS shingle
+                FROM t, UNNEST(generate_series(1, greatest(len(toks) - 2, 1))) AS u(i)),
+         hh AS (SELECT doc_id,
+                       CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS h1,
+                       CAST('0x' || substring(md5(shingle), 16, 15) AS BIGINT) AS h2
+                FROM sh),
+         sig AS (SELECT doc_id,
+                   MIN(h1 + 0 * h2) AS mh0, MIN(h1 + 1 * h2) AS mh1,
+                   MIN(h1 + 2 * h2) AS mh2, MIN(h1 + 3 * h2) AS mh3,
+                   MIN(h1 + 4 * h2) AS mh4, MIN(h1 + 5 * h2) AS mh5,
+                   MIN(h1 + 6 * h2) AS mh6, MIN(h1 + 7 * h2) AS mh7
+                 FROM hh GROUP BY doc_id),
+         buckets AS (SELECT doc_id, g.band,
+                       md5(CASE g.band
+                             WHEN 0 THEN mh0 || '|' || mh1
+                             WHEN 1 THEN mh2 || '|' || mh3
+                             WHEN 2 THEN mh4 || '|' || mh5
+                             ELSE mh6 || '|' || mh7 END) AS bh
+                     FROM sig,
+                          (SELECT unnest(generate_series(0, 3)) AS band) g)
+       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       FROM buckets a JOIN buckets b
+         ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id""",
+    "Q37 MinHash+LSH near-dup candidate pairs, oracle-checked (was "
+    "rows-only): shingle→signature→band→bucket-join; the equi-join on "
+    "(band, band_hash) replaces the quadratic all-pairs comparison. "
+    "The DuckDB twin reproduces the double-hash signatures bit-for-"
+    "bit (same md5 split as q41) and the identical banding.",
 )
 def q37(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")

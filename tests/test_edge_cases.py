@@ -111,3 +111,30 @@ def test_all_null_value_column(spark):
     )
     # NaN and NULL both dropped at the observation boundary
     assert climate.observations(df).count() == 0
+
+
+def test_new_text_ops_on_empty_and_degenerate_docs(spark):
+    from climate_data_pipelines_spark.operators import textops, training
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert textops.line_dedup(empty).count() == 0
+    assert training.chunk_windows(empty).count() == 0
+    assert training.bigram_lm_score(empty).count() == 0
+
+    degenerate = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "   ")], "doc_id long, text string"
+    )
+    # no doc has 2+ tokens -> no bigram evidence
+    assert training.bigram_lm_score(degenerate).count() == 0
+    # chunker: docs 1 and 3 have zero tokens -> no chunks; doc 2 one chunk
+    chunks = training.chunk_windows(degenerate, window=4, stride=2).collect()
+    assert [(r.doc_id, r.chunk_id, r.chunk_text) for r in chunks] == [(2, 0, "one")]
+
+
+def test_upsample_fractional_empty_and_all_zero(spark):
+    from climate_data_pipelines_spark.operators import training
+
+    empty = spark.createDataFrame([], "doc_id long, weight double")
+    assert training.upsample_fractional(empty, "weight").count() == 0
+    zeros = spark.createDataFrame([(1, 0.0), (2, 0.0)], "doc_id long, weight double")
+    assert training.upsample_fractional(zeros, "weight").count() == 0
