@@ -118,3 +118,49 @@ def test_polygonize_ring_closed_and_centered(spark, lat, lon, lat_res, lon_res):
     assert abs((max(lats) + min(lats)) / 2 - lat) < 1e-9
     assert abs((max(lons) - min(lons)) - lon_res) < 1e-9
     assert abs((max(lats) - min(lats)) - lat_res) < 1e-9
+
+
+_word = st.text(alphabet="abcdef", min_size=1, max_size=4)
+_doc = st.lists(_word, min_size=0, max_size=25).map(" ".join)
+
+
+@settings(**_SETTINGS)
+@given(
+    docs=st.lists(_doc, min_size=1, max_size=8),
+    window=st.integers(2, 6),
+)
+def test_chunk_windows_cover_every_token_in_order(spark, docs, window):
+    from climate_data_pipelines_spark.operators import training
+
+    stride = window  # non-overlapping: reassembly must reproduce the doc
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    out = training.chunk_windows(df, window=window, stride=stride).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_id, r.chunk_text))
+    for i, doc in enumerate(docs):
+        toks = doc.split()
+        if not toks:
+            assert i not in by_doc
+            continue
+        chunks = [t for _, t in sorted(by_doc[i])]
+        assert " ".join(chunks).split() == toks  # full coverage, in order
+        assert all(len(c.split()) <= window for c in chunks)
+
+
+@settings(**_SETTINGS)
+@given(docs=st.lists(_doc.filter(lambda d: d.strip()), min_size=1, max_size=8))
+def test_line_dedup_idempotent_and_loss_free_on_unique_corpus(spark, docs):
+    from climate_data_pipelines_spark.operators import textops
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    out = textops.line_dedup(df, line_tokens=4)
+    # running line_dedup on its own output changes nothing when every
+    # surviving line is unique corpus-wide (fixpoint property)
+    again = textops.line_dedup(
+        out.select(F.col("doc_id"), F.col("text_dedup").alias("text")),
+        line_tokens=4,
+    )
+    a = {(r.doc_id, r.text_dedup) for r in out.collect()}
+    b = {(r.doc_id, r.text_dedup) for r in again.collect()}
+    assert a == b
