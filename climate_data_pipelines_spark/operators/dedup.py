@@ -277,13 +277,16 @@ def connected_components(
 
     Each iteration: every node takes the min label among itself and
     its neighbors (one join + one min-aggregate, both on the node
-    key); converged when no label changes. Label = min node id in the
-    component — deterministic regardless of partitioning/iteration
-    order. Iterations needed = graph diameter (near-dup clusters are
-    shallow; max_iter bounds pathological chains). ``localCheckpoint``
+    key), then a POINTER-JUMPING compression round (each node adopts
+    its current label's label — one self-join of the label table), so
+    convergence needs O(log diameter) iterations instead of
+    O(diameter): LSH candidate graphs chain (A~B, B~C through
+    different bands), and plain propagation walks chains one hop per
+    round. Label = min node id in the component — deterministic
+    regardless of partitioning/iteration order. ``localCheckpoint``
     truncates lineage each round so the plan doesn't grow with
     iterations. The per-iteration driver action is a scalar
-    convergence count, never row data.
+    convergence sum, never row data.
 
     ``nodes``: optional 1-column frame of all node ids (isolated nodes
     become singleton components); defaults to the edge endpoints.
@@ -322,10 +325,33 @@ def connected_components(
             labels.join(sym, labels[node_col] == sym["src"])
             .select(F.col("dst").alias(node_col), F.col("component"))
         )
-        labels = (
+        propagated = (
             labels.unionByName(neighbor_lbls)
             .groupBy(node_col)
             .agg(F.min("component").alias("component"))
+        )
+        # pointer jumping: component <- label(component), applied a few
+        # times per round so compression compounds (long chains need
+        # O(diameter) plain-propagation rounds; each jump roughly
+        # doubles how far the min label has reached). Every label is a
+        # node id and every node has a label row, so the inner join is
+        # total; labels only decrease, preserving the monotone-sum
+        # convergence invariant. The jump joins are label-table-sized
+        # (one row per node), much cheaper than the edge join.
+        # ONE jump per round, chained lazily on the propagation plan:
+        # a single extra join level is safe, but stacking more jumps
+        # either re-inlines the propagation join per referenced side
+        # (exponential lineage) or, with checkpoints in between,
+        # explodes Catalyst's size-in-bytes stats product (measured
+        # OOM) — the compounding across rounds already yields
+        # exponential label reach, so one jump is the sweet spot.
+        parent = propagated.select(
+            F.col(node_col).alias("component"),
+            F.col("component").alias("grandparent"),
+        )
+        labels = (
+            propagated.join(parent, "component")
+            .select(F.col(node_col), F.col("grandparent").alias("component"))
         ).localCheckpoint(eager=True)
         cur_sum = _label_sum(labels)
         if cur_sum == prev_sum:

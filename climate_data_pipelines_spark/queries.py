@@ -1685,19 +1685,33 @@ def q40(spark, sf_dir):
 @query(
     "q90_dedup_clusters",
     """WITH RECURSIVE
-         sh AS (SELECT doc_id, source,
-                  unnest(list_distinct(list_filter(string_split(text, ' '), x -> x != ''))) AS shingle
-                FROM documents),
-         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-         common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-                    FROM sh a JOIN sh b
-                      ON a.shingle = b.shingle AND a.source = b.source
-                     AND a.doc_id < b.doc_id
-                    GROUP BY 1, 2),
-         edges AS (SELECT id_a, id_b FROM common
-                   JOIN sizes sa ON sa.doc_id = id_a
-                   JOIN sizes sb ON sb.doc_id = id_b
-                   WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5),
+         t AS (SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x != '') AS toks
+               FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                       array_to_string(list_slice(toks, i, i + 2), ' ') AS shingle
+                FROM t, UNNEST(generate_series(1, greatest(len(toks) - 2, 1))) AS u(i)),
+         hh AS (SELECT doc_id,
+                       CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS h1,
+                       CAST('0x' || substring(md5(shingle), 16, 15) AS BIGINT) AS h2
+                FROM sh),
+         sig AS (SELECT doc_id,
+                   MIN(h1 + 0 * h2) AS mh0, MIN(h1 + 1 * h2) AS mh1,
+                   MIN(h1 + 2 * h2) AS mh2, MIN(h1 + 3 * h2) AS mh3,
+                   MIN(h1 + 4 * h2) AS mh4, MIN(h1 + 5 * h2) AS mh5,
+                   MIN(h1 + 6 * h2) AS mh6, MIN(h1 + 7 * h2) AS mh7
+                 FROM hh GROUP BY doc_id),
+         buckets AS (SELECT doc_id, g.band,
+                       md5(CASE g.band
+                             WHEN 0 THEN mh0 || '|' || mh1
+                             WHEN 1 THEN mh2 || '|' || mh3
+                             WHEN 2 THEN mh4 || '|' || mh5
+                             ELSE mh6 || '|' || mh7 END) AS bh
+                     FROM sig,
+                          (SELECT unnest(generate_series(0, 3)) AS band) g),
+         edges AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                   FROM buckets a JOIN buckets b
+                     ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
          sym AS (SELECT id_a AS a, id_b AS b FROM edges
                  UNION SELECT id_b, id_a FROM edges),
          reach(src, node) AS (
@@ -1706,17 +1720,21 @@ def q40(spark, sf_dir):
              SELECT r.src, s.b FROM reach r JOIN sym s ON r.node = s.a
          )
        SELECT src AS doc_id, MIN(node) AS component FROM reach GROUP BY src""",
-    "Dedup clustering: connected components over near-dup candidate "
-    "pairs (Jaccard >= 0.5 edges) by iterative min-label propagation — "
-    "turns pairwise similarity into transitive dedup GROUPS with a "
-    "deterministic component id (min doc_id). Spark side is the "
-    "iterative join+min loop with localCheckpoint lineage truncation; "
-    "the oracle is DuckDB's recursive-CTE transitive closure — same "
-    "fixpoint, two execution strategies (SURVEY.md §2.11).",
+    "Dedup clustering: connected components over the MinHash+LSH "
+    "candidate pairs (q37's banded bucket join — the 100 TB candidate "
+    "generator; exact all-pairs Jaccard never runs at scale) by "
+    "iterative min-label propagation — turns pairwise similarity into "
+    "transitive dedup GROUPS with a deterministic component id (min "
+    "doc_id). Spark side is the iterative join+min loop with "
+    "localCheckpoint lineage truncation; the oracle reproduces the "
+    "identical signatures/banding bit-for-bit and closes them with a "
+    "recursive-CTE transitive closure — same fixpoint, two execution "
+    "strategies (SURVEY.md §2.11).",
 )
 def q90(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    edges = dedup.ngram_jaccard_pairs(docs, k=1, block_col="source", threshold=0.5)
+    sigs = dedup.minhash_signatures(docs, k=3, n_hashes=8)
+    edges = dedup.minhash_lsh_candidates(sigs, n_hashes=8, bands=4)
     return dedup.connected_components(
         edges, nodes=docs.select("doc_id"), node_col="doc_id"
     )
