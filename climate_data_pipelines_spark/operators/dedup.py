@@ -363,3 +363,38 @@ def connected_components(
             "(labels still changing); raise max_iter"
         )
     return labels
+
+
+def exact_dedup_best(
+    df: DataFrame,
+    score_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact dedup keeping the BEST copy per content cluster instead
+    of the min id — real pipelines keep the longest / highest-quality
+    duplicate (e.g. the un-truncated crawl of a page). Keeper = max
+    (score, -id): highest score, ties broken deterministically toward
+    the smallest id.
+
+    Same single-exchange shape as ``exact_dedup``: the groupBy key is
+    the 32-byte digest of normalized text and the winner is one
+    ``max_by`` aggregate (partial+final, no window over the dup
+    group), then a co-partitioned semi-join pulls the keeper rows.
+    """
+    h = F.sha2(normalize_text(F.col(text_col)), 256)
+    keys = (
+        df.select(h.alias("content_hash"), F.col(id_col), F.col(score_col))
+        .groupBy("content_hash")
+        .agg(
+            F.max_by(
+                F.col(id_col),
+                F.struct(F.col(score_col), (-F.col(id_col)).alias("neg_id")),
+            ).alias(id_col)
+        )
+    )
+    return (
+        df.withColumn("content_hash", h)
+        .join(keys, ["content_hash", id_col], "left_semi")
+        .drop("content_hash")
+    )

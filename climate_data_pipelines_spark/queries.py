@@ -3031,6 +3031,30 @@ def q120(spark, sf_dir):
     )
 
 
+@query(
+    "q121_dedup_keep_longest",
+    """WITH h AS (SELECT doc_id, lang, source, n_chars,
+                    sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS ch
+                  FROM documents),
+         k AS (SELECT doc_id,
+                      row_number() OVER (PARTITION BY ch
+                                         ORDER BY n_chars DESC, doc_id ASC) AS rn
+               FROM h)
+       SELECT h.doc_id, h.lang, h.source, h.n_chars
+       FROM h JOIN k ON h.doc_id = k.doc_id
+       WHERE k.rn = 1""",
+    "Exact dedup with a quality keeper policy: per content cluster "
+    "keep the LONGEST copy (ties -> smallest id) — real pipelines "
+    "keep the un-truncated crawl, not the min id. One max_by "
+    "aggregate on the 32-byte digest key + co-partitioned semi-join; "
+    "no window over the dup group on the Spark side.",
+)
+def q121(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.exact_dedup_best(docs, score_col="n_chars")
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering
 # ---------------------------------------------------------------------------

@@ -125,3 +125,22 @@ def test_connected_components_raises_when_iteration_bound_hit(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup.connected_components(edges, max_iter=1)
+
+
+def test_exact_dedup_best_keeps_highest_score_then_min_id(spark):
+    # same normalized content for ids 1/2/3; id 2 has the top score;
+    # ids 4/5 tie on score -> min id 4 wins
+    df = spark.createDataFrame(
+        [
+            (1, "same text", 5),
+            (2, "Same  TEXT", 9),
+            (3, "same text ", 7),
+            (4, "other", 3),
+            (5, "OTHER", 3),
+        ],
+        "doc_id long, text string, score long",
+    )
+    kept = sorted(
+        r.doc_id for r in dedup.exact_dedup_best(df, "score").collect()
+    )
+    assert kept == [2, 4]
