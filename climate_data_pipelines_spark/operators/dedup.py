@@ -79,6 +79,12 @@ def minhash_signatures(
     without changing any min() — a minhash is a min over the shingle
     *set*.
     """
+    if n_hashes > 8:
+        raise ValueError(
+            "n_hashes > 8 would overflow the 63-bit double-hash range "
+            "(h1 + i*h2 with h1,h2 < 2^60 needs i <= 7); widen the "
+            "hash family (e.g. second md5 split) before raising this"
+        )
     sh = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(text_col, k))).alias("shingle"),

@@ -144,3 +144,11 @@ def test_exact_dedup_best_keeps_highest_score_then_min_id(spark):
         r.doc_id for r in dedup.exact_dedup_best(df, "score").collect()
     )
     assert kept == [2, 4]
+
+
+def test_minhash_rejects_overflow_prone_hash_count(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    import pytest
+
+    with pytest.raises(ValueError, match="overflow"):
+        dedup.minhash_signatures(df, n_hashes=9)
