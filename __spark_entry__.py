@@ -30,17 +30,25 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    from climate_data_pipelines_spark.queries import REGISTRY
+    """One entry per implemented operator from SURVEY.md §2.
 
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    Ordered by ``queries.DRIVER_WINDOW`` (explicit per-round rotation
+    list) first, then definition order — the driver verifies the first
+    50 entries per round, and the window is how rotation is expressed
+    without mutating the registry itself.
+    """
+    from climate_data_pipelines_spark.queries import REGISTRY, driver_ordered_names
+
+    return {name: REGISTRY[name].fn for name in driver_ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each SQL-expressible query;
     rows-only entries (non-SQL-expressible ops) are omitted."""
-    from climate_data_pipelines_spark.queries import REGISTRY
+    from climate_data_pipelines_spark.queries import REGISTRY, driver_ordered_names
 
     return {
-        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
+        name: REGISTRY[name].oracle
+        for name in driver_ordered_names()
+        if REGISTRY[name].oracle is not None
     }

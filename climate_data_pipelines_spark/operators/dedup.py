@@ -71,7 +71,16 @@ def minhash_signatures(
     replaces n_hashes md5 evaluations per shingle with one — ~3× less
     hash work in the hot loop — while staying bit-reproducible in the
     DuckDB oracle (``CAST('0x'||substring(md5(s),…) AS BIGINT)``).
-    No overflow: h1,h2 < 2^60 and i ≤ 7, so h1 + 7·h2 < 2^63.
+
+    One (h1, h2) pair supports 8 hash functions without overflow
+    (h1,h2 < 2^60 and i ≤ 7 keep h1 + 7·h2 < 2^63); wider families
+    come from ADDITIONAL salted digests — family j hashes
+    ``md5('mh<j>|' || shingle)`` (family 0 is the unsalted digest, so
+    n_hashes ≤ 8 output is bit-identical to the original scheme) and
+    contributes its own (h1_j, h2_j) pair covering hash indices
+    8j…8j+7. n_hashes=64 therefore costs 8 md5s per shingle — still
+    one digest per 8 permutations, and every value reproduces exactly
+    in DuckDB (``md5('mh1|' || s)`` etc.).
 
     Plan shape: explode(distinct shingles) → groupBy(id) with n_hashes
     min() partial aggregates — map-side combined, single shuffle on id.
@@ -79,24 +88,30 @@ def minhash_signatures(
     without changing any min() — a minhash is a min over the shingle
     *set*.
     """
-    if n_hashes > 8:
-        raise ValueError(
-            "n_hashes > 8 would overflow the 63-bit double-hash range "
-            "(h1 + i*h2 with h1,h2 < 2^60 needs i <= 7); widen the "
-            "hash family (e.g. second md5 split) before raising this"
-        )
+    if not 1 <= n_hashes <= 64:
+        raise ValueError(f"n_hashes must be in [1, 64], got {n_hashes}")
     sh = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(text_col, k))).alias("shingle"),
     )
-    h = F.md5(F.col("shingle"))
-    h1 = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
-    h2 = F.conv(F.substring(h, 16, 15), 16, 10).cast("long")
-    sh = sh.select(F.col(id_col), h1.alias("_h1"), h2.alias("_h2"))
-    aggs = [
-        F.min(F.col("_h1") + F.lit(i) * F.col("_h2")).alias(f"mh{i}")
-        for i in range(n_hashes)
-    ]
+    n_families = (n_hashes + 7) // 8
+    pair_cols = []
+    for j in range(n_families):
+        salted = (
+            F.col("shingle")
+            if j == 0
+            else F.concat(F.lit(f"mh{j}|"), F.col("shingle"))
+        )
+        h = F.md5(salted)
+        pair_cols.append(F.conv(F.substring(h, 1, 15), 16, 10).cast("long").alias(f"_h1_{j}"))
+        pair_cols.append(F.conv(F.substring(h, 16, 15), 16, 10).cast("long").alias(f"_h2_{j}"))
+    sh = sh.select(F.col(id_col), *pair_cols)
+    aggs = []
+    for i in range(n_hashes):
+        j, off = divmod(i, 8)
+        aggs.append(
+            F.min(F.col(f"_h1_{j}") + F.lit(off) * F.col(f"_h2_{j}")).alias(f"mh{i}")
+        )
     return sh.groupBy(id_col).agg(*aggs)
 
 
@@ -186,6 +201,63 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def jaccard_on_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for an EXPLICIT candidate pair list — the
+    verification stage that runs after LSH banding: per-pair cost, never
+    all-pairs. ``pairs`` has (id_a, id_b); returns (id_a, id_b, jaccard).
+
+    Plan: shingle table (semi-joined down to pair endpoints, so only
+    candidate documents are ever shingled — at 100 TB the endpoint set
+    is ≪1% of the corpus) → two equi-joins pairs⋈shingles on the ids +
+    shingle equality → per-pair common count → sizes join → Jaccard.
+    Pairs sharing zero shingles still return (jaccard = 0) via a left
+    join, so thresholding is the caller's choice.
+    """
+    endpoints = pairs.select(F.col("id_a").alias(id_col)).unionByName(
+        pairs.select(F.col("id_b").alias(id_col))
+    ).distinct()
+    sh = (
+        df.join(endpoints, id_col, "left_semi")
+        .select(
+            F.col(id_col),
+            F.explode(F.array_distinct(shingles(text_col, k))).alias("shingle"),
+        )
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    common = (
+        pairs.join(
+            sh.select(F.col(id_col).alias("id_a"), F.col("shingle")), "id_a"
+        )
+        .join(
+            sh.select(F.col(id_col).alias("id_b"), F.col("shingle")),
+            ["id_b", "shingle"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        pairs.join(common, ["id_a", "id_b"], "left")
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.coalesce(F.col("n_common"), F.lit(0))
+                / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_common"), F.lit(0)))
+            ).alias("jaccard"),
+        )
     )
 
 
@@ -294,8 +366,18 @@ def connected_components(
     iterations. The per-iteration driver action is a scalar
     convergence sum, never row data.
 
-    ``nodes``: optional 1-column frame of all node ids (isolated nodes
-    become singleton components); defaults to the edge endpoints.
+    ``nodes``: optional 1-column frame of all node ids — ids not on any
+    edge come back as singleton components. The ITERATION always runs
+    over the edge endpoints only: in a near-dup corpus the candidate
+    subgraph is ≪1% of the documents, and carrying billions of
+    singleton rows through every propagate+jump+checkpoint round is the
+    difference between an O(edges·log d) job and an O(corpus·log d)
+    one at 100 TB. Singletons are attached AFTER convergence with one
+    left-anti join + union — same output, per-round cost sized by the
+    subgraph. This also keeps the monotone-sum convergence invariant
+    unconditional: the iterated node set is exactly the endpoint set
+    from round 0, so a caller-supplied ``nodes`` frame (superset,
+    subset, or overlapping) can never perturb the sum mid-flight.
     Returns (node, component).
 
     Raises RuntimeError if propagation has not converged after
@@ -308,13 +390,10 @@ def connected_components(
     sym = edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).unionByName(
         edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     )
-    if nodes is None:
-        base = sym.select(F.col("src").alias(node_col)).distinct()
-    else:
-        base = nodes.select(F.col(nodes.columns[0]).alias(node_col)).distinct()
+    sym = sym.localCheckpoint(eager=True)
+    base = sym.select(F.col("src").alias(node_col)).distinct()
     labels = base.select(F.col(node_col), F.col(node_col).alias("component"))
     labels = labels.localCheckpoint(eager=True)
-    sym = sym.localCheckpoint(eager=True)
 
     def _label_sum(lbls: DataFrame):
         # exact decimal sum — labels only ever DECREASE under min-
@@ -368,6 +447,17 @@ def connected_components(
             f"connected_components did not converge in {max_iter} iterations "
             "(labels still changing); raise max_iter"
         )
+    if nodes is not None:
+        # attach isolated nodes as singletons: one anti-join against the
+        # endpoint set + union — outside the iteration, so the loop cost
+        # stays proportional to the candidate subgraph, not the corpus
+        singletons = (
+            nodes.select(F.col(nodes.columns[0]).alias(node_col))
+            .distinct()
+            .join(base, node_col, "left_anti")
+            .select(F.col(node_col), F.col(node_col).alias("component"))
+        )
+        labels = labels.unionByName(singletons)
     return labels
 
 
@@ -379,13 +469,15 @@ def exact_dedup_best(
 ) -> DataFrame:
     """Exact dedup keeping the BEST copy per content cluster instead
     of the min id — real pipelines keep the longest / highest-quality
-    duplicate (e.g. the un-truncated crawl of a page). Keeper = max
-    (score, -id): highest score, ties broken deterministically toward
-    the smallest id.
+    duplicate (e.g. the un-truncated crawl of a page). Keeper = min
+    (-score, id): highest score, ties broken deterministically toward
+    the smallest id. ``score_col`` must be numeric (it's negated);
+    ``id_col`` may be ANY orderable type — string doc_ids included —
+    since the id is only ever compared, never negated.
 
     Same single-exchange shape as ``exact_dedup``: the groupBy key is
     the 32-byte digest of normalized text and the winner is one
-    ``max_by`` aggregate (partial+final, no window over the dup
+    ``min_by`` aggregate (partial+final, no window over the dup
     group), then a co-partitioned semi-join pulls the keeper rows.
     """
     h = F.sha2(normalize_text(F.col(text_col)), 256)
@@ -393,9 +485,9 @@ def exact_dedup_best(
         df.select(h.alias("content_hash"), F.col(id_col), F.col(score_col))
         .groupBy("content_hash")
         .agg(
-            F.max_by(
+            F.min_by(
                 F.col(id_col),
-                F.struct(F.col(score_col), (-F.col(id_col)).alias("neg_id")),
+                F.struct((-F.col(score_col)).alias("neg_score"), F.col(id_col)),
             ).alias(id_col)
         )
     )

@@ -59,6 +59,52 @@ def query(name: str, oracle: str | None, doc: str = ""):
     return deco
 
 
+# MinHash parameters shared by q37/q41/q90/q122 — the Spark calls and
+# the generated DuckDB oracle CTEs below must agree on these.
+MINHASH_N = 16
+MINHASH_BANDS = 8
+
+
+def _minhash_ctes(n_hashes: int = MINHASH_N, bands: int = MINHASH_BANDS) -> str:
+    """DuckDB CTE chain t→sh→hh→sig→buckets→edges reproducing
+    ``dedup.minhash_signatures`` (k=3 shingles, Kirsch–Mitzenmacher
+    double hashing, salted md5 per 8-hash family) and
+    ``dedup.minhash_lsh_candidates`` (banded bucket join) bit-for-bit.
+    Generated rather than hand-written so widening n_hashes keeps the
+    oracle in lockstep with the Spark parameters."""
+    n_fam = (n_hashes + 7) // 8
+    hh_cols = []
+    for j in range(n_fam):
+        s = "shingle" if j == 0 else f"'mh{j}|' || shingle"
+        hh_cols.append(f"CAST('0x' || substring(md5({s}), 1, 15) AS BIGINT) AS h1_{j}")
+        hh_cols.append(f"CAST('0x' || substring(md5({s}), 16, 15) AS BIGINT) AS h2_{j}")
+    sig_cols = []
+    for i in range(n_hashes):
+        j, off = divmod(i, 8)
+        sig_cols.append(f"MIN(h1_{j} + {off} * h2_{j}) AS mh{i}")
+    r = n_hashes // bands
+    cases = []
+    for b in range(bands):
+        concat = " || '|' || ".join(f"mh{i}" for i in range(b * r, (b + 1) * r))
+        cases.append(f"WHEN {b} THEN {concat}")
+    case_sql = "CASE g.band " + " ".join(cases) + " END"
+    return f"""
+         t AS (SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x != '') AS toks
+               FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                       array_to_string(list_slice(toks, i, i + 2), ' ') AS shingle
+                FROM t, UNNEST(generate_series(1, greatest(len(toks) - 2, 1))) AS u(i)),
+         hh AS (SELECT doc_id, {', '.join(hh_cols)} FROM sh),
+         sig AS (SELECT doc_id, {', '.join(sig_cols)} FROM hh GROUP BY doc_id),
+         buckets AS (SELECT doc_id, g.band, md5({case_sql}) AS bh
+                     FROM sig,
+                          (SELECT unnest(generate_series(0, {bands - 1})) AS band) g),
+         edges AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                   FROM buckets a JOIN buckets b
+                     ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)"""
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
@@ -722,43 +768,21 @@ def q36(spark, sf_dir):
 
 @query(
     "q37_minhash_lsh_candidates",
-    """WITH t AS (SELECT doc_id,
-                    list_filter(string_split(text, ' '), x -> x != '') AS toks
-                  FROM documents),
-         sh AS (SELECT DISTINCT doc_id,
-                       array_to_string(list_slice(toks, i, i + 2), ' ') AS shingle
-                FROM t, UNNEST(generate_series(1, greatest(len(toks) - 2, 1))) AS u(i)),
-         hh AS (SELECT doc_id,
-                       CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS h1,
-                       CAST('0x' || substring(md5(shingle), 16, 15) AS BIGINT) AS h2
-                FROM sh),
-         sig AS (SELECT doc_id,
-                   MIN(h1 + 0 * h2) AS mh0, MIN(h1 + 1 * h2) AS mh1,
-                   MIN(h1 + 2 * h2) AS mh2, MIN(h1 + 3 * h2) AS mh3,
-                   MIN(h1 + 4 * h2) AS mh4, MIN(h1 + 5 * h2) AS mh5,
-                   MIN(h1 + 6 * h2) AS mh6, MIN(h1 + 7 * h2) AS mh7
-                 FROM hh GROUP BY doc_id),
-         buckets AS (SELECT doc_id, g.band,
-                       md5(CASE g.band
-                             WHEN 0 THEN mh0 || '|' || mh1
-                             WHEN 1 THEN mh2 || '|' || mh3
-                             WHEN 2 THEN mh4 || '|' || mh5
-                             ELSE mh6 || '|' || mh7 END) AS bh
-                     FROM sig,
-                          (SELECT unnest(generate_series(0, 3)) AS band) g)
-       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       FROM buckets a JOIN buckets b
-         ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id""",
+    f"""WITH{_minhash_ctes()}
+       SELECT id_a, id_b FROM edges""",
     "Q37 MinHash+LSH near-dup candidate pairs, oracle-checked (was "
     "rows-only): shingle→signature→band→bucket-join; the equi-join on "
     "(band, band_hash) replaces the quadratic all-pairs comparison. "
-    "The DuckDB twin reproduces the double-hash signatures bit-for-"
-    "bit (same md5 split as q41) and the identical banding.",
+    f"{MINHASH_N} permutations from {(MINHASH_N + 7) // 8} salted md5 "
+    "digests (Kirsch–Mitzenmacher double hashing per digest), "
+    f"{MINHASH_BANDS} bands × {MINHASH_N // MINHASH_BANDS} rows. The "
+    "DuckDB twin reproduces signatures and banding bit-for-bit "
+    "(generated CTEs — oracle stays in lockstep with the parameters).",
 )
 def q37(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    sigs = dedup.minhash_signatures(docs, k=3, n_hashes=8)
-    return dedup.minhash_lsh_candidates(sigs, n_hashes=8, bands=4)
+    sigs = dedup.minhash_signatures(docs, k=3, n_hashes=MINHASH_N)
+    return dedup.minhash_lsh_candidates(sigs, n_hashes=MINHASH_N, bands=MINHASH_BANDS)
 
 
 @query(
@@ -1628,29 +1652,19 @@ def q79(spark, sf_dir):
 
 @query(
     "q41_minhash_signatures",
-    """WITH t AS (SELECT doc_id,
-                    list_filter(string_split(text, ' '), x -> x != '') AS toks
-                  FROM documents),
-         sh AS (SELECT DISTINCT doc_id,
-                       array_to_string(list_slice(toks, i, i + 2), ' ') AS shingle
-                FROM t, UNNEST(generate_series(1, greatest(len(toks) - 2, 1))) AS u(i)),
-         hh AS (SELECT doc_id,
-                       CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS h1,
-                       CAST('0x' || substring(md5(shingle), 16, 15) AS BIGINT) AS h2
-                FROM sh)
-       SELECT doc_id,
-              MIN(h1 + 0 * h2) AS mh0, MIN(h1 + 1 * h2) AS mh1,
-              MIN(h1 + 2 * h2) AS mh2, MIN(h1 + 3 * h2) AS mh3,
-              MIN(h1 + 4 * h2) AS mh4, MIN(h1 + 5 * h2) AS mh5,
-              MIN(h1 + 6 * h2) AS mh6, MIN(h1 + 7 * h2) AS mh7
-       FROM hh GROUP BY doc_id""",
+    f"""WITH{_minhash_ctes()}
+       SELECT doc_id, {', '.join(f'mh{i}' for i in range(MINHASH_N))} FROM sig""",
     "Q37 scale path, oracle-checked: portable MinHash signatures via "
-    "Kirsch-Mitzenmacher double hashing — one md5 per shingle, hex "
-    "halves as h1/h2, mh_i = min(h1 + i*h2) over 3-token shingles; "
-    "explode→groupBy with map-side combine, single shuffle on doc_id.",
+    "Kirsch-Mitzenmacher double hashing — one md5 per 8-hash family "
+    f"({(MINHASH_N + 7) // 8} salted digests for {MINHASH_N} "
+    "permutations), hex halves as h1/h2, mh_i = min(h1 + i*h2) over "
+    "3-token shingles; explode→groupBy with map-side combine, single "
+    "shuffle on doc_id.",
 )
 def q41(spark, sf_dir):
-    return dedup.minhash_signatures(_t(spark, sf_dir, "documents"), k=3, n_hashes=8)
+    return dedup.minhash_signatures(
+        _t(spark, sf_dir, "documents"), k=3, n_hashes=MINHASH_N
+    )
 
 
 @query(
@@ -1684,34 +1698,7 @@ def q40(spark, sf_dir):
 
 @query(
     "q90_dedup_clusters",
-    """WITH RECURSIVE
-         t AS (SELECT doc_id,
-                 list_filter(string_split(text, ' '), x -> x != '') AS toks
-               FROM documents),
-         sh AS (SELECT DISTINCT doc_id,
-                       array_to_string(list_slice(toks, i, i + 2), ' ') AS shingle
-                FROM t, UNNEST(generate_series(1, greatest(len(toks) - 2, 1))) AS u(i)),
-         hh AS (SELECT doc_id,
-                       CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS h1,
-                       CAST('0x' || substring(md5(shingle), 16, 15) AS BIGINT) AS h2
-                FROM sh),
-         sig AS (SELECT doc_id,
-                   MIN(h1 + 0 * h2) AS mh0, MIN(h1 + 1 * h2) AS mh1,
-                   MIN(h1 + 2 * h2) AS mh2, MIN(h1 + 3 * h2) AS mh3,
-                   MIN(h1 + 4 * h2) AS mh4, MIN(h1 + 5 * h2) AS mh5,
-                   MIN(h1 + 6 * h2) AS mh6, MIN(h1 + 7 * h2) AS mh7
-                 FROM hh GROUP BY doc_id),
-         buckets AS (SELECT doc_id, g.band,
-                       md5(CASE g.band
-                             WHEN 0 THEN mh0 || '|' || mh1
-                             WHEN 1 THEN mh2 || '|' || mh3
-                             WHEN 2 THEN mh4 || '|' || mh5
-                             ELSE mh6 || '|' || mh7 END) AS bh
-                     FROM sig,
-                          (SELECT unnest(generate_series(0, 3)) AS band) g),
-         edges AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-                   FROM buckets a JOIN buckets b
-                     ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+    f"""WITH RECURSIVE{_minhash_ctes()},
          sym AS (SELECT id_a AS a, id_b AS b FROM edges
                  UNION SELECT id_b, id_a FROM edges),
          reach(src, node) AS (
@@ -1722,21 +1709,70 @@ def q40(spark, sf_dir):
        SELECT src AS doc_id, MIN(node) AS component FROM reach GROUP BY src""",
     "Dedup clustering: connected components over the MinHash+LSH "
     "candidate pairs (q37's banded bucket join — the 100 TB candidate "
-    "generator; exact all-pairs Jaccard never runs at scale) by "
-    "iterative min-label propagation — turns pairwise similarity into "
-    "transitive dedup GROUPS with a deterministic component id (min "
-    "doc_id). Spark side is the iterative join+min loop with "
-    "localCheckpoint lineage truncation; the oracle reproduces the "
+    "generator). Candidates are INTENTIONALLY unverified here — this "
+    "query exercises the raw LSH→CC path; q122 is the "
+    "production-shaped variant with the per-pair exact-Jaccard "
+    "verification stage in between. Iterative min-label propagation "
+    "runs over the edge-endpoint subgraph ONLY (≪1% of a real corpus); "
+    "singletons attach after convergence via one anti-join — per-round "
+    "cost is sized by edges, not corpus. The oracle reproduces the "
     "identical signatures/banding bit-for-bit and closes them with a "
     "recursive-CTE transitive closure — same fixpoint, two execution "
     "strategies (SURVEY.md §2.11).",
 )
 def q90(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    sigs = dedup.minhash_signatures(docs, k=3, n_hashes=8)
-    edges = dedup.minhash_lsh_candidates(sigs, n_hashes=8, bands=4)
+    sigs = dedup.minhash_signatures(docs, k=3, n_hashes=MINHASH_N)
+    edges = dedup.minhash_lsh_candidates(sigs, n_hashes=MINHASH_N, bands=MINHASH_BANDS)
     return dedup.connected_components(
         edges, nodes=docs.select("doc_id"), node_col="doc_id"
+    )
+
+
+@query(
+    "q122_verified_dedup_clusters",
+    f"""WITH RECURSIVE{_minhash_ctes()},
+         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         common AS (SELECT e.id_a, e.id_b, COUNT(*) AS n_common
+                    FROM edges e
+                    JOIN sh a ON a.doc_id = e.id_a
+                    JOIN sh b ON b.doc_id = e.id_b AND b.shingle = a.shingle
+                    GROUP BY 1, 2),
+         ver AS (SELECT c.id_a, c.id_b
+                 FROM common c
+                 JOIN sizes sa ON sa.doc_id = c.id_a
+                 JOIN sizes sb ON sb.doc_id = c.id_b
+                 WHERE CAST(n_common AS DOUBLE)
+                       / (sa.n_sh + sb.n_sh - n_common) >= 0.5),
+         sym AS (SELECT id_a AS a, id_b AS b FROM ver
+                 UNION SELECT id_b, id_a FROM ver),
+         reach(src, node) AS (
+             SELECT doc_id, doc_id FROM documents
+           UNION
+             SELECT r.src, s.b FROM reach r JOIN sym s ON r.node = s.a
+         )
+       SELECT src AS doc_id, MIN(node) AS component FROM reach GROUP BY src""",
+    "Production near-dup pipeline, all three stages: LSH banding "
+    "generates candidates (no all-pairs), exact n-gram Jaccard "
+    "VERIFIES each candidate pair (per-pair cost — only endpoint "
+    "documents are re-shingled, a semi-join at 100 TB), and connected "
+    "components clusters the verified edges. Verification kills the "
+    "false-positive band collisions that would otherwise transitively "
+    "merge unrelated documents into one dedup group (the q90 caveat). "
+    "Oracle replays candidates bit-for-bit, applies the identical "
+    "Jaccard >= 0.5 gate, and closes with a recursive CTE.",
+)
+def q122(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, k=3, n_hashes=MINHASH_N)
+    cand = dedup.minhash_lsh_candidates(sigs, n_hashes=MINHASH_N, bands=MINHASH_BANDS)
+    ver = (
+        dedup.jaccard_on_pairs(docs, cand, k=3)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b")
+    )
+    return dedup.connected_components(
+        ver, nodes=docs.select("doc_id"), node_col="doc_id"
     )
 
 
@@ -2732,7 +2768,8 @@ def q110(spark, sf_dir):
                       AS token
                     FROM documents),
          per_doc AS (SELECT token, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
-         freqs AS (SELECT token, COUNT(*) AS doc_freq, SUM(tf) AS term_freq
+         freqs AS (SELECT token, COUNT(*) AS doc_freq,
+                          CAST(SUM(tf) AS BIGINT) AS term_freq
                    FROM per_doc GROUP BY 1)
        SELECT token, doc_freq, term_freq
        FROM freqs
@@ -3056,89 +3093,94 @@ def q121(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Driver correctness-window ordering
+# Driver correctness-window selection
 # ---------------------------------------------------------------------------
 #
-# The verification driver checks the FIRST 50 registry entries per round
-# (insertion order). Round 1 covered q01-q37/q72/q85-q105 (44 green); the
-# remaining 66 queries — the whole LLM-data suite among them — got no
-# driver row. The registry is therefore re-ordered here so the round-2
-# window covers the not-yet-driver-verified queries; the rotated-out
-# basics stay regression-covered by tools/check_oracle.py over all
-# entries (tests/test_queries_registry.py runs the same differential).
+# The verification driver checks the FIRST 50 entries of
+# ``__spark_entry__.queries()`` per round (dict insertion order).
+# DRIVER_WINDOW is the explicit, exported window for THIS round;
+# ``__spark_entry__`` orders its returned dicts by it. REGISTRY itself
+# stays in definition order — no import-time mutation, so registry
+# iteration order is not load-bearing hidden state (round-2 advice).
+# Queries outside the window stay regression-covered by
+# tools/check_oracle.py over all entries (tests run the same
+# differential).
 #
-# Rotation plan: round 3 promotes whatever DRIVER_WINDOW misses (q32,
-# q34, q42, q48-q57, q59, q69, q73, q84, q92 and any new queries).
+# Rotation schedule:
+#   round 1 (implicit): q01-q37, q72, q85-q105            → 44 green
+#   round 2: q99 + LLM suite + function suites + scale ops → 49 green
+#   round 3 (this list): the 22 never-driver-checked queries
+#     (q32, q34, q42, q48-q57, q59, q69, q73, q84, q92, q118-q121),
+#     q111 (r2's one red — oracle type artifact, fixed), every query
+#     whose plan or oracle changed this round (q37/q41/q90 minhash
+#     widening, q121 keeper tiebreak, new q122), and re-verification
+#     of touched-module peers (q36-q43) + round-1 classics (q01-q17,
+#     q21) that have not had a driver row since round 1.
+#   round 4+: continue rotating previously green queries back in,
+#     always including anything whose oracle or output schema changed.
 
 DRIVER_WINDOW: list[str] = [
-    "q99_map_suite",  # round-1 driver-RED (array<string> output) — fixed, prove it
-    # LLM-data suite: dedup / similarity / text analysis
+    # never driver-checked before round 3
+    "q32_geojson_feature",
+    "q34_python_udf",
+    "q42_simhash",
+    "q48_asof_join",
+    "q49_range_join",
+    "q50_sliding_window",
+    "q51_session_window",
+    "q52_dedup_rows",
+    "q53_multimodal_meta",
+    "q54_image_features",
+    "q55_ann_lsh_topk",
+    "q56_pandas_udf",
+    "q57_grouped_pandas",
+    "q59_approx_count_distinct",
+    "q69_sample",
+    "q73_ann_ivf_topk",
+    "q84_stratified_sample",
+    "q92_land_mask_grid",
+    "q118_bigram_lm_score",
+    "q119_line_dedup",
+    "q120_chunk_windows",
+    "q121_dedup_keep_longest",
+    # round-2 red (HUGEINT oracle artifact) — fixed, prove it
+    "q111_vocab_topk",
+    # changed this round (minhash family widened to 16; CC subgraph)
+    "q41_minhash_signatures",
+    "q37_minhash_lsh_candidates",
+    "q90_dedup_clusters",
+    "q122_verified_dedup_clusters",
+    # re-verification: touched-module peers
+    "q36_exact_dedup",
+    "q40_ngram_jaccard",
+    "q43_embedding_neardup",
     "q38_cosine_topk",
     "q39_word_count",
-    "q40_ngram_jaccard",
-    "q41_minhash_signatures",
-    "q43_embedding_neardup",
-    "q44_quality_score",
-    "q45_token_count",
-    "q46_fingerprint",
-    "q47_lang_id",
-    # LLM-data suite: training-pipeline ops
-    "q106_decontaminate",
-    "q107_hash_split",
-    "q108_pack_sequences",
-    "q109_tfidf_top_term",
-    "q110_per_key_trend",
-    "q111_vocab_topk",
-    "q112_shuffle_batches",
-    "q113_label_centroids",
-    "q114_corpus_curation",
-    "q115_degree_days",
-    "q116_domain_upsample",
-    "q117_fractional_upsample",
-    # function suites never driver-checked
-    "q58_cube_grouping",
-    "q60_percentiles",
-    "q61_unpivot",
-    "q62_pivot",
-    "q63_string_suite",
-    "q64_math_suite",
-    "q65_conditional_suite",
-    "q66_array_suite",
-    "q67_date_suite",
-    "q68_regexp_suite",
-    "q70_rank_suite",
-    "q71_value_windows",
-    "q93_try_functions",
-    "q94_bitwise_null_suite",
-    "q95_struct_update",
-    "q97_string_agg",
-    "q98_histogram",
-    # SQL entry points
-    "q77_grouping_sets",
-    "q78_exists_subquery",
-    "q79_scalar_subquery",
-    # scale ops
-    "q74_salted_skew_join",
-    "q75_salted_agg",
-    "q76_tile_rollup",
-    # text analysis over documents
-    "q80_redact",
-    "q81_repetition_ratio",
-    "q82_sentence_stats",
-    "q83_time_rollup",
-    # heavy iterative op
-    "q90_dedup_clusters",
+    # re-verification: round-1 classics (no driver row since r1)
+    "q01_projection",
+    "q02_time_range",
+    "q03_null_drop",
+    "q04_mask_semi_join",
+    "q05_numeric_validity",
+    "q06_broadcast_lookup_join",
+    "q07_grid_semi_join",
+    "q08_grid_anti_join",
+    "q09_multiway_join",
+    "q10_left_outer_join",
+    "q11_left_semi_join",
+    "q12_left_anti_join",
+    "q13_partition_layout",
+    "q14_distinct",
+    "q15_group_count",
+    "q16_value_per_key",
+    "q17_agg_suite",
+    "q21_sort_limit",
 ]
 
 
-def _reorder_registry(priority: list[str]) -> None:
-    """Reorder REGISTRY in place (same dict object — importers keep their
-    reference): priority names first, then the rest in definition order."""
-    head = {n: REGISTRY[n] for n in priority if n in REGISTRY}
-    tail = {n: s for n, s in REGISTRY.items() if n not in head}
-    REGISTRY.clear()
-    REGISTRY.update(head)
-    REGISTRY.update(tail)
-
-
-_reorder_registry(DRIVER_WINDOW)
+def driver_ordered_names() -> list[str]:
+    """Registry names with DRIVER_WINDOW first (window order), then the
+    rest in definition order — the order ``__spark_entry__`` exports."""
+    window = [n for n in DRIVER_WINDOW if n in REGISTRY]
+    rest = [n for n in REGISTRY if n not in set(window)]
+    return window + rest

@@ -103,6 +103,13 @@ class ZarrChunkReader(DataSourceReader):
     # -- planning ---------------------------------------------------------
 
     def pushFilters(self, filters: list[Filter]):
+        # Bounds are computed EAGERLY in a plain loop before returning:
+        # a generator's side effects only fire as the planner consumes
+        # it, and a deferred / partially-consumed iterator would leave
+        # time_lo/time_hi unset — results stay correct (every filter is
+        # re-evaluated by Spark), but partitions() would silently prune
+        # nothing. A materialized list keeps pruning state independent
+        # of consumption order.
         comparisons = (
             GreaterThan,
             GreaterThanOrEqual,
@@ -120,8 +127,8 @@ class ZarrChunkReader(DataSourceReader):
                     if isinstance(f, (LessThan, LessThanOrEqual, EqualTo)):
                         if self.time_hi is None or v < self.time_hi:
                             self.time_hi = v
-            # chunk pruning is partial — Spark re-evaluates every filter
-            yield f
+        # chunk pruning is partial — Spark re-evaluates every filter
+        return list(filters)
 
     def partitions(self):
         import numpy as np

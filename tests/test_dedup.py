@@ -146,9 +146,28 @@ def test_exact_dedup_best_keeps_highest_score_then_min_id(spark):
     assert kept == [2, 4]
 
 
-def test_minhash_rejects_overflow_prone_hash_count(spark):
+def test_minhash_wide_family(spark):
+    # n_hashes > 8 comes from additional salted digests (one md5 per
+    # 8-hash family); the first 8 columns must be bit-identical to the
+    # unsalted n_hashes=8 scheme, and no value may go negative (the
+    # would-be overflow the old <=8 cap guarded against)
+    df = _docs(spark, DOCS)
+    narrow = {r.doc_id: [r[f"mh{i}"] for i in range(8)]
+              for r in dedup.minhash_signatures(df, k=3, n_hashes=8).collect()}
+    wide = {r.doc_id: [r[f"mh{i}"] for i in range(24)]
+            for r in dedup.minhash_signatures(df, k=3, n_hashes=24).collect()}
+    for doc_id, sig in narrow.items():
+        assert wide[doc_id][:8] == sig
+        assert all(v >= 0 for v in wide[doc_id])
+    # identical docs share the whole wide signature too
+    assert wide[1] == wide[2]
+
+
+def test_minhash_rejects_out_of_range_hash_count(spark):
     df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
     import pytest
 
-    with pytest.raises(ValueError, match="overflow"):
-        dedup.minhash_signatures(df, n_hashes=9)
+    with pytest.raises(ValueError, match="n_hashes"):
+        dedup.minhash_signatures(df, n_hashes=65)
+    with pytest.raises(ValueError, match="n_hashes"):
+        dedup.minhash_signatures(df, n_hashes=0)

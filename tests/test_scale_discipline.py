@@ -73,18 +73,28 @@ def test_global_sorts_only_with_limits(plans):
 
 
 def test_driver_window_covers_priority_queries():
-    # the verification driver checks the FIRST 50 registry entries per
-    # round; pin the round-2 window so a stray registration cannot
-    # silently evict a priority query
+    # the verification driver checks the FIRST 50 entries of
+    # __spark_entry__.queries() per round; pin the round-3 window so a
+    # stray registration cannot silently evict a priority query
+    import __spark_entry__ as entry_mod
     from climate_data_pipelines_spark.queries import DRIVER_WINDOW
 
-    names = list(REGISTRY)
     assert len(DRIVER_WINDOW) == 50
-    assert names[: len(DRIVER_WINDOW)] == DRIVER_WINDOW
-    # the window exists to drive ORACLE verification — rows-only
-    # entries would waste slots on a weaker check
+    assert len(set(DRIVER_WINDOW)) == 50
+    assert all(n in REGISTRY for n in DRIVER_WINDOW)
+    # the exported dict (what the driver consumes) leads with the window
+    exported = list(entry_mod.queries())
+    assert exported[: len(DRIVER_WINDOW)] == DRIVER_WINDOW
+    assert set(exported) == set(REGISTRY)
+    # REGISTRY itself stays in definition order (no import-time
+    # reordering — round-2 advice): q01 is the first registration
+    assert next(iter(REGISTRY)).startswith("q01")
+    # round 3 deliberately admits the rows-only-by-design queries
+    # (q34/q42/q54/q55/q59/q69/q73/q84) — they have never had ANY
+    # driver row and the weaker rows-only check is still a driver row;
+    # cap the spend so oracle slots stay the majority
     weak = [n for n in DRIVER_WINDOW if REGISTRY[n].oracle is None]
-    assert weak == [], f"rows-only queries occupy window slots: {weak}"
+    assert len(weak) <= 8, f"too many rows-only window slots: {weak}"
 
 
 def test_repetition_ratio_is_linear_per_row(plans):
