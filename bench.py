@@ -45,7 +45,19 @@ HEADLINE = [
     # cross-round comparability)
     "q90_dedup_clusters",
     "q114_corpus_curation",
+    # round-3 additions: the LLM-training ops the round touched
+    "q109_tfidf_top_term",
+    "q111_vocab_topk",
+    "q118_bigram_lm_score",
+    "q119_line_dedup",
+    "q120_chunk_windows",
+    "q121_dedup_keep_longest",
+    "q122_verified_dedup_clusters",
 ]
+
+# ANN quality: rows-only queries whose real metric is recall vs the
+# exact q38 baseline — reported as "<name>_recall@10" in the JSON
+ANN_RECALL = ["q55_ann_lsh_topk", "q73_ann_ivf_topk"]
 
 REPEATS = 3
 
@@ -78,6 +90,23 @@ def main() -> None:
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 3)
 
+    # ANN recall@10 vs the exact cosine baseline (the quality metric a
+    # rows-only approximate query actually answers to)
+    recall: dict[str, float] = {}
+    exact = {}
+    for r in REGISTRY["q38_cosine_topk"].fn(spark, sf_dir).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for name in ANN_RECALL:
+        spec = REGISTRY.get(name)
+        if spec is None:
+            continue
+        approx: dict = {}
+        for r in spec.fn(spark, sf_dir).collect():
+            approx.setdefault(r["query_id"], set()).add(r["vec_id"])
+        hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+        total = sum(len(v) for v in exact.values())
+        recall[f"{name}_recall@10"] = round(hits / total, 3) if total else 0.0
+
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
@@ -85,6 +114,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "repeats": REPEATS,
+        **recall,
     }
     print(json.dumps(out))
 

@@ -96,8 +96,8 @@ def ann_ivf_topk(
     df: DataFrame,
     query_df: DataFrame,
     k: int = 10,
-    n_cells: int = 16,
-    n_probe: int = 4,
+    n_cells: int = 32,
+    n_probe: int = 12,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
@@ -202,22 +202,31 @@ def ann_lsh_topk(
     df: DataFrame,
     query_df: DataFrame,
     k: int = 10,
-    n_planes: int = 4,
-    n_tables: int = 4,
+    n_planes: int = 5,
+    n_tables: int = 8,
+    multiprobe_bits: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Approximate top-k: multi-table random-hyperplane LSH + exact
-    cosine on the candidate union (SURVEY.md §2.11 scale path).
+    """Approximate top-k: multi-table random-hyperplane LSH with
+    MULTIPROBE + exact cosine on the candidate union (SURVEY.md §2.11
+    scale path).
 
     Each of ``n_tables`` independent hash tables buckets every vector
     by n_planes sign bits; a corpus row is a candidate if it collides
     with the query in ANY table (OR-amplification — recall rises with
-    tables, precision with planes). Candidate generation is an
-    equi-join on (table, bucket); exact cosine runs only on the
-    distinct candidate set. Approximate by construction → rows-only
-    (the exact variant q38 is the oracle-checked baseline; tests gate
-    recall against it).
+    tables, precision with planes). ``multiprobe_bits=1`` additionally
+    probes every bucket at Hamming distance 1 from the query's bucket
+    (n_planes+1 probes per table, explode on the QUERY side only — the
+    corpus is still hashed once per table): a near-neighbor that
+    disagrees on a single sign bit is recovered without paying for
+    more tables, so high-dimensional inputs keep selectivity
+    (2^n_planes buckets) without the recall collapse of exact-bucket
+    matching. Candidate generation is an equi-join on (table, bucket);
+    exact cosine runs only on the distinct candidate set. Approximate
+    by construction → rows-only (the exact variant q38 is the
+    oracle-checked baseline; recall is gated in tests and reported by
+    bench.py).
     """
 
     def bucketed(frame: DataFrame, vcol: str, keep: list[str]) -> DataFrame:
@@ -236,6 +245,15 @@ def ann_lsh_topk(
     query_b = bucketed(
         query_df.withColumnRenamed("query_vec", "_qv"), "_qv", ["query_id"]
     )
+    if multiprobe_bits >= 1:
+        # probe the exact bucket plus every single-bit flip of it
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
+        )
+        query_b = query_b.select(
+            "query_id", "table", F.explode(probes).alias("bucket")
+        )
     candidates = (
         corpus_b.join(F.broadcast(query_b.select("query_id", "table", "bucket")), ["table", "bucket"])
         .filter(F.col(id_col) != F.col("query_id"))

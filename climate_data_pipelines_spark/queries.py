@@ -1766,6 +1766,11 @@ def q122(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     sigs = dedup.minhash_signatures(docs, k=3, n_hashes=MINHASH_N)
     cand = dedup.minhash_lsh_candidates(sigs, n_hashes=MINHASH_N, bands=MINHASH_BANDS)
+    # the verification stage references the candidate frame several
+    # times (endpoint set + two shingle joins); materialize the tiny
+    # pair list once instead of replaying the signature+bucket join
+    # per reference (at scale: persist/write the candidate table)
+    cand = cand.localCheckpoint(eager=True)
     ver = (
         dedup.jaccard_on_pairs(docs, cand, k=3)
         .filter(F.col("jaccard") >= 0.5)
@@ -1870,7 +1875,10 @@ def q43(spark, sf_dir):
 )
 def q55(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.ann_lsh_topk(emb, _query_vectors(spark, sf_dir), k=10, n_planes=4, n_tables=4)
+    return similarity.ann_lsh_topk(
+        emb, _query_vectors(spark, sf_dir), k=10,
+        n_planes=5, n_tables=8, multiprobe_bits=1,
+    )
 
 
 @query(
@@ -1885,7 +1893,7 @@ def q55(spark, sf_dir):
 def q73(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.ann_ivf_topk(
-        emb, _query_vectors(spark, sf_dir), k=10, n_cells=8, n_probe=3
+        emb, _query_vectors(spark, sf_dir), k=10, n_cells=32, n_probe=12
     )
 
 
