@@ -1,0 +1,220 @@
+"""Offline builder for the land-mask dimension parquet.
+
+The engine's P4 land filter (``operators/climate.py:land_grid``) is a
+broadcast semi-join against a precomputed (lat, lon, is_land) grid —
+the distributed re-expression of the reference's per-point
+``globe.is_land(lat, lon)`` calls (reference
+pipelines/precipitation_pipeline.py:160-161). This tool builds that
+grid once, offline, and writes it where ``SPARK_GRAFT_LAND_MASK``
+points; every query run then reads the real mask instead of the
+continent-box fallback.
+
+Two sources, best available wins:
+
+1. **Natural Earth 110m land polygons** (public domain) — downloaded
+   as GeoJSON when the machine has network access. This is the
+   production-parity path: the same coastline product the public
+   ``global-land-mask`` package is derived from (at coarser
+   resolution).
+2. **Embedded coarse continent outlines** — a hand-simplified,
+   clearly-approximate polygon set (tens of vertices per continent)
+   used when offline, e.g. in this container. Coarser than Natural
+   Earth but a genuine point-in-polygon coastline, not lat/lon boxes.
+
+Rasterization is vectorized numpy ray casting: for each grid latitude
+row, count polygon-edge crossings of the horizontal ray — O(cells ×
+edges) with no Python-level per-point loop.
+
+Usage:
+    python tools/build_land_mask.py OUT_DIR [--lat-res 0.5] [--lon-res 0.625]
+    SPARK_GRAFT_LAND_MASK=OUT_DIR python tools/check_oracle.py ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import urllib.request
+
+import numpy as np
+
+NE_LAND_URL = (
+    "https://raw.githubusercontent.com/nvkelso/natural-earth-vector/"
+    "master/geojson/ne_110m_land.geojson"
+)
+
+# Hand-simplified continent outlines (lon, lat), counter-clockwise.
+# APPROXIMATE by construction — island chains and fine coastline are
+# omitted; used only when Natural Earth cannot be downloaded.
+COARSE_CONTINENTS: dict[str, list[tuple[float, float]]] = {
+    "north_america": [
+        (-168, 66), (-163, 70), (-156, 71), (-140, 70), (-125, 70),
+        (-110, 73), (-95, 72), (-85, 70), (-82, 62), (-94, 59),
+        (-85, 53), (-79, 51), (-70, 60), (-65, 60), (-55, 52),
+        (-65, 47), (-70, 44), (-75, 40), (-76, 35), (-80, 32),
+        (-81, 26), (-83, 29), (-89, 30), (-94, 29), (-97, 26),
+        (-97, 22), (-95, 19), (-90, 21), (-87, 16), (-83, 9),
+        (-79, 9), (-77, 8), (-81, 1), (-85, 10), (-92, 15),
+        (-97, 16), (-105, 20), (-110, 23), (-114, 28), (-117, 33),
+        (-122, 37), (-124, 43), (-124, 48), (-132, 55), (-140, 59),
+        (-150, 59), (-155, 58), (-162, 55), (-165, 60), (-168, 66),
+    ],
+    "south_america": [
+        (-77, 8), (-72, 11), (-63, 10), (-60, 9), (-52, 5),
+        (-44, -2), (-35, -5), (-35, -9), (-39, -13), (-40, -20),
+        (-48, -25), (-53, -33), (-57, -38), (-62, -41), (-65, -45),
+        (-68, -50), (-68, -54), (-73, -53), (-75, -48), (-73, -43),
+        (-73, -37), (-71, -30), (-70, -20), (-75, -15), (-81, -6),
+        (-80, 0), (-77, 8),
+    ],
+    "africa": [
+        (-6, 35), (10, 37), (11, 33), (20, 32), (32, 31),
+        (35, 28), (37, 22), (39, 15), (43, 11), (51, 12),
+        (48, 5), (41, -2), (40, -10), (36, -18), (33, -26),
+        (28, -33), (20, -35), (18, -32), (14, -26), (12, -18),
+        (13, -12), (9, -7), (9, 4), (4, 6), (-4, 5),
+        (-8, 4), (-13, 8), (-17, 15), (-16, 20), (-13, 26),
+        (-9, 31), (-6, 35),
+    ],
+    "eurasia": [
+        (-9, 43), (-8, 37), (-6, 36), (0, 38), (3, 43),
+        (7, 44), (12, 42), (15, 40), (18, 40), (23, 37),
+        (27, 36), (30, 36), (36, 36), (35, 30), (34, 28),
+        (39, 21), (43, 12), (45, 12), (52, 16), (57, 20),
+        (59, 25), (62, 25), (66, 25), (70, 21), (73, 19),
+        (76, 8), (80, 13), (87, 21), (90, 22), (94, 18),
+        (98, 10), (100, 3), (104, 1), (105, 9), (109, 12),
+        (109, 20), (115, 23), (121, 30), (122, 37), (126, 40),
+        (130, 42), (135, 44), (140, 49), (142, 54), (138, 55),
+        (141, 62), (150, 60), (157, 61), (163, 60), (170, 62),
+        (179, 65), (178, 69), (170, 70), (160, 71), (150, 72),
+        (140, 73), (128, 73), (115, 74), (105, 78), (95, 76),
+        (85, 74), (75, 72), (65, 69), (55, 69), (45, 68),
+        (38, 66), (32, 70), (25, 71), (18, 70), (12, 65),
+        (5, 62), (5, 58), (8, 54), (4, 52), (0, 50),
+        (-5, 48), (-2, 46), (-9, 43),
+    ],
+    "australia": [
+        (114, -22), (118, -20), (122, -17), (128, -15), (132, -11),
+        (136, -12), (140, -17), (143, -11), (146, -19), (150, -22),
+        (153, -27), (152, -32), (150, -37), (145, -38), (140, -38),
+        (138, -35), (135, -35), (131, -32), (124, -33), (118, -35),
+        (115, -34), (113, -26), (114, -22),
+    ],
+    "greenland": [
+        (-58, 76), (-68, 76), (-73, 78), (-67, 81), (-58, 82),
+        (-45, 83), (-32, 83), (-22, 82), (-20, 79), (-22, 75),
+        (-33, 68), (-41, 62), (-44, 60), (-48, 61), (-53, 66),
+        (-54, 70), (-58, 76),
+    ],
+    "antarctica": [
+        (-180, -90), (-180, -72), (-160, -76), (-130, -74), (-100, -72),
+        (-75, -70), (-60, -64), (-55, -72), (-35, -78), (-15, -72),
+        (10, -70), (35, -68), (60, -66), (90, -66), (115, -66),
+        (140, -66), (160, -70), (180, -72), (180, -90), (-180, -90),
+    ],
+}
+
+
+def _fetch_natural_earth(timeout: float = 30.0) -> list[np.ndarray] | None:
+    """Download Natural Earth 110m land polygons; None when offline."""
+    try:
+        with urllib.request.urlopen(NE_LAND_URL, timeout=timeout) as r:
+            gj = json.load(r)
+    except Exception as e:  # no network in the test container
+        print(f"natural-earth download unavailable ({e}); using embedded outline")
+        return None
+    rings = []
+    for feat in gj.get("features", []):
+        geom = feat.get("geometry", {})
+        polys = (
+            [geom["coordinates"]]
+            if geom.get("type") == "Polygon"
+            else geom.get("coordinates", [])
+        )
+        for poly in polys:
+            # exterior ring only — NE 110m land has no holes worth 0.5°
+            rings.append(np.asarray(poly[0], dtype=np.float64))
+    return rings or None
+
+
+def _embedded_rings() -> list[np.ndarray]:
+    return [np.asarray(v, dtype=np.float64) for v in COARSE_CONTINENTS.values()]
+
+
+def rasterize(
+    rings: list[np.ndarray], lat_res: float, lon_res: float
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Even-odd ray-cast rasterization at cell centers.
+
+    Returns (lat, lon, is_land) flat arrays covering the full globe.
+    Vectorized per polygon edge: for each edge crossing a cell-center
+    latitude, the crossing longitude is compared against the whole
+    longitude row at once.
+    """
+    lats = -90.0 + (np.arange(int(round(180.0 / lat_res))) + 0.5) * lat_res
+    lons = -180.0 + (np.arange(int(round(360.0 / lon_res))) + 0.5) * lon_res
+    inside = np.zeros((lats.size, lons.size), dtype=bool)
+    for ring in rings:
+        x0, y0 = ring[:-1, 0], ring[:-1, 1]
+        x1, y1 = ring[1:, 0], ring[1:, 1]
+        poly_mask = np.zeros_like(inside)
+        lat_lo = np.minimum(y0, y1)
+        lat_hi = np.maximum(y0, y1)
+        for i, lat in enumerate(lats):
+            crossing = (lat_lo <= lat) & (lat < lat_hi)
+            if not crossing.any():
+                continue
+            xc = x0[crossing] + (lat - y0[crossing]) / (
+                y1[crossing] - y0[crossing]
+            ) * (x1[crossing] - x0[crossing])
+            # parity of crossings to the right of each cell center
+            counts = (lons[None, :] < xc[:, None]).sum(axis=0)
+            poly_mask[i] = counts % 2 == 1
+        inside |= poly_mask
+    glat, glon = np.meshgrid(lats, lons, indexing="ij")
+    return glat.ravel(), glon.ravel(), inside.ravel()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("out_dir", help="output parquet directory")
+    ap.add_argument("--lat-res", type=float, default=0.5)
+    ap.add_argument("--lon-res", type=float, default=0.625)
+    ap.add_argument(
+        "--offline", action="store_true",
+        help="skip the Natural Earth download, use the embedded outline",
+    )
+    args = ap.parse_args()
+
+    rings = None if args.offline else _fetch_natural_earth()
+    source = "natural_earth_110m" if rings else "embedded_coarse_outline"
+    if rings is None:
+        rings = _embedded_rings()
+
+    lat, lon, is_land = rasterize(rings, args.lat_res, args.lon_res)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "lat": pa.array(lat, type=pa.float64()),
+            "lon": pa.array(lon, type=pa.float64()),
+            "is_land": pa.array(is_land, type=pa.bool_()),
+        }
+    )
+    import os
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    out = os.path.join(args.out_dir, "land_mask.parquet")
+    pq.write_table(table, out, metadata_collector=None)
+    n_land = int(is_land.sum())
+    print(
+        f"wrote {out}: {len(lat)} cells, {n_land} land "
+        f"({100.0 * n_land / len(lat):.1f}%), source={source}"
+    )
+
+
+if __name__ == "__main__":
+    main()

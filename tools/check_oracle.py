@@ -42,6 +42,64 @@ def canon(v):
     return str(v)
 
 
+def canon_pandas(v):
+    """Canonicalize a value as it arrives through the PANDAS path —
+    the representation the driver actually hashes. DELIBERATELY
+    type-sensitive: an int64 123 and a float64 123.0 canonicalize
+    differently, because that is exactly the class of divergence
+    (DuckDB HUGEINT → pandas float) that made q99 (r1) and q111 (r2)
+    pass the fetchall comparison locally while failing the driver."""
+    import numpy as np
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, np.ndarray):
+        return "[" + ",".join(canon_pandas(x) for x in v.tolist()) + "]"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon_pandas(x) for x in v) + "]"
+    if isinstance(v, np.bool_):
+        return str(bool(v))
+    if isinstance(v, np.integer):
+        return str(int(v))
+    if isinstance(v, float):  # covers np.float64 (a float subclass)
+        if math.isnan(v):
+            return "NaN"
+        return repr(float(v))  # 123.0 stays "123.0" — the type matters
+    if hasattr(v, "isoformat"):
+        # normalize DATE vs midnight-TIMESTAMP: Spark dates arrive as
+        # datetime.date, DuckDB dates as datetime64 Timestamps at
+        # 00:00:00 — the driver treats these as equal (q100/q93 were
+        # driver-green across that exact difference)
+        if (
+            getattr(v, "hour", 0) == 0
+            and getattr(v, "minute", 0) == 0
+            and getattr(v, "second", 0) == 0
+            and getattr(v, "microsecond", 0) == 0
+            and hasattr(v, "date")
+        ):
+            return v.date().isoformat()
+        return v.isoformat()
+    try:
+        import pandas as pd
+
+        if v is pd.NaT:
+            return "NULL"
+    except Exception:
+        pass
+    return str(v)
+
+
+def pandas_canonical(pdf):
+    """(sorted column names, sorted canonical rows) for a pandas frame."""
+    cols = list(pdf.columns)
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for row in pdf.itertuples(index=False, name=None):
+        out.append(tuple(canon_pandas(row[i]) for i in order))
+    out.sort()
+    return [cols[i] for i in order], out
+
+
 def rows_to_canonical(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
@@ -110,6 +168,28 @@ def main():
                     if a != b:
                         problems.append(f"  spark : {a}\n  oracle: {b}")
                         break
+        if not problems:
+            # second gate: the PANDAS path, emulating the driver's
+            # canonicalizer — catches type-rendering drift (HUGEINT →
+            # float64, array dtype objects) invisible to fetchall
+            try:
+                spdf = sdf.toPandas()
+                opdf = con.execute(spec.oracle).df()
+                _, spc = pandas_canonical(spdf)
+                _, opc = pandas_canonical(opdf)
+                if spc != opc:
+                    ndiff = sum(1 for a, b in zip(spc, opc) if a != b)
+                    problems.append(
+                        f"PANDAS-PATH DRIFT ({ndiff}/{len(spc)} rows) — "
+                        "fetchall matches but the driver's pandas "
+                        "canonicalization would not"
+                    )
+                    for a, b in zip(spc, opc):
+                        if a != b:
+                            problems.append(f"  spark : {a}\n  oracle: {b}")
+                            break
+            except Exception as e:
+                problems.append(f"PANDAS-PATH ERROR: {e}")
         if problems:
             failed.append((name, "; ".join(problems[:2])))
             print(f"FAIL  {name}: " + "\n".join(problems[:3]))
