@@ -53,6 +53,10 @@ HEADLINE = [
     "q120_chunk_windows",
     "q121_dedup_keep_longest",
     "q122_verified_dedup_clusters",
+    "q123_simhash_fingerprints",
+    "q124_simhash_candidates",
+    "q125_token_budget_mix",
+    "q126_semantic_dedup",
 ]
 
 # ANN quality: rows-only queries whose real metric is recall vs the

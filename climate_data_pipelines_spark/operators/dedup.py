@@ -288,6 +288,88 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     return voted.select(F.col(id_col), packed.alias("simhash"))
 
 
+def simhash_md5(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 60,
+) -> DataFrame:
+    """Oracle-reproducible SimHash: identical semantics to ``simhash``
+    but the per-token hash is the md5 60-bit split (same family as the
+    MinHash path) instead of xxhash64, so a DuckDB twin can reproduce
+    the fingerprint bit-for-bit. 60 bits (not 64) keeps the packed
+    fingerprint strictly positive in a signed BIGINT on both engines —
+    no sign-bit edge cases in either optimizer.
+
+    explode(tokens) → one md5 per token → per-bit ±1 votes summed in a
+    single groupBy(id) with ``bits`` conditional-sum aggregates
+    (map-side combined, one shuffle) → sign vector packed to BIGINT.
+    """
+    if not 1 <= bits <= 60:
+        raise ValueError(f"bits must be in [1, 60], got {bits}")
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    voted = tok.groupBy(id_col).agg(*votes)
+    packed = None
+    for i in range(bits):
+        bit = F.when(
+            F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+        packed = bit if packed is None else packed.bitwiseOR(bit)
+    return voted.select(F.col(id_col), packed.alias("simhash"))
+
+
+def simhash_band_candidates(
+    fp: DataFrame,
+    id_col: str = "doc_id",
+    bits: int = 60,
+    bands: int = 4,
+) -> DataFrame:
+    """Hamming-LSH candidate pairs over packed SimHash fingerprints:
+    split the ``bits``-bit fingerprint into ``bands`` equal bit-bands
+    and equi-join on (band index, band value) — two documents whose
+    fingerprints differ in fewer than ``bands`` bits MUST share at
+    least one exact band (pigeonhole), so low-Hamming near-dups are
+    guaranteed candidates without any pairwise Hamming scan. The join
+    key space is the band-value domain; no quadratic blow-up, same
+    scale shape as the MinHash banding.
+
+    Returns distinct (id_a, id_b), id_a < id_b.
+    """
+    if bits % bands:
+        raise ValueError(f"bits ({bits}) must divide evenly into bands ({bands})")
+    w = bits // bands
+    mask = (1 << w) - 1
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * w).bitwiseAND(F.lit(mask)).alias("bv"),
+        )
+        for b in range(bands)
+    ]
+    buckets = fp.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("b")
+    ).select(id_col, F.col("b.band").alias("band"), F.col("b.bv").alias("bv"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
 def minhash_lsh_ml(
     df: DataFrame,
     text_col: str = "text",

@@ -310,3 +310,80 @@ def label_centroids(
             "n_vectors",
         )
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 5,
+    n_tables: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    keep: str = "min",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column:
+    drop documents whose MEANING duplicates another's even when the
+    text differs (template rewrites, boilerplate variants, translations
+    embedded into one space).
+
+    Stages — all bucketed, never all-pairs:
+    1. multi-table hyperplane LSH buckets every vector (the corpus is
+       hashed once per table, same signature machinery as
+       ``ann_lsh_topk``);
+    2. within-bucket exact cosine >= ``threshold`` yields verified
+       near-dup edges (id_a < id_b, distinct across tables);
+    3. connected components clusters the edges (transitive closure —
+       A~B, B~C groups all three);
+    4. keeper = min id per cluster; the survivors are returned with
+       their cluster id and size.
+
+    Approximate by construction (LSH recall < 1 means some true
+    semantic pairs never become edges) → rows-only in the registry;
+    recall is gated against the exact blocked near-dup (q43 twin) in
+    tests. Returns (vec_id, cluster, cluster_size, is_keeper).
+    """
+    from climate_data_pipelines_spark.operators.dedup import connected_components
+
+    def bucketed(frame: DataFrame) -> DataFrame:
+        tables = []
+        for t in range(n_tables):
+            bucket = None
+            for p in range(n_planes):
+                bit = _hyperplane_sign(vec_col, t, p) * (1 << p)
+                bucket = bit if bucket is None else bucket + bit
+            tables.append(F.struct(F.lit(t).alias("table"), bucket.alias("bucket")))
+        return frame.select(
+            F.col(id_col), F.col(vec_col), F.explode(F.array(*tables)).alias("_tb")
+        ).select(
+            id_col, vec_col,
+            F.col("_tb.table").alias("table"), F.col("_tb.bucket").alias("bucket"),
+        )
+
+    b = bucketed(df)
+    a_side = b.select(
+        "table", "bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+    )
+    b_side = b.select(
+        "table", "bucket", F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+    )
+    edges = (
+        a_side.join(b_side, ["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_va", "_vb")
+        .distinct()
+        .filter(cosine_similarity("_va", "_vb") >= threshold)
+        .select("id_a", "id_b")
+    ).localCheckpoint(eager=True)
+    clusters = connected_components(
+        edges, nodes=df.select(id_col), node_col=id_col
+    ).withColumnRenamed("component", "cluster")
+    sizes = clusters.groupBy("cluster").agg(F.count("*").alias("cluster_size"))
+    return (
+        clusters.join(sizes, "cluster")
+        .select(
+            id_col,
+            "cluster",
+            "cluster_size",
+            (F.col(id_col) == F.col("cluster")).alias("is_keeper"),
+        )
+    )

@@ -356,3 +356,54 @@ def chunk_windows(
             " ",
         ).alias("chunk_text"),
     )
+
+
+def token_budget_mix(
+    df: DataFrame,
+    targets: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+    seed: str = "mix-v1",
+    resolution: int = 10_000,
+) -> DataFrame:
+    """Token-budget mixture sampling: downsample each domain so its
+    share of surviving TOKENS tracks a target mix — the last step
+    before a training run, where the recipe says e.g. 30% web / 40%
+    code / 30% books by tokens, not by documents.
+
+    ``targets``: small dim (domain, target_frac). Per-domain keep rate
+    = min(1, target_frac × total_tokens / domain_tokens) — domains
+    over budget are thinned, domains under budget are kept whole
+    (upsampling beyond 1.0 is ``upsample_fractional``'s job). The
+    Bernoulli draw is the stateless md5 bucket of the id, so the
+    sample is reproducible across engines and stable under reruns —
+    adding documents to one domain never flips another domain's keeps.
+
+    Plan shape: one groupBy(domain) token count (map-side combined),
+    total via a single-row aggregate cross-joined back (broadcast of
+    one row), targets broadcast (tiny dim), then a stateless per-row
+    filter. The corpus is never shuffled — only scanned — so at 100 TB
+    this costs one pass plus a |domains|-row exchange.
+
+    Returns the surviving rows with ``n_tok`` and ``keep_rate``.
+    """
+    toks = df.withColumn("n_tok", F.size(tokens(text_col)))
+    dom = toks.groupBy(domain_col).agg(F.sum("n_tok").alias("dom_tokens"))
+    total = toks.agg(F.sum("n_tok").alias("total_tokens"))
+    rates = (
+        dom.crossJoin(F.broadcast(total))
+        .join(F.broadcast(targets), domain_col)
+        .select(
+            domain_col,
+            F.least(
+                F.lit(1.0),
+                F.col("target_frac") * F.col("total_tokens") / F.col("dom_tokens"),
+            ).alias("keep_rate"),
+        )
+    )
+    bucket = _md5_bucket(F.col(id_col), seed, resolution)
+    return (
+        toks.join(F.broadcast(rates), domain_col)
+        .filter(bucket < F.round(F.col("keep_rate") * resolution, 0).cast("long"))
+    )

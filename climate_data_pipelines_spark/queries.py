@@ -3100,6 +3100,133 @@ def q121(spark, sf_dir):
     return out.select("doc_id", "lang", "source", "n_chars")
 
 
+SIMHASH_BITS = 60
+SIMHASH_BANDS = 4
+
+
+def _simhash_ctes(bits: int = SIMHASH_BITS) -> str:
+    """DuckDB CTE chain tok→hh→votes→fp reproducing
+    ``dedup.simhash_md5`` bit-for-bit (md5 60-bit token hash, ±1 bit
+    votes, sign-pack). Generated so the oracle tracks the bit width."""
+    votes = ", ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(bits)
+    )
+    pack = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN (CAST(1 AS BIGINT) << {i}) ELSE 0 END)"
+        for i in range(bits)
+    )
+    return f"""
+         tok AS (SELECT doc_id,
+                   unnest(list_filter(string_split(text, ' '), x -> x != '')) AS tok
+                 FROM documents),
+         hh AS (SELECT doc_id,
+                  CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT) AS h
+                FROM tok),
+         votes AS (SELECT doc_id, {votes} FROM hh GROUP BY doc_id),
+         fp AS (SELECT doc_id, {pack} AS simhash FROM votes)"""
+
+
+# Token-budget mixture targets (q125): even sources are under budget
+# (kept whole), odd sources over (thinned ~5x) — same constant drives
+# the Spark dim and the oracle VALUES list.
+TOKEN_MIX_TARGETS: dict[str, float] = {
+    f"src{i}": (0.08 if i % 2 == 0 else 0.01) for i in range(20)
+}
+
+
+@query(
+    "q123_simhash_fingerprints",
+    f"""WITH{_simhash_ctes()}
+       SELECT doc_id, simhash FROM fp""",
+    "Oracle-checked SimHash (q42's xxhash64 variant is rows-only; this "
+    "one swaps the token hash for the engine-portable md5 60-bit "
+    "split): per-token ±1 bit votes, one conditional-sum aggregate "
+    "per bit position (map-side combined, single shuffle on doc_id), "
+    "sign vector packed into a positive BIGINT fingerprint.",
+)
+def q123(spark, sf_dir):
+    return dedup.simhash_md5(
+        _t(spark, sf_dir, "documents"), bits=SIMHASH_BITS
+    )
+
+
+@query(
+    "q124_simhash_candidates",
+    f"""WITH{_simhash_ctes()},
+         bands AS (SELECT doc_id, g.band,
+                     (simhash >> (g.band * {SIMHASH_BITS // SIMHASH_BANDS}))
+                       & {(1 << (SIMHASH_BITS // SIMHASH_BANDS)) - 1} AS bv
+                   FROM fp,
+                        (SELECT unnest(generate_series(0, {SIMHASH_BANDS - 1})) AS band) g)
+       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       FROM bands a JOIN bands b
+         ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id""",
+    "Hamming-LSH candidates over the packed SimHash: the 60-bit "
+    "fingerprint splits into 4 15-bit bands; by pigeonhole, any pair "
+    "differing in fewer than 4 bits shares an exact band — the "
+    "equi-join on (band, band_value) finds all low-Hamming near-dups "
+    "with no pairwise Hamming scan and no cross product.",
+)
+def q124(spark, sf_dir):
+    fp = dedup.simhash_md5(_t(spark, sf_dir, "documents"), bits=SIMHASH_BITS)
+    return dedup.simhash_band_candidates(
+        fp, bits=SIMHASH_BITS, bands=SIMHASH_BANDS
+    )
+
+
+@query(
+    "q125_token_budget_mix",
+    f"""WITH toks AS (SELECT doc_id, source, text, lang, n_chars,
+                        len(list_filter(string_split(text, ' '), x -> x != ''))
+                          AS n_tok
+                      FROM documents),
+         dom AS (SELECT source, SUM(n_tok) AS dom_tokens FROM toks GROUP BY source),
+         tot AS (SELECT SUM(n_tok) AS total_tokens FROM toks),
+         tgt (source, target_frac) AS (VALUES {", ".join(f"('{s}', {f})" for s, f in TOKEN_MIX_TARGETS.items())}),
+         rates AS (SELECT d.source,
+                     LEAST(1.0, t.target_frac * tot.total_tokens / d.dom_tokens)
+                       AS keep_rate
+                   FROM dom d CROSS JOIN tot JOIN tgt t ON t.source = d.source)
+       SELECT k.doc_id, k.source, k.n_tok,
+              ROUND(r.keep_rate * 1000000) / 1000000 AS keep_rate
+       FROM toks k JOIN rates r ON r.source = k.source
+       WHERE CAST('0x' || substring(md5('mix-v1' || CAST(k.doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) % 10000
+             < CAST(ROUND(r.keep_rate * 10000, 0) AS BIGINT)""",
+    "Token-budget mixture sampling — the pre-training mix step (30% "
+    "web / 40% code by TOKENS, not documents): per-domain keep rate = "
+    "min(1, target_frac x total_tokens / domain_tokens), applied as a "
+    "stateless md5-bucket Bernoulli so the sample is reproducible and "
+    "stable under reruns. One pass over the corpus + a |domains|-row "
+    "exchange; the corpus itself is never shuffled.",
+)
+def q125(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    targets = spark.createDataFrame(
+        list(TOKEN_MIX_TARGETS.items()), "source string, target_frac double"
+    )
+    out = training.token_budget_mix(docs, targets)
+    return out.select(
+        "doc_id", "source", "n_tok", oround(F.col("keep_rate"), 6).alias("keep_rate")
+    )
+
+
+@query(
+    "q126_semantic_dedup",
+    None,
+    "SemDeDup-style semantic deduplication (rows-only: hyperplane "
+    "buckets use xxhash64 weights with no DuckDB twin): multi-table "
+    "hyperplane LSH buckets -> within-bucket exact cosine >= 0.95 "
+    "edges -> connected components -> min-id keeper per semantic "
+    "cluster. Pair coverage vs the exact blocked near-dup (q43) is "
+    "gated in tests.",
+)
+def q126(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(emb, threshold=0.95)
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window selection
 # ---------------------------------------------------------------------------

@@ -171,3 +171,52 @@ def test_minhash_rejects_out_of_range_hash_count(spark):
         dedup.minhash_signatures(df, n_hashes=65)
     with pytest.raises(ValueError, match="n_hashes"):
         dedup.minhash_signatures(df, n_hashes=0)
+
+def test_simhash_md5_identical_equal_near_close(spark):
+    df = _docs(spark, DOCS)
+    sh = {r.doc_id: r.simhash for r in dedup.simhash_md5(df).collect()}
+    assert sh[1] == sh[2]
+    # 60-bit fingerprint is strictly non-negative in a signed BIGINT
+    assert all(0 <= v < (1 << 60) for v in sh.values())
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(sh[1], sh[5]) < hamming(sh[1], sh[6])
+
+
+def test_simhash_md5_rejects_out_of_range_bits(spark):
+    import pytest
+
+    df = _docs(spark, DOCS)
+    with pytest.raises(ValueError, match="bits"):
+        dedup.simhash_md5(df, bits=61)
+
+
+def test_simhash_band_candidates_pigeonhole(spark):
+    # Constructed fingerprints: (1,2) differ in 3 bits, all inside
+    # band 0 — fewer diff bits than bands, so pigeonhole GUARANTEES a
+    # shared band and the pair must be a candidate. (1,3) differ in 4
+    # bits placed one per 15-bit band — every band differs, never a
+    # candidate.
+    base = 0b1010
+    fp3 = base ^ 0b0111
+    fp4 = base ^ ((1 << 0) | (1 << 15) | (1 << 30) | (1 << 45))
+    fps = spark.createDataFrame(
+        [(1, base), (2, fp3), (3, fp4)], "doc_id long, simhash long"
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.simhash_band_candidates(fps, bits=60, bands=4).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs
+    assert all(a < b for a, b in pairs)
+
+
+def test_simhash_band_candidates_rejects_uneven_split(spark):
+    import pytest
+
+    fps = spark.createDataFrame([(1, 7)], "doc_id long, simhash long")
+    with pytest.raises(ValueError, match="divide"):
+        dedup.simhash_band_candidates(fps, bits=60, bands=7)

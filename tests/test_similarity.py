@@ -105,3 +105,51 @@ def test_label_centroids_elementwise_mean(spark):
            similarity.label_centroids(df).collect()}
     assert out[0][0] == [2.0, 3.0] and out[0][1] == 2
     assert out[1][0] == [10.0, 20.0] and out[1][1] == 1
+
+
+def test_semantic_dedup_clusters_identical_vectors(spark):
+    df = _vecs(
+        spark,
+        [
+            (0, [1.0, 0.0], 0),
+            (1, [1.0, 0.0001], 0),   # semantically identical to 0
+            (2, [0.0, 1.0], 0),      # orthogonal singleton
+        ],
+    )
+    out = {r.vec_id: r for r in similarity.semantic_dedup(df, threshold=0.99).collect()}
+    assert set(out) == {0, 1, 2}
+    assert out[0].cluster == out[1].cluster
+    assert out[0].is_keeper and not out[1].is_keeper
+    assert out[0].cluster_size == 2
+    assert out[2].cluster_size == 1 and out[2].is_keeper
+
+
+def test_semantic_dedup_pair_coverage_vs_exact(spark, sf_dir):
+    # the fixture corpus has no natural near-dups at 0.99 (max pairwise
+    # cosine ~0.48), so plant them: a slightly rescaled copy of each of
+    # the first 40 vectors (per-dim scale drift -> cosine ~0.9999, not
+    # bit-identical, so LSH planes with a thin margin CAN disagree)
+    base = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 40)
+    perturbed = base.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: x * (1.0 + 0.002 * (i % 3))
+        ).cast("array<float>").alias("embedding"),
+        "label",
+    )
+    emb = base.select("vec_id", "embedding", "label").unionByName(perturbed)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_neardup_pairs(
+            emb.withColumn("_one", F.lit(1)), block_col="_one", threshold=0.99
+        ).collect()
+    }
+    assert len(exact) == 40, "each planted copy pairs with exactly its original"
+    clusters = {
+        r.vec_id: r.cluster
+        for r in similarity.semantic_dedup(emb, threshold=0.99).collect()
+    }
+    covered = sum(1 for a, b in exact if clusters[a] == clusters[b])
+    # LSH bucketing (8 tables x 5 planes) must recover >=80% of true
+    # semantic pairs via same-cluster membership
+    assert covered / len(exact) >= 0.8

@@ -202,3 +202,39 @@ def test_chunk_windows_rejects_bad_stride(spark):
     df = _docs(spark, [(1, "a b")])
     with pytest.raises(ValueError):
         training.chunk_windows(df, window=4, stride=5)
+
+
+def test_token_budget_mix_thins_over_budget_keeps_under_budget(spark):
+    rows = [(i, " ".join(["w"] * 10), "big") for i in range(90)]
+    rows += [(i, " ".join(["w"] * 10), "small") for i in range(90, 100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    targets = spark.createDataFrame(
+        [("big", 0.5), ("small", 0.5)], "source string, target_frac double"
+    )
+    out = training.token_budget_mix(df, targets).collect()
+    by_dom: dict[str, list] = {}
+    for r in out:
+        by_dom.setdefault(r.source, []).append(r)
+    # small holds 10% of tokens vs a 50% target — under budget, kept
+    # whole at rate exactly 1.0
+    assert len(by_dom["small"]) == 10
+    assert all(r.keep_rate == 1.0 for r in by_dom["small"])
+    # big holds 90% vs 50% target — thinned at rate 0.5*1000/900
+    assert math.isclose(by_dom["big"][0].keep_rate, 500.0 / 900.0, rel_tol=1e-9)
+    assert 30 <= len(by_dom["big"]) <= 70
+    # stateless md5 Bernoulli: rerun is bit-identical
+    again = {r.doc_id for r in training.token_budget_mix(df, targets).collect()}
+    assert again == {r.doc_id for r in out}
+
+
+def test_token_budget_mix_domain_without_target_dropped(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c", "known"), (2, "a b c", "unknown")],
+        "doc_id long, text string, source string",
+    )
+    targets = spark.createDataFrame(
+        [("known", 1.0)], "source string, target_frac double"
+    )
+    out = training.token_budget_mix(df, targets).collect()
+    # inner join on the targets dim: untargeted domains drop out
+    assert [r.doc_id for r in out] == [1]
