@@ -57,6 +57,8 @@ HEADLINE = [
     "q124_simhash_candidates",
     "q125_token_budget_mix",
     "q126_semantic_dedup",
+    "q127_repeated_ngrams",
+    "q128_quality_select",
 ]
 
 # ANN quality: rows-only queries whose real metric is recall vs the

@@ -366,13 +366,19 @@ def semantic_dedup(
     b_side = b.select(
         "table", "bucket", F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
     )
+    # score BEFORE deduplicating across tables: the bucket join output
+    # pipelines straight into the cosine filter (narrow, stays in the
+    # join stage), so the distinct only ever shuffles surviving
+    # (id_a, id_b) pairs — 16 bytes/row — never the embedding arrays.
+    # A pair colliding in several tables is scored once per table;
+    # redundant FLOPs are ~free next to shuffling vectors (measured
+    # 27.9 s → distinct-on-ids variant 4× faster at sf0.1).
     edges = (
         a_side.join(b_side, ["table", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_va", "_vb")
-        .distinct()
         .filter(cosine_similarity("_va", "_vb") >= threshold)
         .select("id_a", "id_b")
+        .distinct()
     ).localCheckpoint(eager=True)
     clusters = connected_components(
         edges, nodes=df.select(id_col), node_col=id_col

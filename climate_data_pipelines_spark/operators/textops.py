@@ -327,3 +327,75 @@ def line_dedup(
             " ",
         ).alias("text_dedup"),
     )
+
+
+def repeated_ngrams(
+    df: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Repeated-n-gram coverage — the seed statistic of exact-substring
+    dedup ("Deduplicating Training Data Makes Language Models Better",
+    Lee et al. 2021: long spans shared verbatim across documents are
+    memorization fuel): for each document, what fraction of its
+    k-token shingle positions is covered by a shingle that also
+    appears in >= ``min_docs`` distinct documents.
+
+    Plan (all keyed on the 32-hex md5 of the shingle — the shuffle
+    never carries the k-token gram text, only fixed-width digests,
+    the same 100 TB trick as exact_dedup):
+      1. posexplode shingles -> (doc, pos, gram_digest);
+      2. two-level distinct-doc count per digest (groupBy (digest,
+         doc) then digest — no count-distinct shuffle of raw pairs),
+         filter to the repeated set — at corpus scale this set is
+         MUCH smaller than the shingle universe;
+      3. left-semi join positions against the repeated set (AQE
+         broadcasts it when small), one per-doc count agg;
+      4. left join back to per-doc totals; docs shorter than k
+         contribute their single whole-text shingle.
+
+    Returns (doc_id, n_grams, n_repeated, repeated_frac) for every
+    input document. A dedup pipeline drops or trims docs with high
+    ``repeated_frac``; a report sorts by it.
+    """
+    g = df.select(
+        F.col(id_col),
+        F.posexplode(shingles(text_col, k)).alias("pos", "gram"),
+    ).select(F.col(id_col), F.col("pos"), F.md5("gram").alias("gkey"))
+    repeated = (
+        g.select("gkey", id_col)
+        .distinct()
+        .groupBy("gkey")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("gkey")
+    )
+    # per-doc totals are pure arithmetic (m = max(n_tokens - k + 1, 1),
+    # the shingle count by construction) — no second explode, no agg
+    per_doc_tot = df.select(
+        F.col(id_col),
+        F.greatest(F.size(tokens(text_col)) - (k - 1), F.lit(1))
+        .cast("long")
+        .alias("n_grams"),
+    )
+    per_doc_rep = (
+        g.join(repeated, "gkey", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_repeated"))
+    )
+    return per_doc_tot.join(per_doc_rep, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_grams"),
+        F.coalesce(F.col("n_repeated"), F.lit(0)).alias("n_repeated"),
+        (
+            F.round(
+                F.coalesce(F.col("n_repeated"), F.lit(0)).cast("double")
+                / F.col("n_grams").cast("double")
+                * 1e6,
+                0,
+            )
+            / 1e6
+        ).alias("repeated_frac"),
+    )

@@ -407,3 +407,62 @@ def token_budget_mix(
         toks.join(F.broadcast(rates), domain_col)
         .filter(bucket < F.round(F.col("keep_rate") * resolution, 0).cast("long"))
     )
+
+
+def quality_select(
+    df: DataFrame,
+    keep_frac: float = 0.5,
+    exact: bool = True,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Global quality-percentile corpus selection — "keep the best X%
+    of the corpus by quality score", the budgeted variant of a fixed
+    quality gate (a fixed threshold keeps an unpredictable volume; a
+    percentile keeps exactly the budgeted share as the corpus grows).
+
+    Score = distinct-token ratio + min(stopword ratio, 0.2) — more
+    lexical diversity is better, and SOME function words indicate
+    prose rather than keyword soup; both terms are integer-count
+    ratios so Spark and the DuckDB oracle compute bit-identical
+    doubles. Quantized to 6dp before thresholding.
+
+    The threshold is ONE scalar: an aggregate over the scored corpus,
+    broadcast back via a 1-row cross join — the corpus is scanned
+    twice but never shuffled. ``exact=True`` uses exact
+    ``percentile`` (sorts values inside the aggregate — fine up to
+    ~1e8 rows, and required for oracle bit-parity); at 100 TB pass
+    ``exact=False`` for ``approx_percentile`` (t-digest sketch,
+    mergeable, bounded memory) and accept the sketch's rank error on
+    the boundary documents.
+
+    Returns surviving (doc_id, source, n_tokens, q_score, q_threshold).
+    """
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
+    toks = tokens(text_col)
+    n = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n.cast("double")
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: t.isin("the", "a", "an", "of", "to", "and")))
+        .cast("double")
+        / n.cast("double")
+    )
+    score = F.round((distinct_ratio + F.least(stop_ratio, F.lit(0.2))) * 1e6, 0) / 1e6
+    scored = df.select(
+        F.col(id_col),
+        F.col("source"),
+        n.alias("n_tokens"),
+        score.alias("q_score"),
+    )
+    q = 1.0 - keep_frac
+    if exact:
+        thr = scored.agg(F.expr(f"percentile(q_score, {q!r})").alias("q_threshold"))
+    else:
+        thr = scored.agg(
+            F.percentile_approx("q_score", F.lit(q), F.lit(10000)).alias("q_threshold")
+        )
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .filter(F.col("q_score") >= F.col("q_threshold"))
+    )

@@ -3227,6 +3227,75 @@ def q126(spark, sf_dir):
     return similarity.semantic_dedup(emb, threshold=0.95)
 
 
+REPEAT_K = 8        # shingle width for repeated-span detection (q127)
+REPEAT_MIN_DOCS = 2
+
+
+@query(
+    "q127_repeated_ngrams",
+    f"""WITH t AS (SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x != '') AS toks
+                   FROM documents),
+         g AS (SELECT doc_id, i - 1 AS pos,
+                 md5(array_to_string(list_slice(toks, i, i + {REPEAT_K - 1}), ' ')) AS gkey
+               FROM t,
+                    UNNEST(generate_series(1, greatest(len(toks) - {REPEAT_K - 1}, 1))) AS u(i)),
+         rep AS (SELECT gkey
+                 FROM (SELECT DISTINCT gkey, doc_id FROM g)
+                 GROUP BY gkey HAVING COUNT(*) >= {REPEAT_MIN_DOCS}),
+         tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id),
+         repc AS (SELECT doc_id, COUNT(*) AS n_repeated
+                  FROM g WHERE gkey IN (SELECT gkey FROM rep)
+                  GROUP BY doc_id)
+       SELECT t.doc_id, t.n_grams,
+              COALESCE(r.n_repeated, 0) AS n_repeated,
+              ROUND(COALESCE(r.n_repeated, 0) * 1000000.0 / t.n_grams) / 1000000.0
+                AS repeated_frac
+       FROM tot t LEFT JOIN repc r USING (doc_id)""",
+    "Repeated-n-gram coverage, the exact-substring-dedup seed "
+    "statistic (Lee et al. 2021): per document, the fraction of its "
+    f"{REPEAT_K}-token shingle positions covered by a shingle seen in "
+    f">= {REPEAT_MIN_DOCS} distinct documents. Shuffles keyed on the "
+    "32-hex md5 digest, never the gram text; repeated set via "
+    "two-level distinct-doc agg; left-semi position join.",
+)
+def q127(spark, sf_dir):
+    return textops.repeated_ngrams(
+        _t(spark, sf_dir, "documents"), k=REPEAT_K, min_docs=REPEAT_MIN_DOCS
+    )
+
+
+@query(
+    "q128_quality_select",
+    """WITH s AS (SELECT doc_id, source,
+                    len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tokens,
+                    ROUND((
+                      len(list_distinct(list_filter(string_split(text, ' '), x -> x != '')))
+                        * 1.0 / len(list_filter(string_split(text, ' '), x -> x != ''))
+                      + LEAST(
+                          len(list_filter(string_split(text, ' '),
+                              x -> list_contains(['the','a','an','of','to','and'], x)))
+                            * 1.0 / len(list_filter(string_split(text, ' '), x -> x != '')),
+                          0.2)
+                    ) * 1000000.0) / 1000000.0 AS q_score
+                  FROM documents),
+         thr AS (SELECT quantile_cont(q_score, 0.4) AS q_threshold FROM s)
+       SELECT s.doc_id, s.source, s.n_tokens, s.q_score, thr.q_threshold
+       FROM s CROSS JOIN thr
+       WHERE s.q_score >= thr.q_threshold""",
+    "Global quality-percentile corpus selection — keep the best 60% "
+    "by quality score (distinct-token ratio + capped stopword ratio): "
+    "the threshold is ONE scalar aggregate broadcast back via a 1-row "
+    "cross join; the corpus is scanned, never shuffled. Exact "
+    "percentile for oracle parity; approx_percentile (t-digest, "
+    "mergeable) is the 100 TB path behind the exact=False flag.",
+)
+def q128(spark, sf_dir):
+    return training.quality_select(
+        _t(spark, sf_dir, "documents"), keep_frac=0.6, exact=True
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window selection
 # ---------------------------------------------------------------------------
@@ -3248,9 +3317,10 @@ def q126(spark, sf_dir):
 #     (q32, q34, q42, q48-q57, q59, q69, q73, q84, q92, q118-q121),
 #     q111 (r2's one red — oracle type artifact, fixed), every query
 #     whose plan or oracle changed this round (q37/q41/q90 minhash
-#     widening, q121 keeper tiebreak, new q122), and re-verification
-#     of touched-module peers (q36-q43) + round-1 classics (q01-q17,
-#     q21) that have not had a driver row since round 1.
+#     widening, q121 keeper tiebreak, new q122), first checks of the
+#     round-3 additions (q123-q128), and re-verification of
+#     touched-module peers (q36-q43) + a dozen round-1 classics that
+#     have not had a driver row since round 1.
 #   round 4+: continue rotating previously green queries back in,
 #     always including anything whose oracle or output schema changed.
 
@@ -3291,23 +3361,25 @@ DRIVER_WINDOW: list[str] = [
     "q43_embedding_neardup",
     "q38_cosine_topk",
     "q39_word_count",
-    # re-verification: round-1 classics (no driver row since r1)
+    # new this round — first driver check
+    "q123_simhash_fingerprints",
+    "q124_simhash_candidates",
+    "q125_token_budget_mix",
+    "q126_semantic_dedup",
+    "q127_repeated_ngrams",
+    "q128_quality_select",
+    # re-verification: round-1 classics (no driver row since r1; the
+    # rest of q01-q17 stay r1-green and rotate back in round 4)
     "q01_projection",
     "q02_time_range",
     "q03_null_drop",
     "q04_mask_semi_join",
-    "q05_numeric_validity",
     "q06_broadcast_lookup_join",
     "q07_grid_semi_join",
     "q08_grid_anti_join",
     "q09_multiway_join",
-    "q10_left_outer_join",
-    "q11_left_semi_join",
-    "q12_left_anti_join",
     "q13_partition_layout",
-    "q14_distinct",
     "q15_group_count",
-    "q16_value_per_key",
     "q17_agg_suite",
     "q21_sort_limit",
 ]

@@ -90,11 +90,11 @@ def test_driver_window_covers_priority_queries():
     # reordering — round-2 advice): q01 is the first registration
     assert next(iter(REGISTRY)).startswith("q01")
     # round 3 deliberately admits the rows-only-by-design queries
-    # (q34/q42/q54/q55/q59/q69/q73/q84) — they have never had ANY
-    # driver row and the weaker rows-only check is still a driver row;
-    # cap the spend so oracle slots stay the majority
+    # (q34/q42/q54/q55/q59/q69/q73/q84, plus the new q126) — they have
+    # never had ANY driver row and the weaker rows-only check is still
+    # a driver row; cap the spend so oracle slots stay the majority
     weak = [n for n in DRIVER_WINDOW if REGISTRY[n].oracle is None]
-    assert len(weak) <= 8, f"too many rows-only window slots: {weak}"
+    assert len(weak) <= 9, f"too many rows-only window slots: {weak}"
 
 
 def test_repetition_ratio_is_linear_per_row(plans):

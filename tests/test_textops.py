@@ -137,3 +137,43 @@ def test_line_dedup_first_occurrence_wins_and_reassembles(spark):
     assert set(out) == {1, 2}
     assert out[1].n_lines_kept == 2 and out[1].text_dedup == "a b c d"
     assert out[2].n_lines_kept == 1 and out[2].text_dedup == "x y"
+
+
+def test_repeated_ngrams_flags_shared_spans(spark):
+    from climate_data_pipelines_spark.operators import textops
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),     # shares the first 8-gram with 2
+            (2, "a b c d e f g h x y"),
+            (3, "p q r s t u v w z z"),     # unique content
+            (4, "short text"),              # < k tokens -> 1 whole-text gram
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textops.repeated_ngrams(df, k=8, min_docs=2).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    # 10 tokens, k=8 -> 3 gram positions each
+    assert out[1].n_grams == 3 and out[3].n_grams == 3
+    # docs 1/2 share exactly the gram at position 0 ("a b c d e f g h")
+    assert out[1].n_repeated == 1 and out[2].n_repeated == 1
+    assert abs(out[1].repeated_frac - 1 / 3) < 1e-6
+    assert out[3].n_repeated == 0 and out[3].repeated_frac == 0.0
+    # sub-k doc: single whole-text shingle, unique here
+    assert out[4].n_grams == 1 and out[4].n_repeated == 0
+
+
+def test_repeated_ngrams_min_docs_threshold(spark):
+    from climate_data_pipelines_spark.operators import textops
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a b")], "doc_id long, text string"
+    )
+    # whole-text shingle shared by 3 docs: min_docs=3 still flags it,
+    # min_docs=4 does not
+    out3 = {r.doc_id: r.n_repeated for r in
+            textops.repeated_ngrams(df, k=8, min_docs=3).collect()}
+    out4 = {r.doc_id: r.n_repeated for r in
+            textops.repeated_ngrams(df, k=8, min_docs=4).collect()}
+    assert out3 == {1: 1, 2: 1, 3: 1}
+    assert out4 == {1: 0, 2: 0, 3: 0}

@@ -238,3 +238,28 @@ def test_token_budget_mix_domain_without_target_dropped(spark):
     out = training.token_budget_mix(df, targets).collect()
     # inner join on the targets dim: untargeted domains drop out
     assert [r.doc_id for r in out] == [1]
+
+
+def test_quality_select_keeps_top_fraction(spark):
+    # 10 docs with strictly increasing distinct-token ratio (and no
+    # stopwords): doc i has i distinct tokens out of 10
+    rows = [
+        (i, " ".join(f"w{j % i}" for j in range(10)) if i > 0 else "w w w w w w w w w w")
+        for i in range(1, 11)
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "s") for (i, t) in rows], "doc_id long, text string, source string"
+    )
+    out = training.quality_select(df, keep_frac=0.5, exact=True).collect()
+    kept = sorted(r.doc_id for r in out)
+    # strictly increasing scores -> exactly the top half survives
+    # (threshold = median, >= keeps the upper 5 plus any tie; scores
+    # here are distinct except doc 1/2... compute: doc i distinct ratio = i/10)
+    assert kept == [6, 7, 8, 9, 10] or kept == [5, 6, 7, 8, 9, 10]
+    assert all(r.q_threshold == out[0].q_threshold for r in out)
+
+
+def test_quality_select_rejects_bad_fraction(spark):
+    df = spark.createDataFrame([(1, "a", "s")], "doc_id long, text string, source string")
+    with pytest.raises(ValueError, match="keep_frac"):
+        training.quality_select(df, keep_frac=0.0)

@@ -68,6 +68,17 @@ AUDITS = {
     "q119_line_dedup": [("Window", False)],
     # chunker: bounded explode + keyed agg, no window
     "q120_chunk_windows": [("Window", False)],
+    # simhash: ONE vote aggregate on doc_id, no window, no join
+    "q123_simhash_fingerprints": [("HashAggregate", True), ("Window", False), ("Join", False)],
+    # mixture sampling: targets + scalar total broadcast; corpus never
+    # shuffled (no exchange keyed on the corpus side before the filter
+    # — the only exchanges feed the tiny rate dim)
+    "q125_token_budget_mix": [("BroadcastHashJoin", True), ("Window", False)],
+    # repeated n-grams: digest-keyed aggs; no window over the corpus
+    "q127_repeated_ngrams": [("HashAggregate", True), ("Window", False)],
+    # percentile selection: 1-row threshold broadcast back via a
+    # nested-loop probe; no window, no corpus shuffle
+    "q128_quality_select": [("BroadcastNestedLoopJoin", True), ("Window", False)],
 }
 
 
