@@ -89,7 +89,12 @@ TABLES: dict[str, T.StructType] = {
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.TimestampType()),
+            # parquet TIMESTAMP(NANOS, isAdjustedToUTC=false) → this
+            # environment's Spark 4 reader scans it as TIMESTAMP_NTZ
+            # (µs-truncated), same as o_orderdate/l_shipdate; kept NTZ
+            # on purpose — naive timestamps match the DuckDB oracle
+            # regardless of session timezone
+            T.StructField("ts", T.TimestampNTZType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -124,8 +129,10 @@ def ensure_session_confs(spark: SparkSession) -> None:
     built itself; these are all runtime-settable session configs.
     - UTC session timezone → year()/month()/window() agree with the
       DuckDB oracle on naive parquet timestamps.
-    - nanosAsLong → events.ts (TIMESTAMP NANOS parquet) scans as long
-      instead of failing; load_table converts ns→µs.
+    - nanosAsLong → compat shim for Spark readers that would otherwise
+      fail on TIMESTAMP(NANOS) parquet. This environment's Spark 4
+      reader ignores it and scans events.ts as TIMESTAMP_NTZ directly
+      (µs-truncated); normalize_ns_timestamp stays a no-op then.
     """
     for k, v in (
         ("spark.sql.session.timeZone", "UTC"),

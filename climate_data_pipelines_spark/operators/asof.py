@@ -16,7 +16,19 @@ custom-operator rule (a): composition before UDF).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _epoch_seconds(col: Column) -> Column:
+    """Epoch seconds (double, µs-fractional) from any timestamp type.
+
+    TIMESTAMP_NTZ cannot be cast to DOUBLE directly (Spark 4 rejects
+    it); go via TIMESTAMP_LTZ first — with the engine's UTC session
+    timezone (catalog.ensure_session_confs) NTZ→LTZ is the identity,
+    so this agrees bit-for-bit with the DuckDB oracle's epoch_us/1e6.
+    For plain TIMESTAMP the inner cast is a no-op.
+    """
+    return F.unix_micros(col.cast("timestamp_ltz")) / F.lit(1_000_000.0)
 
 
 def asof_join(
@@ -110,8 +122,8 @@ def time_weighted_avg(
     tiebreak changes the weighted sum, not just the order.
     """
     w = Window.partitionBy(key_col).orderBy(ts_col, *(tie_cols or []))
-    nxt = F.lead(F.col(ts_col).cast("double")).over(w)
-    weight = nxt - F.col(ts_col).cast("double")
+    nxt = F.lead(_epoch_seconds(F.col(ts_col))).over(w)
+    weight = nxt - _epoch_seconds(F.col(ts_col))
     weighted = df.withColumn("_w", weight)
     return weighted.groupBy(key_col).agg(
         F.when(

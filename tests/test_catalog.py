@@ -21,8 +21,10 @@ def test_declared_schema_matches_parquet(spark, sf_dir):
 
 
 def test_events_ts_is_timestamp_microseconds(spark, sf_dir):
+    # TIMESTAMP(NANOS, isAdjustedToUTC=false) parquet → Spark 4 scans
+    # it as TIMESTAMP_NTZ, µs-truncated (catalog declares the same).
     df = load_table(spark, sf_dir, "events")
-    assert dict(df.dtypes)["ts"] == "timestamp"
+    assert dict(df.dtypes)["ts"] == "timestamp_ntz"
     row = df.orderBy("event_id").first()
     assert row.ts.year == 2024
 

@@ -114,9 +114,28 @@ def main():
     only = set(sys.argv[2:])
 
     from climate_data_pipelines_spark import get_spark
+    from climate_data_pipelines_spark.catalog import TABLES, load_table
     from climate_data_pipelines_spark.queries import REGISTRY
 
     spark = get_spark(app_name="oracle-check", shuffle_partitions=8)
+
+    # Preflight: declared catalog schema must equal the scanned schema
+    # for every table, so parquet-reader drift (e.g. TIMESTAMP_NTZ under
+    # a new Spark reader) fails loudly HERE, not deep inside a query's
+    # cast (the q104 r3 failure mode).
+    drift = []
+    for t in TABLE_NAMES:
+        got = {f.name: f.dataType.simpleString()
+               for f in load_table(spark, sf_dir, t).schema.fields}
+        want = {f.name: f.dataType.simpleString() for f in TABLES[t].fields}
+        ok = got == want
+        print(f"SCHEMA {t}: {'parity' if ok else f'DRIFT got={got} declared={want}'}")
+        if not ok:
+            drift.append(t)
+    if drift:
+        print(f"\nABORT: declared/scanned schema drift in {drift} — "
+              "fix catalog.py declarations before trusting any query")
+        sys.exit(2)
 
     con = duckdb.connect()
     for t in TABLE_NAMES:
