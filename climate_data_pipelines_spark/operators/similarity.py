@@ -12,14 +12,67 @@ the full cross product; multiprobe = explode over neighbor buckets.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 from climate_data_pipelines_spark.functions.scalar import oracle_round
 from climate_data_pipelines_spark.functions.vectors import (
     cosine_similarity,
+    dot,
     l2_normalize,
     sq_l2,
 )
+
+
+def _lsh_plane_matrix(dim: int, n_tables: int, n_planes: int):
+    """Deterministic hyperplane weight matrix (dim, n_tables·n_planes)
+    for the vectorized signature kernel. Seeded per (table, plane) so
+    the matrix is reproducible across executors/batches without
+    shipping state. Cached per shape — built once per python worker."""
+    import numpy as np
+
+    key = (dim, n_tables, n_planes)
+    mat = _lsh_plane_matrix._cache.get(key)
+    if mat is None:
+        cols = []
+        for t in range(n_tables):
+            for p in range(n_planes):
+                rng = np.random.default_rng(0x5EED + t * 100003 + p)
+                cols.append(rng.standard_normal(dim))
+        mat = np.stack(cols, axis=1)  # (dim, T*P)
+        _lsh_plane_matrix._cache[key] = mat
+    return mat
+
+
+_lsh_plane_matrix._cache = {}
+
+
+def _lsh_signatures(vec_col: str, n_tables: int, n_planes: int) -> F.Column:
+    """All ``n_tables`` LSH bucket ids for a vector in ONE vectorized
+    pandas kernel: a single (batch×dim)@(dim×T·P) matmul + bit-pack,
+    instead of T·P interpreted zip_with/aggregate dot products per row
+    (measured 8.4 s/pass → ~0.1 s at sf0.1 for T=8, P=11). Sign bits
+    are scale-invariant, so this hashes the RAW vector; the unit-
+    normalized copy used for pair scoring never enters the kernel.
+    This is the sanctioned Arrow-batched exception to the no-UDF rule:
+    88 hyperplane dots per row genuinely can't stay in codegen at
+    acceptable cost (SURVEY.md custom-operator rule (b))."""
+    import numpy as np
+
+    @F.pandas_udf("array<int>")
+    def sig(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        dim = next(len(x) for x in v if x is not None)
+        zero = np.zeros(dim)
+        M = np.stack([zero if x is None else np.asarray(x, dtype=np.float64) for x in v])
+        W = _lsh_plane_matrix(dim, n_tables, n_planes)
+        bits = (M @ W) >= 0.0  # (batch, T*P)
+        pows = 1 << np.arange(n_planes, dtype=np.int64)
+        buckets = bits.reshape(len(M), n_tables, n_planes) @ pows  # (batch, T)
+        return pd.Series([row.astype("int32") for row in buckets])
+
+    return sig(F.col(vec_col))
 
 
 def cosine_topk(
@@ -312,11 +365,42 @@ def label_centroids(
     )
 
 
+def derive_lsh_planes(
+    corpus_n: int,
+    n_tables: int,
+    target_candidates: int = 96,
+    multiprobe: bool = True,
+    floor: int = 5,
+    cap: int = 24,
+) -> int:
+    """Corpus-adaptive LSH depth: smallest plane count p such that the
+    EXPECTED candidate pairs per member stay ~constant as the corpus
+    grows. With Hamming-1 multiprobe a member meets
+    ``n_tables · (p+1) · n / 2^p`` candidates under a uniform bucket
+    assumption, so we grow p until ``2^p / (p+1) >= n·T/target`` —
+    every doubling of the corpus costs one extra plane (+one probe),
+    keeping total pair work O(n·target) instead of O(n²/2^p_fixed).
+    Recall is held by OR-amplification across tables + the probes
+    (per-table Hamming-1 collision for a cosine-0.95 pair at p=11 is
+    ~0.70 → 8-table recall ~0.9999, above the fixed-p=5 exact-bucket
+    design this replaces).
+    """
+    need = max(1.0, (corpus_n * n_tables) / float(target_candidates))
+    p = floor
+    while p < cap and (2**p) / float((p + 1) if multiprobe else 1) < need:
+        p += 1
+    return p
+
+
 def semantic_dedup(
     df: DataFrame,
     threshold: float = 0.95,
-    n_planes: int = 5,
+    n_planes: int | None = None,
     n_tables: int = 8,
+    multiprobe_bits: int = 1,
+    target_candidates: int = 96,
+    bucket_cap: int = 256,
+    corpus_n: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     keep: str = "min",
@@ -326,12 +410,25 @@ def semantic_dedup(
     text differs (template rewrites, boilerplate variants, translations
     embedded into one space).
 
-    Stages — all bucketed, never all-pairs:
-    1. multi-table hyperplane LSH buckets every vector (the corpus is
-       hashed once per table, same signature machinery as
-       ``ann_lsh_topk``);
+    Stages — all bucketed, never all-pairs, with bounded bucket width:
+    1. multi-table hyperplane LSH buckets every vector; the plane count
+       is DERIVED from the corpus size (``derive_lsh_planes``) unless
+       pinned, so bucket occupancy — and with it the within-bucket join
+       fan-out — stays ~constant as the corpus grows instead of the
+       fixed-2^5-buckets quadratic cliff;
     2. within-bucket exact cosine >= ``threshold`` yields verified
-       near-dup edges (id_a < id_b, distinct across tables);
+       near-dup edges (id_a < id_b, distinct across tables). Two edge
+       sources: (a) same-bucket pairs, SALT-CAPPED — a bucket wider
+       than ``bucket_cap`` is split into ⌈width/cap⌉ salt groups by
+       member-id hash, so one degenerate hot bucket (e.g. a corpus of
+       near-identical vectors) generates at most width·cap pairs, never
+       width²; the recall a hot bucket loses to salting is recovered
+       across the other tables (each salts by a table-keyed hash, so
+       splits are independent); (b) Hamming-1 probe pairs — each member
+       also probes the ``n_planes`` buckets one bit-flip away
+       (cross-bucket only, query-side explode), recovering near-dups
+       that disagree on a single sign bit so the deeper adaptive plane
+       count doesn't cost recall;
     3. connected components clusters the edges (transitive closure —
        A~B, B~C groups all three);
     4. keeper = min id per cluster; the survivors are returned with
@@ -344,42 +441,93 @@ def semantic_dedup(
     """
     from climate_data_pipelines_spark.operators.dedup import connected_components
 
-    def bucketed(frame: DataFrame) -> DataFrame:
-        tables = []
-        for t in range(n_tables):
-            bucket = None
-            for p in range(n_planes):
-                bit = _hyperplane_sign(vec_col, t, p) * (1 << p)
-                bucket = bit if bucket is None else bucket + bit
-            tables.append(F.struct(F.lit(t).alias("table"), bucket.alias("bucket")))
-        return frame.select(
-            F.col(id_col), F.col(vec_col), F.explode(F.array(*tables)).alias("_tb")
-        ).select(
-            id_col, vec_col,
-            F.col("_tb.table").alias("table"), F.col("_tb.bucket").alias("bucket"),
+    if n_planes is None:
+        n = corpus_n if corpus_n is not None else df.count()
+        n_planes = derive_lsh_planes(
+            n, n_tables, target_candidates, multiprobe=multiprobe_bits >= 1
         )
 
-    b = bucketed(df)
-    a_side = b.select(
-        "table", "bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+    # One vectorized signature pass (all tables at once), unit-norm
+    # computed once per MEMBER (not per pair — per-pair cosine recomputes
+    # both norms, tripling the dominant scoring cost), then materialized:
+    # every downstream branch (salt window, both join sides, probe
+    # explode) reuses the checkpoint instead of re-deriving 88 hyperplane
+    # dots per row per branch. O(n·n_tables) rows, linear in the corpus.
+    b = (
+        df.select(
+            F.col(id_col),
+            l2_normalize(vec_col).alias("_vn"),
+            F.posexplode(_lsh_signatures(vec_col, n_tables, n_planes)).alias(
+                "table", "bucket"
+            ),
+        )
+        .localCheckpoint(eager=True)
     )
-    b_side = b.select(
-        "table", "bucket", F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+
+    # -- same-bucket pairs, salt-capped ------------------------------
+    # width via a window over the bucket key (one keyed exchange the
+    # self-join below reuses — HashPartitioning(table,bucket) already
+    # clusters the salted join key). Salt = table-keyed id hash mod
+    # ⌈width/cap⌉: normal buckets get k=1 (no-op); a hot bucket's pair
+    # count drops from width² to width·cap per table.
+    wb = Window.partitionBy("table", "bucket")
+    b_salted = b.withColumn(
+        "_k",
+        F.greatest(
+            F.lit(1), F.ceil(F.count("*").over(wb) / F.lit(bucket_cap))
+        ).cast("int"),
+    ).withColumn(
+        "_salt", F.pmod(F.xxhash64("table", F.col(id_col)), F.col("_k")).cast("int")
+    )
+    a_side = b_salted.select(
+        "table", "bucket", "_salt",
+        F.col(id_col).alias("id_a"), F.col("_vn").alias("_va"),
+    )
+    b_side = b_salted.select(
+        "table", "bucket", "_salt",
+        F.col(id_col).alias("id_b"), F.col("_vn").alias("_vb"),
     )
     # score BEFORE deduplicating across tables: the bucket join output
-    # pipelines straight into the cosine filter (narrow, stays in the
-    # join stage), so the distinct only ever shuffles surviving
+    # pipelines straight into the dot filter (unit vectors → dot IS the
+    # cosine), so the distinct only ever shuffles surviving
     # (id_a, id_b) pairs — 16 bytes/row — never the embedding arrays.
-    # A pair colliding in several tables is scored once per table;
-    # redundant FLOPs are ~free next to shuffling vectors (measured
-    # 27.9 s → distinct-on-ids variant 4× faster at sf0.1).
-    edges = (
-        a_side.join(b_side, ["table", "bucket"])
+    same_bucket = (
+        a_side.join(b_side, ["table", "bucket", "_salt"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cosine_similarity("_va", "_vb") >= threshold)
+        .filter(dot("_va", "_vb") >= threshold)
         .select("id_a", "id_b")
-        .distinct()
-    ).localCheckpoint(eager=True)
+    )
+
+    edges_src = same_bucket
+    if multiprobe_bits >= 1 and n_planes > 0:
+        # -- Hamming-1 probe pairs (cross-bucket only, unsalted) -----
+        # each member probes the n_planes buckets one bit-flip away;
+        # a pair split across adjacent buckets is generated from both
+        # directions, exactly one ordering survives id_a < id_b. Hot
+        # buckets stay linear here: the fan-out is width(X)·Σwidth of
+        # the p neighbors, not width².
+        flips = b.select(
+            F.col(id_col).alias("id_b"), F.col("_vn").alias("_vb"), "table",
+            F.explode(
+                F.array(*[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << p))
+                    for p in range(n_planes)
+                ])
+            ).alias("bucket"),
+        )
+        exact = b.select(
+            "table", "bucket",
+            F.col(id_col).alias("id_a"), F.col("_vn").alias("_va"),
+        )
+        probe_pairs = (
+            exact.join(flips, ["table", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(dot("_va", "_vb") >= threshold)
+            .select("id_a", "id_b")
+        )
+        edges_src = same_bucket.unionByName(probe_pairs)
+
+    edges = edges_src.distinct().localCheckpoint(eager=True)
     clusters = connected_components(
         edges, nodes=df.select(id_col), node_col=id_col
     ).withColumnRenamed("component", "cluster")
