@@ -2,21 +2,137 @@
 
 SURVEY.md §2.11: image/audio/video travel as ``binary`` columns with a
 typed metadata struct; decode / feature-extract / resize / frame-sample
-run as Arrow-batched pandas functions over ``mapInPandas``. The
-image/audio codec libraries are not in this container, so the decode
-kernel is STUBBED (deterministic fake features derived from the bytes);
-the Spark-side plumbing — schema, batch iteration, partitioning — is
-real and is what these operators exercise.
+run as Arrow-batched pandas functions over ``mapInPandas``.
+
+The decode kernel is REAL for PNG: a dependency-free decoder (zlib
+inflate + per-scanline unfilter, all five PNG filter types, gray8 /
+RGB8 / RGBA8) plus a matching gray8 encoder, so ``q54`` computes actual
+pixel statistics from actual image bytes. Payloads that are not PNG
+fall back to an honestly-labeled deterministic stub (the container has
+no JPEG/video codec libs); the Spark-side plumbing — schema, batch
+iteration, partitioning — is identical either way.
 """
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# Dependency-free PNG codec (stdlib only: struct + zlib)
+# ---------------------------------------------------------------------------
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_BPP = {0: 1, 2: 3, 6: 4}  # color type → bytes/pixel at bit depth 8
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png_gray8(pixels: bytes, width: int, height: int) -> bytes:
+    """Minimal 8-bit grayscale PNG writer (filter 0 per scanline)."""
+    if len(pixels) != width * height:
+        raise ValueError(f"need {width * height} pixels, got {len(pixels)}")
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + pixels[y * width : (y + 1) * width] for y in range(height)
+    )
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> tuple[int, int, float]:
+    """Decode a PNG to (width, height, mean_luma) — real pixel math.
+
+    Supports bit depth 8, color types 0 (gray), 2 (RGB), 6 (RGBA),
+    non-interlaced; all five scanline filter types (None/Sub/Up/
+    Average/Paeth) are unfiltered per the PNG spec. Luma for color
+    images is ITU-R BT.601 (0.299 R + 0.587 G + 0.114 B). Anything
+    outside that envelope raises NotImplementedError — a genuine
+    feature guard, not a silent wrong answer.
+    """
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, width, height, color_type, idat = 8, None, None, None, []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            width, height, depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            if depth != 8 or color_type not in _BPP or interlace != 0:
+                raise NotImplementedError(
+                    f"PNG depth={depth} color_type={color_type} "
+                    f"interlace={interlace} outside the supported "
+                    "gray8/RGB8/RGBA8 non-interlaced envelope"
+                )
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    raw = zlib.decompress(b"".join(idat))
+    bpp = _BPP[color_type]
+    stride = width * bpp
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    prev = bytearray(stride)
+    luma_sum, rpos = 0.0, 0
+    for _y in range(height):
+        ftype = raw[rpos]
+        line = bytearray(raw[rpos + 1 : rpos + 1 + stride])
+        rpos += 1 + stride
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                line[i] = (
+                    line[i] + (a if pa <= pb and pa <= pc else b if pb <= pc else c)
+                ) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        if color_type == 0:
+            luma_sum += sum(line)
+        else:
+            for i in range(0, stride, bpp):
+                luma_sum += (
+                    0.299 * line[i] + 0.587 * line[i + 1] + 0.114 * line[i + 2]
+                )
+        prev = line
+    return width, height, luma_sum / (width * height)
 
 
 def attach_binary_payload(
@@ -51,11 +167,47 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+def text_as_png_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_pixels: int = 4096
+) -> DataFrame:
+    """Render each document's utf-8 bytes as a REAL grayscale PNG
+    payload (near-square, zero-padded, capped at ``max_pixels``) —
+    deterministic image fixtures with known pixel values, so the
+    decode → feature path computes real statistics end-to-end.
+    Arrow-batched mapInPandas: the encoder (zlib) is per-batch Python,
+    orchestration stays distributed.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for text in pdf[text_col]:
+                pix = (text or "").encode("utf-8")[:max_pixels]
+                w = max(8, min(64, int(len(pix) ** 0.5) + 1))
+                h = max(1, -(-len(pix) // w))
+                pix = pix.ljust(w * h, b"\x00")
+                payloads.append(encode_png_gray8(pix, w, h))
+            yield pd.DataFrame({id_col: pdf[id_col].values, "payload": payloads})
+
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    png = df.select(id_col, text_col).mapInPandas(batches, schema=out_schema)
+    return png.select(
+        F.col(id_col),
+        "payload",
+        F.struct(
+            F.lit("image/png").alias("media_type"),
+            F.length("payload").alias("n_bytes"),
+        ).alias("media_meta"),
+    )
+
+
 def _decode_image_stub(payload: bytes) -> tuple[int, int, float]:
-    """STUB decode kernel — deterministic fake (no codec libs in this
-    container). A real deployment replaces this body with PIL/ffmpeg;
-    the signature (bytes -> (w, h, luma)) and everything around it
-    stays identical.
+    """STUB decode kernel for non-PNG media — deterministic fake (no
+    JPEG/video codec libs in this container). A real deployment
+    replaces this body with PIL/ffmpeg; the signature
+    (bytes -> (w, h, luma)) and everything around it stays identical.
     """
     n = len(payload)
     width = 16 + (n % 64)
@@ -67,16 +219,23 @@ def _decode_image_stub(payload: bytes) -> tuple[int, int, float]:
 def extract_image_features(binary_df: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over mapInPandas.
 
-    Batches arrive as pandas DataFrames (whole partitions, streamed) —
-    the decode loop is per-batch Python, the orchestration stays
-    distributed. At 100 TB this is the canonical shape: repartition by
-    payload size budget upstream, one Python worker per core decoding
-    its partition's batches.
+    PNG payloads get the REAL decoder (``decode_png`` — inflate,
+    unfilter, pixel-sum luma); other media types fall back to the
+    labeled stub. Batches arrive as pandas DataFrames (whole
+    partitions, streamed) — the decode loop is per-batch Python, the
+    orchestration stays distributed. At 100 TB this is the canonical
+    shape: repartition by payload size budget upstream, one Python
+    worker per core decoding its partition's batches.
     """
+
+    def decode_one(p: bytes) -> tuple[int, int, float]:
+        if p[:8] == PNG_SIG:
+            return decode_png(p)
+        return _decode_image_stub(p)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = [_decode_image_stub(p) for p in pdf["payload"]]
+            feats = [decode_one(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].values,

@@ -2217,12 +2217,14 @@ def q53(spark, sf_dir):
 @query(
     "q54_image_features",
     None,
-    "Q54 (rows-only): Arrow-batched decode/feature-extract over "
-    "mapInPandas — decode kernel STUBBED (no codec libs in container); "
-    "schema/batching/partitioning plumbing is real (SURVEY.md §2.11).",
+    "Q54 (rows-only): Arrow-batched image decode/feature-extract over "
+    "mapInPandas — REAL PNG path: each doc's bytes render to a gray8 "
+    "PNG, the dependency-free decoder (zlib inflate + scanline "
+    "unfilter) computes actual pixel stats; non-PNG media fall back "
+    "to the labeled stub (SURVEY.md §2.11).",
 )
 def q54(spark, sf_dir):
-    bdf = multimodal.attach_binary_payload(_t(spark, sf_dir, "documents"))
+    bdf = multimodal.text_as_png_payload(_t(spark, sf_dir, "documents"))
     return multimodal.extract_image_features(bdf)
 
 

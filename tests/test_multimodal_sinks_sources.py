@@ -44,6 +44,117 @@ def test_extract_image_features_deterministic(spark, sf_dir):
     assert all(16 <= w < 80 and 16 <= h < 80 for w, h, _ in a.values())
 
 
+def test_png_roundtrip_golden():
+    # known 2x2 grayscale image -> encode -> decode -> exact pixel stats
+    pixels = bytes([10, 200, 30, 100])
+    png = multimodal.encode_png_gray8(pixels, 2, 2)
+    assert png[:8] == multimodal.PNG_SIG
+    w, h, luma = multimodal.decode_png(png)
+    assert (w, h) == (2, 2)
+    assert luma == (10 + 200 + 30 + 100) / 4.0  # 85.0
+
+
+def _png_from_filtered(width, height, color_type, scanlines):
+    """Hand-assemble a PNG from pre-filtered scanlines (filter byte +
+    filtered data per row) — drives the decoder's unfilter paths."""
+    import struct as _s
+    import zlib as _z
+
+    ihdr = _s.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    raw = b"".join(scanlines)
+    return (
+        multimodal.PNG_SIG
+        + multimodal._png_chunk(b"IHDR", ihdr)
+        + multimodal._png_chunk(b"IDAT", _z.compress(raw))
+        + multimodal._png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_decoder_all_filter_types():
+    # same 3x3 image, each row encoded with a different filter; decoded
+    # pixels must match the original regardless of the filter chosen
+    rows = [bytes([5, 105, 205]), bytes([15, 115, 215]), bytes([25, 125, 225])]
+    expected_luma = sum(sum(r) for r in rows) / 9.0
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else b if pb <= pc else c
+
+    # row 0: Sub (filter 1), row 1: Up (filter 2), row 2: Paeth (filter 4)
+    r0 = bytes([1]) + bytes(
+        [(rows[0][i] - (rows[0][i - 1] if i else 0)) & 0xFF for i in range(3)]
+    )
+    r1 = bytes([2]) + bytes([(rows[1][i] - rows[0][i]) & 0xFF for i in range(3)])
+    r2 = bytes([4]) + bytes(
+        [
+            (rows[2][i] - paeth(rows[2][i - 1] if i else 0, rows[1][i],
+                                rows[1][i - 1] if i else 0)) & 0xFF
+            for i in range(3)
+        ]
+    )
+    png = _png_from_filtered(3, 3, 0, [r0, r1, r2])
+    w, h, luma = multimodal.decode_png(png)
+    assert (w, h) == (3, 3)
+    assert abs(luma - expected_luma) < 1e-12
+
+    # Average (filter 3) on its own image
+    rows_avg = [bytes([100, 50, 200]), bytes([60, 70, 80])]
+    a0 = bytes([3]) + bytes(
+        [(rows_avg[0][i] - ((rows_avg[0][i - 1] if i else 0) >> 1)) & 0xFF
+         for i in range(3)]
+    )
+    a1 = bytes([3]) + bytes(
+        [(rows_avg[1][i] - (((rows_avg[1][i - 1] if i else 0) + rows_avg[0][i]) >> 1))
+         & 0xFF
+         for i in range(3)]
+    )
+    w2, h2, luma2 = multimodal.decode_png(_png_from_filtered(3, 2, 0, [a0, a1]))
+    assert (w2, h2) == (3, 2)
+    assert abs(luma2 - sum(sum(r) for r in rows_avg) / 6.0) < 1e-12
+
+
+def test_png_rgb_luma_bt601():
+    # 2x1 RGB: pure red + pure green, filter 0
+    line = bytes([0]) + bytes([255, 0, 0, 0, 255, 0])
+    w, h, luma = multimodal.decode_png(_png_from_filtered(2, 1, 2, [line]))
+    assert (w, h) == (2, 1)
+    assert abs(luma - (0.299 * 255 + 0.587 * 255) / 2.0) < 1e-9
+
+
+def test_png_unsupported_envelope_raises():
+    import struct as _s
+    import zlib as _z
+
+    ihdr16 = _s.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)  # 16-bit depth
+    png = (
+        multimodal.PNG_SIG
+        + multimodal._png_chunk(b"IHDR", ihdr16)
+        + multimodal._png_chunk(b"IDAT", _z.compress(b"\x00\x00\x00"))
+        + multimodal._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_png(png)
+    with pytest.raises(ValueError):
+        multimodal.decode_png(b"not a png at all")
+
+
+def test_text_png_payload_real_pixel_stats(spark):
+    # 16-byte text -> 8x2 gray8 PNG, mean_luma is the exact byte mean
+    text = "abcdabcdabcdabcd"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    bdf = multimodal.text_as_png_payload(df)
+    feats = multimodal.extract_image_features(bdf).collect()
+    assert len(feats) == 1
+    r = feats[0]
+    data = text.encode()
+    assert (r.width, r.height) == (8, 2)
+    assert r.mean_luma == sum(data) / len(data)
+    # the payload really is a decodable PNG with those stats
+    payload = bdf.select("payload").first().payload
+    assert multimodal.decode_png(bytes(payload)) == (8, 2, sum(data) / len(data))
+
+
 def test_frame_sample_counts(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(5)
     bdf = multimodal.attach_binary_payload(docs)
