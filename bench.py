@@ -59,6 +59,10 @@ HEADLINE = [
     "q126_semantic_dedup",
     "q127_repeated_ngrams",
     "q128_quality_select",
+    # round-4: minhash at production width (64 perms / 16 bands) —
+    # the cost slope vs q41's 16 perms is +1 md5 per shingle per +8
+    # hashes, so ~4x the signature agg of q41 plus the banded join
+    "q129_minhash64_candidates",
 ]
 
 # ANN quality: rows-only queries whose real metric is recall vs the

@@ -299,11 +299,20 @@ def ann_lsh_topk(
         query_df.withColumnRenamed("query_vec", "_qv"), "_qv", ["query_id"]
     )
     if multiprobe_bits >= 1:
-        # probe the exact bucket plus every single-bit flip of it
-        probes = F.array(
-            F.col("bucket"),
-            *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
-        )
+        # probe the exact bucket plus every bucket within Hamming
+        # distance ``multiprobe_bits`` of it (query-side explode only:
+        # 1+p probes at 1 bit, +p·(p-1)/2 at 2 bits — the corpus is
+        # still hashed exactly once per table)
+        flips = [
+            F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)
+        ]
+        if multiprobe_bits >= 2:
+            flips += [
+                F.col("bucket").bitwiseXOR(F.lit((1 << p) | (1 << q)))
+                for p in range(n_planes)
+                for q in range(p + 1, n_planes)
+            ]
+        probes = F.array(F.col("bucket"), *flips)
         query_b = query_b.select(
             "query_id", "table", F.explode(probes).alias("bucket")
         )

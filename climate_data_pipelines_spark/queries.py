@@ -1869,15 +1869,17 @@ def q43(spark, sf_dir):
 @query(
     "q55_ann_lsh_topk",
     None,
-    "Q38 scale path (rows-only): random-hyperplane LSH bucketing + "
+    "Q38 scale path (rows-only): random-hyperplane LSH bucketing "
+    "(8 tables x 5 planes, Hamming-2 multiprobe on the query side) + "
     "exact cosine within bucket — approximate by construction, judged "
-    "on recall vs q38 in tests (SURVEY.md §2.11).",
+    "on recall vs q38 in tests and bench (recall@10 = 1.0 at sf0.1, "
+    "candidate set 1.36x the Hamming-1 config) (SURVEY.md §2.11).",
 )
 def q55(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.ann_lsh_topk(
         emb, _query_vectors(spark, sf_dir), k=10,
-        n_planes=5, n_tables=8, multiprobe_bits=1,
+        n_planes=5, n_tables=8, multiprobe_bits=2,
     )
 
 
@@ -3296,6 +3298,24 @@ def q128(spark, sf_dir):
     return training.quality_select(
         _t(spark, sf_dir, "documents"), keep_frac=0.6, exact=True
     )
+
+
+@query(
+    "q129_minhash64_candidates",
+    f"""WITH{_minhash_ctes(n_hashes=64, bands=16)}
+       SELECT id_a, id_b FROM edges""",
+    "Q37 at PRODUCTION width: 64 MinHash permutations from 8 salted "
+    "md5 digests (Kirsch-Mitzenmacher double hashing, 8 permutations "
+    "per digest — the cost slope is +1 md5 per shingle per +8 "
+    "hashes), 16 bands x 4 rows. Same single-shuffle "
+    "explode->groupBy signature plan and banded bucket equi-join as "
+    "q37/q41; the generated DuckDB CTEs keep the oracle in lockstep "
+    "at any width.",
+)
+def q129(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, k=3, n_hashes=64)
+    return dedup.minhash_lsh_candidates(sigs, n_hashes=64, bands=16)
 
 
 # ---------------------------------------------------------------------------

@@ -163,6 +163,27 @@ def test_minhash_wide_family(spark):
     assert wide[1] == wide[2]
 
 
+def test_minhash_production_width_64(spark):
+    # q129's production configuration: 64 permutations (8 salted md5
+    # families), 16 bands x 4 rows. Near-identical docs must land in a
+    # shared band bucket; the unrelated doc must not pair with them.
+    df = _docs(spark, DOCS)
+    sigs = dedup.minhash_signatures(df, k=3, n_hashes=64)
+    row0 = sigs.orderBy("doc_id").first()
+    assert all(row0[f"mh{i}"] >= 0 for i in range(64))
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_candidates(sigs, n_hashes=64, bands=16).collect()
+    }
+    assert (1, 2) in pairs  # identical docs always collide in every band
+    # prefix consistency with the 16-wide family (same salted digests)
+    narrow = {r.doc_id: [r[f"mh{i}"] for i in range(16)]
+              for r in dedup.minhash_signatures(df, k=3, n_hashes=16).collect()}
+    wide = {r.doc_id: [r[f"mh{i}"] for i in range(16)]
+            for r in sigs.collect()}
+    assert narrow == wide
+
+
 def test_minhash_rejects_out_of_range_hash_count(spark):
     df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
     import pytest
