@@ -19,6 +19,15 @@ from climate_data_pipelines_spark.functions.scalar import inclusive_month_range
 DEFAULT_LAT_RES = 0.5
 DEFAULT_LON_RES = 0.625
 
+# Repo-packaged land-mask artifact (built offline by
+# tools/build_land_mask.py; see land_grid's resolution order).
+import os as _os
+
+PACKAGED_LAND_MASK = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    "data", "land_mask", "land_mask.parquet",
+)
+
 
 def observations(
     df: DataFrame,
@@ -221,22 +230,30 @@ def land_grid(
     """The land-cell dimension table (SURVEY.md §7.2 M2: 'precompute
     the mask grid once as a Parquet dim table').
 
-    Production path: pass ``mask_parquet`` (or set
-    ``SPARK_GRAFT_LAND_MASK``) pointing at a parquet land grid with
-    ``lat``/``lon`` columns (and optionally a boolean ``is_land`` to
-    filter on) — e.g. one exported offline from the public
-    global-land-mask dataset the reference consults per-point
-    (reference pipelines/precipitation_pipeline.py:160). That dataset
-    is not installed/downloadable in this container, so tests fall
-    back to a coarse continent-box heuristic whose flag values are
-    NOT geographically exact — documented parity gap — while the
-    SHAPE and the join plan are production-real: ~208k rows at
-    MERRA-2 resolution (BASELINE.md), always broadcastable. Built
-    with sequence+explode — no driver-side loop, no collect.
+    Resolution order:
+    1. explicit ``mask_parquet`` / ``SPARK_GRAFT_LAND_MASK`` env — a
+       parquet land grid with ``lat``/``lon`` columns (and optionally
+       a boolean ``is_land``), e.g. one built by
+       ``tools/build_land_mask.py`` from Natural Earth coastlines
+       (the same public coastline product the ``global-land-mask``
+       package the reference consults per-point is derived from,
+       reference pipelines/precipitation_pipeline.py:160);
+    2. the PACKAGED mask artifact (``data/land_mask/land_mask.parquet``
+       — the tool's embedded-outline rasterization: genuine
+       point-in-polygon coastline at 0.5°×0.625°, checked into the
+       repo so the default path is real geography, not boxes);
+    3. last resort only: coarse continent lat/lon boxes.
+    ~208k rows at MERRA-2 resolution (BASELINE.md), always
+    broadcastable; the fallback grid is built with sequence+explode —
+    no driver-side loop, no collect.
     """
     import os
 
-    mask_parquet = mask_parquet or os.environ.get("SPARK_GRAFT_LAND_MASK")
+    mask_parquet = (
+        mask_parquet
+        or os.environ.get("SPARK_GRAFT_LAND_MASK")
+        or (PACKAGED_LAND_MASK if os.path.exists(PACKAGED_LAND_MASK) else None)
+    )
     if mask_parquet:
         dim = spark.read.parquet(mask_parquet)
         if "is_land" in dim.columns:

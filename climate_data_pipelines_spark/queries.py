@@ -1341,22 +1341,22 @@ def q93(spark, sf_dir):
 
 @query(
     "q92_land_mask_grid",
-    """WITH pts AS (
+    f"""WITH pts AS (
          SELECT event_id,
                 (user_id % 360) * 0.5 - 90 + 0.25 AS lat,
                 (event_id % 576) * 0.625 - 180 + 0.3125 AS lon
          FROM events)
        SELECT event_id, lat, lon FROM pts
-       WHERE (lat > -55 AND lat < 70 AND lon > -115 AND lon < -40)
-          OR (lat > -35 AND lat < 70 AND lon > -10 AND lon < 50)
-          OR (lat > 10 AND lat < 65 AND lon > 60 AND lon < 135)
-          OR (lat > -45 AND lat < -10 AND lon > 110 AND lon < 155)""",
+       WHERE EXISTS (
+         SELECT 1 FROM read_parquet('{climate.PACKAGED_LAND_MASK}') m
+         WHERE m.is_land AND m.lat = pts.lat AND m.lon = pts.lon)""",
     "P4/J2 with the REAL land-grid dimension: observations snapped to "
     "0.5x0.625-degree cell centers, broadcast left-semi joined against "
-    "the generated ~60k-row land-cell table (climate.land_grid). The "
-    "oracle applies the grid's defining predicate directly — "
-    "membership in the dim equals the predicate because every point "
-    "is exactly a cell center.",
+    "the ~70k-row land-cell table (climate.land_grid, default = the "
+    "repo-packaged coastline rasterization from "
+    "tools/build_land_mask.py). The oracle semi-joins the SAME parquet "
+    "artifact; cell centers are exact dyadic doubles on both sides so "
+    "the equality join is bit-safe.",
 )
 def q92(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")

@@ -148,6 +148,25 @@ def test_land_grid_shape_and_fraction(spark):
     assert [(r.lat, r.lon) for r in kept] == [(10.25, 20.3125)]
 
 
+def test_land_grid_default_is_packaged_coastline(spark):
+    # no env var, no explicit path -> the repo-packaged rasterized
+    # coastline artifact, not the continent-box fallback
+    grid = climate.land_grid(spark)
+    cells = {
+        (r.lat, r.lon)
+        for r in grid.filter(
+            ((F.col("lat") == 48.25) & (F.col("lon") == 2.1875))      # Paris
+            | ((F.col("lat") == 35.25) & (F.col("lon") == -150.3125)) # N Pacific
+            | ((F.col("lat") == -25.25) & (F.col("lon") == 133.4375)) # Australia
+            | ((F.col("lat") == -35.25) & (F.col("lon") == -30.3125)) # S Atlantic
+        ).collect()
+    }
+    assert (48.25, 2.1875) in cells          # Paris: land
+    assert (-25.25, 133.4375) in cells       # central Australia: land
+    assert (35.25, -150.3125) not in cells   # north Pacific: ocean
+    assert (-35.25, -30.3125) not in cells   # south Atlantic: ocean
+
+
 def test_haversine_known_distances(spark):
     import pyspark.sql.functions as SF
 
