@@ -405,7 +405,7 @@ def semantic_dedup(
     df: DataFrame,
     threshold: float = 0.95,
     n_planes: int | None = None,
-    n_tables: int = 8,
+    n_tables: int = 6,
     multiprobe_bits: int = 1,
     target_candidates: int = 96,
     bucket_cap: int = 256,

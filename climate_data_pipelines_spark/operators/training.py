@@ -13,6 +13,7 @@ is one bounded window per shard.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -70,6 +71,90 @@ def decontaminate(
     set — ids are small relative to the corpus, broadcastable)."""
     bad = contaminated_ids(train, benchmark, text_col, id_col, k)
     return train.join(F.broadcast(bad), id_col, "left_anti")
+
+
+def contamination_rate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document benchmark-overlap FRACTION — the graded
+    decontamination signal (vs ``contaminated_ids``' binary flag):
+    |distinct k-shingles(doc) ∩ benchmark| / |distinct k-shingles(doc)|.
+    A doc quoting one benchmark line scores near 0; a verbatim eval
+    copy scores ~1 — the number a curator thresholds on instead of
+    dropping every doc that shares a single common trigram.
+
+    Same scale shape as ``contaminated_ids``: benchmark shingles are
+    tiny and broadcast; the train side explodes once and aggregates on
+    its own id — it is never shuffled on the shingle key, so the plan
+    holds when train is 100 TB and the benchmark is MBs. Returns
+    (id, n_shingles, n_contaminated, contamination_rate).
+    """
+    bench_sh = (
+        benchmark.select(
+            F.explode(F.array_distinct(shingles(text_col, k))).alias("shingle")
+        )
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    train_sh = train.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(text_col, k))).alias("shingle"),
+    )
+    return (
+        train_sh.join(F.broadcast(bench_sh), "shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination_rate",
+            F.col("n_contaminated") / F.col("n_shingles"),
+        )
+    )
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """Compressibility quality signal (the Gopher/MassiveText-family
+    heuristic): zlib-compressed size over raw utf-8 size per document.
+    Boilerplate/templated/repeated text compresses far below normal
+    prose, high-entropy noise sits near (or above) 1.0 — cheap,
+    language-agnostic, and orthogonal to token-level quality scores.
+
+    DEFLATE at a fixed level is deterministic, so the score is stable
+    across reruns/executors. Arrow-batched pandas UDF (stdlib zlib —
+    a byte-level codec is exactly the sanctioned vectorized-Python
+    case); narrow map over the corpus, no shuffle anywhere.
+    Returns (id, n_bytes, n_compressed, compression_ratio).
+    """
+    import zlib
+
+    @F.pandas_udf("long")
+    def _zsize(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: len(zlib.compress((t or "").encode("utf-8"), level))
+        )
+
+    raw_len = F.length(F.encode(F.col(text_col), "UTF-8")).cast("long")
+    return df.select(
+        F.col(id_col),
+        raw_len.alias("n_bytes"),
+        _zsize(F.col(text_col)).alias("n_compressed"),
+    ).withColumn(
+        "compression_ratio",
+        F.when(
+            F.col("n_bytes") > 0, F.col("n_compressed") / F.col("n_bytes")
+        ).otherwise(F.lit(None).cast("double")),
+    )
 
 
 def hash_split(

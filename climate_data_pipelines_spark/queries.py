@@ -3318,6 +3318,63 @@ def q129(spark, sf_dir):
     return dedup.minhash_lsh_candidates(sigs, n_hashes=64, bands=16)
 
 
+@query(
+    "q130_contamination_rate",
+    """WITH t AS (SELECT doc_id, source,
+                    list_filter(string_split(text, ' '), x -> x != '') AS toks
+                  FROM documents),
+         sh AS (SELECT DISTINCT doc_id, source,
+                       array_to_string(list_slice(toks, i, i + 2), ' ') AS shingle
+                FROM t, UNNEST(generate_series(1, greatest(len(toks) - 2, 1))) AS u(i)),
+         bench AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
+         tr AS (SELECT doc_id, shingle FROM sh WHERE source <> 'src0')
+       SELECT tr.doc_id,
+              CAST(COUNT(*) AS BIGINT) AS n_shingles,
+              CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_contaminated,
+              ROUND(CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                         AS DOUBLE) / COUNT(*) * 1000000) / 1000000
+                AS contamination_rate
+       FROM tr LEFT JOIN bench b USING (shingle)
+       GROUP BY tr.doc_id""",
+    "Graded benchmark-contamination rate per train doc (vs q106's "
+    "binary flag): fraction of the doc's distinct 3-token shingles "
+    "that appear in the benchmark set — the number a curator "
+    "thresholds on. Benchmark shingles broadcast; the train side "
+    "aggregates on its own id and never shuffles on the shingle key.",
+)
+def q130(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+    out = training.contamination_rate(train, bench, k=3)
+    return out.select(
+        "doc_id",
+        "n_shingles",
+        "n_contaminated",
+        oround("contamination_rate", 6).alias("contamination_rate"),
+    )
+
+
+@query(
+    "q131_compression_ratio",
+    None,
+    "Q131 (rows-only): compressibility quality signal (Gopher/"
+    "MassiveText heuristic) — zlib DEFLATE size over raw utf-8 size "
+    "per doc via an Arrow-batched pandas UDF (byte-level codec = the "
+    "sanctioned vectorized-Python case; DuckDB has no zlib, so no "
+    "SQL oracle). Deterministic at a fixed level; narrow map, no "
+    "shuffle; pytest pins known repetitive-vs-prose orderings.",
+)
+def q131(spark, sf_dir):
+    return training.compression_ratio(_t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "n_bytes",
+        "n_compressed",
+        oround("compression_ratio", 6).alias("compression_ratio"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window selection
 # ---------------------------------------------------------------------------
@@ -3343,67 +3400,76 @@ def q129(spark, sf_dir):
 #     round-3 additions (q123-q128), and re-verification of
 #     touched-module peers (q36-q43) + a dozen round-1 classics that
 #     have not had a driver row since round 1.
-#   round 4+: continue rotating previously green queries back in,
-#     always including anything whose oracle or output schema changed.
+#   round 4 (this list): everything whose plan/oracle/environment
+#     changed this round — q104 (the r3 red: NTZ-safe epoch cast,
+#     MUST re-pin), q92 (oracle now semi-joins the packaged coastline
+#     parquet), q126 (adaptive-plane semantic dedup), q54 (real PNG
+#     decode), q55 (Hamming-2 multiprobe), q129 (new, first check) —
+#     q130/q131 (new ops, first check) — plus ALL 34 remaining
+#     r1-only queries (3 rounds without a driver row) and the 8
+#     oldest r2-only queries, preferring the events.ts-adjacent ones
+#     (q83/q93/q110) since that column's scanned type changed.
+#   round 5+: continue rotating; the remaining r2-only cohort
+#     (function suites q58-q71, q75-q82, q94-q99, and the training
+#     ops q107/q108/q112/q113/q115-q117) must get rows by round 5 to
+#     keep the staleness bound (129 queries / 50 slots ≈ 2.6-round
+#     steady state).
 
 DRIVER_WINDOW: list[str] = [
-    # never driver-checked before round 3
-    "q32_geojson_feature",
-    "q34_python_udf",
-    "q42_simhash",
-    "q48_asof_join",
-    "q49_range_join",
-    "q50_sliding_window",
-    "q51_session_window",
-    "q52_dedup_rows",
-    "q53_multimodal_meta",
+    # changed/new this round — first or must-re-prove checks
+    "q104_time_weighted_avg",
+    "q92_land_mask_grid",
+    "q126_semantic_dedup",
     "q54_image_features",
     "q55_ann_lsh_topk",
-    "q56_pandas_udf",
-    "q57_grouped_pandas",
-    "q59_approx_count_distinct",
-    "q69_sample",
-    "q73_ann_ivf_topk",
-    "q84_stratified_sample",
-    "q92_land_mask_grid",
-    "q118_bigram_lm_score",
-    "q119_line_dedup",
-    "q120_chunk_windows",
-    "q121_dedup_keep_longest",
-    # round-2 red (HUGEINT oracle artifact) — fixed, prove it
-    "q111_vocab_topk",
-    # changed this round (minhash family widened to 16; CC subgraph)
-    "q41_minhash_signatures",
-    "q37_minhash_lsh_candidates",
-    "q90_dedup_clusters",
-    "q122_verified_dedup_clusters",
-    # re-verification: touched-module peers
-    "q36_exact_dedup",
-    "q40_ngram_jaccard",
-    "q43_embedding_neardup",
-    "q38_cosine_topk",
-    "q39_word_count",
-    # new this round — first driver check
-    "q123_simhash_fingerprints",
-    "q124_simhash_candidates",
-    "q125_token_budget_mix",
-    "q126_semantic_dedup",
-    "q127_repeated_ngrams",
-    "q128_quality_select",
-    # re-verification: round-1 classics (no driver row since r1; the
-    # rest of q01-q17 stay r1-green and rotate back in round 4)
-    "q01_projection",
-    "q02_time_range",
-    "q03_null_drop",
-    "q04_mask_semi_join",
-    "q06_broadcast_lookup_join",
-    "q07_grid_semi_join",
-    "q08_grid_anti_join",
-    "q09_multiway_join",
-    "q13_partition_layout",
-    "q15_group_count",
-    "q17_agg_suite",
-    "q21_sort_limit",
+    "q129_minhash64_candidates",
+    "q130_contamination_rate",
+    "q131_compression_ratio",
+    # r1-only: no driver row since round 1 (every remaining one)
+    "q05_numeric_validity",
+    "q10_left_outer_join",
+    "q11_left_semi_join",
+    "q12_left_anti_join",
+    "q14_distinct",
+    "q16_value_per_key",
+    "q18_count_distinct",
+    "q19_rollup",
+    "q20_filtered_agg",
+    "q22_neighbor_diff",
+    "q23_topk_per_group",
+    "q24_rolling_window",
+    "q25_union",
+    "q26_intersect",
+    "q27_except_all",
+    "q28_date_parts",
+    "q29_coord_arithmetic",
+    "q30_string_codec",
+    "q31_polygon_corners",
+    "q33_json_access",
+    "q35_tumbling_window",
+    "q72_minhash_lsh_ml",
+    "q85_merge_upsert",
+    "q86_latest_per_key",
+    "q87_variant_json",
+    "q88_hll_sketch_merge",
+    "q89_udtf_sentences",
+    "q91_cogrouped_asof",
+    "q96_stats_suite",
+    "q100_date_spine",
+    "q101_nearest_station",
+    "q102_anomaly",
+    "q103_regrid",
+    "q105_locf_gapfill",
+    # oldest r2-only, events.ts-adjacent first (its scanned type
+    # changed this round), then structurally-central ops
+    "q83_time_rollup",
+    "q93_try_functions",
+    "q110_per_key_trend",
+    "q44_quality_score",
+    "q106_decontaminate",
+    "q109_tfidf_top_term",
+    "q114_corpus_curation",
+    "q74_salted_skew_join",
 ]
 
 

@@ -43,6 +43,11 @@ def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 8)
         .parquet(events_dir)
+        # events.ts scans as TIMESTAMP_NTZ (see catalog.py), but
+        # EventTimeWatermark requires TIMESTAMP — cast at the source
+        # boundary; with the UTC session timezone the instants are
+        # identical, so streaming windows agree with the batch twins.
+        .withColumn("ts", F.col("ts").cast("timestamp"))
     )
 
 

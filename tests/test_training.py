@@ -33,6 +33,45 @@ def test_contaminated_ids_exact_overlap(spark):
     assert kept == {2}
 
 
+def test_contamination_rate_graded_fractions(spark):
+    train = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta"),   # shingles: {a b g, b g d} -> 1 hit
+            (2, "zeta eta theta iota"),      # 2 shingles, 0 hits
+            (3, "alpha beta gamma"),         # 1 shingle, 1 hit (verbatim)
+        ],
+    )
+    bench = _docs(spark, [(100, "alpha beta gamma")])
+    out = {
+        r.doc_id: (r.n_shingles, r.n_contaminated, r.contamination_rate)
+        for r in training.contamination_rate(train, bench, k=3).collect()
+    }
+    assert out[1] == (2, 1, 0.5)
+    assert out[2] == (2, 0, 0.0)
+    assert out[3] == (1, 1, 1.0)
+
+
+def test_compression_ratio_orders_repetition_below_prose(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "spam " * 200),                                   # pure repetition
+            (2, "the quick brown fox jumps over the lazy dog and "
+                "every sentence here differs in structure somewhat"),
+            (3, ""),                                              # empty -> null ratio
+        ],
+    )
+    out = {r.doc_id: r for r in training.compression_ratio(docs).collect()}
+    assert out[1].compression_ratio < 0.1          # boilerplate compresses away
+    assert out[1].compression_ratio < out[2].compression_ratio
+    assert out[2].compression_ratio > 0.4          # normal prose does not
+    assert out[3].compression_ratio is None and out[3].n_bytes == 0
+    # deterministic across runs (fixed DEFLATE level)
+    again = {r.doc_id: r.n_compressed for r in training.compression_ratio(docs).collect()}
+    assert {k: v.n_compressed for k, v in out.items()} == again
+
+
 def test_hash_split_deterministic_and_complete(spark):
     docs = _docs(spark, [(i, f"doc {i}") for i in range(200)])
     out = training.hash_split(docs).select("doc_id", "bucket", "split").collect()

@@ -79,6 +79,13 @@ AUDITS = {
     # percentile selection: 1-row threshold broadcast back via a
     # nested-loop probe; no window, no corpus shuffle
     "q128_quality_select": [("BroadcastNestedLoopJoin", True), ("Window", False)],
+    # minhash at production width: same single-shuffle signature agg
+    # shape as q41 — 8 salted digests, no window, banded equi-join
+    "q129_minhash64_candidates": [("HashAggregate", True), ("Window", False)],
+    # land mask: packaged coastline dim broadcast left-semi joined
+    "q92_land_mask_grid": [("BroadcastHashJoin LeftSemi", True)],
+    # PNG decode: Arrow-batched python stages, no shuffle in the plan
+    "q54_image_features": [("MapInPandas", True), ("Exchange", False)],
 }
 
 
