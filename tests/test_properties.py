@@ -164,3 +164,26 @@ def test_line_dedup_idempotent_and_loss_free_on_unique_corpus(spark, docs):
     a = {(r.doc_id, r.text_dedup) for r in out.collect()}
     b = {(r.doc_id, r.text_dedup) for r in again.collect()}
     assert a == b
+
+
+@settings(**_SETTINGS)
+@given(
+    width=st.integers(min_value=1, max_value=40),
+    height=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_png_roundtrip_property(width, height, seed):
+    # pure-python property (no Spark job): encode->decode recovers the
+    # exact dimensions and the exact pixel mean for arbitrary gray8
+    # images; the decoder's unfilter paths may not perturb pixel sums
+    import random
+
+    from climate_data_pipelines_spark.operators import multimodal
+
+    rng = random.Random(seed)
+    pixels = bytes(rng.randrange(256) for _ in range(width * height))
+    w, h, luma = multimodal.decode_png(
+        multimodal.encode_png_gray8(pixels, width, height)
+    )
+    assert (w, h) == (width, height)
+    assert luma == sum(pixels) / (width * height)

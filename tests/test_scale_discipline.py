@@ -19,6 +19,7 @@ PYTHON_SURFACE = {
     "q88_hll_sketch_merge",
     "q89_udtf_sentences",
     "q91_cogrouped_asof",
+    "q131_compression_ratio",  # zlib DEFLATE pandas_udf (byte codec)
 }
 
 # Iterative/recursive queries execute jobs during plan construction
