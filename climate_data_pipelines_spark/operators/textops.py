@@ -399,3 +399,120 @@ def repeated_ngrams(
             / 1e6
         ).alias("repeated_frac"),
     )
+
+
+def repeated_spans(
+    df: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring dedup SPANS (the removal stage Lee et al. 2021's
+    coverage statistic feeds): merge every position whose k-token
+    shingle appears in >= ``min_docs`` distinct documents into maximal
+    half-open token intervals [span_start, span_end) per document —
+    the exact spans a dedup pass strips (``strip_repeated_spans``)
+    instead of dropping whole documents.
+
+    Plan: same digest-keyed repeated-set discovery as
+    ``repeated_ngrams`` (the shuffle never carries gram text), then a
+    per-document interval merge: sort hit positions inside each doc
+    partition, break a new span where a hit starts beyond the running
+    max end (two window passes), aggregate per (doc, span group). The
+    windows run over HIT positions only — the merged span table is a
+    small fraction of the corpus; the corpus itself is scanned once.
+    End positions clamp to the doc's token count (a short doc's single
+    whole-text shingle covers exactly [0, n_tokens)).
+    Returns (id, span_start, span_end, span_tokens).
+    """
+    from pyspark.sql import Window
+
+    n_toks = F.greatest(F.size(tokens(text_col)), F.lit(1))
+    g = df.select(
+        F.col(id_col),
+        n_toks.alias("_nt"),
+        F.posexplode(shingles(text_col, k)).alias("pos", "gram"),
+    ).select(
+        F.col(id_col), F.col("_nt"), F.col("pos"), F.md5("gram").alias("gkey")
+    )
+    repeated = (
+        g.select("gkey", id_col)
+        .distinct()
+        .groupBy("gkey")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("gkey")
+    )
+    hits = g.join(repeated, "gkey", "left_semi").select(
+        F.col(id_col),
+        F.col("pos").cast("long").alias("s"),
+        F.least(F.col("pos") + k, F.col("_nt")).cast("long").alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy(id_col).orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(id_col).orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev_max = F.max("e").over(w_prev)
+    marked = hits.withColumn(
+        "_brk",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    ).withColumn("_gid", F.sum("_brk").over(w_run))
+    return (
+        marked.groupBy(id_col, "_gid")
+        .agg(
+            F.min("s").alias("span_start"),
+            F.max("e").alias("span_end"),
+            (F.max("e") - F.min("s")).alias("span_tokens"),
+        )
+        .select(id_col, "span_start", "span_end", "span_tokens")
+    )
+
+
+def strip_repeated_spans(
+    df: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove the merged repeated spans from each document's text —
+    exact-substring dedup proper: corpus-duplicated passages vanish,
+    the unique remainder survives (vs. dropping whole documents).
+
+    One left join of the corpus against its (small) span table
+    collected per doc, then a pure-expression rebuild: tokens are
+    indexed with ``transform``, positions inside any span filtered out
+    with a nested ``exists``, and the remainder rejoined — no UDF, no
+    second shuffle of the corpus. Docs with no repeated span pass
+    through verbatim. Returns the input columns + text_dedup.
+    """
+    spans = (
+        repeated_spans(df, k, min_docs, text_col, id_col)
+        .groupBy(id_col)
+        .agg(
+            F.collect_list(
+                F.struct(F.col("span_start").alias("s"), F.col("span_end").alias("e"))
+            ).alias("_spans")
+        )
+    )
+    toks = tokens(text_col)
+    indexed = F.transform(toks, lambda t, i: F.struct(t.alias("t"), i.alias("i")))
+    sp = F.coalesce(
+        F.col("_spans"),
+        F.array().cast("array<struct<s:bigint,e:bigint>>"),
+    )
+    kept = F.filter(
+        indexed,
+        lambda p: ~F.exists(sp, lambda span: (p["i"] >= span["s"]) & (p["i"] < span["e"])),
+    )
+    cleaned = F.array_join(F.transform(kept, lambda p: p["t"]), " ")
+    return df.join(spans, id_col, "left").select(
+        *[F.col(c) for c in df.columns], cleaned.alias("text_dedup")
+    )

@@ -3375,6 +3375,53 @@ def q131(spark, sf_dir):
     )
 
 
+@query(
+    "q132_repeated_spans",
+    """WITH t AS (SELECT doc_id,
+                    list_filter(string_split(text, ' '), x -> x != '') AS toks
+                  FROM documents),
+         sh AS (SELECT doc_id, i - 1 AS pos,
+                       array_to_string(list_slice(toks, i, i + 7), ' ') AS gram,
+                       greatest(len(toks), 1) AS n_toks
+                FROM t, UNNEST(generate_series(1, greatest(len(toks) - 7, 1))) AS u(i)),
+         rep AS (SELECT gkey
+                 FROM (SELECT DISTINCT md5(gram) AS gkey, doc_id FROM sh)
+                 GROUP BY gkey HAVING COUNT(*) >= 2),
+         hits AS (SELECT doc_id, CAST(pos AS BIGINT) AS s,
+                         CAST(least(pos + 8, n_toks) AS BIGINT) AS e
+                  FROM sh WHERE md5(gram) IN (SELECT gkey FROM rep)),
+         m AS (SELECT doc_id, s, e,
+                      CASE WHEN MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND 1 PRECEDING) IS NULL
+                             OR s > MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                                 AND 1 PRECEDING)
+                           THEN 1 ELSE 0 END AS brk
+               FROM hits),
+         g2 AS (SELECT doc_id, s, e,
+                       SUM(brk) OVER (PARTITION BY doc_id ORDER BY s
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS gid
+                FROM m)
+       SELECT doc_id,
+              CAST(MIN(s) AS BIGINT) AS span_start,
+              CAST(MAX(e) AS BIGINT) AS span_end,
+              CAST(MAX(e) - MIN(s) AS BIGINT) AS span_tokens
+       FROM g2 GROUP BY doc_id, gid""",
+    "Exact-substring dedup spans (Lee et al. 2021 removal stage, the "
+    "step past q127's coverage statistic): positions whose 8-token "
+    "shingle appears in >=2 distinct docs, merged into maximal "
+    "half-open token intervals per doc via a running-max window over "
+    "HIT positions only. Digest-keyed repeated-set discovery (the "
+    "shuffle never carries gram text); the companion "
+    "strip_repeated_spans rebuilds cleaned text with a pure-expression "
+    "nested-exists filter, no UDF.",
+)
+def q132(spark, sf_dir):
+    return textops.repeated_spans(_t(spark, sf_dir, "documents"), k=8, min_docs=2)
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window selection
 # ---------------------------------------------------------------------------
@@ -3405,14 +3452,14 @@ def q131(spark, sf_dir):
 #     MUST re-pin), q92 (oracle now semi-joins the packaged coastline
 #     parquet), q126 (adaptive-plane semantic dedup), q54 (real PNG
 #     decode), q55 (Hamming-2 multiprobe), q129 (new, first check) —
-#     q130/q131 (new ops, first check) — plus ALL 34 remaining
-#     r1-only queries (3 rounds without a driver row) and the 8
+#     q130/q131/q132 (new ops, first check) — plus ALL 34 remaining
+#     r1-only queries (3 rounds without a driver row) and the 7
 #     oldest r2-only queries, preferring the events.ts-adjacent ones
 #     (q83/q93/q110) since that column's scanned type changed.
 #   round 5+: continue rotating; the remaining r2-only cohort
-#     (function suites q58-q71, q75-q82, q94-q99, and the training
+#     (function suites q58-q71, q74-q82, q94-q99, and the training
 #     ops q107/q108/q112/q113/q115-q117) must get rows by round 5 to
-#     keep the staleness bound (129 queries / 50 slots ≈ 2.6-round
+#     keep the staleness bound (132 queries / 50 slots ≈ 2.6-round
 #     steady state).
 
 DRIVER_WINDOW: list[str] = [
@@ -3425,6 +3472,7 @@ DRIVER_WINDOW: list[str] = [
     "q129_minhash64_candidates",
     "q130_contamination_rate",
     "q131_compression_ratio",
+    "q132_repeated_spans",
     # r1-only: no driver row since round 1 (every remaining one)
     "q05_numeric_validity",
     "q10_left_outer_join",
@@ -3469,7 +3517,6 @@ DRIVER_WINDOW: list[str] = [
     "q106_decontaminate",
     "q109_tfidf_top_term",
     "q114_corpus_curation",
-    "q74_salted_skew_join",
 ]
 
 

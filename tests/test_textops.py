@@ -177,3 +177,53 @@ def test_repeated_ngrams_min_docs_threshold(spark):
             textops.repeated_ngrams(df, k=8, min_docs=4).collect()}
     assert out3 == {1: 1, 2: 1, 3: 1}
     assert out4 == {1: 0, 2: 0, 3: 0}
+
+
+def test_repeated_spans_merges_overlapping_hits(spark):
+    # docs 1/2 share an 8-gram; doc 1 embeds it at offset 0, doc 2 at
+    # offset 2; doc 3 is untouched. Overlapping 8-gram hits inside a
+    # longer shared run must merge into ONE maximal span.
+    shared = "a b c d e f g h i j"  # 10 tokens -> 3 shared 8-grams each
+    df = spark.createDataFrame(
+        [
+            (1, shared + " unique one"),
+            (2, "pre pad " + shared),
+            (3, "totally different content here now"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in textops.repeated_spans(df, k=8).collect()
+    }
+    assert spans == {(1, 0, 10, 10), (2, 2, 12, 10)}
+
+
+def test_strip_repeated_spans_preserves_unique_text(spark):
+    shared = "a b c d e f g h"
+    df = spark.createDataFrame(
+        [
+            (1, shared + " unique tail one"),
+            (2, "prefix two " + shared + " done"),
+            (3, "totally different content here now"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.text_dedup for r in textops.strip_repeated_spans(df, k=8).collect()}
+    assert out[1] == "unique tail one"
+    assert out[2] == "prefix two done"
+    assert out[3] == "totally different content here now"  # untouched
+
+
+def test_repeated_spans_short_doc_clamps_to_length(spark):
+    # identical short docs (< k tokens): the single whole-text shingle
+    # covers exactly [0, n_tokens), never past the end
+    df = spark.createDataFrame(
+        [(1, "tiny dup doc"), (2, "tiny dup doc")], "doc_id long, text string"
+    )
+    spans = {(r.doc_id, r.span_start, r.span_end) for r in
+             textops.repeated_spans(df, k=8).collect()}
+    assert spans == {(1, 0, 3), (2, 0, 3)}
+    out = {r.doc_id: r.text_dedup for r in
+           textops.strip_repeated_spans(df, k=8).collect()}
+    assert out == {1: "", 2: ""}

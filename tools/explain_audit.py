@@ -86,6 +86,12 @@ AUDITS = {
     "q92_land_mask_grid": [("BroadcastHashJoin LeftSemi", True)],
     # PNG decode: Arrow-batched python stages, no shuffle in the plan
     "q54_image_features": [("MapInPandas", True), ("Exchange", False)],
+    # graded contamination: benchmark shingles broadcast, the train
+    # side never shuffles on the shingle key
+    "q130_contamination_rate": [("BroadcastHashJoin", True), ("SortMergeJoin", False)],
+    # substring spans: digest-keyed aggs + hit-only windows, no
+    # cartesian anywhere
+    "q132_repeated_spans": [("HashAggregate", True), ("CartesianProduct", False)],
 }
 
 
