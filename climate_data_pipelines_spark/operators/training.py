@@ -157,6 +157,68 @@ def compression_ratio(
     )
 
 
+def dsir_logratio(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    seed: str = "dsir-v1",
+) -> DataFrame:
+    """DSIR-style importance weight ("Data Selection for Language
+    Models via Importance Resampling", Xie et al. 2023 — simplified to
+    hashed unigram features): score each raw-corpus document by
+    Σ_tokens log p_target(bucket(tok)) / p_raw(bucket(tok)), add-one
+    smoothed over the hashed feature space. Docs that look like the
+    target domain score high; importance resampling keeps raw docs
+    proportionally — the data-SELECTION counterpart of the quality/
+    dedup filters.
+
+    Plan: two bucket-count aggregates (map-side combined, ≤n_buckets
+    rows each), totals as 1-row broadcasts, a log-ratio weight dim of
+    n_buckets rows joined broadcast onto the raw side's exploded
+    tokens, one per-doc sum keyed on the doc id. The raw corpus
+    shuffles only on its own id; the feature dim is KBs at any corpus
+    size. md5 bucketing keeps the score bit-portable to the DuckDB
+    oracle. Returns (id, n_tokens, dsir_logratio) for every raw doc
+    with ≥1 token.
+    """
+    def bucket_tokens(df: DataFrame, keep_id: bool) -> DataFrame:
+        cols = [F.col(id_col)] if keep_id else []
+        return df.select(
+            *cols, F.explode(tokens(text_col)).alias("_tok")
+        ).select(*cols, _md5_bucket(F.col("_tok"), seed, n_buckets).alias("b"))
+
+    tc = bucket_tokens(target, False).groupBy("b").agg(F.count("*").alias("_ct"))
+    rc = bucket_tokens(raw, False).groupBy("b").agg(F.count("*").alias("_cr"))
+    t_tot = tc.agg(F.coalesce(F.sum("_ct"), F.lit(0)).alias("_tt"))
+    r_tot = rc.agg(F.coalesce(F.sum("_cr"), F.lit(0)).alias("_rt"))
+    weights = (
+        rc.join(tc, "b", "left")
+        .crossJoin(F.broadcast(t_tot))
+        .crossJoin(F.broadcast(r_tot))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("_ct"), F.lit(0)) + 1.0)
+                    / (F.col("_tt") + F.lit(float(n_buckets)))
+                )
+                - F.log((F.col("_cr") + 1.0) / (F.col("_rt") + F.lit(float(n_buckets))))
+            ).alias("_w"),
+        )
+    )
+    return (
+        bucket_tokens(raw, True)
+        .join(F.broadcast(weights), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("_w").alias("dsir_logratio"),
+        )
+    )
+
+
 def hash_split(
     df: DataFrame,
     id_col: str = "doc_id",

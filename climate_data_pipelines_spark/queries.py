@@ -3422,6 +3422,46 @@ def q132(spark, sf_dir):
     return textops.repeated_spans(_t(spark, sf_dir, "documents"), k=8, min_docs=2)
 
 
+@query(
+    "q133_dsir_weights",
+    """WITH tok AS (SELECT doc_id, source,
+                      unnest(list_filter(string_split(text, ' '), x -> x != '')) AS tok
+                    FROM documents),
+         bk AS (SELECT doc_id, source,
+                       CAST('0x' || substring(md5('dsir-v1' || tok), 1, 15) AS BIGINT)
+                         % 1024 AS b
+                FROM tok),
+         tc AS (SELECT b, COUNT(*) AS ct FROM bk WHERE source = 'src0' GROUP BY b),
+         rc AS (SELECT b, COUNT(*) AS cr FROM bk WHERE source <> 'src0' GROUP BY b),
+         tt AS (SELECT CAST(COALESCE(SUM(ct), 0) AS BIGINT) AS t FROM tc),
+         rt AS (SELECT CAST(COALESCE(SUM(cr), 0) AS BIGINT) AS t FROM rc),
+         w AS (SELECT rc.b,
+                      ln((COALESCE(tc.ct, 0) + 1.0) / (tt.t + 1024.0))
+                        - ln((rc.cr + 1.0) / (rt.t + 1024.0)) AS w
+               FROM rc LEFT JOIN tc USING (b), tt, rt)
+       SELECT bk.doc_id,
+              CAST(COUNT(*) AS BIGINT) AS n_tokens,
+              ROUND(SUM(w.w) * 10000) / 10000 AS dsir_logratio
+       FROM bk JOIN w USING (b)
+       WHERE bk.source <> 'src0'
+       GROUP BY bk.doc_id""",
+    "DSIR-style importance weights (Xie et al. 2023, hashed-unigram "
+    "simplification): per-doc sum of log p_target/p_raw over md5 "
+    "feature buckets, add-one smoothed — the data-SELECTION score "
+    "(docs resembling the target domain, source=src0 standing in, "
+    "score high). Two bucket aggs + a KB-sized broadcast weight dim; "
+    "the raw corpus shuffles only on its own doc id.",
+)
+def q133(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source") == "src0")
+    raw = docs.filter(F.col("source") != "src0")
+    out = training.dsir_logratio(raw, target, n_buckets=1024)
+    return out.select(
+        "doc_id", "n_tokens", oround("dsir_logratio", 4).alias("dsir_logratio")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window selection
 # ---------------------------------------------------------------------------
@@ -3452,14 +3492,14 @@ def q132(spark, sf_dir):
 #     MUST re-pin), q92 (oracle now semi-joins the packaged coastline
 #     parquet), q126 (adaptive-plane semantic dedup), q54 (real PNG
 #     decode), q55 (Hamming-2 multiprobe), q129 (new, first check) —
-#     q130/q131/q132 (new ops, first check) — plus ALL 34 remaining
-#     r1-only queries (3 rounds without a driver row) and the 7
+#     q130-q133 (new ops, first check) — plus ALL 34 remaining
+#     r1-only queries (3 rounds without a driver row) and the 6
 #     oldest r2-only queries, preferring the events.ts-adjacent ones
 #     (q83/q93/q110) since that column's scanned type changed.
 #   round 5+: continue rotating; the remaining r2-only cohort
 #     (function suites q58-q71, q74-q82, q94-q99, and the training
-#     ops q107/q108/q112/q113/q115-q117) must get rows by round 5 to
-#     keep the staleness bound (132 queries / 50 slots ≈ 2.6-round
+#     ops q107-q109, q112/q113/q115-q117) must get rows by round 5 to
+#     keep the staleness bound (133 queries / 50 slots ≈ 2.7-round
 #     steady state).
 
 DRIVER_WINDOW: list[str] = [
@@ -3473,6 +3513,7 @@ DRIVER_WINDOW: list[str] = [
     "q130_contamination_rate",
     "q131_compression_ratio",
     "q132_repeated_spans",
+    "q133_dsir_weights",
     # r1-only: no driver row since round 1 (every remaining one)
     "q05_numeric_validity",
     "q10_left_outer_join",
@@ -3515,7 +3556,6 @@ DRIVER_WINDOW: list[str] = [
     "q110_per_key_trend",
     "q44_quality_score",
     "q106_decontaminate",
-    "q109_tfidf_top_term",
     "q114_corpus_curation",
 ]
 

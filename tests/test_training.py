@@ -302,3 +302,23 @@ def test_quality_select_rejects_bad_fraction(spark):
     df = spark.createDataFrame([(1, "a", "s")], "doc_id long, text string, source string")
     with pytest.raises(ValueError, match="keep_frac"):
         training.quality_select(df, keep_frac=0.0)
+
+
+def test_dsir_logratio_prefers_target_like_docs(spark):
+    target = _docs(spark, [(100, "climate model rainfall grid"),
+                           (101, "rainfall grid climate data")])
+    raw = _docs(
+        spark,
+        [
+            (1, "climate rainfall grid model"),   # target-like
+            (2, "stock market options trading"),  # off-domain
+        ],
+    )
+    out = {r.doc_id: r for r in training.dsir_logratio(raw, target).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].n_tokens == 4 and out[2].n_tokens == 4
+    # every token of doc 1 appears in the target; none of doc 2's do
+    assert out[1].dsir_logratio > out[2].dsir_logratio
+    # deterministic across runs (md5 bucketing, no sampling state)
+    again = {r.doc_id: r.dsir_logratio for r in training.dsir_logratio(raw, target).collect()}
+    assert {k: v.dsir_logratio for k, v in out.items()} == again

@@ -92,6 +92,9 @@ AUDITS = {
     # substring spans: digest-keyed aggs + hit-only windows, no
     # cartesian anywhere
     "q132_repeated_spans": [("HashAggregate", True), ("CartesianProduct", False)],
+    # DSIR weights: the log-ratio feature dim broadcasts; the raw
+    # corpus is never sort-merge joined on the bucket key
+    "q133_dsir_weights": [("BroadcastHashJoin", True), ("SortMergeJoin", False)],
 }
 
 
