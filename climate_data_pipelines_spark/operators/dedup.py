@@ -469,24 +469,28 @@ def connected_components(
     handful of rounds — hitting the bound means the input is not the
     shallow cluster graph this is designed for.
     """
+    from pyspark.sql import Observation
+
+    def _sum_metric():
+        # exact decimal sum — labels only ever DECREASE under min-
+        # propagation, so an unchanged total <=> a fixed point. The sum
+        # rides the checkpoint materialization as an Observation metric
+        # (one action per round instead of checkpoint + separate
+        # scan+agg job — measured to fire on eager localCheckpoint).
+        return F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+
     sym = edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).unionByName(
         edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     )
     sym = sym.localCheckpoint(eager=True)
     base = sym.select(F.col("src").alias(node_col)).distinct()
-    labels = base.select(F.col(node_col), F.col(node_col).alias("component"))
-    labels = labels.localCheckpoint(eager=True)
-
-    def _label_sum(lbls: DataFrame):
-        # exact decimal sum — labels only ever DECREASE under min-
-        # propagation, so an unchanged total <=> a fixed point; this
-        # replaces a join-based changed-count with a single scan+agg
-        # job per round (no shuffle of the label table).
-        return lbls.agg(
-            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
-        ).collect()[0][0]
-
-    prev_sum = _label_sum(labels)
+    obs0 = Observation()
+    labels = (
+        base.select(F.col(node_col), F.col(node_col).alias("component"))
+        .observe(obs0, _sum_metric())
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = obs0.get["s"]
     for _ in range(max_iter):
         neighbor_lbls = (
             labels.join(sym, labels[node_col] == sym["src"])
@@ -516,11 +520,14 @@ def connected_components(
             F.col(node_col).alias("component"),
             F.col("component").alias("grandparent"),
         )
+        obs = Observation()
         labels = (
             propagated.join(parent, "component")
             .select(F.col(node_col), F.col("grandparent").alias("component"))
-        ).localCheckpoint(eager=True)
-        cur_sum = _label_sum(labels)
+            .observe(obs, _sum_metric())
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = obs.get["s"]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
