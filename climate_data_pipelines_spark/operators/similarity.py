@@ -280,19 +280,21 @@ def ann_lsh_topk(
     by construction → rows-only (the exact variant q38 is the
     oracle-checked baseline; recall is gated in tests and reported by
     bench.py).
+
+    Signatures come from the same one-matmul Arrow kernel as
+    ``semantic_dedup`` (``_lsh_signatures``): all n_tables·n_planes
+    hyperplane dots per row in one vectorized pass instead of
+    interpreted per-plane zip_with aggregates — the measured
+    bottleneck at corpus scale.
     """
 
     def bucketed(frame: DataFrame, vcol: str, keep: list[str]) -> DataFrame:
-        tables = []
-        for t in range(n_tables):
-            bucket = None
-            for p in range(n_planes):
-                bit = _hyperplane_sign(vcol, t, p) * (1 << p)
-                bucket = bit if bucket is None else bucket + bit
-            tables.append(F.struct(F.lit(t).alias("table"), bucket.alias("bucket")))
         return frame.select(
-            *keep, F.explode(F.array(*tables)).alias("_tb")
-        ).select(*keep, F.col("_tb.table").alias("table"), F.col("_tb.bucket").alias("bucket"))
+            *keep,
+            F.posexplode(_lsh_signatures(vcol, n_tables, n_planes)).alias(
+                "table", "bucket"
+            ),
+        )
 
     corpus_b = bucketed(df, vec_col, [id_col])
     query_b = bucketed(

@@ -20,6 +20,7 @@ PYTHON_SURFACE = {
     "q89_udtf_sentences",
     "q91_cogrouped_asof",
     "q131_compression_ratio",  # zlib DEFLATE pandas_udf (byte codec)
+    "q55_ann_lsh_topk",  # one-matmul LSH signature kernel (Arrow)
 }
 
 # Iterative/recursive queries execute jobs during plan construction
