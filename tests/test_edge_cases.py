@@ -138,3 +138,41 @@ def test_upsample_fractional_empty_and_all_zero(spark):
     assert training.upsample_fractional(empty, "weight").count() == 0
     zeros = spark.createDataFrame([(1, 0.0), (2, 0.0)], "doc_id long, weight double")
     assert training.upsample_fractional(zeros, "weight").count() == 0
+
+
+def test_round4_ops_on_empty_and_degenerate_inputs(spark):
+    from climate_data_pipelines_spark.operators import similarity, textops, training
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+
+    # contamination_rate: empty benchmark -> all rates 0, never null
+    rates = {r.doc_id: (r.n_contaminated, r.contamination_rate)
+             for r in training.contamination_rate(docs, empty, k=3).collect()}
+    assert rates == {1: (0, 0.0), 2: (0, 0.0)}
+    # empty train side -> empty output
+    assert training.contamination_rate(empty, docs, k=3).count() == 0
+
+    # dsir: empty target corpus -> uniform-smoothed target, still defined
+    out = {r.doc_id: r.dsir_logratio for r in
+           training.dsir_logratio(docs, empty).collect()}
+    assert set(out) == {1, 2} and all(v is not None for v in out.values())
+    assert training.dsir_logratio(empty, docs).count() == 0
+
+    # compression_ratio on empty corpus
+    assert training.compression_ratio(empty).count() == 0
+
+    # repeated_spans / strip on corpora with no repetition
+    assert textops.repeated_spans(docs, k=8).count() == 0
+    stripped = {r.doc_id: r.text_dedup for r in
+                textops.strip_repeated_spans(docs, k=8).collect()}
+    assert stripped == {1: "alpha beta gamma", 2: "delta epsilon zeta"}
+    assert textops.repeated_spans(empty, k=8).count() == 0
+
+    # semantic_dedup on an empty embedding frame (plane derivation at
+    # n=0 must not blow up)
+    vecs = spark.createDataFrame([], "vec_id long, embedding array<float>, label int")
+    assert similarity.semantic_dedup(vecs, threshold=0.95).count() == 0
