@@ -117,6 +117,18 @@ def main() -> None:
         total = sum(len(v) for v in exact.values())
         recall[f"{name}_recall@10"] = round(hits / total, 3) if total else 0.0
 
+    # LSH candidate-set size (selectivity metric paired with recall —
+    # k large enough that the rank window keeps every scored
+    # candidate, so the row count IS the distinct candidate count)
+    from climate_data_pipelines_spark.catalog import load_table
+    from climate_data_pipelines_spark.operators import similarity
+    from climate_data_pipelines_spark.queries import _query_vectors
+
+    recall["q55_ann_lsh_candidates"] = similarity.ann_lsh_topk(
+        load_table(spark, sf_dir, "embeddings"), _query_vectors(spark, sf_dir),
+        k=1 << 30, n_planes=5, n_tables=8, multiprobe_bits=2,
+    ).count()
+
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
