@@ -233,24 +233,6 @@ def ann_ivf_topk(
     )
 
 
-def _hyperplane_sign(vec_col: str, table: int, plane: int) -> F.Column:
-    """Sign bit of vec · w_(table,plane) with deterministic
-    pseudo-random weights: w[d] = (xxhash64(table, plane, d) % 1001
-    - 500) / 500 — computed expression-side from the element index, no
-    weight table shipped to executors."""
-    dot = F.aggregate(
-        F.zip_with(
-            F.col(vec_col),
-            F.sequence(F.lit(0), F.size(vec_col) - 1),
-            lambda x, i: x.cast("double")
-            * (((F.xxhash64(F.lit(table), F.lit(plane), i) % 1001) - 500).cast("double") / 500.0),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    return F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0))
-
-
 def ann_lsh_topk(
     df: DataFrame,
     query_df: DataFrame,

@@ -371,3 +371,37 @@ def curate_documents_stream(
         .dropDuplicatesWithinWatermark(["content_hash"])
     )
     return hash_split(deduped).select("doc_id", "lang", "split")
+
+
+
+def decontaminate_stream(
+    stream: DataFrame, benchmark: DataFrame, k: int = 3
+) -> DataFrame:
+    """Streaming twin of batch decontamination (``training.
+    decontaminate`` / q106): drop incoming documents that share any
+    k-token shingle with the (static, small) benchmark corpus.
+
+    Entirely STATELESS on the stream side: the benchmark collapses to
+    a one-row static dimension holding its distinct shingle set (MBs
+    for a real eval suite), broadcast onto the stream, and the gate is
+    a per-row ``arrays_overlap`` — no shuffle, no state store, so the
+    same plan serves an infinite crawl feed. A stream-side anti-join
+    against stream-derived ids would be an (unsupported, stateful)
+    stream-stream join — this shape deliberately avoids it. Reuses the
+    exact batch shingle expression (one definition, two execution
+    modes); the kept-document set matches q106's batch semantics.
+    """
+    from climate_data_pipelines_spark.functions.text import shingles
+
+    bench_set = benchmark.select(
+        F.explode(F.array_distinct(shingles("text", k))).alias("shingle")
+    ).agg(F.collect_set("shingle").alias("_bench_shingles"))
+    return (
+        stream.crossJoin(F.broadcast(bench_set))
+        .filter(
+            ~F.arrays_overlap(
+                F.array_distinct(shingles("text", k)), F.col("_bench_shingles")
+            )
+        )
+        .drop("_bench_shingles")
+    )

@@ -273,3 +273,27 @@ def test_curate_documents_stream_matches_batch_content_set(spark, sf_dir, stream
     assert {id_to_hash[r.doc_id] for r in streamed} == {
         id_to_hash[r.doc_id] for r in batch
     }
+
+
+def test_decontaminate_stream_matches_batch(spark, sf_dir, stream_dirs):
+    # the stateless stream-static gate must keep exactly the ids batch
+    # decontamination keeps (q106 semantics: src0 is the benchmark)
+    from climate_data_pipelines_spark.operators import training
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+
+    train_dir = f"{stream_dirs}/decon_in"
+    train.write.mode("overwrite").parquet(train_dir)
+
+    out = jobs.decontaminate_stream(
+        jobs.read_documents_stream(spark, train_dir), bench, k=3
+    ).select("doc_id")
+    q = jobs.run_available_now(out, f"{stream_dirs}/ckpt_decon", "decon_kept")
+    q.awaitTermination(120)
+    streamed = {r.doc_id for r in spark.sql("SELECT * FROM decon_kept").collect()}
+
+    batch = {r.doc_id for r in training.decontaminate(train, bench, k=3).collect()}
+    assert streamed == batch
+    assert len(streamed) > 0
