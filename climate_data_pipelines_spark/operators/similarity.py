@@ -28,7 +28,13 @@ def _lsh_plane_matrix(dim: int, n_tables: int, n_planes: int):
     """Deterministic hyperplane weight matrix (dim, n_tables·n_planes)
     for the vectorized signature kernel. Seeded per (table, plane) so
     the matrix is reproducible across executors/batches without
-    shipping state. Cached per shape — built once per python worker."""
+    shipping state. Cached per shape — built once per python worker.
+
+    Stability contract: numpy guarantees bit-stable streams for a
+    given seeded Generator across versions (NEP 19), so signatures are
+    reproducible across sessions; still, persisted bucket tables
+    should be rebuilt rather than mixed across engine versions if this
+    seeding scheme ever changes (same caveat as any LSH index)."""
     import numpy as np
 
     key = (dim, n_tables, n_planes)

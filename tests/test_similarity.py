@@ -155,3 +155,20 @@ def test_semantic_dedup_pair_coverage_vs_exact(spark, sf_dir):
     # LSH bucketing (8 tables x 5 planes) must recover >=80% of true
     # semantic pairs via same-cluster membership
     assert covered / len(exact) >= 0.8
+
+
+def test_derive_lsh_planes_growth_and_floor():
+    # constant-candidate contract: every corpus doubling costs ~one
+    # extra plane; tiny corpora stay at the floor; the cap bounds it
+    f = similarity.derive_lsh_planes
+    assert f(0, 8) == 5 and f(48, 8) == 5           # floor
+    p2k = f(2_000, 8)
+    p200k = f(200_000, 8)
+    p20m = f(20_000_000, 8)
+    assert 5 <= p2k < p200k < p20m <= 24            # monotone growth
+    # ~log2 slope: 100x corpus ≈ log2(100) ≈ 6.6 extra planes
+    assert 5 <= p200k - p2k <= 8
+    # expected candidates per member stay bounded at the derived depth
+    for n, p in ((2_000, p2k), (200_000, p200k), (20_000_000, p20m)):
+        per_member = 8 * (p + 1) * n / (2 ** p)
+        assert per_member <= 96 * 1.05 or p == 24
