@@ -3423,6 +3423,24 @@ def q132(spark, sf_dir):
 
 
 @query(
+    "q134_strip_spans",
+    None,
+    "Q134 (rows-only): exact-substring dedup applied — q132's merged "
+    "spans stripped from each document via the pure-expression "
+    "nested-exists token filter (corpus scanned once, never "
+    "re-shuffled). Text reconstruction is not practically "
+    "SQL-expressible in the oracle; the span table itself is the "
+    "oracle-checked surface (q132), and pytest pins known cleaned "
+    "outputs.",
+)
+def q134(spark, sf_dir):
+    out = textops.strip_repeated_spans(
+        _t(spark, sf_dir, "documents"), k=8, min_docs=2
+    )
+    return out.select("doc_id", F.length("text_dedup").alias("n_chars_dedup"))
+
+
+@query(
     "q133_dsir_weights",
     """WITH tok AS (SELECT doc_id, source,
                       unnest(list_filter(string_split(text, ' '), x -> x != '')) AS tok
