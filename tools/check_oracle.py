@@ -5,7 +5,12 @@ on the same parquet tables, then compares row count, column names, and
 an order-insensitive value comparison (columns sorted by name, rows
 sorted, values canonicalized). Run this before the driver does:
 
-    python tools/check_oracle.py [sf_dir] [query_name ...]
+    python tools/check_oracle.py [--vanilla] [sf_dir] [query_name ... | --window]
+
+``--vanilla`` pre-creates a plain SparkSession (default shuffle
+partitions, no engine confs) so the replay matches the verification
+driver's own session; ``--window`` expands to the current
+DRIVER_WINDOW (the 50 queries the driver will actually check).
 """
 
 from __future__ import annotations
@@ -110,13 +115,30 @@ def rows_to_canonical(cols, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    vanilla = "--vanilla" in args
+    if vanilla:
+        args = [a for a in args if a != "--vanilla"]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    if only == {"--window"}:
+        from climate_data_pipelines_spark.queries import DRIVER_WINDOW
+
+        only = set(DRIVER_WINDOW)
 
     from climate_data_pipelines_spark import get_spark
     from climate_data_pipelines_spark.catalog import TABLES, load_table
     from climate_data_pipelines_spark.queries import REGISTRY
 
+    if vanilla:
+        # driver-parity mode: a PLAIN session (default 200 shuffle
+        # partitions, no engine confs) created BEFORE get_spark, which
+        # then reuses it — catches config dependencies the engine's own
+        # session would mask (the verification driver builds its own
+        # SparkSession exactly like this).
+        from pyspark.sql import SparkSession
+
+        SparkSession.builder.master("local[8]").getOrCreate()
     spark = get_spark(app_name="oracle-check", shuffle_partitions=8)
 
     # Preflight: declared catalog schema must equal the scanned schema
