@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from climate_data_pipelines_spark.catalog import load_table
 from climate_data_pipelines_spark.functions.scalar import inclusive_month_range
+from climate_data_pipelines_spark import sinks
 from climate_data_pipelines_spark.operators import (
     asof,
     climate,
@@ -3420,6 +3421,33 @@ def q131(spark, sf_dir):
 )
 def q132(spark, sf_dir):
     return textops.repeated_spans(_t(spark, sf_dir, "documents"), k=8, min_docs=2)
+
+
+@query(
+    "q135_mvt_tiles",
+    None,
+    "Q135 (rows-only): K3/K4 in-engine tile toolchain — per-tile "
+    "Mapbox Vector Tile blobs encoded with the dependency-free "
+    "protobuf writer (functions/mvt.py) over applyInPandas, replacing "
+    "the reference's tippecanoe/mb-util subprocess chain. Binary "
+    "output → no SQL oracle; the wire format is verified by "
+    "round-trip decode in pytest and the (z,x,y) tile set matches "
+    "q76's oracle-checked assignment by construction.",
+)
+def q135(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    pts = (
+        ev.filter(F.col("value").isNotNull() & ~F.isnan("value"))
+        .withColumn(
+            "lat", (F.pmod("user_id", F.lit(170)) - 85).cast("double") + 0.25
+        )
+        .withColumn(
+            "lon", (F.pmod("event_id", F.lit(360)) - 180).cast("double") + 0.3125
+        )
+    )
+    tiled = climate.tile_assign(pts, 4)
+    blobs = sinks.encode_mvt_tiles(tiled, layer_name="events")
+    return blobs.select("z", "x", "y", F.length("tile").alias("n_bytes"))
 
 
 @query(

@@ -7,10 +7,13 @@ partition layout replaces the per-month file loop, and writing
 directly to object storage replaces the aws-s3-sync stage (K6,
 utils/pipeline_manager.py:199-218).
 
-Tile generation (K3/K4: tippecanoe/mb-util subprocess) is external,
-non-relational tooling in the reference; ``foreach_partition_shell``
-shows the executor-side shape but stays out of the correctness path
-(SURVEY.md §7.2 M5).
+Tile generation (K3/K4) is a tippecanoe/mb-util subprocess chain in
+the reference; here it is IN-ENGINE: ``encode_mvt_tiles`` emits real
+Mapbox Vector Tile protobuf blobs per tile (dependency-free encoder,
+``functions/mvt.py``, distributed over applyInPandas) and
+``write_mbtiles`` packages them into a real SQLite ``.mbtiles`` with
+stdlib sqlite3+gzip. ``foreach_partition_shell`` remains only as the
+executor-side shape for genuinely external binaries.
 """
 
 from __future__ import annotations
@@ -205,3 +208,126 @@ def write_map_viewer(
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "w") as fh:
         fh.write(html)
+
+
+def encode_mvt_tiles(
+    tiled: DataFrame,
+    layer_name: str = "observations",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    value_col: str = "value",
+) -> DataFrame:
+    """Distributed Mapbox Vector Tile encoding (K3 — the in-engine
+    replacement for the reference's tippecanoe subprocess,
+    precipitation_pipeline.py:244-259): group the tile-assigned
+    observations by (z, x, y) and emit ONE protobuf-encoded MVT blob
+    per tile via the dependency-free encoder in ``functions/mvt.py``.
+    Each observation becomes a POINT feature at tile-local extent
+    coordinates with its value as a feature property.
+
+    applyInPandas — Arrow batches, one Python worker per core, tiles
+    encode in parallel across executors; no subprocess, no external
+    binary. Returns (z, x, y, tile BINARY), ready for
+    ``write_tile_pyramid`` (parquet layout) or ``write_mbtiles``
+    (single-file SQLite packaging).
+    """
+    import pandas as pd
+
+    from pyspark.sql import functions as F, types as T
+
+    from climate_data_pipelines_spark.functions import mvt
+
+    out_schema = T.StructType(
+        [
+            T.StructField("z", T.IntegerType()),
+            T.StructField("x", T.IntegerType()),
+            T.StructField("y", T.IntegerType()),
+            T.StructField("tile", T.BinaryType()),
+        ]
+    )
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        z = int(pdf["z"].iloc[0])
+        x = int(pdf["x"].iloc[0])
+        y = int(pdf["y"].iloc[0])
+        feats = []
+        for row in pdf.itertuples(index=False):
+            px, py = mvt.lonlat_to_tile_px(
+                float(getattr(row, lon_col)), float(getattr(row, lat_col)), z, x, y
+            )
+            feats.append(
+                {
+                    "type": mvt.POINT,
+                    "geometry": mvt.encode_point_geometry(px, py),
+                    "properties": {value_col: float(getattr(row, value_col))},
+                }
+            )
+        blob = mvt.encode_layer(layer_name, feats)
+        return pd.DataFrame({"z": [z], "x": [x], "y": [y], "tile": [blob]})
+
+    return tiled.select("z", "x", "y", lat_col, lon_col, value_col).groupBy(
+        "z", "x", "y"
+    ).applyInPandas(encode, schema=out_schema)
+
+
+def write_mbtiles(
+    tiles: DataFrame,
+    path: str,
+    layer_name: str = "observations",
+    name: str = "climate_data_pipelines_spark",
+) -> int:
+    """K4 — package encoded MVT blobs into a real ``.mbtiles`` file
+    (the mb-util stage of the reference toolchain,
+    docs/PBF_WORKFLOW_SUMMARY.md): MBTiles is just SQLite, so stdlib
+    ``sqlite3`` + ``gzip`` cover the whole format — no external tool.
+
+    The packaging step is DRIVER-side by design: SQLite is a
+    single-writer file, and the input here is the aggregated per-tile
+    blob table (bounded by the tile pyramid size, not the corpus — the
+    same single-node shape as the reference's tippecanoe run, minus
+    the subprocess). Blob ENCODING stayed distributed in
+    ``encode_mvt_tiles``. Returns the number of tiles written.
+    """
+    import gzip
+    import json
+    import os
+    import sqlite3
+
+    rows = tiles.select("z", "x", "y", "tile").collect()
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    if os.path.exists(path):
+        os.remove(path)
+    con = sqlite3.connect(path)
+    cur = con.cursor()
+    cur.execute("CREATE TABLE metadata (name TEXT, value TEXT)")
+    cur.execute(
+        "CREATE TABLE tiles (zoom_level INTEGER, tile_column INTEGER,"
+        " tile_row INTEGER, tile_data BLOB)"
+    )
+    cur.execute(
+        "CREATE UNIQUE INDEX tile_index ON tiles"
+        " (zoom_level, tile_column, tile_row)"
+    )
+    zooms = sorted({r.z for r in rows}) or [0]
+    meta = {
+        "name": name,
+        "format": "pbf",
+        "minzoom": str(zooms[0]),
+        "maxzoom": str(zooms[-1]),
+        "json": json.dumps(
+            {"vector_layers": [{"id": layer_name, "fields": {}}]},
+            separators=(",", ":"),
+        ),
+    }
+    cur.executemany("INSERT INTO metadata VALUES (?, ?)", sorted(meta.items()))
+    cur.executemany(
+        "INSERT INTO tiles VALUES (?, ?, ?, ?)",
+        [
+            # MBTiles uses TMS row order: flip y
+            (r.z, r.x, (1 << r.z) - 1 - r.y, gzip.compress(bytes(r.tile)))
+            for r in rows
+        ],
+    )
+    con.commit()
+    con.close()
+    return len(rows)

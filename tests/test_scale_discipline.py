@@ -21,6 +21,7 @@ PYTHON_SURFACE = {
     "q91_cogrouped_asof",
     "q131_compression_ratio",  # zlib DEFLATE pandas_udf (byte codec)
     "q55_ann_lsh_topk",  # one-matmul LSH signature kernel (Arrow)
+    "q135_mvt_tiles",  # per-tile MVT protobuf encode (applyInPandas)
 }
 
 # Iterative/recursive queries execute jobs during plan construction
