@@ -216,6 +216,8 @@ def encode_mvt_tiles(
     lat_col: str = "lat",
     lon_col: str = "lon",
     value_col: str = "value",
+    cell_lat_res: float | None = None,
+    cell_lon_res: float | None = None,
 ) -> DataFrame:
     """Distributed Mapbox Vector Tile encoding (K3 — the in-engine
     replacement for the reference's tippecanoe subprocess,
@@ -223,7 +225,11 @@ def encode_mvt_tiles(
     observations by (z, x, y) and emit ONE protobuf-encoded MVT blob
     per tile via the dependency-free encoder in ``functions/mvt.py``.
     Each observation becomes a POINT feature at tile-local extent
-    coordinates with its value as a feature property.
+    coordinates with its value as a feature property — or, when
+    ``cell_lat_res``/``cell_lon_res`` are given, a POLYGON feature
+    covering its grid cell (the reference's polygon tiles: each
+    climate cell rendered as a rectangle, precipitation_pipeline.py's
+    polygonize → tippecanoe path).
 
     applyInPandas — Arrow batches, one Python worker per core, tiles
     encode in parallel across executors; no subprocess, no external
@@ -252,16 +258,36 @@ def encode_mvt_tiles(
         y = int(pdf["y"].iloc[0])
         feats = []
         for row in pdf.itertuples(index=False):
-            px, py = mvt.lonlat_to_tile_px(
-                float(getattr(row, lon_col)), float(getattr(row, lat_col)), z, x, y
-            )
-            feats.append(
-                {
-                    "type": mvt.POINT,
-                    "geometry": mvt.encode_point_geometry(px, py),
-                    "properties": {value_col: float(getattr(row, value_col))},
-                }
-            )
+            lon = float(getattr(row, lon_col))
+            lat = float(getattr(row, lat_col))
+            props = {value_col: float(getattr(row, value_col))}
+            if cell_lat_res is None:
+                px, py = mvt.lonlat_to_tile_px(lon, lat, z, x, y)
+                feats.append(
+                    {
+                        "type": mvt.POINT,
+                        "geometry": mvt.encode_point_geometry(px, py),
+                        "properties": props,
+                    }
+                )
+            else:
+                # cell rectangle around the observation's grid center —
+                # the reference's polygon tiles. Ring in screen coords
+                # (y down): NW → NE → SE → SW is clockwise = positive
+                # area per the MVT 2.1 surveyor's rule for exteriors.
+                half_lat = cell_lat_res / 2.0
+                half_lon = cell_lon_res / 2.0
+                nw = mvt.lonlat_to_tile_px(lon - half_lon, lat + half_lat, z, x, y)
+                ne = mvt.lonlat_to_tile_px(lon + half_lon, lat + half_lat, z, x, y)
+                se = mvt.lonlat_to_tile_px(lon + half_lon, lat - half_lat, z, x, y)
+                sw = mvt.lonlat_to_tile_px(lon - half_lon, lat - half_lat, z, x, y)
+                feats.append(
+                    {
+                        "type": mvt.POLYGON,
+                        "geometry": mvt.encode_polygon_geometry([nw, ne, se, sw]),
+                        "properties": props,
+                    }
+                )
         blob = mvt.encode_layer(layer_name, feats)
         return pd.DataFrame({"z": [z], "x": [x], "y": [y], "tile": [blob]})
 

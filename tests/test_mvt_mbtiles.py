@@ -109,3 +109,43 @@ def test_mbtiles_end_to_end(spark, tmp_path):
     alt = mvt.lonlat_to_tile_px(-101.0, 40.5, 1, 0, 0)
     assert (px, py) in (exp, alt)  # group order within the tile is free
     assert 0 <= px <= 4096 and 0 <= py <= 4096
+
+
+def test_mvt_cell_polygon_mode(spark, tmp_path):
+    # one 10x10-degree cell centered at (40, -100), z=1 tile (0, 0):
+    # the encoded polygon ring must decode back to the cell's four
+    # tile-local corners, clockwise from NW, closed by ClosePath
+    df = spark.createDataFrame(
+        [(1, 40.0, -100.0, 7.5)], "id long, lat double, lon double, value double"
+    )
+    tiled = climate.tile_assign(df, 1)
+    blobs = sinks.encode_mvt_tiles(
+        tiled, layer_name="cells", cell_lat_res=10.0, cell_lon_res=10.0
+    ).collect()
+    assert len(blobs) == 1
+    layers = mvt.decode_tile(bytes(blobs[0].tile))
+    feat = layers[0]["features"][0]
+    assert feat["type"] == mvt.POLYGON
+
+    def unzig(v):
+        return (v >> 1) ^ -(v & 1)
+
+    vals = feat["commands"]
+    assert vals[0] == (1 | (1 << 3)) and vals[3] == (2 | (3 << 3))
+    pts = [(unzig(vals[1]), unzig(vals[2]))]
+    for i in range(4, len(vals) - 1, 2):
+        pts.append((pts[-1][0] + unzig(vals[i]), pts[-1][1] + unzig(vals[i + 1])))
+    assert vals[-1] == (7 | (1 << 3))  # ClosePath
+    want = [
+        mvt.lonlat_to_tile_px(-105.0, 45.0, 1, 0, 0),  # NW
+        mvt.lonlat_to_tile_px(-95.0, 45.0, 1, 0, 0),   # NE
+        mvt.lonlat_to_tile_px(-95.0, 35.0, 1, 0, 0),   # SE
+        mvt.lonlat_to_tile_px(-105.0, 35.0, 1, 0, 0),  # SW
+    ]
+    assert pts == want
+    # clockwise in screen coords (y down) -> positive shoelace area
+    area2 = sum(
+        pts[i][0] * pts[(i + 1) % 4][1] - pts[(i + 1) % 4][0] * pts[i][1]
+        for i in range(4)
+    )
+    assert area2 > 0
