@@ -150,6 +150,26 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
+def table_rows(sf_dir: str, name: str) -> int:
+    """Exact row count from the parquet FOOTER (driver-side pyarrow
+    metadata read — no Spark job, no data pages touched). The cheap
+    ``corpus_n`` feed for operators like ``semantic_dedup`` that
+    otherwise pay a full count() scan to size their LSH parameters;
+    on a real catalog this is the table-stats lookup."""
+    import pyarrow.parquet as pq
+
+    import os
+
+    p = table_path(sf_dir, name)
+    if os.path.isdir(p):
+        return sum(
+            pq.ParquetFile(os.path.join(p, f)).metadata.num_rows
+            for f in os.listdir(p)
+            if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(p).metadata.num_rows
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Parquet carries its own (trusted) footer
     schema; we read it natively so predicate pushdown / column pruning

@@ -16,6 +16,7 @@ from climate_data_pipelines_spark.functions.text import (
     shingles,
     tokens,
 )
+from climate_data_pipelines_spark.operators.scale import spread_for_cpu
 
 # Function-word profiles for the n-gram/keyword language heuristic.
 # Deterministic and intentionally tiny: real corpora would use
@@ -360,6 +361,7 @@ def repeated_ngrams(
     input document. A dedup pipeline drops or trims docs with high
     ``repeated_frac``; a report sorts by it.
     """
+    df = spread_for_cpu(df)
     g = df.select(
         F.col(id_col),
         F.posexplode(shingles(text_col, k)).alias("pos", "gram"),
@@ -428,6 +430,7 @@ def repeated_spans(
     """
     from pyspark.sql import Window
 
+    df = spread_for_cpu(df)
     n_toks = F.greatest(F.size(tokens(text_col)), F.lit(1))
     g = df.select(
         F.col(id_col),

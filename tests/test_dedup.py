@@ -147,10 +147,11 @@ def test_exact_dedup_best_keeps_highest_score_then_min_id(spark):
 
 
 def test_minhash_wide_family(spark):
-    # n_hashes > 8 comes from additional salted digests (one md5 per
-    # 8-hash family); the first 8 columns must be bit-identical to the
-    # unsalted n_hashes=8 scheme, and no value may go negative (the
-    # would-be overflow the old <=8 cap guarded against)
+    # n_hashes > 8 comes from additional salted sha256 digests (two
+    # (h1,h2) pairs per digest); the first 8 columns must be
+    # bit-identical to the unsalted md5 n_hashes=8 scheme, and no value
+    # may go negative (the would-be overflow the old <=8 cap guarded
+    # against)
     df = _docs(spark, DOCS)
     narrow = {r.doc_id: [r[f"mh{i}"] for i in range(8)]
               for r in dedup.minhash_signatures(df, k=3, n_hashes=8).collect()}
@@ -164,8 +165,9 @@ def test_minhash_wide_family(spark):
 
 
 def test_minhash_production_width_64(spark):
-    # q129's production configuration: 64 permutations (8 salted md5
-    # families), 16 bands x 4 rows. Near-identical docs must land in a
+    # q129's production configuration: 64 permutations (1 md5 + 4
+    # salted sha256 digests), 16 bands x 4 rows. Near-identical docs
+    # must land in a
     # shared band bucket; the unrelated doc must not pair with them.
     df = _docs(spark, DOCS)
     sigs = dedup.minhash_signatures(df, k=3, n_hashes=64)

@@ -47,6 +47,37 @@ def test_neardup_pairs_blocked(spark):
     assert [(p.id_a, p.id_b) for p in pairs] == [(0, 1)]
 
 
+def test_lsh_signatures_null_vectors(spark):
+    # ADVICE r4: None embeddings must yield NULL signatures (no bucket
+    # rows after explode), not hash as the zero vector into the
+    # all-ones bucket; an all-None batch must not raise StopIteration
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, None), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    sigs = df.select(
+        "vec_id", similarity._lsh_signatures("embedding", 4, 3).alias("sig")
+    ).collect()
+    by_id = {r.vec_id: r.sig for r in sigs}
+    assert by_id[1] is None
+    assert by_id[0] is not None and len(by_id[0]) == 4
+    # all-None input (single batch) returns null signatures, no error
+    all_none = spark.createDataFrame(
+        [(0, None), (1, None)], "vec_id long, embedding array<float>"
+    ).repartition(1)
+    got = all_none.select(
+        similarity._lsh_signatures("embedding", 4, 3).alias("sig")
+    ).collect()
+    assert all(r.sig is None for r in got)
+    # exploded buckets for a null vector: zero rows → excluded from joins
+    n_bucket_rows = (
+        df.filter(F.col("vec_id") == 1)
+        .select(F.explode(similarity._lsh_signatures("embedding", 4, 3)))
+        .count()
+    )
+    assert n_bucket_rows == 0
+
+
 def test_ann_recall_against_exact(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 3).select(
@@ -75,11 +106,12 @@ def test_ivf_recall_against_exact(spark, sf_dir):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     exact = similarity.cosine_topk(emb, q, k=10)
-    approx = similarity.ann_ivf_topk(emb, q, k=10, n_cells=32, n_probe=12)
+    approx = similarity.ann_ivf_topk(emb, q, k=10, n_cells=22, n_probe=15)
     e = {(r.query_id, r.vec_id) for r in exact.collect()}
     a = {(r.query_id, r.vec_id) for r in approx.collect()}
-    # probing 12/32 cells of a spherical quantizer must recover most
-    # of the exact top-k (q73 defaults)
+    # probing 15/22 cells of a spherical quantizer must recover most
+    # of the exact top-k (the derive_ivf_params values for this
+    # 500-vector fixture — q73's adaptive defaults)
     assert len(a & e) / len(e) >= 0.8
     # shared pairs score identically (exact cosine on candidates)
     es = {(r.query_id, r.vec_id): r.cosine for r in exact.collect()}
@@ -92,6 +124,31 @@ def test_ivf_recall_against_exact(spark, sf_dir):
         per_q.setdefault(r.query_id, []).append(r.rank)
     for ranks in per_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_derive_ivf_params_adaptive(spark, sf_dir):
+    # nlist ≈ sqrt(N) with a broadcast-bounded cap; n_probe covers at
+    # least nlist/4 AND enough cells for ~320 expected members — the
+    # tiny-corpus rescue (fixed 12/32 gave recall 0.77 at 500 vecs)
+    f = similarity.derive_ivf_params
+    assert f(500) == (22, 15)          # member floor dominates
+    nc, np_ = f(50_000)
+    assert nc == 223 and np_ == nc // 4  # fraction dominates
+    nc_big, np_big = f(10**11)
+    assert nc_big == 4096 and np_big == 1024  # cap holds
+    # adaptive q73 path clears the 0.9 recall floor on the fixture
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {(r.query_id, r.vec_id) for r in similarity.cosine_topk(emb, q, k=10).collect()}
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in similarity.ann_ivf_topk(
+            emb, q, k=10, n_cells=None, n_probe=None
+        ).collect()
+    }
+    assert len(approx & exact) / len(exact) >= 0.9
 
 
 def test_label_centroids_elementwise_mean(spark):
