@@ -31,6 +31,10 @@ EXTENT = 4096
 
 
 def _varint(n: int) -> bytes:
+    if n < 0:
+        # Negative input would loop forever (n >>= 7 never hits 0 on a
+        # Python negative int). Callers must zigzag-encode signed values.
+        raise ValueError(f"varint requires n >= 0, got {n}")
     out = bytearray()
     while True:
         b = n & 0x7F
