@@ -28,7 +28,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from climate_data_pipelines_spark.catalog import load_table
+from climate_data_pipelines_spark.catalog import load_table, table_rows
 from climate_data_pipelines_spark.functions.scalar import inclusive_month_range
 from climate_data_pipelines_spark import sinks
 from climate_data_pipelines_spark.operators import (
@@ -69,16 +69,24 @@ MINHASH_BANDS = 8
 def _minhash_ctes(n_hashes: int = MINHASH_N, bands: int = MINHASH_BANDS) -> str:
     """DuckDB CTE chain t→sh→hh→sig→buckets→edges reproducing
     ``dedup.minhash_signatures`` (k=3 shingles, Kirsch–Mitzenmacher
-    double hashing, salted md5 per 8-hash family) and
+    double hashing; family 0 = unsalted md5, wider families = salted
+    sha256 split 4-way into two (h1,h2) pairs per digest) and
     ``dedup.minhash_lsh_candidates`` (banded bucket join) bit-for-bit.
     Generated rather than hand-written so widening n_hashes keeps the
     oracle in lockstep with the Spark parameters."""
-    n_fam = (n_hashes + 7) // 8
-    hh_cols = []
-    for j in range(n_fam):
-        s = "shingle" if j == 0 else f"'mh{j}|' || shingle"
-        hh_cols.append(f"CAST('0x' || substring(md5({s}), 1, 15) AS BIGINT) AS h1_{j}")
-        hh_cols.append(f"CAST('0x' || substring(md5({s}), 16, 15) AS BIGINT) AS h2_{j}")
+    n_pairs = (n_hashes + 7) // 8
+    hh_cols = [
+        "CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS h1_0",
+        "CAST('0x' || substring(md5(shingle), 16, 15) AS BIGINT) AS h2_0",
+    ]
+    for j in range(1, n_pairs):
+        w, half = divmod(j - 1, 2)
+        s = f"sha256('mh{w}|' || shingle)"
+        lo = 1 + 30 * half
+        hh_cols.append(f"CAST('0x' || substring({s}, {lo}, 15) AS BIGINT) AS h1_{j}")
+        hh_cols.append(
+            f"CAST('0x' || substring({s}, {lo + 15}, 15) AS BIGINT) AS h2_{j}"
+        )
     sig_cols = []
     for i in range(n_hashes):
         j, off = divmod(i, 8)
@@ -1368,7 +1376,10 @@ def q92(spark, sf_dir):
             "lon"
         ),
     )
-    grid = climate.land_grid(spark)
+    # Pin the packaged artifact explicitly: the oracle SQL above reads
+    # PACKAGED_LAND_MASK, so the Spark side must not honor a
+    # SPARK_GRAFT_LAND_MASK env override or the two sides diverge.
+    grid = climate.land_grid(spark, mask_parquet=climate.PACKAGED_LAND_MASK)
     return climate.land_filter(pts, grid, ["lat", "lon"]).select(
         "event_id", "lat", "lon"
     )
@@ -1895,8 +1906,12 @@ def q55(spark, sf_dir):
 )
 def q73(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
+    # corpus-adaptive nlist/nprobe (derive_ivf_params) — fixed 32/12
+    # starved recall at small corpora and under-celled large ones;
+    # corpus_n comes from the parquet footer, no count() job
     return similarity.ann_ivf_topk(
-        emb, _query_vectors(spark, sf_dir), k=10, n_cells=32, n_probe=12
+        emb, _query_vectors(spark, sf_dir), k=10,
+        n_cells=None, n_probe=None, corpus_n=table_rows(sf_dir, "embeddings"),
     )
 
 
@@ -3229,7 +3244,11 @@ def q125(spark, sf_dir):
 )
 def q126(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.semantic_dedup(emb, threshold=0.95)
+    # corpus_n from the parquet footer (driver-side metadata, no scan
+    # job) — semantic_dedup would otherwise run a full count() first
+    return similarity.semantic_dedup(
+        emb, threshold=0.95, corpus_n=table_rows(sf_dir, "embeddings")
+    )
 
 
 REPEAT_K = 8        # shingle width for repeated-span detection (q127)
@@ -3542,67 +3561,72 @@ def q133(spark, sf_dir):
 #     r1-only queries (3 rounds without a driver row) and the 6
 #     oldest r2-only queries, preferring the events.ts-adjacent ones
 #     (q83/q93/q110) since that column's scanned type changed.
-#   round 5+: continue rotating; the remaining r2-only cohort
-#     (function suites q58-q71, q74-q82, q94-q99, and the training
-#     ops q107-q109, q112/q113/q115-q117) must get rows by round 5 to
-#     keep the staleness bound (133 queries / 50 slots ≈ 2.7-round
-#     steady state).
+#   round 5 (this list): (a) q134/q135 — the only two queries NO
+#     driver round has ever checked; (b) everything whose plan or
+#     hash family changed this round and must re-prove — the minhash
+#     suite (md5→sha2-256 4-way split for widths >8: q37/q41/q90/
+#     q122/q129), the spread_for_cpu repartition adopters (q42/q123/
+#     q124/q126/q127/q132), the LSH null-vector guard + adaptive-IVF
+#     queries (q55/q73), and q92 (Spark side now pins the packaged
+#     mask explicitly, immune to the env override); (c) 34 of the 45
+#     remaining r2/r3-only stale queries, oldest first (q40…q111).
+#     Leftover for round 6: q112/q113/q115-q121/q125/q128 (11) — after
+#     r6 every registry query has a driver row no older than 2 rounds.
 
 DRIVER_WINDOW: list[str] = [
-    # changed/new this round — first or must-re-prove checks
-    "q104_time_weighted_avg",
-    "q92_land_mask_grid",
-    "q126_semantic_dedup",
-    "q54_image_features",
-    "q55_ann_lsh_topk",
+    # never driver-checked (registered after the r4 window froze)
+    "q134_strip_spans",
+    "q135_mvt_tiles",
+    # changed this round — must re-prove
+    "q37_minhash_lsh_candidates",
+    "q41_minhash_signatures",
+    "q90_dedup_clusters",
+    "q122_verified_dedup_clusters",
     "q129_minhash64_candidates",
-    "q130_contamination_rate",
-    "q131_compression_ratio",
+    "q42_simhash",
+    "q123_simhash_fingerprints",
+    "q124_simhash_candidates",
+    "q126_semantic_dedup",
+    "q127_repeated_ngrams",
     "q132_repeated_spans",
-    "q133_dsir_weights",
-    # r1-only: no driver row since round 1 (every remaining one)
-    "q05_numeric_validity",
-    "q10_left_outer_join",
-    "q11_left_semi_join",
-    "q12_left_anti_join",
-    "q14_distinct",
-    "q16_value_per_key",
-    "q18_count_distinct",
-    "q19_rollup",
-    "q20_filtered_agg",
-    "q22_neighbor_diff",
-    "q23_topk_per_group",
-    "q24_rolling_window",
-    "q25_union",
-    "q26_intersect",
-    "q27_except_all",
-    "q28_date_parts",
-    "q29_coord_arithmetic",
-    "q30_string_codec",
-    "q31_polygon_corners",
-    "q33_json_access",
-    "q35_tumbling_window",
-    "q72_minhash_lsh_ml",
-    "q85_merge_upsert",
-    "q86_latest_per_key",
-    "q87_variant_json",
-    "q88_hll_sketch_merge",
-    "q89_udtf_sentences",
-    "q91_cogrouped_asof",
-    "q96_stats_suite",
-    "q100_date_spine",
-    "q101_nearest_station",
-    "q102_anomaly",
-    "q103_regrid",
-    "q105_locf_gapfill",
-    # oldest r2-only, events.ts-adjacent first (its scanned type
-    # changed this round), then structurally-central ops
-    "q83_time_rollup",
-    "q93_try_functions",
-    "q110_per_key_trend",
-    "q44_quality_score",
-    "q106_decontaminate",
-    "q114_corpus_curation",
+    "q55_ann_lsh_topk",
+    "q73_ann_ivf_topk",
+    "q92_land_mask_grid",
+    # stale r2/r3-only cohort, oldest first
+    "q40_ngram_jaccard",
+    "q45_token_count",
+    "q46_fingerprint",
+    "q47_lang_id",
+    "q58_cube_grouping",
+    "q60_percentiles",
+    "q61_unpivot",
+    "q62_pivot",
+    "q63_string_suite",
+    "q64_math_suite",
+    "q65_conditional_suite",
+    "q66_array_suite",
+    "q67_date_suite",
+    "q68_regexp_suite",
+    "q70_rank_suite",
+    "q71_value_windows",
+    "q74_salted_skew_join",
+    "q75_salted_agg",
+    "q76_tile_rollup",
+    "q77_grouping_sets",
+    "q78_exists_subquery",
+    "q79_scalar_subquery",
+    "q80_redact",
+    "q81_repetition_ratio",
+    "q82_sentence_stats",
+    "q94_bitwise_null_suite",
+    "q95_struct_update",
+    "q97_string_agg",
+    "q98_histogram",
+    "q99_map_suite",
+    "q107_hash_split",
+    "q108_pack_sequences",
+    "q109_tfidf_top_term",
+    "q111_vocab_topk",
 ]
 
 

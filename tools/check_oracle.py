@@ -128,6 +128,7 @@ def main():
 
     from climate_data_pipelines_spark import get_spark
     from climate_data_pipelines_spark.catalog import TABLES, load_table
+    from climate_data_pipelines_spark.invariants import INVARIANTS
     from climate_data_pipelines_spark.queries import REGISTRY
 
     if vanilla:
@@ -182,6 +183,21 @@ def main():
             rows_only.append(name)
             status = "ok" if len(srows) >= 0 else "??"
             print(f"ROWS  {name}: {len(srows)} rows ({time.time()-t0:.1f}s) [{status}]")
+            # rows>0 is the weakest gate in the system — where the
+            # query has a registered invariant (recall floor, sketch
+            # error bound, wire-format roundtrip), assert it here
+            inv = INVARIANTS.get(name)
+            if inv is not None:
+                t1 = time.time()
+                try:
+                    ok, detail = inv(spark, sf_dir)
+                except Exception as e:
+                    ok, detail = False, f"invariant error: {e}"
+                tag = "PASS" if ok else "FAIL"
+                print(f"INV   {name}: {tag} {detail} ({time.time()-t1:.1f}s)")
+                if not ok:
+                    rows_only.remove(name)
+                    failed.append((name, f"INVARIANT: {detail}"))
             continue
         try:
             res = con.execute(spec.oracle)
