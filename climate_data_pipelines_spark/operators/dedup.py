@@ -74,16 +74,28 @@ def minhash_signatures(
     DuckDB oracle (``CAST('0x'||substring(md5(s),…) AS BIGINT)``).
 
     One (h1, h2) pair supports 8 hash functions without overflow
-    (h1,h2 < 2^60 and i ≤ 7 keep h1 + 7·h2 < 2^63); wider families
-    come from ADDITIONAL salted sha2-256 digests: each 64-hex-char
-    digest splits into FOUR 60-bit integers = two (h1, h2) pairs = 16
-    hash indices, so digest w (salt ``'mh<w>|'``) covers indices
-    8+16w…23+16w. Family 0 stays the unsalted md5, so n_hashes ≤ 8
+    (h1,h2 < 2^60 and mult ≤ 7 keeps h1 + 7·h2 < 2^63); wider
+    families come from ADDITIONAL salted sha2-256 digests: each
+    64-hex-char digest splits into FOUR 60-bit integers = two
+    (h1, h2) pairs. Family 0 is the unsalted md5 pair, so n_hashes ≤ 8
     output is bit-identical to the original scheme (q41's oracle).
-    n_hashes=64 therefore costs 1 md5 + 4 sha256 per shingle — half
-    the r4 all-md5 digest count (the r4 bench's single heaviest line,
-    VERDICT r4 wrong-item 2) — and every value still reproduces
-    exactly in DuckDB (``sha256('mh0|' || s)`` etc.).
+    n_hashes=64 costs 1 md5 + 4 sha256 per shingle — half the r4
+    all-md5 digest count.
+
+    **Index→family STRIPING (the r5 scale fix).** Hash index i maps to
+    ``family = i %% n_fam, mult = i // n_fam`` (n_fam = ⌈n_hashes/8⌉),
+    NOT to blocks of 8 consecutive indices per family. Two minhashes
+    from the SAME family are strongly correlated: ``argmin(h1 + m·h2)``
+    is piecewise-constant in m, so two docs sharing one argmin shingle
+    agree on most of the family's minima at once. With block layout an
+    LSH band's rows all came from one family and the band behaved like
+    ~ONE hash (collision prob ≈ J instead of J^rows) — measured on the
+    r5 scale-proof corpus as ~94%% of band-collision candidates having
+    J < 0.1 and candidate counts growing ~n². Striping gives any block
+    of ``rows ≤ n_fam`` consecutive indices one row from each of
+    ``rows`` DISTINCT digest families, restoring the J^rows band
+    threshold. Choose band width ≤ n_fam (``minhash_lsh_candidates``
+    enforces this).
 
     Plan shape: explode(distinct shingles) → groupBy(id) with n_hashes
     min() partial aggregates — map-side combined, single shuffle on id.
@@ -121,11 +133,48 @@ def minhash_signatures(
     sh = sh.select(F.col(id_col), *pair_cols)
     aggs = []
     for i in range(n_hashes):
-        j, off = divmod(i, 8)
+        j, off = i % n_pairs, i // n_pairs  # striped: see docstring
         aggs.append(
             F.min(F.col(f"_h1_{j}") + F.lit(off) * F.col(f"_h2_{j}")).alias(f"mh{i}")
         )
     return sh.groupBy(id_col).agg(*aggs)
+
+
+def derive_minhash_bands(n_hashes: int, target_jaccard: float = 0.7) -> int:
+    """Pick the band count whose LSH threshold clears a target Jaccard.
+
+    Banded MinHash's similarity threshold is t ≈ (1/bands)^(1/rows)
+    with rows = n_hashes // bands. Too-shallow bands (large ``bands``,
+    few rows each) set t below the corpus's random-pair Jaccard noise
+    floor and candidate pairs grow ~quadratically with corpus size —
+    the r5 scale-proof measured exactly that on the fixture corpus
+    (J_noise ≈ 0.14, 2-row bands → t ≈ 0.35 → ~n² collisions). This
+    helper returns the LARGEST band count (= cheapest per-doc bucket
+    fan-out × highest recall) whose threshold still meets
+    ``target_jaccard``; callers set the target just below the Jaccard
+    of the duplicates they must catch (near-dup dedup convention:
+    0.7–0.8, e.g. Lee et al. 2021 use 0.8).
+    """
+    if not 0 < target_jaccard < 1:
+        raise ValueError(f"target_jaccard must be in (0,1), got {target_jaccard}")
+    n_fam = (n_hashes + 7) // 8
+    best = None
+    for bands in range(n_hashes, 0, -1):
+        if n_hashes % bands:
+            continue
+        rows = n_hashes // bands
+        if n_fam > 1 and rows > n_fam:
+            # deeper bands would reuse a digest family within a band —
+            # correlated rows, threshold collapses (see
+            # minhash_lsh_candidates guard); stop at the deepest
+            # INDEPENDENT configuration even if the target is
+            # unreachable (the remedy is widening n_hashes)
+            break
+        t = (1.0 / bands) ** (1.0 / rows) if bands > 1 else 0.0
+        best = bands
+        if t >= target_jaccard or bands == 1:
+            break
+    return best or 1
 
 
 def minhash_lsh_candidates(
@@ -133,6 +182,7 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     n_hashes: int = 8,
     bands: int = 4,
+    allow_correlated_bands: bool = False,
 ) -> DataFrame:
     """LSH banding over minhash signatures → candidate pairs.
 
@@ -140,8 +190,26 @@ def minhash_lsh_candidates(
     band, and equi-joins on (band_idx, band_hash). Returns distinct
     candidate (id_a < id_b) pairs. The join is the only shuffle and
     its key space is the band-hash domain — no quadratic blow-up.
+
+    Band rows must come from DISTINCT digest families to deliver the
+    J^rows threshold (``minhash_signatures`` stripes index→family for
+    exactly this reason — see its docstring for the r5 measurement of
+    what same-family bands do: collision prob ≈ J, candidates ~n²).
+    Raises when rows-per-band exceeds the family count (⌈n_hashes/8⌉)
+    unless ``allow_correlated_bands`` — legitimate only for toy widths
+    (n_hashes ≤ 8 has a single family by construction).
     """
     rows_per_band = n_hashes // bands
+    n_fam = (n_hashes + 7) // 8
+    # n_fam == 1 (width ≤ 8) cannot avoid same-family rows — allowed
+    # as the toy configuration; multi-family widths must band cleanly
+    if n_fam > 1 and rows_per_band > n_fam and not allow_correlated_bands:
+        raise ValueError(
+            f"band width {rows_per_band} > {n_fam} digest families: "
+            "same-family rows are correlated and the band threshold "
+            "collapses to ~J (quadratic candidates); widen n_hashes, "
+            "increase bands, or pass allow_correlated_bands=True"
+        )
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"mh{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
@@ -345,15 +413,34 @@ def simhash_band_candidates(
     id_col: str = "doc_id",
     bits: int = 60,
     bands: int = 4,
+    hamming_max: int | None = None,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Hamming-LSH candidate pairs over packed SimHash fingerprints:
     split the ``bits``-bit fingerprint into ``bands`` equal bit-bands
     and equi-join on (band index, band value) — two documents whose
     fingerprints differ in fewer than ``bands`` bits MUST share at
     least one exact band (pigeonhole), so low-Hamming near-dups are
-    guaranteed candidates without any pairwise Hamming scan. The join
-    key space is the band-value domain; no quadratic blow-up, same
-    scale shape as the MinHash banding.
+    guaranteed candidates without any pairwise Hamming scan.
+
+    ``hamming_max`` adds the VERIFICATION stage (the q122 pattern for
+    MinHash): an exact popcount-of-xor filter applied BEFORE the
+    distinct, so the dedup shuffle carries only true near-dups. The r5
+    scale-proof measured why this matters: on a distributionally
+    homogeneous corpus (word soup — every long doc has near-identical
+    term frequencies, which is exactly what SimHash fingerprints),
+    raw band collisions grew ~quadratically (286k pairs at 5k docs,
+    28M at 50k) while true Hamming<=3 pairs stayed sparse (442 at
+    5k). Verified mode keeps the pigeonhole guarantee: with b bands,
+    every pair at Hamming < b is found, and ``hamming_max = bands-1``
+    makes the output exactly "all pairs within Hamming bands-1".
+
+    ``bucket_cap`` bounds the join itself for degenerate hot band
+    values (the semantic_dedup salt-cap pattern): a band bucket wider
+    than the cap is split into deterministic md5-salt groups, so one
+    hot value generates at most ~width*cap pairs, never width^2.
+    Capping can miss cross-salt pairs in the hot bucket (recovered
+    across other bands) — leave None for exact-contract queries.
 
     Returns distinct (id_a, id_b), id_a < id_b.
     """
@@ -369,18 +456,47 @@ def simhash_band_candidates(
         for b in range(bands)
     ]
     buckets = fp.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("b")
-    ).select(id_col, F.col("b.band").alias("band"), F.col("b.bv").alias("bv"))
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*band_structs)).alias("b")
+    ).select(
+        id_col, F.col("simhash"), F.col("b.band").alias("band"), F.col("b.bv").alias("bv")
+    )
+    if bucket_cap is not None:
+        from pyspark.sql import Window
+
+        wspec = Window.partitionBy("band", "bv")
+        buckets = buckets.withColumn(
+            "_salt",
+            F.when(
+                F.count("*").over(wspec) > bucket_cap,
+                F.pmod(
+                    F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+                    .cast("long"),
+                    F.greatest(
+                        (F.count("*").over(wspec) / bucket_cap).cast("long"), F.lit(1)
+                    ),
+                ),
+            ).otherwise(F.lit(0)),
+        )
+    else:
+        buckets = buckets.withColumn("_salt", F.lit(0))
     a = buckets.alias("a")
     b = buckets.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bv") == F.col("b.bv"))
+        & (F.col("a._salt") == F.col("b._salt"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    )
+    if hamming_max is not None:
+        pairs = pairs.filter(
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            <= hamming_max
         )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+    return (
+        pairs.select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
         .distinct()
     )
 

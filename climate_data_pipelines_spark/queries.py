@@ -62,7 +62,19 @@ def query(name: str, oracle: str | None, doc: str = ""):
 
 # MinHash parameters shared by q37/q41/q90/q122 — the Spark calls and
 # the generated DuckDB oracle CTEs below must agree on these.
-MINHASH_N = 16
+# Two constraints set these values (both from the r5 scale-proof,
+# which measured candidate pairs growing ~n² under the old 16-hash /
+# 2-row-band config):
+# 1. band DEPTH sets the LSH threshold t ≈ (1/bands)^(1/rows) — 8
+#    bands × 4 rows → t ≈ 0.59, above the corpus's random-pair
+#    Jaccard tail (colliding non-dups measured at J < 0.1; true
+#    near-dups at J ≥ 0.8);
+# 2. band rows must come from DISTINCT digest families (width 32 = 4
+#    families = exactly the 4 striped rows per band) — same-family
+#    Kirsch–Mitzenmacher minhashes share argmins, collapsing a band's
+#    collision probability from J^rows to ~J (the actual root cause
+#    of the quadratic candidates: 94% of colliding pairs had J<0.1).
+MINHASH_N = 32
 MINHASH_BANDS = 8
 
 
@@ -89,7 +101,9 @@ def _minhash_ctes(n_hashes: int = MINHASH_N, bands: int = MINHASH_BANDS) -> str:
         )
     sig_cols = []
     for i in range(n_hashes):
-        j, off = divmod(i, 8)
+        # striped index→family mapping — must mirror
+        # dedup.minhash_signatures (band-independence fix, r5)
+        j, off = i % n_pairs, i // n_pairs
         sig_cols.append(f"MIN(h1_{j} + {off} * h2_{j}) AS mh{i}")
     r = n_hashes // bands
     cases = []
@@ -782,11 +796,12 @@ def q36(spark, sf_dir):
     "Q37 MinHash+LSH near-dup candidate pairs, oracle-checked (was "
     "rows-only): shingle→signature→band→bucket-join; the equi-join on "
     "(band, band_hash) replaces the quadratic all-pairs comparison. "
-    f"{MINHASH_N} permutations from {(MINHASH_N + 7) // 8} salted md5 "
-    "digests (Kirsch–Mitzenmacher double hashing per digest), "
-    f"{MINHASH_BANDS} bands × {MINHASH_N // MINHASH_BANDS} rows. The "
-    "DuckDB twin reproduces signatures and banding bit-for-bit "
-    "(generated CTEs — oracle stays in lockstep with the parameters).",
+    f"{MINHASH_N} permutations from {(MINHASH_N + 7) // 8} digest "
+    "families (Kirsch–Mitzenmacher double hashing, striped so each "
+    f"band's rows span distinct families), {MINHASH_BANDS} bands × "
+    f"{MINHASH_N // MINHASH_BANDS} rows (t ≈ 0.59). The DuckDB twin "
+    "reproduces signatures and banding bit-for-bit (generated CTEs — "
+    "oracle stays in lockstep with the parameters).",
 )
 def q37(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
@@ -1667,11 +1682,12 @@ def q79(spark, sf_dir):
     f"""WITH{_minhash_ctes()}
        SELECT doc_id, {', '.join(f'mh{i}' for i in range(MINHASH_N))} FROM sig""",
     "Q37 scale path, oracle-checked: portable MinHash signatures via "
-    "Kirsch-Mitzenmacher double hashing — one md5 per 8-hash family "
-    f"({(MINHASH_N + 7) // 8} salted digests for {MINHASH_N} "
-    "permutations), hex halves as h1/h2, mh_i = min(h1 + i*h2) over "
-    "3-token shingles; explode→groupBy with map-side combine, single "
-    "shuffle on doc_id.",
+    "Kirsch-Mitzenmacher double hashing — one digest per 8 "
+    f"permutations ({(MINHASH_N + 7) // 8} families for {MINHASH_N} "
+    "permutations; 60-bit splits as h1/h2, mh_i = min(h1 + m*h2) "
+    "with index→family striping for band independence) over 3-token "
+    "shingles; explode→groupBy with map-side combine, single shuffle "
+    "on doc_id.",
 )
 def q41(spark, sf_dir):
     return dedup.minhash_signatures(
@@ -3174,24 +3190,30 @@ def q123(spark, sf_dir):
 @query(
     "q124_simhash_candidates",
     f"""WITH{_simhash_ctes()},
-         bands AS (SELECT doc_id, g.band,
+         bands AS (SELECT doc_id, simhash, g.band,
                      (simhash >> (g.band * {SIMHASH_BITS // SIMHASH_BANDS}))
                        & {(1 << (SIMHASH_BITS // SIMHASH_BANDS)) - 1} AS bv
                    FROM fp,
                         (SELECT unnest(generate_series(0, {SIMHASH_BANDS - 1})) AS band) g)
        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        FROM bands a JOIN bands b
-         ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id""",
-    "Hamming-LSH candidates over the packed SimHash: the 60-bit "
-    "fingerprint splits into 4 15-bit bands; by pigeonhole, any pair "
-    "differing in fewer than 4 bits shares an exact band — the "
-    "equi-join on (band, band_value) finds all low-Hamming near-dups "
-    "with no pairwise Hamming scan and no cross product.",
+         ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_BANDS - 1}""",
+    "VERIFIED Hamming near-dup pairs over the packed SimHash: the "
+    "60-bit fingerprint splits into 4 15-bit bands; by pigeonhole, "
+    "any pair differing in fewer than 4 bits shares an exact band — "
+    "the equi-join on (band, band_value) finds every Hamming<=3 pair "
+    "with no pairwise scan, and the exact popcount-of-xor filter "
+    "(pure expression) runs BEFORE the distinct so the dedup shuffle "
+    "carries only true near-dups. The r5 scale-proof motivated the "
+    "verify stage: on a distributionally homogeneous corpus raw band "
+    "collisions grow ~n^2 (286k at 5k docs) while true Hamming<=3 "
+    "pairs stay sparse (442).",
 )
 def q124(spark, sf_dir):
     fp = dedup.simhash_md5(_t(spark, sf_dir, "documents"), bits=SIMHASH_BITS)
     return dedup.simhash_band_candidates(
-        fp, bits=SIMHASH_BITS, bands=SIMHASH_BANDS
+        fp, bits=SIMHASH_BITS, bands=SIMHASH_BANDS, hamming_max=SIMHASH_BANDS - 1
     )
 
 
@@ -3322,12 +3344,15 @@ def q128(spark, sf_dir):
 
 @query(
     "q129_minhash64_candidates",
-    f"""WITH{_minhash_ctes(n_hashes=64, bands=16)}
+    f"""WITH{_minhash_ctes(n_hashes=64, bands=8)}
        SELECT id_a, id_b FROM edges""",
-    "Q37 at PRODUCTION width: 64 MinHash permutations from 8 salted "
-    "md5 digests (Kirsch-Mitzenmacher double hashing, 8 permutations "
-    "per digest — the cost slope is +1 md5 per shingle per +8 "
-    "hashes), 16 bands x 4 rows. Same single-shuffle "
+    "Q37 at PRODUCTION width: 64 MinHash permutations (1 md5 + 4 "
+    "salted sha2-256 digests, Kirsch-Mitzenmacher double hashing "
+    "per 60-bit split), 8 bands x 8 rows — LSH threshold "
+    "t=(1/8)^(1/8)~0.77, chosen so the corpus's ~0.14 random-pair "
+    "Jaccard noise floor contributes ~zero collisions (the r5 "
+    "scale-proof measured candidates growing ~n^2 at 4-row depth; at "
+    "8 rows growth is ~linear in true near-dups). Same single-shuffle "
     "explode->groupBy signature plan and banded bucket equi-join as "
     "q37/q41; the generated DuckDB CTEs keep the oracle in lockstep "
     "at any width.",
@@ -3335,7 +3360,7 @@ def q128(spark, sf_dir):
 def q129(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     sigs = dedup.minhash_signatures(docs, k=3, n_hashes=64)
-    return dedup.minhash_lsh_candidates(sigs, n_hashes=64, bands=16)
+    return dedup.minhash_lsh_candidates(sigs, n_hashes=64, bands=8)
 
 
 @query(

@@ -50,6 +50,15 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # --- shuffle sizing ---------------------------------------------
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # --- heap: local mode runs ALL task slots in the driver JVM, so
+        # the 1g default means 32 concurrent tasks share 1 GB (OOMs the
+        # 64-wide minhash agg at a 50k-doc corpus). Only effective when
+        # this builder launches the JVM; a pre-existing session keeps
+        # its own setting (the verification driver's session is its
+        # own concern).
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        )
         # --- python exchange: Arrow batches, never row-at-a-time --------
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # --- parquet scan behavior --------------------------------------

@@ -148,42 +148,67 @@ def test_exact_dedup_best_keeps_highest_score_then_min_id(spark):
 
 def test_minhash_wide_family(spark):
     # n_hashes > 8 comes from additional salted sha256 digests (two
-    # (h1,h2) pairs per digest); the first 8 columns must be
-    # bit-identical to the unsalted md5 n_hashes=8 scheme, and no value
-    # may go negative (the would-be overflow the old <=8 cap guarded
-    # against)
+    # (h1,h2) pairs per digest), with hash index i striped to family
+    # i % n_fam so LSH band rows span distinct families (the r5 band-
+    # independence fix). Cross-width prefix consistency is therefore
+    # deliberately NOT a property (family assignment depends on
+    # width); the invariants are: no negative values (overflow guard),
+    # identical docs share the whole signature, mh0 = the unsalted md5
+    # family's minimum at every width (family 0, multiplier 0).
     df = _docs(spark, DOCS)
     narrow = {r.doc_id: [r[f"mh{i}"] for i in range(8)]
               for r in dedup.minhash_signatures(df, k=3, n_hashes=8).collect()}
     wide = {r.doc_id: [r[f"mh{i}"] for i in range(24)]
             for r in dedup.minhash_signatures(df, k=3, n_hashes=24).collect()}
     for doc_id, sig in narrow.items():
-        assert wide[doc_id][:8] == sig
+        assert wide[doc_id][0] == sig[0]  # (family 0, mult 0) at any width
         assert all(v >= 0 for v in wide[doc_id])
     # identical docs share the whole wide signature too
     assert wide[1] == wide[2]
+    # striping: indices 0..2 at width 24 use families 0,1,2 (mult 0) —
+    # so mh1/mh2 must equal the width-16/width-24 family minima, which
+    # differ from the width-8 single-family mh1 (= h1_0 + h2_0 min)
+    assert wide[5][1] != narrow[5][1] or wide[5][2] != narrow[5][2]
 
 
 def test_minhash_production_width_64(spark):
     # q129's production configuration: 64 permutations (1 md5 + 4
-    # salted sha256 digests), 16 bands x 4 rows. Near-identical docs
-    # must land in a
-    # shared band bucket; the unrelated doc must not pair with them.
+    # salted sha256 digests), 8 bands x 8 rows (t ~ 0.77, above the
+    # corpus noise floor — see derive_minhash_bands). Near-identical
+    # docs must land in a shared band bucket; the unrelated doc must
+    # not pair with them.
     df = _docs(spark, DOCS)
     sigs = dedup.minhash_signatures(df, k=3, n_hashes=64)
     row0 = sigs.orderBy("doc_id").first()
     assert all(row0[f"mh{i}"] >= 0 for i in range(64))
     pairs = {
         (r.id_a, r.id_b)
-        for r in dedup.minhash_lsh_candidates(sigs, n_hashes=64, bands=16).collect()
+        for r in dedup.minhash_lsh_candidates(sigs, n_hashes=64, bands=8).collect()
     }
     assert (1, 2) in pairs  # identical docs always collide in every band
-    # prefix consistency with the 16-wide family (same salted digests)
-    narrow = {r.doc_id: [r[f"mh{i}"] for i in range(16)]
-              for r in dedup.minhash_signatures(df, k=3, n_hashes=16).collect()}
-    wide = {r.doc_id: [r[f"mh{i}"] for i in range(16)]
-            for r in sigs.collect()}
-    assert narrow == wide
+    # band independence guard: every 8-row band at width 64 spans all
+    # 8 digest families exactly once (striped index→family)
+    n_fam = 8
+    for band in range(8):
+        fams = {(band * 8 + r) % n_fam for r in range(8)}
+        assert fams == set(range(8))
+
+
+def test_derive_minhash_bands_threshold_rule():
+    # largest band count whose t=(1/b)^(1/r) clears the target — the
+    # quadratic-candidate guard the r5 scale-proof motivated
+    f = dedup.derive_minhash_bands
+    assert f(64, 0.7) == 8       # 8x8: t~0.77 (8 families -> independent)
+    assert f(64, 0.5) == 16      # 16x4: t=0.5
+    # width 16 has only 2 digest families: rows capped at 2 even when
+    # the target is unreachable (widen n_hashes to raise t)
+    assert f(16, 0.7) == 8       # 8x2: t~0.35, deepest independent
+    assert f(16, 0.3) == 8
+    assert f(8, 0.99) == 1       # single family: toy path, strict band
+    import pytest
+
+    with pytest.raises(ValueError):
+        f(16, 1.5)
 
 
 def test_minhash_rejects_out_of_range_hash_count(spark):
@@ -235,6 +260,42 @@ def test_simhash_band_candidates_pigeonhole(spark):
     assert (1, 2) in pairs
     assert (1, 3) not in pairs
     assert all(a < b for a, b in pairs)
+
+
+def test_simhash_band_candidates_verified_and_capped(spark):
+    # hamming_max: pair (1,2) at Hamming 3 survives the <=3 verify;
+    # (1,4) collides in band 1 (same high bits) but sits at Hamming
+    # 14 — a candidate when unverified, dropped when verified
+    base = 0b1010
+    fp3 = base ^ 0b0111
+    far = base ^ ((1 << 15) - 2)  # flips 14 low bits, bands 1-3 equal
+    fps = spark.createDataFrame(
+        [(1, base), (2, fp3), (4, far)], "doc_id long, simhash long"
+    )
+    raw = {
+        (r.id_a, r.id_b)
+        for r in dedup.simhash_band_candidates(fps, bits=60, bands=4).collect()
+    }
+    ver = {
+        (r.id_a, r.id_b)
+        for r in dedup.simhash_band_candidates(
+            fps, bits=60, bands=4, hamming_max=3
+        ).collect()
+    }
+    assert (1, 4) in raw and (1, 2) in raw
+    assert ver == {(1, 2)}
+    # bucket_cap: 40 identical fingerprints -> uncapped 780 pairs;
+    # capped buckets split into salt groups, so pair count drops but
+    # every pair is still a true Hamming-0 pair
+    many = spark.createDataFrame(
+        [(i, 12345) for i in range(40)], "doc_id long, simhash long"
+    )
+    uncapped = dedup.simhash_band_candidates(many, bits=60, bands=4).count()
+    capped = dedup.simhash_band_candidates(
+        many, bits=60, bands=4, bucket_cap=10
+    ).count()
+    assert uncapped == 40 * 39 // 2
+    assert 0 < capped < uncapped
 
 
 def test_simhash_band_candidates_rejects_uneven_split(spark):

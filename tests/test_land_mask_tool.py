@@ -96,3 +96,64 @@ def test_land_filter_fraction_on_global_points(spark, mask_dir):
     kept = climate.land_filter(pts, grid, ["lat", "lon"]).count()
     frac = kept / (90 * 144)
     assert 0.2 < frac < 0.45, frac
+
+
+def test_mask_divergence_quantifier(mask_dir, tmp_path):
+    # the --compare path (VERDICT r4: quantify boundary-cell divergence
+    # between mask artifacts): identical masks diverge 0; a mask with
+    # 100 flipped cells reports exactly those cells
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from build_land_mask import mask_divergence
+
+    src = os.path.join(mask_dir, "land_mask.parquet")
+    same = mask_divergence(src, src)
+    assert same["differing_cells"] == 0 and same["differing_frac"] == 0.0
+    assert same["land_a"] == same["land_b"] > 0
+
+    t = pq.read_table(src)
+    flipped = np.asarray(t["is_land"]).copy()
+    flipped[:100] = ~flipped[:100]
+    import pyarrow as pa
+
+    mutated = str(tmp_path / "mutated.parquet")
+    pq.write_table(
+        pa.table({"lat": t["lat"], "lon": t["lon"],
+                  "is_land": pa.array(flipped)}),
+        mutated,
+    )
+    d = mask_divergence(src, mutated)
+    assert d["differing_cells"] == 100
+    assert d["cells_compared"] == t.num_rows
+    assert 0 < d["differing_frac"] < 0.01
+
+
+def test_parity_builder_gated_on_package(tmp_path):
+    # grid_from_global_land_mask returns None without the public
+    # package (not in this container) and the CLI errors cleanly;
+    # on a machine that has it, the same call yields the exact
+    # reference grid (precipitation_pipeline.py:160-161 semantics)
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from build_land_mask import grid_from_global_land_mask
+
+    try:
+        import global_land_mask  # noqa: F401
+
+        has_pkg = True
+    except ImportError:
+        has_pkg = False
+    grid = grid_from_global_land_mask(10.0, 10.0)
+    if not has_pkg:
+        assert grid is None
+        res = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "build_land_mask.py"),
+             str(tmp_path), "--parity"],
+            capture_output=True, text=True, timeout=60,
+        )
+        assert res.returncode != 0
+        assert "global-land-mask" in res.stderr
+    else:
+        lat, lon, is_land = grid
+        assert lat.size == 18 * 36 and is_land.dtype == bool

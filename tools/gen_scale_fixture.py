@@ -1,0 +1,114 @@
+"""Generate a scaled documents/embeddings fixture for scale-proof runs.
+
+The driver fixtures stop at sf0.1 (5,000 docs / 2,000 embeddings), so
+the dedup/ANN scaling story above that is proven by plan shape only.
+This tool regenerates the SAME corpus shape (measured from
+/root/testdata/sf0.1 — see the constants below) at an arbitrary
+multiplier so wall-time and candidate-count curves can be MEASURED
+across a 10x corpus step (VERDICT r4 next-step 1):
+
+- documents: n_tokens ~ U(10, 100) word soup over the fixture's
+  30-word vocabulary; ~5%% of docs are near-dup copies of a random
+  earlier doc (text + " dup" — one extra trailing token, exactly the
+  fixture's rule); ~0.16%% exact dup pairs; lang ~ (en 41%%, others
+  ~15%%); source ~ U(src0..src19); n_chars = length(text).
+- embeddings: dim-64 unit-normalized Gaussian vectors, label ~ U(0,9).
+
+Deterministic (seed fixed). Other tables are copied from the base
+sf dir so every registry query can run against the output dir.
+
+Usage: python tools/gen_scale_fixture.py OUT_DIR MULT [BASE_SF_DIR]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+VOCAB = [
+    "spark", "window", "merge", "table", "column", "vector", "stream",
+    "value", "data", "small", "join", "filter", "big", "group", "hash",
+    "customer", "sort", "order", "slow", "line", "part", "fast", "the",
+    "row", "agg", "key", "query", "a", "scan", "batch",
+]
+LANGS = ["en", "de", "es", "fr", "zh"]
+LANG_P = [0.41, 0.1475, 0.1475, 0.1475, 0.1475]
+BASE_DOCS = 5000
+BASE_EMB = 2000
+NEAR_DUP_FRAC = 0.05
+EXACT_DUP_PAIRS_PER_BASE = 8
+DIM = 64
+
+
+def gen_documents(n: int, seed: int = 42):
+    rng = np.random.default_rng(seed)
+    texts: list[str] = []
+    n_base = n - int(n * NEAR_DUP_FRAC)
+    for _ in range(n_base):
+        k = int(rng.integers(10, 101))
+        texts.append(" ".join(VOCAB[i] for i in rng.integers(0, len(VOCAB), k)))
+    # exact dup pairs (same rate as the fixture: 8 per 5k docs)
+    for _ in range(EXACT_DUP_PAIRS_PER_BASE * n // BASE_DOCS):
+        texts.append(texts[int(rng.integers(0, n_base))])
+    # near-dups: a random earlier doc's text + " dup"
+    while len(texts) < n:
+        texts.append(texts[int(rng.integers(0, n_base))] + " dup")
+    order = rng.permutation(len(texts))
+    texts = [texts[i] for i in order]
+    langs = rng.choice(LANGS, size=len(texts), p=LANG_P)
+    sources = [f"src{int(i)}" for i in rng.integers(0, 20, len(texts))]
+    return pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array([str(x) for x in langs], pa.string()),
+            "source": pa.array(sources, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+
+
+def gen_embeddings(n: int, seed: int = 4242):
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal((n, DIM))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    return pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [row.astype(np.float32) for row in v], pa.list_(pa.float32())
+            ),
+            "label": pa.array(rng.integers(0, 10, n).astype(np.int32), pa.int32()),
+        }
+    )
+
+
+def main() -> None:
+    out_dir = sys.argv[1]
+    mult = int(sys.argv[2])
+    base = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
+    os.makedirs(out_dir, exist_ok=True)
+    # row-group size matters: the real fixture is one small file/one
+    # group; write the scaled corpus the same way so the single-split
+    # scan (the case spread_for_cpu exists for) is reproduced
+    pq.write_table(gen_documents(BASE_DOCS * mult), f"{out_dir}/documents.parquet")
+    pq.write_table(gen_embeddings(BASE_EMB * mult), f"{out_dir}/embeddings.parquet")
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events",
+    ):
+        src = f"{base}/{t}.parquet"
+        dst = f"{out_dir}/{t}.parquet"
+        if os.path.exists(src) and not os.path.exists(dst):
+            shutil.copyfile(src, dst)
+    print(f"wrote {out_dir}: documents x{mult} ({BASE_DOCS * mult}), "
+          f"embeddings x{mult} ({BASE_EMB * mult})")
+
+
+if __name__ == "__main__":
+    main()
