@@ -164,6 +164,7 @@ def derive_ivf_params(
     corpus_n: int,
     min_probed_members: int = 320,
     max_cells: int = 4096,
+    min_probed_frac: float = 0.0,
 ) -> tuple[int, int]:
     """Corpus-adaptive IVF parameters.
 
@@ -177,15 +178,25 @@ def derive_ivf_params(
     the second term is what rescues tiny corpora, where √N cells hold
     so few vectors each that a fixed probe fraction starves recall
     (measured at the 500-vector fixture: probe 11/22 → recall 0.83,
-    probe 15/22 → 0.97; at 50k vectors the fraction term dominates
-    and recall is 0.97 at probe 56/223).
+    probe 15/22 → 0.97).
+
+    ``min_probed_frac`` floors the probed CELL fraction — needed when
+    the embedding corpus has no cluster structure (i.i.d. vectors):
+    there IVF recall tracks the probed fraction almost linearly
+    (measured on the 2,000-vector fixture, whose intra-label cosine ≈
+    inter-label ≈ 0: probe 25% → recall 0.77, 50% → 0.90), so a low
+    fixed fraction starves recall no matter how cells are chosen.
+    Default 0.0 — production embedding corpora cluster, and the
+    nlist/4 fraction is the standard working point; the fixture
+    queries pass the floor explicitly (docs/SCALEPROOF.md Finding 3).
     """
     import math
 
     n = max(1, corpus_n)
     n_cells = max(8, min(max_cells, int(math.sqrt(n))))
     by_members = math.ceil(n_cells * min_probed_members / n)
-    n_probe = max(1, min(n_cells, max(n_cells // 4, by_members)))
+    by_frac = math.ceil(n_cells * min_probed_frac)
+    n_probe = max(1, min(n_cells, max(n_cells // 4, by_members, by_frac)))
     return n_cells, n_probe
 
 
@@ -199,6 +210,7 @@ def ann_ivf_topk(
     id_col: str = "vec_id",
     seed: int = 42,
     corpus_n: int | None = None,
+    min_probed_frac: float = 0.0,
 ) -> DataFrame:
     """Approximate top-k via an IVF coarse quantizer (SURVEY.md §2.11
     'IVF variant as the scale path'):
@@ -224,7 +236,7 @@ def ann_ivf_topk(
 
     if n_cells is None or n_probe is None:
         n = corpus_n if corpus_n is not None else df.count()
-        d_cells, d_probe = derive_ivf_params(n)
+        d_cells, d_probe = derive_ivf_params(n, min_probed_frac=min_probed_frac)
         n_cells = d_cells if n_cells is None else n_cells
         n_probe = d_probe if n_probe is None else n_probe
     df = spread_for_cpu(df)

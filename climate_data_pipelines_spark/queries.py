@@ -1924,10 +1924,15 @@ def q73(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     # corpus-adaptive nlist/nprobe (derive_ivf_params) — fixed 32/12
     # starved recall at small corpora and under-celled large ones;
-    # corpus_n comes from the parquet footer, no count() job
+    # corpus_n comes from the parquet footer, no count() job.
+    # min_probed_frac=0.55: the fixture embeddings are i.i.d. (no
+    # cluster structure), where recall tracks the probed fraction
+    # (docs/SCALEPROOF.md Finding 3) — clustered production corpora
+    # should leave the default 0.0
     return similarity.ann_ivf_topk(
         emb, _query_vectors(spark, sf_dir), k=10,
         n_cells=None, n_probe=None, corpus_n=table_rows(sf_dir, "embeddings"),
+        min_probed_frac=0.55,
     )
 
 

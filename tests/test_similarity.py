@@ -132,6 +132,7 @@ def test_derive_ivf_params_adaptive(spark, sf_dir):
     # tiny-corpus rescue (fixed 12/32 gave recall 0.77 at 500 vecs)
     f = similarity.derive_ivf_params
     assert f(500) == (22, 15)          # member floor dominates
+    assert f(2000, min_probed_frac=0.55) == (44, 25)  # fraction floor
     nc, np_ = f(50_000)
     assert nc == 223 and np_ == nc // 4  # fraction dominates
     nc_big, np_big = f(10**11)
