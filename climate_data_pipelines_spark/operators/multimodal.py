@@ -203,11 +203,90 @@ def text_as_png_payload(
     )
 
 
+def decode_bmp(payload: bytes) -> tuple[int, int, float]:
+    """REAL dependency-free BMP decode (BITMAPINFOHEADER, uncompressed
+    24/32-bit or 8-bit grayscale-palette): header fields are plain
+    little-endian ints, pixel rows are bottom-up and padded to 4
+    bytes. Returns (width, height, mean_luma) with ITU-R BT.601 luma
+    for color payloads — same contract as ``decode_png``.
+    """
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMPs not supported")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0:
+        raise NotImplementedError(f"compressed BMP (method {compression})")
+    if bpp not in (8, 24, 32):
+        raise NotImplementedError(f"{bpp}-bpp BMP")
+    top_down = height < 0
+    height = abs(height)
+    row_bytes = (width * bpp // 8 + 3) & ~3
+    total = 0.0
+    for r in range(height):
+        src = r if top_down else height - 1 - r
+        base = data_off + src * row_bytes
+        row = payload[base : base + width * (bpp // 8)]
+        if bpp == 8:
+            total += sum(row)
+        else:
+            step = bpp // 8
+            for x in range(0, width * step, step):
+                b, g, rr = row[x], row[x + 1], row[x + 2]
+                total += 0.299 * rr + 0.587 * g + 0.114 * b
+    n_px = width * height
+    return width, height, round(total / n_px, 4) if n_px else 0.0
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, float]:
+    """REAL dependency-free Netpbm decode (P5 grayscale / P6 RGB,
+    binary variants): ASCII header (magic, width, height, maxval, with
+    ``#`` comments), then raw samples. BT.601 luma for P6."""
+    if payload[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary PGM/PPM payload")
+    rgb = payload[:2] == b"P6"
+    # header tokenizer: whitespace-separated ints, # starts a comment
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace byte after maxval
+    width, height, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit Netpbm samples")
+    n_px = width * height
+    raw = payload[pos : pos + n_px * (3 if rgb else 1)]
+    if rgb:
+        total = sum(
+            0.299 * raw[i] + 0.587 * raw[i + 1] + 0.114 * raw[i + 2]
+            for i in range(0, len(raw), 3)
+        )
+    else:
+        total = float(sum(raw))
+    return width, height, round(total / n_px, 4) if n_px else 0.0
+
+
 def _decode_image_stub(payload: bytes) -> tuple[int, int, float]:
-    """STUB decode kernel for non-PNG media — deterministic fake (no
-    JPEG/video codec libs in this container). A real deployment
-    replaces this body with PIL/ffmpeg; the signature
-    (bytes -> (w, h, luma)) and everything around it stays identical.
+    """STUB decode kernel for media with no in-container codec (JPEG,
+    video — compressed formats genuinely need libjpeg/ffmpeg):
+    deterministic fake. A real deployment replaces this body with
+    PIL/ffmpeg; the signature (bytes -> (w, h, luma)) and everything
+    around it stays identical. PNG/BMP/PGM/PPM never reach this —
+    they have REAL decoders above.
     """
     n = len(payload)
     width = 16 + (n % 64)
@@ -219,9 +298,10 @@ def _decode_image_stub(payload: bytes) -> tuple[int, int, float]:
 def extract_image_features(binary_df: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over mapInPandas.
 
-    PNG payloads get the REAL decoder (``decode_png`` — inflate,
-    unfilter, pixel-sum luma); other media types fall back to the
-    labeled stub. Batches arrive as pandas DataFrames (whole
+    PNG, BMP, and binary Netpbm (PGM/PPM) payloads get REAL decoders
+    (``decode_png``/``decode_bmp``/``decode_ppm``); only formats whose
+    codecs genuinely aren't in the container (JPEG, video) fall back
+    to the labeled stub. Batches arrive as pandas DataFrames (whole
     partitions, streamed) — the decode loop is per-batch Python, the
     orchestration stays distributed. At 100 TB this is the canonical
     shape: repartition by payload size budget upstream, one Python
@@ -231,6 +311,10 @@ def extract_image_features(binary_df: DataFrame) -> DataFrame:
     def decode_one(p: bytes) -> tuple[int, int, float]:
         if p[:8] == PNG_SIG:
             return decode_png(p)
+        if p[:2] == b"BM":
+            return decode_bmp(p)
+        if p[:2] in (b"P5", b"P6"):
+            return decode_ppm(p)
         return _decode_image_stub(p)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

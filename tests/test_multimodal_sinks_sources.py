@@ -54,6 +54,64 @@ def test_png_roundtrip_golden():
     assert luma == (10 + 200 + 30 + 100) / 4.0  # 85.0
 
 
+def _bmp24(width, height, rows_top_down):
+    """Hand-assemble an uncompressed 24-bit BMP (BITMAPINFOHEADER,
+    bottom-up storage) from top-down rows of (r, g, b) tuples."""
+    import struct as _s
+
+    row_bytes = (width * 3 + 3) & ~3
+    pix = b""
+    for row in reversed(rows_top_down):  # file stores bottom-up
+        line = b"".join(bytes([b, g, r]) for (r, g, b) in row)
+        pix += line.ljust(row_bytes, b"\x00")
+    header = _s.pack("<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54)
+    info = _s.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pix), 0, 0, 0, 0)
+    return header + info + pix
+
+
+def test_bmp_decode_golden():
+    # 2x2 image: one pure-red, one pure-green, one pure-blue, one gray
+    rows = [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (100, 100, 100)]]
+    bmp = _bmp24(2, 2, rows)
+    w, h, luma = multimodal.decode_bmp(bmp)
+    assert (w, h) == (2, 2)
+    want = (0.299 * 255 + 0.587 * 255 + 0.114 * 255 + (0.299 + 0.587 + 0.114) * 100) / 4
+    assert abs(luma - want) < 0.01
+    import pytest
+
+    with pytest.raises(ValueError, match="BMP"):
+        multimodal.decode_bmp(b"XX123456")
+
+
+def test_ppm_decode_golden():
+    # P6 with a comment line in the header; 2x1: white + black
+    ppm = b"P6\n# test comment\n2 1\n255\n" + bytes([255, 255, 255, 0, 0, 0])
+    w, h, luma = multimodal.decode_ppm(ppm)
+    assert (w, h, luma) == (2, 1, round((0.299 + 0.587 + 0.114) * 255 / 2, 4))
+    # P5 grayscale
+    pgm = b"P5 3 1 255 " + bytes([10, 20, 30])
+    assert multimodal.decode_ppm(pgm) == (3, 1, 20.0)
+
+
+def test_extract_features_routes_real_codecs(spark):
+    # one payload per format through the distributed path: PNG and
+    # BMP/PPM take their REAL decoders (exact expected luma), an
+    # unknown format falls to the labeled stub
+    png = multimodal.encode_png_gray8(bytes([50, 150]), 2, 1)
+    bmp = _bmp24(1, 1, [[(100, 100, 100)]])
+    ppm = b"P5 1 1 255 " + bytes([77])
+    bdf = spark.createDataFrame(
+        [(1, png), (2, bmp), (3, ppm), (4, b"JFIFnotreally")],
+        "doc_id long, payload binary",
+    )
+    out = {r.doc_id: (r.width, r.height, r.mean_luma)
+           for r in multimodal.extract_image_features(bdf).collect()}
+    assert out[1] == (2, 1, 100.0)
+    assert out[2][:2] == (1, 1) and abs(out[2][2] - 100.0) < 0.01
+    assert out[3] == (1, 1, 77.0)
+    assert out[4][0] >= 16  # stub envelope
+
+
 def _png_from_filtered(width, height, color_type, scanlines):
     """Hand-assemble a PNG from pre-filtered scanlines (filter byte +
     filtered data per row) — drives the decoder's unfilter paths."""
