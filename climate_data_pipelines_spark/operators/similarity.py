@@ -300,11 +300,13 @@ def ann_lsh_topk(
     df: DataFrame,
     query_df: DataFrame,
     k: int = 10,
-    n_planes: int = 5,
+    n_planes: int | None = 5,
     n_tables: int = 8,
     multiprobe_bits: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    corpus_n: int | None = None,
+    target_candidates: int = 96,
 ) -> DataFrame:
     """Approximate top-k: multi-table random-hyperplane LSH with
     MULTIPROBE + exact cosine on the candidate union (SURVEY.md §2.11
@@ -331,7 +333,22 @@ def ann_lsh_topk(
     hyperplane dots per row in one vectorized pass instead of
     interpreted per-plane zip_with aggregates — the measured
     bottleneck at corpus scale.
+
+    ``n_planes=None`` derives the depth from the corpus size
+    (``derive_lsh_planes`` — +1 plane per corpus doubling keeps
+    expected candidates/query near ``target_candidates``); pass
+    ``corpus_n`` (e.g. ``catalog.table_rows``) to avoid the count()
+    job. Note the selectivity/recall trade tracks data geometry: on
+    clustered embeddings deeper planes prune hard at stable recall;
+    on i.i.d. vectors (this repo's fixture) recall costs coverage no
+    matter the depth (docs/SCALEPROOF.md Finding 3) — the fixture
+    queries therefore pin n_planes=5 explicitly.
     """
+    if n_planes is None:
+        n = corpus_n if corpus_n is not None else df.count()
+        n_planes = derive_lsh_planes(
+            n, n_tables, target_candidates, multiprobe=multiprobe_bits >= 1
+        )
 
     def bucketed(frame: DataFrame, vcol: str, keep: list[str]) -> DataFrame:
         return frame.select(

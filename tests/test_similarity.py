@@ -230,3 +230,18 @@ def test_derive_lsh_planes_growth_and_floor():
     for n, p in ((2_000, p2k), (200_000, p200k), (20_000_000, p20m)):
         per_member = 8 * (p + 1) * n / (2 ** p)
         assert per_member <= 96 * 1.05 or p == 24
+
+
+def test_ann_lsh_adaptive_planes(spark, sf_dir):
+    # n_planes=None derives depth from corpus size (same rule as
+    # semantic_dedup); explicit corpus_n avoids the count() job
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = similarity.ann_lsh_topk(
+        emb, q, k=5, n_planes=None, corpus_n=500, multiprobe_bits=1
+    )
+    rows = out.collect()
+    assert 0 < len(rows) <= 10
+    assert all(r.rank >= 1 for r in rows)
