@@ -615,6 +615,18 @@ def connected_components(
     )
     sym = sym.localCheckpoint(eager=True)
     base = sym.select(F.col("src").alias(node_col)).distinct()
+    if sym.isEmpty():
+        # no edges — every node is a singleton; skip the label
+        # checkpoint + propagation rounds entirely (a fully-deduped
+        # corpus otherwise pays several empty-frame checkpoint/
+        # Observation jobs per call; isEmpty on the materialized
+        # checkpoint is one cheap partition probe)
+        empty = base.select(F.col(node_col), F.col(node_col).alias("component"))
+        if nodes is not None:
+            return nodes.select(
+                F.col(nodes.columns[0]).alias(node_col)
+            ).distinct().select(F.col(node_col), F.col(node_col).alias("component"))
+        return empty
     obs0 = Observation()
     labels = (
         base.select(F.col(node_col), F.col(node_col).alias("component"))
