@@ -187,3 +187,46 @@ def test_png_roundtrip_property(width, height, seed):
     )
     assert (w, h) == (width, height)
     assert luma == sum(pixels) / (width * height)
+
+
+@given(
+    st.integers(min_value=1, max_value=5),
+    st.integers(min_value=1, max_value=5),
+    st.data(),
+)
+@settings(max_examples=25, deadline=None)
+def test_bmp_decode_matches_bt601_mean(width, height, data):
+    # decode_bmp on an arbitrary constructed 24-bit BMP returns the
+    # exact BT.601 mean luma (row padding + bottom-up storage handled)
+    from climate_data_pipelines_spark.operators import multimodal
+    from tests.test_multimodal_sinks_sources import _bmp24
+
+    rows = [
+        [
+            (
+                data.draw(st.integers(0, 255)),
+                data.draw(st.integers(0, 255)),
+                data.draw(st.integers(0, 255)),
+            )
+            for _ in range(width)
+        ]
+        for _ in range(height)
+    ]
+    w, h, luma = multimodal.decode_bmp(_bmp24(width, height, rows))
+    want = sum(
+        0.299 * r + 0.587 * g + 0.114 * b for row in rows for (r, g, b) in row
+    ) / (width * height)
+    assert (w, h) == (width, height)
+    assert abs(luma - want) < 0.01
+
+
+@given(st.lists(st.integers(0, 255), min_size=1, max_size=30))
+@settings(max_examples=25, deadline=None)
+def test_pgm_decode_matches_mean(pixels):
+    from climate_data_pipelines_spark.operators import multimodal
+
+    n = len(pixels)
+    pgm = f"P5 {n} 1 255 ".encode() + bytes(pixels)
+    w, h, luma = multimodal.decode_ppm(pgm)
+    assert (w, h) == (n, 1)
+    assert abs(luma - sum(pixels) / n) < 0.01
