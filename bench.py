@@ -59,9 +59,9 @@ HEADLINE = [
     "q126_semantic_dedup",
     "q127_repeated_ngrams",
     "q128_quality_select",
-    # round-4: minhash at production width (64 perms / 16 bands) —
-    # the cost slope vs q41's 16 perms is +1 md5 per shingle per +8
-    # hashes, so ~4x the signature agg of q41 plus the banded join
+    # round-4: minhash at production width (r5: 64 perms from 1 md5 +
+    # 4 sha256 per shingle, striped families, 8 bands x 8 rows —
+    # candidate growth measured linear in SCALEPROOF.json)
     "q129_minhash64_candidates",
 ]
 
