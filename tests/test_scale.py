@@ -138,3 +138,16 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
     n_big = len([f for f in os.listdir(out) if f.endswith(".parquet")])
     assert n_big == 1
     assert spark.read.parquet(out).count() == 10000
+
+
+def test_spread_for_cpu_guard(spark):
+    # fewer partitions than the target -> round-robin repartition up;
+    # already-parallel input passes through UNCHANGED (no added
+    # shuffle at production parallelism)
+    one = spark.range(100).coalesce(1)
+    spread = scale.spread_for_cpu(one, min_parts=4)
+    assert spread.rdd.getNumPartitions() == 4
+    assert spread.count() == 100
+    wide = spark.range(100).repartition(8)
+    same = scale.spread_for_cpu(wide, min_parts=4)
+    assert same is wide  # identity, not a new plan
