@@ -63,11 +63,17 @@ HEADLINE = [
     # 4 sha256 per shingle, striped families, 8 bands x 8 rows —
     # candidate growth measured linear in SCALEPROOF.json)
     "q129_minhash64_candidates",
+    # round-5 additions: edit-distance verify (candidate-bounded DP),
+    # batch sessionization (single-shuffle islands), bloom-prefiltered
+    # decontamination
+    "q136_edit_distance_verify",
+    "q137_sessionize",
+    "q139_bloom_decontaminate",
 ]
 
 # ANN quality: rows-only queries whose real metric is recall vs the
 # exact q38 baseline — reported as "<name>_recall@10" in the JSON
-ANN_RECALL = ["q55_ann_lsh_topk", "q73_ann_ivf_topk"]
+ANN_RECALL = ["q55_ann_lsh_topk", "q73_ann_ivf_topk", "q140_pq_ann_topk"]
 
 REPEATS = 3
 

@@ -140,9 +140,14 @@ def inv_q135(spark, sf_dir):
     )
 
 
+def inv_q140(spark, sf_dir):
+    return _recall_vs_exact(spark, sf_dir, "q140_pq_ann_topk", 0.9)
+
+
 INVARIANTS: dict[str, Callable] = {
     "q55_ann_lsh_topk": inv_q55,
     "q73_ann_ivf_topk": inv_q73,
+    "q140_pq_ann_topk": inv_q140,
     "q59_approx_count_distinct": inv_q59,
     "q126_semantic_dedup": inv_q126,
     "q135_mvt_tiles": inv_q135,

@@ -342,6 +342,83 @@ def jaccard_on_pairs(
     )
 
 
+def levenshtein_on_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_similarity: float | None = None,
+) -> DataFrame:
+    """Edit-distance verification for an explicit candidate pair list —
+    the character-level sibling of ``jaccard_on_pairs``, for near-dup
+    classes token shingles miss (single-char typos, whitespace drift,
+    OCR noise) where Jaccard over 3-gram tokens under-scores.
+
+    Per pair: Levenshtein distance (built-in JVM codegen, no UDF) and
+    ``edit_similarity = 1 - dist / max(len_a, len_b)``. With
+    ``min_similarity`` set, a LENGTH-GAP PREFILTER runs before the
+    O(|a|·|b|) DP: dist >= |len_a - len_b| always, so any pair whose
+    length gap alone exceeds (1 - min_similarity) · max_len cannot
+    pass and is dropped from a cheap column compare — at 100 TB the
+    texts for those pairs are never materialized into the DP. The
+    prefilter is a pure optimization: the surviving set is identical
+    to filtering afterward, so the DuckDB oracle is plain
+    levenshtein() + the same threshold.
+
+    Scale shape mirrors ``jaccard_on_pairs``: semi-join endpoints
+    first (only candidate docs ship their text), two broadcast-able
+    id equi-joins; cost is per-pair, never all-pairs. Returns
+    (id_a, id_b, len_a, len_b, edit_distance, edit_similarity).
+    """
+    endpoints = pairs.select(F.col("id_a").alias(id_col)).unionByName(
+        pairs.select(F.col("id_b").alias(id_col))
+    ).distinct()
+    texts = df.join(endpoints, id_col, "left_semi").select(
+        F.col(id_col), F.col(text_col).alias("_txt"), F.length(text_col).alias("_len")
+    )
+    joined = (
+        pairs.join(
+            texts.select(
+                F.col(id_col).alias("id_a"),
+                F.col("_txt").alias("_ta"),
+                F.col("_len").alias("len_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            texts.select(
+                F.col(id_col).alias("id_b"),
+                F.col("_txt").alias("_tb"),
+                F.col("_len").alias("len_b"),
+            ),
+            "id_b",
+        )
+    )
+    max_len = F.greatest("len_a", "len_b")
+    if min_similarity is not None:
+        gap_bound = (F.lit(1.0) - F.lit(min_similarity)) * max_len
+        joined = joined.filter(
+            F.abs(F.col("len_a") - F.col("len_b")) <= gap_bound
+        )
+    out = joined.select(
+        "id_a",
+        "id_b",
+        "len_a",
+        "len_b",
+        F.levenshtein("_ta", "_tb").alias("edit_distance"),
+    ).withColumn(
+        # greatest(·, 1) guards the both-empty pair (0/0 → engine-
+        # dependent NaN/NULL); empty-vs-empty then scores 1.0 exactly
+        "edit_similarity",
+        F.lit(1.0)
+        - F.col("edit_distance")
+        / F.greatest(F.greatest("len_a", "len_b"), F.lit(1)).cast("double"),
+    )
+    if min_similarity is not None:
+        out = out.filter(F.col("edit_similarity") >= F.lit(min_similarity))
+    return out
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
     """SimHash document fingerprints (SURVEY.md §2.11), expression-level.
 

@@ -13,6 +13,8 @@ is one bounded window per shard.
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -217,6 +219,98 @@ def dsir_logratio(
             F.sum("_w").alias("dsir_logratio"),
         )
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: str = "strat-v1",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling — downsample over-represented
+    corpus slices (by language/source/quality band) to a target mix.
+
+    Unlike ``df.sampleBy`` (partition-order-dependent RNG: a task
+    retry or AQE re-plan changes the sample), the keep decision is a
+    pure content hash — ``md5(seed‖id) mod 10000 < fraction·10000`` —
+    so the sample is reproducible across engines, retries and corpus
+    growth (a kept doc stays kept when other docs arrive; the same
+    property ``hash_split`` relies on). Stateless per-row predicate:
+    no shuffle, no sampling state, pushes down past column pruning.
+
+    ``fractions`` maps stratum value → keep fraction (resolution
+    1/10000); unlisted strata keep ``default_fraction``.
+    """
+    bucket = _md5_bucket(F.col(id_col), seed, 10000)
+    keep = F.lit(int(round(default_fraction * 10000)))
+    for val, frac in sorted(fractions.items()):
+        keep = F.when(
+            F.col(strata_col) == F.lit(val), F.lit(int(round(frac * 10000)))
+        ).otherwise(keep)
+    return df.filter(bucket < keep)
+
+
+def bloom_decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    expected_items: int = 100_000,
+    fpp: float = 0.01,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """``decontaminate`` scale path: an expression-level BLOOM FILTER
+    prefilter in front of the exact shingle join — for when the
+    benchmark shingle set is too big to broadcast as row strings
+    (10⁹ k-grams ≈ tens of GB) but its bit-position set still fits.
+
+    The filter is factored as relational algebra instead of a bitmap
+    blob (Spark 4 does not expose ``bloom_filter_agg``/``might_contain``
+    in the public registry): each shingle maps to ``n_hashes``
+    positions ``xxhash64(seedᵢ‖shingle) mod n_bits``; the benchmark's
+    DISTINCT position set — **bounded by n_bits ints regardless of
+    benchmark size**, vs O(items·bytes) for the raw strings — is
+    broadcast, and a train shingle survives only if ALL of its
+    positions hit (``n_hashes`` broadcast semi-joins = O(1) hash-set
+    probes per row, whole-stage codegen, no UDF). Standard Bloom
+    math: fill = fpp^(1/h), n_bits = h·n / -ln(1-fill).
+
+    EXACT-equal output to ``decontaminate``: a Bloom filter has no
+    false negatives (same shingle → same positions), so every true
+    hit survives to the exact semi-join, which kills the ~fpp false
+    positives. The prefilter only shrinks the exploded train-shingle
+    stream before the (now much smaller) exact join — so the DuckDB
+    oracle is the plain exact decontamination SQL, hash-checkable.
+    """
+    bench_sh = benchmark.select(
+        F.explode(F.array_distinct(shingles(text_col, k))).alias("shingle")
+    ).distinct()
+    fill = fpp ** (1.0 / n_hashes)
+    n_bits = max(64, int(math.ceil(n_hashes * expected_items / -math.log(1.0 - fill))))
+
+    def pos(i: int, col):
+        return F.pmod(F.xxhash64(F.concat(F.lit(f"bf{i}|"), col)), F.lit(n_bits))
+
+    # one distinct-position dim per hash seed; each is ≤ n_bits ints
+    train_sh = train.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(text_col, k))).alias("shingle"),
+    )
+    prefiltered = train_sh
+    for i in range(n_hashes):
+        bits_i = bench_sh.select(pos(i, F.col("shingle")).alias(f"_b{i}")).distinct()
+        prefiltered = prefiltered.withColumn(f"_b{i}", pos(i, F.col("shingle"))).join(
+            F.broadcast(bits_i), f"_b{i}", "left_semi"
+        )
+    bad = (
+        prefiltered.join(F.broadcast(bench_sh), "shingle", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return train.join(F.broadcast(bad), id_col, "left_anti")
 
 
 def hash_split(

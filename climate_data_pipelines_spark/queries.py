@@ -36,6 +36,7 @@ from climate_data_pipelines_spark.operators import (
     climate,
     dedup,
     multimodal,
+    sessions,
     similarity,
     textops,
     training,
@@ -3557,6 +3558,153 @@ def q133(spark, sf_dir):
     )
 
 
+@query(
+    "q136_edit_distance_verify",
+    f"""WITH{_minhash_ctes()},
+         scored AS (
+           SELECT e.id_a, e.id_b,
+                  len(a.text) AS len_a, len(b.text) AS len_b,
+                  levenshtein(a.text, b.text) AS edit_distance
+           FROM edges e
+           JOIN documents a ON a.doc_id = e.id_a
+           JOIN documents b ON b.doc_id = e.id_b)
+       SELECT id_a, id_b, len_a, len_b, edit_distance,
+              ROUND((1.0 - edit_distance /
+                     CAST(greatest(greatest(len_a, len_b), 1) AS DOUBLE))
+                    * 1000000) / 1000000 AS edit_similarity
+       FROM scored
+       WHERE 1.0 - edit_distance
+             / CAST(greatest(greatest(len_a, len_b), 1) AS DOUBLE) >= 0.4""",
+    "Character-level near-dup verification: Levenshtein edit "
+    "similarity on the LSH candidate pairs — the sibling of q122's "
+    "token-Jaccard verify for dup classes shingles miss (typos, "
+    "whitespace drift, OCR noise). Built-in JVM levenshtein, never "
+    "all-pairs (candidates only), and a length-gap prefilter skips "
+    "the O(|a|·|b|) DP for pairs that cannot reach the threshold "
+    "(dist >= |len_a-len_b| always). Oracle replays the identical "
+    "candidate set and DuckDB's levenshtein.",
+)
+def q136(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, k=3, n_hashes=MINHASH_N)
+    cand = dedup.minhash_lsh_candidates(sigs, n_hashes=MINHASH_N, bands=MINHASH_BANDS)
+    out = dedup.levenshtein_on_pairs(docs, cand, min_similarity=0.4)
+    return out.select(
+        "id_a", "id_b", "len_a", "len_b", "edit_distance",
+        oround("edit_similarity", 6).alias("edit_similarity"),
+    )
+
+
+@query(
+    "q137_sessionize",
+    """WITH o AS (
+         SELECT user_id, ts, event_id, value,
+                CASE WHEN LAG(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                             > 1800 * 1000000 THEN 1 ELSE 0 END AS new_s
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       s AS (
+         SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS session_seq
+         FROM o)
+       SELECT user_id, session_seq,
+              MIN(ts) AS session_start, MAX(ts) AS session_end,
+              (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1000000.0 AS duration_s,
+              COUNT(*) AS n_events,
+              ROUND(SUM(CASE WHEN isnan(value) THEN NULL ELSE value END)
+                    * 10000) / 10000 AS total_value
+       FROM s GROUP BY user_id, session_seq""",
+    "Batch sessionization (gaps-and-islands, 30-min gap): the "
+    "historical-log twin of the streaming session window (q51). ONE "
+    "shuffle on user_id — the lag window, the running-sum island id "
+    "and the per-session agg all reuse the same HashPartitioning "
+    "(grouping on a superset of the window key needs no second "
+    "exchange). Ties broken by event_id so assignment is stable "
+    "under shuffle order.",
+)
+def q137(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = sessions.sessionize(ev, gap_seconds=1800)
+    return out.select(
+        "user_id", "session_seq", "session_start", "session_end",
+        "duration_s", "n_events", oround("total_value", 4).alias("total_value"),
+    )
+
+
+@query(
+    "q138_stratified_sample",
+    """SELECT doc_id, text, lang, source, n_chars FROM documents
+       WHERE CAST(CAST('0x' || substring(md5('strat-v1' || CAST(doc_id AS VARCHAR)), 1, 15)
+                       AS BIGINT) % 10000 AS BIGINT) <
+             CASE lang WHEN 'de' THEN 2500 WHEN 'en' THEN 5000 ELSE 1000 END""",
+    "Deterministic stratified sampling — downsample over-represented "
+    "corpus slices to a target mix (en 50%, de 25%, rest 10%). "
+    "Content-hash keep decision (md5 bucket < per-stratum threshold): "
+    "reproducible across engines/retries/corpus growth, unlike "
+    "sampleBy's partition-order RNG. Stateless per-row predicate — "
+    "no shuffle, no sampling state, prunes at the scan.",
+)
+def q138(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return training.stratified_sample(
+        docs, {"en": 0.5, "de": 0.25}, strata_col="lang", default_fraction=0.1
+    ).select("doc_id", "text", "lang", "source", "n_chars")
+
+
+@query(
+    "q139_bloom_decontaminate",
+    """WITH t AS (SELECT doc_id, source,
+                    list_filter(string_split(text, ' '), x -> x != '') AS toks
+                  FROM documents),
+         sh AS (SELECT DISTINCT doc_id, source,
+                       array_to_string(list_slice(toks, i, i + 2), ' ') AS shingle
+                FROM t, UNNEST(generate_series(1, greatest(len(toks) - 2, 1))) AS u(i)),
+         bench AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
+         bad AS (SELECT DISTINCT s.doc_id
+                 FROM sh s JOIN bench b USING (shingle)
+                 WHERE s.source <> 'src0')
+       SELECT d.doc_id, d.lang, d.source, d.n_chars
+       FROM documents d
+       WHERE d.source <> 'src0'
+         AND d.doc_id NOT IN (SELECT doc_id FROM bad)""",
+    "q106's scale path: expression-level BLOOM prefilter (3 xxhash64 "
+    "bit-positions per shingle, distinct-position dims bounded by "
+    "n_bits ints regardless of benchmark size, 3 broadcast semi-joins "
+    "= O(1) probes/row) ahead of the exact shingle join. No false "
+    "negatives, so the output is EXACT-equal to plain decontamination "
+    "— the oracle is the exact SQL; the bloom stage only shrinks the "
+    "exploded shingle stream reaching the join at 100 TB.",
+)
+def q139(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+    out = training.bloom_decontaminate(
+        train, bench, k=3, expected_items=20_000, fpp=0.01
+    )
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
+@query(
+    "q140_pq_ann_topk",
+    None,
+    "ANN third path (rows-only): product quantization + ADC scan + "
+    "exact re-rank. Each unit vector compresses to m=8 one-byte "
+    "sub-codes (32x vs float32 at dim 64) — at 100 TB the ADC scan "
+    "reads the code table, not the embedding column, and is pure "
+    "expression work (transform/aggregate over a broadcast per-query "
+    "LUT); Python only in the one-off Arrow encode pass. Approximate "
+    "by construction; invariant gate: recall@10 vs exact q38 "
+    "(tools/check_oracle.py prints the verdict).",
+)
+def q140(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.pq_topk(emb, _query_vectors(spark, sf_dir), k=10)
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window selection
 # ---------------------------------------------------------------------------
@@ -3598,15 +3746,25 @@ def q133(spark, sf_dir):
 #     q122/q129), the spread_for_cpu repartition adopters (q42/q123/
 #     q124/q126/q127/q132), the LSH null-vector guard + adaptive-IVF
 #     queries (q55/q73), and q92 (Spark side now pins the packaged
-#     mask explicitly, immune to the env override); (c) 34 of the 45
-#     remaining r2/r3-only stale queries, oldest first (q40…q111).
-#     Leftover for round 6: q112/q113/q115-q121/q125/q128 (11) — after
-#     r6 every registry query has a driver row no older than 2 rounds.
+#     mask explicitly, immune to the env override); (c) 29 of the 45
+#     remaining r2/r3-only stale queries, oldest first (q40…q98) —
+#     five slots went to first-checks of the round-5 additions
+#     q136-q140 (edit-distance verify, batch sessionization,
+#     stratified sampling, bloom decontamination, PQ ANN).
+#     Leftover for round 6: q99/q107-q109/q111-q113/q115-q121/q125/
+#     q128 (16) — after r6 every registry query has a driver row no
+#     older than 2 rounds.
 
 DRIVER_WINDOW: list[str] = [
-    # never driver-checked (registered after the r4 window froze)
+    # never driver-checked (registered after the r4 window froze, or
+    # new this round: q136-q140)
     "q134_strip_spans",
     "q135_mvt_tiles",
+    "q136_edit_distance_verify",
+    "q137_sessionize",
+    "q138_stratified_sample",
+    "q139_bloom_decontaminate",
+    "q140_pq_ann_topk",
     # changed this round — must re-prove
     "q37_minhash_lsh_candidates",
     "q41_minhash_signatures",
@@ -3652,11 +3810,6 @@ DRIVER_WINDOW: list[str] = [
     "q95_struct_update",
     "q97_string_agg",
     "q98_histogram",
-    "q99_map_suite",
-    "q107_hash_split",
-    "q108_pack_sequences",
-    "q109_tfidf_top_term",
-    "q111_vocab_topk",
 ]
 
 

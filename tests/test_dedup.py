@@ -304,3 +304,67 @@ def test_simhash_band_candidates_rejects_uneven_split(spark):
     fps = spark.createDataFrame([(1, 7)], "doc_id long, simhash long")
     with pytest.raises(ValueError, match="divide"):
         dedup.simhash_band_candidates(fps, bits=60, bands=7)
+
+
+# ---------------------------------------------------------------------------
+# levenshtein_on_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_levenshtein_on_pairs_known_distances(spark):
+    from climate_data_pipelines_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "kitten"), (2, "sitting"), (3, "kitten"), (4, "")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "id_a long, id_b long"
+    )
+    rows = {
+        (r["id_a"], r["id_b"]): r
+        for r in dedup.levenshtein_on_pairs(docs, pairs).collect()
+    }
+    assert rows[(1, 2)]["edit_distance"] == 3
+    assert rows[(1, 3)]["edit_distance"] == 0
+    assert rows[(1, 3)]["edit_similarity"] == 1.0
+    assert rows[(1, 4)]["edit_distance"] == 6  # vs empty: all deletes
+    assert abs(rows[(1, 2)]["edit_similarity"] - (1 - 3 / 7)) < 1e-12
+
+
+def test_levenshtein_prefilter_equals_postfilter(spark):
+    # the length-gap prefilter must be a pure optimization: identical
+    # surviving set to computing everything then thresholding
+    from climate_data_pipelines_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaa bbbb cccc dddd"),
+            (2, "aaaa bbbb cccc dddx"),
+            (3, "zz"),
+            (4, "aaaa bbbb cccc dddd eeee ffff gggg hhhh iiii jjjj"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3)], "id_a long, id_b long"
+    )
+    pre = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.levenshtein_on_pairs(docs, pairs, min_similarity=0.6).collect()
+    }
+    post = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.levenshtein_on_pairs(docs, pairs).collect()
+        if r["edit_similarity"] >= 0.6
+    }
+    assert pre == post and (1, 2) in pre
+
+
+def test_levenshtein_both_empty_scores_one(spark):
+    from climate_data_pipelines_spark.operators import dedup
+
+    docs = spark.createDataFrame([(1, ""), (2, "")], "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    r = dedup.levenshtein_on_pairs(docs, pairs).collect()[0]
+    assert r["edit_distance"] == 0 and r["edit_similarity"] == 1.0

@@ -22,6 +22,8 @@ PYTHON_SURFACE = {
     "q131_compression_ratio",  # zlib DEFLATE pandas_udf (byte codec)
     "q55_ann_lsh_topk",  # one-matmul LSH signature kernel (Arrow)
     "q135_mvt_tiles",  # per-tile MVT protobuf encode (applyInPandas)
+    "q140_pq_ann_topk",  # PQ sub-code encode kernel (Arrow); ADC scan
+    # itself is expression-only
 }
 
 # Iterative/recursive queries execute jobs during plan construction

@@ -245,3 +245,59 @@ def test_ann_lsh_adaptive_planes(spark, sf_dir):
     rows = out.collect()
     assert 0 < len(rows) <= 10
     assert all(r.rank >= 1 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# product quantization ANN
+# ---------------------------------------------------------------------------
+
+
+def test_pq_codebooks_deterministic_shape():
+    import numpy as np
+
+    from climate_data_pipelines_spark.operators.similarity import _pq_codebooks
+
+    rng = np.random.default_rng(3)
+    sample = rng.standard_normal((256, 16))
+    b1 = _pq_codebooks(sample, m=4, n_codes=8, seed=7)
+    b2 = _pq_codebooks(sample, m=4, n_codes=8, seed=7)
+    assert b1.shape == (4, 8, 4)
+    assert (b1 == b2).all()  # bit-deterministic across calls
+
+
+def test_pq_codebooks_rejects_indivisible_dim():
+    import numpy as np
+    import pytest as _pytest
+
+    from climate_data_pipelines_spark.operators.similarity import _pq_codebooks
+
+    with _pytest.raises(ValueError):
+        _pq_codebooks(np.zeros((10, 10)), m=3, n_codes=2, seed=0)
+
+
+def test_pq_topk_recall_vs_exact(spark, sf_dir):
+    from climate_data_pipelines_spark.catalog import load_table
+    from climate_data_pipelines_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {}
+    for r in similarity.cosine_topk(emb, q, k=10).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    approx = {}
+    rows = similarity.pq_topk(emb, q, k=10).collect()
+    for r in rows:
+        approx.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = sum(len(exact[k] & approx.get(k, set())) for k in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.9, f"recall {hits / total}"
+    # re-ranked scores are EXACT cosines: rank-1 must match the exact
+    # baseline's top hit per query
+    top_exact = {}
+    for r in similarity.cosine_topk(emb, q, k=1).collect():
+        top_exact[r["query_id"]] = r["vec_id"]
+    for r in rows:
+        if r["rank"] == 1:
+            assert top_exact[r["query_id"]] == r["vec_id"]

@@ -322,3 +322,91 @@ def test_dsir_logratio_prefers_target_like_docs(spark):
     # deterministic across runs (md5 bucketing, no sampling state)
     again = {r.doc_id: r.dsir_logratio for r in training.dsir_logratio(raw, target).collect()}
     assert {k: v.dsir_logratio for k, v in out.items()} == again
+
+
+# ---------------------------------------------------------------------------
+# stratified_sample / bloom_decontaminate
+# ---------------------------------------------------------------------------
+
+
+def test_stratified_sample_rates_and_determinism(spark, sf_dir):
+    from climate_data_pipelines_spark.catalog import load_table
+    from climate_data_pipelines_spark.operators import training
+
+    docs = load_table(spark, sf_dir, "documents")
+    frac = {"en": 0.5, "de": 0.25}
+    s1 = training.stratified_sample(docs, frac, default_fraction=0.1)
+    s2 = training.stratified_sample(docs, frac, default_fraction=0.1)
+    ids1 = {r["doc_id"] for r in s1.select("doc_id").collect()}
+    ids2 = {r["doc_id"] for r in s2.select("doc_id").collect()}
+    assert ids1 == ids2  # deterministic, no sampling state
+    by_lang_total = {
+        r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    by_lang_kept = {
+        r["lang"]: r["n"] for r in s1.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    # md5 buckets are uniform; at 200+ docs/stratum the rate should be
+    # within a loose binomial envelope of the target
+    for lang, target in [("en", 0.5), ("de", 0.25)]:
+        rate = by_lang_kept.get(lang, 0) / by_lang_total[lang]
+        assert abs(rate - target) < 0.2, (lang, rate)
+
+
+def test_stratified_sample_stable_under_corpus_growth(spark, sf_dir):
+    # a kept doc stays kept when the corpus shrinks/grows — the hash
+    # decision is per-row, not relative to other rows
+    from climate_data_pipelines_spark.catalog import load_table
+    from climate_data_pipelines_spark.operators import training
+
+    docs = load_table(spark, sf_dir, "documents")
+    frac = {"en": 0.5}
+    full = {
+        r["doc_id"]
+        for r in training.stratified_sample(docs, frac).select("doc_id").collect()
+    }
+    half = {
+        r["doc_id"]
+        for r in training.stratified_sample(docs.filter(F.col("doc_id") < 250), frac)
+        .select("doc_id")
+        .collect()
+    }
+    assert half == {i for i in full if i < 250}
+
+
+def test_bloom_decontaminate_equals_exact(spark, sf_dir):
+    from climate_data_pipelines_spark.catalog import load_table
+    from climate_data_pipelines_spark.operators import training
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+    exact = {
+        r["doc_id"]
+        for r in training.decontaminate(train, bench).select("doc_id").collect()
+    }
+    bloom = {
+        r["doc_id"]
+        for r in training.bloom_decontaminate(
+            train, bench, expected_items=20_000
+        ).select("doc_id").collect()
+    }
+    assert bloom == exact  # no false negatives → identical output
+
+
+def test_bloom_decontaminate_plan_is_jvm_only(spark, sf_dir):
+    from climate_data_pipelines_spark.catalog import load_table
+    from climate_data_pipelines_spark.operators import training
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+    plan = (
+        training.bloom_decontaminate(train, bench)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    # every bloom-position probe is a broadcast, never a shuffle join
+    assert "SortMergeJoin" not in plan, plan
