@@ -69,6 +69,7 @@ HEADLINE = [
     "q136_edit_distance_verify",
     "q137_sessionize",
     "q139_bloom_decontaminate",
+    "q141_incremental_dedup",
 ]
 
 # ANN quality: rows-only queries whose real metric is recall vs the

@@ -177,6 +177,38 @@ def derive_minhash_bands(n_hashes: int, target_jaccard: float = 0.7) -> int:
     return best or 1
 
 
+def _band_buckets(
+    sigs: DataFrame,
+    id_col: str,
+    n_hashes: int,
+    bands: int,
+    allow_correlated_bands: bool = False,
+) -> DataFrame:
+    """(id, band, band_hash) bucket table for LSH banding — shared by
+    the self-join and cross-corpus candidate generators. Enforces the
+    distinct-digest-family band constraint (see minhash_lsh_candidates)."""
+    rows_per_band = n_hashes // bands
+    n_fam = (n_hashes + 7) // 8
+    # n_fam == 1 (width ≤ 8) cannot avoid same-family rows — allowed
+    # as the toy configuration; multi-family widths must band cleanly
+    if n_fam > 1 and rows_per_band > n_fam and not allow_correlated_bands:
+        raise ValueError(
+            f"band width {rows_per_band} > {n_fam} digest families: "
+            "same-family rows are correlated and the band threshold "
+            "collapses to ~J (quadratic candidates); widen n_hashes, "
+            "increase bands, or pass allow_correlated_bands=True"
+        )
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bh"))
+        )
+    return sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("b")
+    ).select(id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+
+
 def minhash_lsh_candidates(
     sigs: DataFrame,
     id_col: str = "doc_id",
@@ -199,26 +231,7 @@ def minhash_lsh_candidates(
     unless ``allow_correlated_bands`` — legitimate only for toy widths
     (n_hashes ≤ 8 has a single family by construction).
     """
-    rows_per_band = n_hashes // bands
-    n_fam = (n_hashes + 7) // 8
-    # n_fam == 1 (width ≤ 8) cannot avoid same-family rows — allowed
-    # as the toy configuration; multi-family widths must band cleanly
-    if n_fam > 1 and rows_per_band > n_fam and not allow_correlated_bands:
-        raise ValueError(
-            f"band width {rows_per_band} > {n_fam} digest families: "
-            "same-family rows are correlated and the band threshold "
-            "collapses to ~J (quadratic candidates); widen n_hashes, "
-            "increase bands, or pass allow_correlated_bands=True"
-        )
-    band_cols = []
-    for b in range(bands):
-        cols = [F.col(f"mh{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bh"))
-        )
-    buckets = sigs.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("b")
-    ).select(id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    buckets = _band_buckets(sigs, id_col, n_hashes, bands, allow_correlated_bands)
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -227,6 +240,41 @@ def minhash_lsh_candidates(
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bh") == F.col("b.bh"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_lsh_candidates_cross(
+    sigs_new: DataFrame,
+    sigs_base: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    bands: int = 4,
+    allow_correlated_bands: bool = False,
+) -> DataFrame:
+    """LSH candidates BETWEEN two corpora — the incremental-dedup
+    shape: a new crawl deduped against an existing training set
+    without ever re-pairing the base corpus with itself.
+
+    Both signature frames use the same hash family (per-doc
+    signatures are frame-independent), so the (band, band_hash)
+    equi-join across the two bucket tables yields exactly the
+    cross-corpus subset of the full self-join candidate set. At
+    100 TB the base side's buckets are computed ONCE and persisted
+    (bucketed by band_hash); each incremental batch hashes only its
+    own docs and joins — no O(base²) work and no base reshuffle on
+    re-crawl. Returns distinct (id_a = new id, id_b = base id).
+    """
+    a = _band_buckets(sigs_new, id_col, n_hashes, bands, allow_correlated_bands).alias("a")
+    b = _band_buckets(sigs_base, id_col, n_hashes, bands, allow_correlated_bands).alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")),
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")

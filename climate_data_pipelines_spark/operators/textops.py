@@ -7,7 +7,7 @@ once, derive everything from the token array. No Python in the plan.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from climate_data_pipelines_spark.functions.text import (
     WORD_RE,
@@ -86,6 +86,34 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         (F.round(distinct_ratio * p, 0) / p).alias("distinct_ratio"),
         quality_predicate(text_col).alias("passes_quality"),
     )
+
+
+def quality_percentile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    by: str = "lang",
+) -> DataFrame:
+    """Per-group quality-score CALIBRATION: percent_rank of the
+    distinct-token ratio within each ``by`` group (language, source).
+
+    One absolute threshold penalizes whole slices of a corpus — a
+    morphologically rich language scores systematically different
+    distinct-token ratios than an analytic one — so curation pipelines
+    threshold on the within-group percentile instead of the raw score.
+    percent_rank (= (rank-1)/(n-1)) is tie-stable: equal scores get
+    equal percentiles regardless of shuffle order, so the output is
+    engine-reproducible with no tiebreak column. Ranking runs on the
+    ROUNDED score (quality_score's oracle-parity rounding), which also
+    pins tie groups across engines.
+
+    One shuffle (the ``by`` key) + per-group sort over (score) pairs —
+    the window ranks only id/score columns, never document bodies.
+    """
+    qs = quality_score(df, text_col, id_col).select(id_col, "distinct_ratio")
+    joined = df.select(F.col(id_col), F.col(by)).join(qs, id_col)
+    w = Window.partitionBy(by).orderBy("distinct_ratio")
+    return joined.withColumn("quality_pctile", F.percent_rank().over(w))
 
 
 def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -252,6 +252,40 @@ def stratified_sample(
     return df.filter(bucket < keep)
 
 
+def domain_cap(
+    df: DataFrame,
+    cap: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "cap-v1",
+) -> DataFrame:
+    """Cap the number of documents kept per domain/source — the C4-style
+    guard against a single crawl domain dominating the training mix.
+
+    Selection is a deterministic hash ORDER within each group
+    (``md5(seed‖id)``, id tiebreak), so the kept set is a uniform
+    per-domain sample that is reproducible across engines and runs,
+    and SHRINK-STABLE: lowering the cap keeps a subset of the higher
+    cap's picks (the hash order never changes), so re-capping a
+    published corpus never churns documents that both caps admit.
+
+    One shuffle (group key) + per-group sort. A 100 TB hot domain
+    lands on one reducer here; the scale mitigation is a two-phase
+    pick — broadcast an approximate per-group hash-quantile threshold
+    at ~1.1·cap selectivity, prefilter, THEN run this exact window on
+    the survivors — same output, bounded reducer input. The window
+    ranks only (group, hash) pairs, never the document bodies, if the
+    caller projects first.
+    """
+    h = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(h, F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+
+
 def bloom_decontaminate(
     train: DataFrame,
     benchmark: DataFrame,

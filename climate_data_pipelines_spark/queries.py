@@ -3705,6 +3705,113 @@ def q140(spark, sf_dir):
     return similarity.pq_topk(emb, _query_vectors(spark, sf_dir), k=10)
 
 
+@query(
+    "q141_incremental_dedup",
+    f"""WITH{_minhash_ctes()},
+         isnew AS (SELECT doc_id,
+                     NOT regexp_matches(source, '^src[0-9]$') AS is_new
+                   FROM documents),
+         xe AS (SELECT e.id_a, e.id_b,
+                  CASE WHEN na.is_new THEN e.id_a ELSE e.id_b END AS new_id
+                FROM edges e
+                JOIN isnew na ON na.doc_id = e.id_a
+                JOIN isnew nb ON nb.doc_id = e.id_b
+                WHERE na.is_new <> nb.is_new),
+         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         common AS (SELECT x.id_a, x.id_b, x.new_id, COUNT(*) AS n_common
+                    FROM xe x
+                    JOIN sh a ON a.doc_id = x.id_a
+                    JOIN sh b ON b.doc_id = x.id_b AND b.shingle = a.shingle
+                    GROUP BY 1, 2, 3),
+         bad AS (SELECT DISTINCT c.new_id
+                 FROM common c
+                 JOIN sizes sa ON sa.doc_id = c.id_a
+                 JOIN sizes sb ON sb.doc_id = c.id_b
+                 WHERE CAST(n_common AS DOUBLE)
+                       / (sa.n_sh + sb.n_sh - n_common) >= 0.5)
+       SELECT d.doc_id, d.lang, d.source, d.n_chars
+       FROM documents d JOIN isnew i ON i.doc_id = d.doc_id
+       WHERE i.is_new AND d.doc_id NOT IN (SELECT new_id FROM bad)""",
+    "Incremental dedup: a NEW corpus slice (src10+) deduped against "
+    "an existing BASE training set (src0-9) — cross-corpus LSH "
+    "candidates (both sides share the hash family, so the cross "
+    "bucket join is exactly the cross subset of the full candidate "
+    "set; at 100 TB the base buckets are computed once and persisted, "
+    "never re-paired with themselves), exact Jaccard >= 0.5 verify on "
+    "candidate pairs only, anti-join the flagged new ids. Oracle "
+    "replays candidates bit-for-bit and applies the same gate.",
+)
+def q141(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    is_base = F.col("source").rlike("^src[0-9]$")
+    base = docs.filter(is_base)
+    new = docs.filter(~is_base)
+    sb = dedup.minhash_signatures(base, k=3, n_hashes=MINHASH_N)
+    sn = dedup.minhash_signatures(new, k=3, n_hashes=MINHASH_N)
+    cand = dedup.minhash_lsh_candidates_cross(
+        sn, sb, n_hashes=MINHASH_N, bands=MINHASH_BANDS
+    ).localCheckpoint(eager=True)  # referenced twice by the verify stage
+    ver = dedup.jaccard_on_pairs(docs, cand, k=3).filter(F.col("jaccard") >= 0.5)
+    bad = ver.select(F.col("id_a").alias("doc_id")).distinct()
+    return new.join(F.broadcast(bad), "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@query(
+    "q142_domain_cap",
+    """SELECT doc_id, lang, source, n_chars FROM (
+         SELECT doc_id, lang, source, n_chars,
+                ROW_NUMBER() OVER (
+                  PARTITION BY source
+                  ORDER BY md5('cap-v1' || CAST(doc_id AS VARCHAR)), doc_id
+                ) AS rn
+         FROM documents) t
+       WHERE rn <= 10""",
+    "Per-domain document cap (C4-style guard against one crawl domain "
+    "dominating the mix): keep <= 10 docs per source, chosen by "
+    "deterministic md5 hash order — a uniform per-domain sample, "
+    "reproducible across engines/runs and shrink-stable (a lower cap "
+    "keeps a subset of a higher cap's picks). One group shuffle; "
+    "window ranks (group, hash) only.",
+)
+def q142(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return training.domain_cap(docs, cap=10, group_col="source").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@query(
+    "q143_quality_calibrate",
+    """WITH t AS (SELECT doc_id,
+                    list_filter(string_split(text, ' '), x -> x != '') AS toks
+                  FROM documents),
+         r AS (SELECT doc_id,
+                 ROUND(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)
+                       * 1000000) / 1000000 AS distinct_ratio
+               FROM t)
+       SELECT d.doc_id, d.lang, r.distinct_ratio,
+              ROUND(PERCENT_RANK() OVER (PARTITION BY d.lang
+                                         ORDER BY r.distinct_ratio)
+                    * 1000000) / 1000000 AS quality_pctile
+       FROM documents d JOIN r ON r.doc_id = d.doc_id""",
+    "Quality-score calibration: within-language percent_rank of the "
+    "distinct-token ratio — curation thresholds on the percentile, "
+    "not the raw score, so one cutoff doesn't penalize whole "
+    "languages. percent_rank is tie-stable (equal scores, equal "
+    "percentiles) and ranks the ROUNDED score, pinning tie groups "
+    "across engines. One shuffle on lang.",
+)
+def q143(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = textops.quality_percentile(docs, by="lang")
+    return out.select(
+        "doc_id", "lang", "distinct_ratio",
+        oround("quality_pctile", 6).alias("quality_pctile"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window selection
 # ---------------------------------------------------------------------------
@@ -3746,14 +3853,16 @@ def q140(spark, sf_dir):
 #     q122/q129), the spread_for_cpu repartition adopters (q42/q123/
 #     q124/q126/q127/q132), the LSH null-vector guard + adaptive-IVF
 #     queries (q55/q73), and q92 (Spark side now pins the packaged
-#     mask explicitly, immune to the env override); (c) 29 of the 45
-#     remaining r2/r3-only stale queries, oldest first (q40…q98) —
-#     five slots went to first-checks of the round-5 additions
-#     q136-q140 (edit-distance verify, batch sessionization,
-#     stratified sampling, bloom decontamination, PQ ANN).
-#     Leftover for round 6: q99/q107-q109/q111-q113/q115-q121/q125/
-#     q128 (16) — after r6 every registry query has a driver row no
-#     older than 2 rounds.
+#     mask explicitly, immune to the env override); (c) 26 of the 45
+#     remaining r2/r3-only stale queries, oldest first (q40…q94) —
+#     eight slots went to first-checks of the round-5 additions
+#     q136-q143 (edit-distance verify, batch sessionization,
+#     stratified sampling, bloom decontamination, PQ ANN,
+#     incremental cross-corpus dedup, domain cap, quality
+#     calibration).
+#     Leftover for round 6: q95/q97-q99/q107-q109/q111-q113/
+#     q115-q121/q125/q128 (19) — after r6 every registry query has a
+#     driver row no older than 2 rounds.
 
 DRIVER_WINDOW: list[str] = [
     # never driver-checked (registered after the r4 window froze, or
@@ -3765,6 +3874,9 @@ DRIVER_WINDOW: list[str] = [
     "q138_stratified_sample",
     "q139_bloom_decontaminate",
     "q140_pq_ann_topk",
+    "q141_incremental_dedup",
+    "q142_domain_cap",
+    "q143_quality_calibrate",
     # changed this round — must re-prove
     "q37_minhash_lsh_candidates",
     "q41_minhash_signatures",
@@ -3807,9 +3919,6 @@ DRIVER_WINDOW: list[str] = [
     "q81_repetition_ratio",
     "q82_sentence_stats",
     "q94_bitwise_null_suite",
-    "q95_struct_update",
-    "q97_string_agg",
-    "q98_histogram",
 ]
 
 

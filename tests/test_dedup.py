@@ -368,3 +368,35 @@ def test_levenshtein_both_empty_scores_one(spark):
     pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
     r = dedup.levenshtein_on_pairs(docs, pairs).collect()[0]
     assert r["edit_distance"] == 0 and r["edit_similarity"] == 1.0
+
+
+def test_cross_candidates_equal_cross_subset_of_self_join(spark, sf_dir):
+    # both sides share the hash family, so cross-corpus banding must
+    # yield exactly the cross subset of the full self-join candidates
+    from climate_data_pipelines_spark.catalog import load_table
+    from climate_data_pipelines_spark.operators import dedup
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_base = F.col("source").rlike("^src[0-9]$")
+    base, new = docs.filter(is_base), docs.filter(~is_base)
+    n, b = 32, 8
+    full = dedup.minhash_lsh_candidates(
+        dedup.minhash_signatures(docs, k=3, n_hashes=n), n_hashes=n, bands=b
+    )
+    cross = dedup.minhash_lsh_candidates_cross(
+        dedup.minhash_signatures(new, k=3, n_hashes=n),
+        dedup.minhash_signatures(base, k=3, n_hashes=n),
+        n_hashes=n,
+        bands=b,
+    )
+    base_ids = {r["doc_id"] for r in base.select("doc_id").collect()}
+    expected = {
+        frozenset((r["id_a"], r["id_b"]))
+        for r in full.collect()
+        if (r["id_a"] in base_ids) != (r["id_b"] in base_ids)
+    }
+    got = {frozenset((r["id_a"], r["id_b"])) for r in cross.collect()}
+    assert got == expected and all(
+        r["id_a"] not in base_ids and r["id_b"] in base_ids for r in cross.collect()
+    )

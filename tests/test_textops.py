@@ -227,3 +227,25 @@ def test_repeated_spans_short_doc_clamps_to_length(spark):
     out = {r.doc_id: r.text_dedup for r in
            textops.strip_repeated_spans(df, k=8).collect()}
     assert out == {1: "", 2: ""}
+
+
+def test_quality_percentile_known_ordering_and_ties(spark):
+    from climate_data_pipelines_spark.operators import textops
+
+    df = spark.createDataFrame(
+        [
+            (1, "en", "a a a a a a a a a a"),          # dr = 0.1
+            (2, "en", "a b c d e f g h i j"),          # dr = 1.0
+            (3, "en", "a a b b c c d d e e"),          # dr = 0.5
+            (4, "en", "x x y y z z w w v v"),          # dr = 0.5 (tie)
+            (5, "de", "a b a b a b a b a b"),          # own group
+        ],
+        "doc_id long, lang string, text string",
+    )
+    rows = {r["doc_id"]: r for r in textops.quality_percentile(df).collect()}
+    assert rows[1]["quality_pctile"] == 0.0
+    assert rows[2]["quality_pctile"] == 1.0
+    # ties share the same percentile regardless of order
+    assert rows[3]["quality_pctile"] == rows[4]["quality_pctile"]
+    # a single-row group gets percent_rank 0
+    assert rows[5]["quality_pctile"] == 0.0

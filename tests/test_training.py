@@ -410,3 +410,28 @@ def test_bloom_decontaminate_plan_is_jvm_only(spark, sf_dir):
     assert "EvalPython" not in plan and "InPandas" not in plan
     # every bloom-position probe is a broadcast, never a shuffle join
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_domain_cap_respects_cap_and_shrink_stability(spark, sf_dir):
+    from climate_data_pipelines_spark.catalog import load_table
+    from climate_data_pipelines_spark.operators import training
+
+    docs = load_table(spark, sf_dir, "documents")
+    cap10 = training.domain_cap(docs, cap=10)
+    per = {r["source"]: r["n"] for r in cap10.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert per and all(v <= 10 for v in per.values())
+    ids10 = {r["doc_id"] for r in cap10.select("doc_id").collect()}
+    ids5 = {
+        r["doc_id"]
+        for r in training.domain_cap(docs, cap=5).select("doc_id").collect()
+    }
+    assert ids5 < ids10  # lower cap keeps a strict subset (hash order fixed)
+
+
+def test_domain_cap_keeps_all_when_group_small(spark):
+    from climate_data_pipelines_spark.operators import training
+
+    df = spark.createDataFrame(
+        [(i, "s0") for i in range(3)], "doc_id long, source string"
+    )
+    assert training.domain_cap(df, cap=10).count() == 3
