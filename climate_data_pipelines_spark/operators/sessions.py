@@ -36,11 +36,14 @@ def sessionize(
     """Assign gaps-and-islands session ids and aggregate per session.
 
     A session is a maximal run of a key's events where consecutive
-    gaps are <= ``gap_seconds`` (strictly-greater gap opens a new
-    session — the same boundary rule as Spark's session_window).
-    ``tie_col`` breaks equal-timestamp ordering deterministically so
-    the assignment (and the oracle hash) is stable under shuffle
-    order.
+    gaps are < ``gap_seconds``; a gap of exactly ``gap_seconds``
+    opens a NEW session — the boundary Spark's streaming
+    ``F.session_window`` uses (per-event windows [ts, ts+gap) merge
+    only when they strictly overlap), so batch and streaming
+    sessionization agree event-for-event (parity-tested in
+    tests/test_streaming.py). ``tie_col`` breaks equal-timestamp
+    ordering deterministically so the assignment (and the oracle
+    hash) is stable under shuffle order.
 
     Returns one row per (key, session_seq) with session_start,
     session_end, duration_s, n_events and (if ``value_col``)
@@ -54,7 +57,7 @@ def sessionize(
     ts_us = F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
     prev_us = F.unix_micros(F.lag(ts_col).over(w).cast("timestamp_ltz"))
     new_session = F.when(
-        prev_us.isNull() | (ts_us - prev_us > F.lit(gap_seconds * 1_000_000)), 1
+        prev_us.isNull() | (ts_us - prev_us >= F.lit(gap_seconds * 1_000_000)), 1
     ).otherwise(0)
     run = Window.partitionBy(key_col).orderBy(*order).rowsBetween(
         Window.unboundedPreceding, Window.currentRow

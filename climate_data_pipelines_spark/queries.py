@@ -3601,7 +3601,7 @@ def q136(spark, sf_dir):
          SELECT user_id, ts, event_id, value,
                 CASE WHEN LAG(ts) OVER w IS NULL
                           OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
-                             > 1800 * 1000000 THEN 1 ELSE 0 END AS new_s
+                             >= 1800 * 1000000 THEN 1 ELSE 0 END AS new_s
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
        s AS (

@@ -19,26 +19,28 @@ def _events(spark, rows):
     )
 
 
-def test_gap_boundary_exact_gap_stays_one_session(spark):
-    # 0s, 1800s (== gap: same session), 3601s (> gap from 1800: new)
-    ev = _events(spark, [(0, 1, 1.0), (1800, 1, 2.0), (3601, 1, 4.0)])
+def test_gap_boundary_matches_session_window_rule(spark):
+    # F.session_window semantics: [ts, ts+gap) windows merge only on
+    # STRICT overlap, so a gap of exactly 1800s opens a new session;
+    # 1799s stays. 0s..1799s same session; 3599s (gap 1800 from 1799).
+    ev = _events(spark, [(0, 1, 1.0), (1799, 1, 2.0), (3599, 1, 4.0)])
     out = sessions.sessionize(ev, gap_seconds=1800).orderBy("session_seq").collect()
     assert [r["session_seq"] for r in out] == [1, 2]
     assert out[0]["n_events"] == 2 and out[1]["n_events"] == 1
-    assert out[0]["duration_s"] == 1800.0
+    assert out[0]["duration_s"] == 1799.0
     assert out[0]["total_value"] == 3.0
 
 
-def test_one_microsecond_over_gap_splits(spark):
-    ev = spark.createDataFrame(
+def test_exact_gap_splits_one_microsecond_less_merges(spark):
+    mk = lambda us: spark.createDataFrame(
         [
             (0, T0, 7, "c", 1.0),
-            (1, T0 + timedelta(seconds=1800, microseconds=1), 7, "c", 1.0),
+            (1, T0 + timedelta(seconds=1800, microseconds=us), 7, "c", 1.0),
         ],
         "event_id long, ts timestamp, user_id long, event_type string, value double",
     )
-    out = sessions.sessionize(ev, gap_seconds=1800).collect()
-    assert len(out) == 2
+    assert len(sessions.sessionize(mk(0), gap_seconds=1800).collect()) == 2
+    assert len(sessions.sessionize(mk(-1), gap_seconds=1800).collect()) == 1
 
 
 def test_per_key_isolation_and_session_count(spark):

@@ -297,3 +297,38 @@ def test_decontaminate_stream_matches_batch(spark, sf_dir, stream_dirs):
     batch = {r.doc_id for r in training.decontaminate(train, bench, k=3).collect()}
     assert streamed == batch
     assert len(streamed) > 0
+
+
+def test_batch_sessionize_matches_streaming_session_window(spark, sf_dir, stream_dirs):
+    """Batch gaps-and-islands (operators/sessions.py) and the streaming
+    F.session_window job must agree session-for-session: same starts,
+    same event counts, streaming end == batch last-event end + gap
+    (session_window pads the window end by the gap)."""
+    from datetime import timedelta
+
+    from climate_data_pipelines_spark.operators import sessions
+
+    events_dir = _events_dir(spark, sf_dir, stream_dirs)
+    stream = jobs.read_events_stream(spark, events_dir)
+    result = jobs.session_counts(stream, gap="30 minutes", watermark="1 hour")
+    q = jobs.run_available_now(result, f"{stream_dirs}/ckpt_sess_parity", "sess_parity")
+    q.awaitTermination(120)
+    emitted = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events)
+        for r in spark.sql("SELECT * FROM sess_parity").collect()
+    }
+    assert emitted, "no sessions emitted"
+
+    ev = load_table(spark, sf_dir, "events")
+    batch = {
+        (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"])
+        for r in sessions.sessionize(ev, gap_seconds=1800).collect()
+    }
+    # append mode only emits sessions the final watermark has closed —
+    # every emitted session must have an exact batch twin
+    gap = timedelta(minutes=30)
+    for key, (s_end, n) in emitted.items():
+        assert key in batch, f"streaming session {key} missing from batch"
+        b_end, b_n = batch[key]
+        assert b_n == n, (key, b_n, n)
+        assert s_end == b_end + gap, (key, s_end, b_end)
