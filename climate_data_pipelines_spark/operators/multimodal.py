@@ -7,9 +7,10 @@ run as Arrow-batched pandas functions over ``mapInPandas``.
 The decode kernel is REAL for PNG: a dependency-free decoder (zlib
 inflate + per-scanline unfilter, all five PNG filter types, gray8 /
 RGB8 / RGBA8) plus a matching gray8 encoder, so ``q54`` computes actual
-pixel statistics from actual image bytes. Payloads that are not PNG
-fall back to an honestly-labeled deterministic stub (the container has
-no JPEG/video codec libs); the Spark-side plumbing — schema, batch
+pixel statistics from actual image bytes. BMP, binary Netpbm and
+GIF (LZW) get real decoders too; only payloads with no in-container
+codec (JPEG, video) fall back to an honestly-labeled deterministic
+stub; the Spark-side plumbing — schema, batch
 iteration, partitioning — is identical either way.
 """
 
@@ -280,12 +281,121 @@ def decode_ppm(payload: bytes) -> tuple[int, int, float]:
     return width, height, round(total / n_px, 4) if n_px else 0.0
 
 
+def decode_gif(payload: bytes) -> tuple[int, int, float]:
+    """REAL dependency-free GIF decode (GIF87a/89a, first frame):
+    logical screen descriptor → global color table → skip extension
+    blocks → image descriptor (+ optional local color table) → LZW
+    decompression of the indexed pixel stream. Returns
+    (width, height, mean_luma) with BT.601 luma over the palette —
+    same contract as ``decode_png``/``decode_bmp``. Mean luma is
+    order-independent, so interlaced frames need no deinterlacing.
+    """
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    pos = 6
+    _sw, _sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, pos)
+    pos += 7
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = payload[pos : pos + 3 * n]
+        pos += 3 * n
+
+    while True:
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer before any image
+            raise ValueError("GIF contains no image frame")
+        if block == 0x21:  # extension: label + data sub-blocks
+            pos += 1
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise NotImplementedError(f"unknown GIF block 0x{block:02x}")
+        break
+
+    _lx, _ly, width, height, iflags = struct.unpack_from("<HHHHB", payload, pos)
+    pos += 9
+    table = gct
+    if iflags & 0x80:
+        n = 2 << (iflags & 0x07)
+        table = payload[pos : pos + 3 * n]
+        pos += 3 * n
+    if table is None:
+        raise NotImplementedError("GIF frame without any color table")
+    lumas = [
+        0.299 * table[3 * i] + 0.587 * table[3 * i + 1] + 0.114 * table[3 * i + 2]
+        for i in range(len(table) // 3)
+    ]
+
+    min_code = payload[pos]
+    pos += 1
+    data = bytearray()
+    while payload[pos] != 0:
+        n = payload[pos]
+        data += payload[pos + 1 : pos + 1 + n]
+        pos += 1 + n
+
+    # LZW decode (LSB-first variable-width codes)
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    base = [(i,) for i in range(clear)] + [None, None]
+
+    def reset():
+        return list(base), min_code + 1
+
+    dict_, code_size = reset()
+    expected = width * height
+    total = 0.0
+    n_px = 0
+    prev: tuple[int, ...] | None = None
+    acc = bits = 0
+    for byte in data:
+        acc |= byte << bits
+        bits += 8
+        while bits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            bits -= code_size
+            if code == clear:
+                dict_, code_size = reset()
+                prev = None
+                continue
+            if code == end:
+                bits = 0  # stop consuming
+                break
+            if prev is None:
+                seq = dict_[code]
+            elif code < len(dict_):
+                seq = dict_[code]
+                dict_.append(prev + (seq[0],))
+            else:  # the KwKwK case
+                seq = prev + (prev[0],)
+                dict_.append(seq)
+            for idx in seq:
+                if n_px >= expected:  # ignore padding past the frame
+                    break
+                total += lumas[idx] if idx < len(lumas) else 0.0
+                n_px += 1
+            prev = seq
+            # widen when the NEXT code would not fit (GIF grows at
+            # 2^size, capped at 12 bits)
+            if len(dict_) >= (1 << code_size) and code_size < 12:
+                code_size += 1
+    if n_px < expected:
+        raise ValueError(f"truncated GIF pixel stream ({n_px}/{expected})")
+    return width, height, round(total / expected, 4) if expected else 0.0
+
+
 def _decode_image_stub(payload: bytes) -> tuple[int, int, float]:
     """STUB decode kernel for media with no in-container codec (JPEG,
     video — compressed formats genuinely need libjpeg/ffmpeg):
     deterministic fake. A real deployment replaces this body with
     PIL/ffmpeg; the signature (bytes -> (w, h, luma)) and everything
-    around it stays identical. PNG/BMP/PGM/PPM never reach this —
+    around it stays identical. PNG/BMP/PGM/PPM/GIF never reach this —
     they have REAL decoders above.
     """
     n = len(payload)
@@ -298,8 +408,9 @@ def _decode_image_stub(payload: bytes) -> tuple[int, int, float]:
 def extract_image_features(binary_df: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over mapInPandas.
 
-    PNG, BMP, and binary Netpbm (PGM/PPM) payloads get REAL decoders
-    (``decode_png``/``decode_bmp``/``decode_ppm``); only formats whose
+    PNG, BMP, binary Netpbm (PGM/PPM) and GIF payloads get REAL
+    decoders (``decode_png``/``decode_bmp``/``decode_ppm``/
+    ``decode_gif``); only formats whose
     codecs genuinely aren't in the container (JPEG, video) fall back
     to the labeled stub. Batches arrive as pandas DataFrames (whole
     partitions, streamed) — the decode loop is per-batch Python, the
@@ -315,6 +426,8 @@ def extract_image_features(binary_df: DataFrame) -> DataFrame:
             return decode_bmp(p)
         if p[:2] in (b"P5", b"P6"):
             return decode_ppm(p)
+        if p[:6] in (b"GIF87a", b"GIF89a"):
+            return decode_gif(p)
         return _decode_image_stub(p)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

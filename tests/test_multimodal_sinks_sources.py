@@ -429,3 +429,127 @@ def test_map_viewer_vector_tiles_default(spark, tmpdir):
 
     with pytest.raises(ValueError, match="tile_format"):
         sinks.write_map_viewer(ev, f"{tmpdir}/x.html", tile_format="webp")
+
+
+# ---------------------------------------------------------------------------
+# GIF test encoders (literal-only and real LZW-compressed) + decoder tests
+# ---------------------------------------------------------------------------
+
+
+def _gif_pack_codes(codes):
+    """LSB-first variable-width packing, width growth mirroring the
+    GIF decoder (widen after the dictionary fills the current width)."""
+    out = bytearray()
+    acc = bits = 0
+    code_size, dict_len, seen_first = 9, 258, False
+    for c in codes:
+        acc |= c << bits
+        bits += code_size
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+        if c == 256:  # clear
+            code_size, dict_len, seen_first = 9, 258, False
+        elif c != 257:
+            if seen_first:
+                dict_len += 1
+            else:
+                seen_first = True
+            if dict_len >= (1 << code_size) and code_size < 12:
+                code_size += 1
+    if bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_gray(width, height, pixels, compress=False, extension=False):
+    """Minimal grayscale GIF89a: 256-entry gray global palette, one
+    image frame. ``compress=False`` emits literal codes with periodic
+    clears (the classic 'uncompressed GIF'); ``compress=True`` runs a
+    real greedy LZW so dictionary and KwKwK decode paths are hit."""
+    import struct
+
+    hdr = b"GIF89a" + struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
+    palette = bytes(v for i in range(256) for v in (i, i, i))
+    ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00" if extension else b""
+    desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    if compress:
+        codes = [256]
+        table = {(i,): i for i in range(256)}
+        next_code = 258
+        w = (pixels[0],)
+        for px in pixels[1:]:
+            wk = w + (px,)
+            if wk in table:
+                w = wk
+            else:
+                codes.append(table[w])
+                table[wk] = next_code
+                next_code += 1
+                w = (px,)
+        codes.append(table[w])
+        codes.append(257)
+    else:
+        codes = []
+        for i in range(0, len(pixels), 250):
+            codes.append(256)
+            codes.extend(pixels[i : i + 250])
+        codes.append(257)
+    data = _gif_pack_codes(codes)
+    blocks = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    return hdr + palette + ext + desc + bytes([8]) + bytes(blocks) + b"\x00\x3b"
+
+
+def test_gif_decode_known_pixels_literal_and_compressed():
+    from climate_data_pipelines_spark.operators import multimodal
+
+    pixels = [10, 200, 30, 100, 10, 10]
+    want = sum(pixels) / len(pixels)
+    for compress in (False, True):
+        w, h, luma = multimodal.decode_gif(_gif_gray(3, 2, pixels, compress))
+        assert (w, h) == (3, 2)
+        assert abs(luma - want) < 0.01
+
+
+def test_gif_decode_kwkwk_run():
+    # a constant run forces the KwKwK case (code == next_code) in the
+    # decoder on the second emitted code
+    from climate_data_pipelines_spark.operators import multimodal
+
+    pixels = [7] * 40
+    w, h, luma = multimodal.decode_gif(_gif_gray(8, 5, pixels, compress=True))
+    assert (w, h, luma) == (8, 5, 7.0)
+
+
+def test_gif_decode_skips_extension_blocks():
+    from climate_data_pipelines_spark.operators import multimodal
+
+    pixels = [0, 255, 0, 255]
+    _, _, luma = multimodal.decode_gif(_gif_gray(2, 2, pixels, extension=True))
+    assert abs(luma - 127.5) < 0.01
+
+
+def test_gif_truncated_raises():
+    import pytest
+
+    from climate_data_pipelines_spark.operators import multimodal
+
+    full = _gif_gray(10, 10, list(range(100)))
+    # drop the last data sub-block content: decoder must notice the
+    # missing pixels rather than return a bogus mean
+    with pytest.raises((ValueError, IndexError)):
+        multimodal.decode_gif(full[:40] + b"\x00\x3b")
+
+
+def test_extract_image_features_dispatches_gif(spark):
+    from climate_data_pipelines_spark.operators import multimodal
+
+    payload = _gif_gray(4, 1, [0, 100, 200, 100], compress=True)
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+    row = multimodal.extract_image_features(df).collect()[0]
+    assert (row["width"], row["height"]) == (4, 1)
+    assert abs(row["mean_luma"] - 100.0) < 0.01

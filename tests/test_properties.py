@@ -230,3 +230,26 @@ def test_pgm_decode_matches_mean(pixels):
     w, h, luma = multimodal.decode_ppm(pgm)
     assert (w, h) == (n, 1)
     assert abs(luma - sum(pixels) / n) < 0.01
+
+
+@given(
+    st.integers(1, 12),
+    st.integers(1, 8),
+    st.booleans(),
+    st.data(),
+)
+@settings(max_examples=25, deadline=None)
+def test_gif_decode_matches_mean(width, height, compress, data):
+    # decode_gif on arbitrary constructed grayscale GIFs (both the
+    # literal-code path and real LZW with dictionary growth) returns
+    # the exact mean pixel value under the identity gray palette
+    from climate_data_pipelines_spark.operators import multimodal
+    from tests.test_multimodal_sinks_sources import _gif_gray
+
+    n = width * height
+    # small alphabet → long dictionary matches; full range → literals
+    alphabet = data.draw(st.sampled_from([4, 256]))
+    pixels = [data.draw(st.integers(0, alphabet - 1)) for _ in range(n)]
+    w, h, luma = multimodal.decode_gif(_gif_gray(width, height, pixels, compress))
+    assert (w, h) == (width, height)
+    assert abs(luma - sum(pixels) / n) < 0.01
