@@ -144,10 +144,31 @@ def inv_q140(spark, sf_dir):
     return _recall_vs_exact(spark, sf_dir, "q140_pq_ann_topk", 0.9)
 
 
+def inv_q144(spark, sf_dir):
+    """Audio features on the deterministic WAV fixture: every doc
+    decodes (no quarantined nulls), and duration_s is exactly
+    n_samples / sample_rate (to the operator's 1e-6 rounding)."""
+    from climate_data_pipelines_spark.queries import REGISTRY
+
+    rows = REGISTRY["q144_audio_features"].fn(spark, sf_dir).collect()
+    if not rows:
+        return False, "no rows"
+    bad_null = [r["doc_id"] for r in rows if r["sample_rate"] is None]
+    if bad_null:
+        return False, f"{len(bad_null)} docs quarantined on the WAV fixture"
+    worst = max(
+        abs(r["duration_s"] - r["n_samples"] / r["sample_rate"]) for r in rows
+    )
+    return worst <= 1e-6, (
+        f"{len(rows)} docs decoded, max duration error {worst:.2e}"
+    )
+
+
 INVARIANTS: dict[str, Callable] = {
     "q55_ann_lsh_topk": inv_q55,
     "q73_ann_ivf_topk": inv_q73,
     "q140_pq_ann_topk": inv_q140,
+    "q144_audio_features": inv_q144,
     "q59_approx_count_distinct": inv_q59,
     "q126_semantic_dedup": inv_q126,
     "q135_mvt_tiles": inv_q135,

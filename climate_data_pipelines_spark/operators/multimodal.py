@@ -446,6 +446,125 @@ def extract_image_features(binary_df: DataFrame) -> DataFrame:
     return binary_df.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+def text_as_wav_payload(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sample_rate: int = 8000,
+    max_samples: int = 4096,
+) -> DataFrame:
+    """Render each document's utf-8 bytes as a REAL 8-bit PCM WAV
+    payload — deterministic audio fixtures with known sample values
+    (the audio twin of ``text_as_png_payload``), so the decode →
+    feature path computes real RMS statistics end-to-end."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for text in pdf[text_col]:
+                data = (text or " ").encode("utf-8")[:max_samples]
+                fmt_body = struct.pack(
+                    "<HHIIHH", 1, 1, sample_rate, sample_rate, 1, 8
+                )
+                chunks = b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+                chunks += (
+                    b"data" + struct.pack("<I", len(data)) + data
+                    + (b"\x00" if len(data) & 1 else b"")
+                )
+                payloads.append(
+                    b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+                )
+            yield pd.DataFrame({id_col: pdf[id_col].values, "payload": payloads})
+
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select(id_col, text_col).mapInPandas(batches, schema=out_schema)
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, float]:
+    """REAL dependency-free WAV decode (RIFF/WAVE, PCM 8/16-bit and
+    IEEE float32): walks the chunk list to `fmt ` and `data`, then
+    computes (sample_rate, n_channels, n_samples_per_channel, rms)
+    with numpy over the raw sample buffer. RMS is in normalized
+    [-1, 1] amplitude (8-bit PCM is unsigned per the WAV spec, 16-bit
+    signed, float32 as-is) so the statistic is format-independent —
+    the audio analog of the image decoders' BT.601 mean luma.
+    """
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if tag == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif tag == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    audio_fmt, n_ch, rate, _byte_rate, _align, bits = fmt
+    if (audio_fmt, bits) == (1, 16):
+        x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    elif (audio_fmt, bits) == (1, 8):
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif (audio_fmt, bits) == (3, 32):
+        x = np.frombuffer(data, dtype="<f4").astype(np.float64)
+    else:
+        raise NotImplementedError(f"WAV format={audio_fmt} bits={bits}")
+    n_samples = len(x) // max(n_ch, 1)
+    rms = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
+    return rate, n_ch, n_samples, round(rms, 6)
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def extract_audio_features(binary_df: DataFrame) -> DataFrame:
+    """Arrow-batched audio feature extraction (mapInPandas) — the
+    audio twin of ``extract_image_features``. WAV/PCM payloads get the
+    REAL ``decode_wav``; compressed formats (mp3/ogg/aac — codecs not
+    in the container) raise NotImplementedError inside decode, caught
+    here into null feature columns so one bad payload doesn't kill a
+    100 TB pass (the per-row error-quarantine shape)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    rate, n_ch, n_s, rms = decode_wav(p)
+                    rows.append(
+                        (doc_id, len(p), rate, n_ch, n_s,
+                         round(n_s / rate, 6) if rate else 0.0, rms)
+                    )
+                except (ValueError, NotImplementedError):
+                    rows.append((doc_id, len(p), None, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_bytes", "sample_rate", "n_channels",
+                    "n_samples", "duration_s", "rms",
+                ],
+            )
+
+    return binary_df.mapInPandas(batches, schema=AUDIO_SCHEMA)
+
+
 def frame_sample(binary_df: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
     """Frame-sampling plumbing: one output row per sampled "frame"
     offset (posexplode over a computed offset sequence). With a real

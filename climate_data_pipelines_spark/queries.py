@@ -3812,6 +3812,23 @@ def q143(spark, sf_dir):
     )
 
 
+@query(
+    "q144_audio_features",
+    None,
+    "Multimodal audio path (rows-only): REAL RIFF/WAVE PCM decode — "
+    "documents rendered as 8-bit PCM WAV payloads (deterministic "
+    "fixture, known samples), then sample_rate / channels / duration "
+    "/ normalized RMS extracted per doc via the stdlib decoder over "
+    "mapInPandas. Compressed audio (mp3/ogg) is per-row quarantined "
+    "to null features, not a task failure. Invariant gate: zero "
+    "nulls on the WAV fixture and duration == n_samples/rate "
+    "(tools/check_oracle.py prints the verdict).",
+)
+def q144(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.extract_audio_features(multimodal.text_as_wav_payload(docs))
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window selection
 # ---------------------------------------------------------------------------
@@ -3877,6 +3894,7 @@ DRIVER_WINDOW: list[str] = [
     "q141_incremental_dedup",
     "q142_domain_cap",
     "q143_quality_calibrate",
+    "q144_audio_features",
     # changed this round — must re-prove
     "q37_minhash_lsh_candidates",
     "q41_minhash_signatures",
@@ -3918,7 +3936,6 @@ DRIVER_WINDOW: list[str] = [
     "q80_redact",
     "q81_repetition_ratio",
     "q82_sentence_stats",
-    "q94_bitwise_null_suite",
 ]
 
 

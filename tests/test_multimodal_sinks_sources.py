@@ -553,3 +553,68 @@ def test_extract_image_features_dispatches_gif(spark):
     row = multimodal.extract_image_features(df).collect()[0]
     assert (row["width"], row["height"]) == (4, 1)
     assert abs(row["mean_luma"] - 100.0) < 0.01
+
+
+# ---------------------------------------------------------------------------
+# WAV decode (real audio path)
+# ---------------------------------------------------------------------------
+
+
+def _wav(samples, rate=8000, bits=16, n_ch=1, fmt=1):
+    import struct as _s
+
+    if bits == 16:
+        data = b"".join(_s.pack("<h", int(x)) for x in samples)
+    elif bits == 8:
+        data = bytes(int(x) for x in samples)
+    else:
+        data = b"".join(_s.pack("<f", float(x)) for x in samples)
+    fmt_body = _s.pack(
+        "<HHIIHH", fmt, n_ch, rate, rate * n_ch * bits // 8, n_ch * bits // 8, bits
+    )
+    chunks = b"fmt " + _s.pack("<I", len(fmt_body)) + fmt_body
+    chunks += b"data" + _s.pack("<I", len(data)) + data + (b"\x00" if len(data) & 1 else b"")
+    return b"RIFF" + _s.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_wav_decode_pcm16_known_rms():
+    from climate_data_pipelines_spark.operators import multimodal
+
+    # constant amplitude 16384 → normalized 0.5 → rms 0.5
+    rate, n_ch, n_s, rms = multimodal.decode_wav(_wav([16384] * 800))
+    assert (rate, n_ch, n_s) == (8000, 1, 800)
+    assert abs(rms - 0.5) < 1e-6
+
+
+def test_wav_decode_pcm8_and_float32():
+    from climate_data_pipelines_spark.operators import multimodal
+
+    # 8-bit: 128 is silence (0.0), 192 → +0.5
+    _, _, _, rms8 = multimodal.decode_wav(_wav([192] * 100, bits=8))
+    assert abs(rms8 - 0.5) < 1e-6
+    _, _, _, rmsf = multimodal.decode_wav(_wav([0.25] * 64, bits=32, fmt=3))
+    assert abs(rmsf - 0.25) < 1e-6
+
+
+def test_wav_decode_stereo_sample_count():
+    from climate_data_pipelines_spark.operators import multimodal
+
+    rate, n_ch, n_s, _ = multimodal.decode_wav(
+        _wav([0, 0, 0, 0, 0, 0], n_ch=2, rate=16000)
+    )
+    assert (rate, n_ch, n_s) == (16000, 2, 3)  # interleaved: 3 frames
+
+
+def test_extract_audio_features_quarantines_bad_payloads(spark):
+    from climate_data_pipelines_spark.operators import multimodal
+
+    good = _wav([16384] * 160, rate=16000)
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(b"not audio at all"))],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in multimodal.extract_audio_features(df).collect()}
+    assert rows[1]["sample_rate"] == 16000
+    assert abs(rows[1]["duration_s"] - 0.01) < 1e-9
+    assert abs(rows[1]["rms"] - 0.5) < 1e-6
+    assert rows[2]["sample_rate"] is None and rows[2]["n_bytes"] == 16

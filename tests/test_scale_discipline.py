@@ -24,6 +24,7 @@ PYTHON_SURFACE = {
     "q135_mvt_tiles",  # per-tile MVT protobuf encode (applyInPandas)
     "q140_pq_ann_topk",  # PQ sub-code encode kernel (Arrow); ADC scan
     # itself is expression-only
+    "q144_audio_features",  # WAV fixture render + decode (mapInPandas)
 }
 
 # Iterative/recursive queries execute jobs during plan construction

@@ -88,6 +88,43 @@ def gen_embeddings(n: int, seed: int = 4242):
     )
 
 
+BASE_EVENTS = 100_000
+BASE_USERS = 1_500
+EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]
+
+
+def gen_events(mult: int, seed: int = 777):
+    """Scaled events stream with the sf0.1 shape: 100k·mult events over
+    1.5k·mult users across 30 days of µs timestamps, ordered by ts.
+    Users AND events scale together so events-per-user (the per-key
+    sessionization partition) stays constant — the growth axis a 100 TB
+    log actually has."""
+    rng = np.random.default_rng(seed)
+    n = BASE_EVENTS * mult
+    ts_us = np.sort(rng.integers(0, 30 * 86400 * 1_000_000, n))
+    epoch_2024 = np.int64(1704067200) * 1_000_000
+    return pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(epoch_2024 + ts_us, pa.timestamp("us")),
+            "user_id": pa.array(
+                rng.integers(0, BASE_USERS * mult, n), pa.int64()
+            ),
+            "event_type": pa.array(
+                [EVENT_TYPES[i] for i in rng.integers(0, len(EVENT_TYPES), n)],
+                pa.string(),
+            ),
+            "value": pa.array(
+                np.round(rng.lognormal(3.0, 1.0, n), 2), pa.float64()
+            ),
+            "props": pa.array(
+                [f'{{"k": {int(i)}}}' for i in rng.integers(0, 100, n)],
+                pa.string(),
+            ),
+        }
+    )
+
+
 def main() -> None:
     out_dir = sys.argv[1]
     mult = int(sys.argv[2])
@@ -98,16 +135,18 @@ def main() -> None:
     # scan (the case spread_for_cpu exists for) is reproduced
     pq.write_table(gen_documents(BASE_DOCS * mult), f"{out_dir}/documents.parquet")
     pq.write_table(gen_embeddings(BASE_EMB * mult), f"{out_dir}/embeddings.parquet")
+    pq.write_table(gen_events(mult), f"{out_dir}/events.parquet")
     for t in (
         "region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events",
+        "orders", "lineitem",
     ):
         src = f"{base}/{t}.parquet"
         dst = f"{out_dir}/{t}.parquet"
         if os.path.exists(src) and not os.path.exists(dst):
             shutil.copyfile(src, dst)
     print(f"wrote {out_dir}: documents x{mult} ({BASE_DOCS * mult}), "
-          f"embeddings x{mult} ({BASE_EMB * mult})")
+          f"embeddings x{mult} ({BASE_EMB * mult}), "
+          f"events x{mult} ({BASE_EVENTS * mult})")
 
 
 if __name__ == "__main__":
