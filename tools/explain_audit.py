@@ -95,6 +95,22 @@ AUDITS = {
     # DSIR weights: the log-ratio feature dim broadcasts; the raw
     # corpus is never sort-merge joined on the bucket key
     "q133_dsir_weights": [("BroadcastHashJoin", True), ("SortMergeJoin", False)],
+    # sessionization: lag window + island sum + session agg all reuse
+    # ONE user_id hash partitioning; the agg must not add an exchange
+    # (exactly-one-exchange is pinned by tests/test_sessions.py)
+    "q137_sessionize": [("Window", True), ("Exchange", True)],
+    # stratified sample: stateless per-row hash predicate — no
+    # shuffle, no join, nothing but scan+filter
+    "q138_stratified_sample": [("Exchange", False), ("Join", False)],
+    # bloom decontamination: every probe join broadcasts (the
+    # position dims and the exact shingle set); no sort-merge join
+    "q139_bloom_decontaminate": [("BroadcastHashJoin LeftSemi", True), ("SortMergeJoin", False)],
+    # domain cap: one group exchange + window rank, no join
+    "q142_domain_cap": [("Window", True), ("Join", False)],
+    # quality calibration: percent_rank window per lang; the score
+    # join stays broadcast at this sf (docs dim is small), and no
+    # global sort appears (window sort is per-partition)
+    "q143_quality_calibrate": [("Window", True), ("CartesianProduct", False)],
 }
 
 
