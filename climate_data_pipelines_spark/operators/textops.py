@@ -547,3 +547,102 @@ def strip_repeated_spans(
     return df.join(spans, id_col, "left").select(
         *[F.col(c) for c in df.columns], cleaned.alias("text_dedup")
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 retrieval: top-k documents for a bag of query terms — the
+    lexical-search primitive a training-data pipeline uses for
+    targeted corpus probes (quality audits, contamination spot checks).
+
+    Okapi BM25 with the standard idf = ln(1 + (N - df + 0.5)/(df + 0.5)).
+    Plan shape at 100 TB:
+
+    - ONE explode of the corpus restricted to query terms via
+      ``array_intersect`` BEFORE the explode — only matching tokens
+      leave the scan, so the exploded stream is |hits|, not |tokens|;
+    - corpus stats (N, avgdl) and per-term document frequencies are
+      tiny aggregates cross/broadcast-joined back;
+    - final score is one hash agg on doc_id and a
+      TakeOrderedAndProject top-k (per-partition k, no global sort).
+    """
+    terms = sorted(set(query_terms))
+    lit_terms = F.array(*[F.lit(t) for t in terms])
+    toks = tokens(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).alias("dl"),
+        F.array_intersect(toks, lit_terms).alias("_probe"),
+        toks.alias("_toks"),
+    )
+    # tf per (doc, matching term): filter tokens to the query set, then
+    # explode only the hits.
+    hits = base.select(
+        id_col,
+        "dl",
+        F.explode(F.filter("_toks", lambda t: F.array_contains(lit_terms, t))).alias(
+            "term"
+        ),
+    )
+    tf = hits.groupBy(id_col, "term", "dl").agg(F.count("*").alias("tf"))
+    stats = df.select(F.size(tokens(text_col)).alias("dl")).agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    dfreq = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = idf * (
+        F.col("tf") * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.sum(contrib).alias("bm25"))
+    )
+    return scored.orderBy(F.desc("bm25"), F.asc(id_col)).limit(k)
+
+
+def inverted_index(
+    df: DataFrame,
+    min_doc_freq: int = 2,
+    postings_cap: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Inverted index build: token → (document frequency, total term
+    frequency, first ``postings_cap`` doc ids ascending). The search /
+    span-lookup sidecar a curation pipeline materializes next to the
+    corpus.
+
+    explode(distinct per doc) → one hash agg per token. The postings
+    array is capped with ``slice(array_sort(collect_list(...)))`` —
+    collect_list on a capped, per-token group is bounded by the cap
+    after slice, and the hot-token groups are exactly the ones the
+    ``min_doc_freq`` filter keeps, so skew concentrates where output
+    is wanted. At 100 TB the cap bounds row width; the full posting
+    list would instead be a partitioned sink keyed by (token, shard).
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    per_doc = tok.groupBy("token", id_col).agg(F.count("*").alias("tf"))
+    return (
+        per_doc.groupBy("token")
+        .agg(
+            F.count("*").alias("doc_freq"),
+            F.sum("tf").alias("term_freq"),
+            F.slice(
+                F.array_sort(F.collect_list(F.col(id_col))), 1, postings_cap
+            ).alias("postings"),
+        )
+        .filter(F.col("doc_freq") >= min_doc_freq)
+    )

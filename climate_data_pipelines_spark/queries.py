@@ -32,6 +32,7 @@ from climate_data_pipelines_spark.catalog import load_table, table_rows
 from climate_data_pipelines_spark.functions.scalar import inclusive_month_range
 from climate_data_pipelines_spark import sinks
 from climate_data_pipelines_spark.operators import (
+    analytics,
     asof,
     climate,
     dedup,
@@ -3830,6 +3831,221 @@ def q144(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# round 5b: event-log analytics (funnel / retention / gap-fill / paths /
+# outliers) + lexical retrieval (BM25, inverted index). The reference's
+# only time axis is the monthly climate rollup
+# (precipitation_pipeline.py:131-139); these generalize it to the
+# user-activity analytics + corpus-probe surface of a warehouse engine.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q145_funnel",
+    """WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+                  WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT e.user_id, MIN(e.ts) AS t_click
+               FROM events e JOIN v USING (user_id)
+               WHERE e.event_type = 'click' AND e.ts > v.t_view
+               GROUP BY e.user_id),
+         p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+               FROM events e JOIN c USING (user_id)
+               WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+               GROUP BY e.user_id)
+       SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+       FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""",
+    "Strictly-ordered funnel (view → click → purchase): per user the "
+    "earliest qualified timestamp of each stage, stage k strictly "
+    "after the user's earliest qualified stage k-1. The oracle is the "
+    "textbook join-chain (one shuffle per stage); the Spark side does "
+    "it in ONE shuffle on user_id — per-stage qualification flags are "
+    "min-windows over the same partitioning, and the final per-user "
+    "agg reuses it. Strict '>' on integer-µs epochs both sides.",
+)
+def q145(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return analytics.funnel(ev, ["view", "click", "purchase"])
+
+
+@query(
+    "q146_retention",
+    """WITH a AS (SELECT DISTINCT user_id,
+                         CAST(date_trunc('week', ts) AS TIMESTAMP) AS period
+                  FROM events),
+         f AS (SELECT user_id, MIN(period) AS cohort_period
+               FROM a GROUP BY user_id)
+       SELECT f.cohort_period,
+              CAST((epoch_us(a.period) - epoch_us(f.cohort_period))
+                   / 604800000000 AS BIGINT) AS period_offset,
+              COUNT(DISTINCT a.user_id) AS n_users
+       FROM a JOIN f USING (user_id)
+       GROUP BY f.cohort_period, period_offset""",
+    "Cohort retention: users cohorted by first-activity week; distinct "
+    "actives per (cohort, week-offset). Per-user first-week agg and "
+    "per-(user,week) activity dedup share one Exchange on user_id; the "
+    "final rollup reshuffles user-weeks, not raw events. Week "
+    "truncation is ISO-Monday in both engines; offsets are exact "
+    "integer-µs quotients (no DST in NTZ).",
+)
+def q146(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return analytics.cohort_retention(ev, period="week")
+
+
+@query(
+    "q147_gap_fill",
+    """WITH daily AS (
+         SELECT event_type AS key, date_trunc('day', ts) AS day,
+                AVG(CASE WHEN isnan(value) THEN NULL ELSE value END) AS day_avg
+         FROM events GROUP BY 1, 2),
+       bounds AS (SELECT key, MIN(day) AS d0, MAX(day) AS d1
+                  FROM daily GROUP BY key),
+       spine AS (SELECT b.key, g.day
+                 FROM bounds b,
+                      LATERAL (SELECT unnest(generate_series(b.d0, b.d1,
+                                             INTERVAL 1 DAY)) AS day) g),
+       j AS (SELECT s.key, s.day, d.day_avg
+             FROM spine s LEFT JOIN daily d USING (key, day))
+       SELECT key, day,
+              ROUND(day_avg * 10000) / 10000 AS day_avg,
+              ROUND(last_value(day_avg IGNORE NULLS)
+                    OVER (PARTITION BY key ORDER BY day
+                          ROWS UNBOUNDED PRECEDING) * 10000) / 10000
+                AS filled,
+              day_avg IS NULL AS is_gap
+       FROM j""",
+    "Time-series resample + gap-fill: per event_type a COMPLETE daily "
+    "spine (min..max day) of avg(value), holes filled "
+    "last-observation-carried-forward. The spine explodes "
+    "sequence(d0, d1) from a tiny per-key aggregate on executors — "
+    "never a driver loop (the reference builds its month list driver-"
+    "side, utils/pipeline_manager.py). Daily agg, spine join and LOCF "
+    "window all hash-partition on the key: one Exchange for the big "
+    "side. NaN→NULL at ingest (SURVEY §1.2).",
+)
+def q147(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = analytics.gap_fill_locf(ev)
+    return out.select(
+        "key", "day",
+        oround("day_avg", 4).alias("day_avg"),
+        oround("filled", 4).alias("filled"),
+        "is_gap",
+    )
+
+
+@query(
+    "q148_event_paths",
+    """WITH s AS (
+         SELECT user_id, event_type,
+                LEAD(event_type, 1) OVER w AS n1,
+                LEAD(event_type, 2) OVER w AS n2
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       SELECT event_type || '>' || n1 || '>' || n2 AS path,
+              COUNT(*) AS n_occurrences
+       FROM s WHERE n2 IS NOT NULL
+       GROUP BY path""",
+    "Path mining: frequency of every length-3 consecutive event-type "
+    "sequence in a user's timeline (lead windows, ties broken by "
+    "event_id so assignment is shuffle-stable). One shuffle on "
+    "user_id; the path count groups strings bounded by "
+    "|event_type|^3 keys after map-side combine, not event volume.",
+)
+def q148(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return analytics.event_paths(ev, n=3)
+
+
+@query(
+    "q149_value_outliers",
+    """WITH c AS (SELECT event_id, event_type, value FROM events
+                  WHERE value IS NOT NULL AND NOT isnan(value)),
+         s AS (SELECT event_type, AVG(value) AS m, stddev_pop(value) AS sd
+               FROM c GROUP BY event_type)
+       SELECT c.event_id, c.event_type, c.value,
+              ROUND((c.value - s.m) / s.sd * 10000) / 10000 AS zscore
+       FROM c JOIN s USING (event_type)
+       WHERE s.sd > 0 AND abs((c.value - s.m) / s.sd) > 3.0""",
+    "Per-key z-score outlier detection (|z| > 3 population sigmas). "
+    "Two-phase: the per-key moment aggregate collapses the corpus to "
+    "|event_type| rows which BROADCAST back against the raw scan — "
+    "the big side is read once and never shuffled (plan-audited: no "
+    "Exchange on the events side). The filter threshold compares raw "
+    "doubles on both sides; only the reported zscore is rounded.",
+)
+def q149(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = analytics.value_outliers(ev, z_threshold=3.0)
+    return out.select(
+        "event_id", "event_type", "value", oround("zscore", 4).alias("zscore")
+    )
+
+
+# Query-term set for BM25: mid-frequency fixture vocabulary (FIXTURES.md
+# word soup) — chosen so scores spread and the top-k is stable.
+_BM25_TERMS = ["spark", "vector", "shuffle", "query"]
+
+
+@query(
+    "q150_bm25_topk",
+    f"""WITH t AS (SELECT doc_id,
+                    list_filter(string_split(text, ' '), x -> x != '') AS toks
+                  FROM documents),
+         base AS (SELECT doc_id, len(toks) AS dl, u.tok AS term
+                  FROM t, UNNEST(toks) AS u(tok)
+                  WHERE u.tok IN ({", ".join("'" + t + "'" for t in _BM25_TERMS)})),
+         tf AS (SELECT doc_id, term, dl, COUNT(*) AS tf
+                FROM base GROUP BY doc_id, term, dl),
+         stats AS (SELECT COUNT(*) AS n_docs, AVG(len(toks)) AS avgdl FROM t),
+         dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df
+                   FROM tf GROUP BY term)
+       SELECT tf.doc_id,
+              ROUND(SUM(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                        * tf.tf * 2.2
+                        / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl)))
+                    * 10000) / 10000 AS bm25
+       FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s
+       GROUP BY tf.doc_id
+       ORDER BY bm25 DESC, tf.doc_id ASC LIMIT 20""",
+    "BM25 retrieval (k1=1.2, b=0.75): top-20 documents for a query "
+    "term bag — the lexical-search probe a curation pipeline runs for "
+    "quality audits. The corpus explode is restricted to query-term "
+    "hits BEFORE exploding (filter inside the token array), so the "
+    "exploded stream is |hits| not |tokens|; N/avgdl and per-term df "
+    "are tiny broadcast aggregates; top-k is TakeOrderedAndProject "
+    "(per-partition k, no global sort). Ties broken by doc_id.",
+)
+def q150(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = textops.bm25_topk(docs, _BM25_TERMS, k=20)
+    return out.select("doc_id", oround("bm25", 4).alias("bm25"))
+
+
+@query(
+    "q151_inverted_index",
+    """WITH t AS (SELECT doc_id,
+                    list_filter(string_split(text, ' '), x -> x != '') AS toks
+                  FROM documents),
+         tok AS (SELECT doc_id, u.tok AS token FROM t, UNNEST(toks) AS u(tok)),
+         per_doc AS (SELECT token, doc_id, COUNT(*) AS tf
+                     FROM tok GROUP BY token, doc_id)
+       SELECT token, COUNT(*) AS doc_freq, CAST(SUM(tf) AS BIGINT) AS term_freq,
+              list_slice(list_sort(list(doc_id)), 1, 50) AS postings
+       FROM per_doc GROUP BY token HAVING COUNT(*) >= 2""",
+    "Inverted-index build: token → (document frequency, total term "
+    "frequency, first 50 doc ids ascending) — the search sidecar a "
+    "curation pipeline materializes next to the corpus. One explode, "
+    "one token-keyed hash agg (map-side combined); the postings array "
+    "is slice-capped so row width is bounded regardless of token "
+    "skew. At 100 TB the uncapped postings would be a partitioned "
+    "sink keyed by (token, shard) instead of a column.",
+)
+def q151(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return textops.inverted_index(docs, min_doc_freq=2, postings_cap=50)
+
+
+# ---------------------------------------------------------------------------
 # Driver correctness-window selection
 # ---------------------------------------------------------------------------
 #
@@ -3880,8 +4096,22 @@ def q144(spark, sf_dir):
 #     Leftover for round 6: q95/q97-q99/q107-q109/q111-q113/
 #     q115-q121/q125/q128 (19) — after r6 every registry query has a
 #     driver row no older than 2 rounds.
+#   round 5b (late-round additions): q145-q151 (funnel, retention,
+#     gap-fill, paths, outliers, BM25, inverted index) take the first
+#     7 slots as never-driver-checked; the 7 youngest stale-cohort
+#     entries (q76-q82, all r2-green and judge-replayed green every
+#     round since) move to the round-6 leftover list.
 
 DRIVER_WINDOW: list[str] = [
+    # never driver-checked — new this round: event-log analytics +
+    # lexical retrieval (round 5b)
+    "q145_funnel",
+    "q146_retention",
+    "q147_gap_fill",
+    "q148_event_paths",
+    "q149_value_outliers",
+    "q150_bm25_topk",
+    "q151_inverted_index",
     # never driver-checked (registered after the r4 window froze, or
     # new this round: q136-q140)
     "q134_strip_spans",
@@ -3929,13 +4159,6 @@ DRIVER_WINDOW: list[str] = [
     "q71_value_windows",
     "q74_salted_skew_join",
     "q75_salted_agg",
-    "q76_tile_rollup",
-    "q77_grouping_sets",
-    "q78_exists_subquery",
-    "q79_scalar_subquery",
-    "q80_redact",
-    "q81_repetition_ratio",
-    "q82_sentence_stats",
 ]
 
 
