@@ -275,3 +275,140 @@ def value_outliers(
         .withColumn("zscore", z)
         .filter(F.abs(F.col("zscore")) > z_threshold)
     )
+
+
+def gap_fill_interpolate(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Daily resample with LINEAR interpolation: like
+    :func:`gap_fill_locf` but holes are filled by interpolating
+    between the nearest observed days on each side (the climate-cube
+    regridding fill — the reference's cubes carry NaN holes its
+    pandas `dropna` simply discards, `precipitation_pipeline.py:107`;
+    interpolation is what a resampling engine does instead).
+
+    Edge gaps (before first / after last observation — impossible on
+    this spine, which spans min..max observed day) fall back to the
+    one-sided neighbor. Same one-Exchange shape as LOCF: the four
+    neighbor lookups are windows over the same key partitioning.
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    val = F.when(F.isnan(F.col(value_col)), None).otherwise(F.col(value_col))
+    daily = (
+        df.select(F.col(key_col).alias("key"), day.alias("day"), val.alias("v"))
+        .groupBy("key", "day")
+        .agg(F.avg("v").alias("day_avg"))
+    )
+    spine = (
+        daily.groupBy("key")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "key",
+            F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day"),
+        )
+    )
+    joined = spine.join(daily, ["key", "day"], "left")
+    back = (
+        Window.partitionBy("key")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("key")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    day_num = _epoch_us(F.col("day")) / F.lit(86_400 * _US)
+    obs_day = F.when(F.col("day_avg").isNotNull(), day_num)
+    prev_v = F.last("day_avg", ignorenulls=True).over(back)
+    prev_d = F.last(obs_day, ignorenulls=True).over(back)
+    next_v = F.first("day_avg", ignorenulls=True).over(fwd)
+    next_d = F.first(obs_day, ignorenulls=True).over(fwd)
+    frac = (day_num - prev_d) / (next_d - prev_d)
+    interp = (
+        F.when(F.col("day_avg").isNotNull(), F.col("day_avg"))
+        .when(prev_v.isNull(), next_v)
+        .when(next_v.isNull(), prev_v)
+        .otherwise(prev_v + (next_v - prev_v) * frac)
+    )
+    return joined.select(
+        "key",
+        "day",
+        "day_avg",
+        interp.alias("interpolated"),
+        F.col("day_avg").isNull().alias("is_gap"),
+    )
+
+
+def robust_outliers(
+    df: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    z_threshold: float = 3.5,
+) -> DataFrame:
+    """Robust (median/MAD) outlier detection: events whose modified
+    z-score 0.6745·(x − median)/MAD exceeds ``z_threshold`` — the
+    Iglewicz–Hoaglin rule, resistant to the very outliers it hunts
+    (the mean/stddev version, :func:`value_outliers`, is masked by
+    extreme points inflating sigma).
+
+    Same two-phase broadcast shape: exact per-key median + MAD need
+    two aggregate passes (MAD is the median of deviations FROM the
+    median), but both collapse to |keys| rows and only those tiny
+    aggregates shuffle; the raw stream is scanned, never shuffled, in
+    the final probe. At 100 TB swap `percentile` for
+    `percentile_approx` and one pass of error, same plan shape.
+    """
+    val = F.when(F.isnan(F.col(value_col)), None).otherwise(F.col(value_col))
+    clean = df.withColumn("_v", val).filter(F.col("_v").isNotNull())
+    med = clean.groupBy(key_col).agg(
+        F.expr("percentile(_v, 0.5)").alias("_med")
+    )
+    mad = (
+        clean.join(F.broadcast(med), key_col)
+        .groupBy(key_col)
+        .agg(
+            F.expr("percentile(abs(_v - _med), 0.5)").alias("_mad"),
+            F.first("_med").alias("_med"),
+        )
+    )
+    rz = F.lit(0.6745) * (F.col("_v") - F.col("_med")) / F.col("_mad")
+    return (
+        clean.join(F.broadcast(mad), key_col)
+        .filter(F.col("_mad") > 0)
+        .withColumn("robust_z", rz)
+        .filter(F.abs(F.col("robust_z")) > z_threshold)
+    )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+    attr_cols: list[str] | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history build: each key's
+    change events become validity intervals [valid_from, valid_to)
+    with an ``is_current`` flag on the open-ended last row — the
+    dimension-history primitive for as-of enrichment (pairs with
+    operators/asof.py, which probes such intervals).
+
+    One shuffle on the key; valid_to is the lead timestamp over the
+    same partitioning. ``tie_col`` orders equal timestamps so interval
+    boundaries are shuffle-stable.
+    """
+    attr_cols = attr_cols or ["event_type", "value"]
+    w = Window.partitionBy(key_col).orderBy(ts_col, tie_col)
+    nxt = F.lead(ts_col).over(w)
+    return df.select(
+        F.col(key_col),
+        *[F.col(c) for c in attr_cols],
+        F.col(ts_col).alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+        (F.row_number().over(w)).alias("version"),
+    )

@@ -4045,6 +4045,120 @@ def q151(spark, sf_dir):
     return textops.inverted_index(docs, min_doc_freq=2, postings_cap=50)
 
 
+@query(
+    "q152_gap_interpolate",
+    """WITH daily AS (
+         SELECT event_type AS key, date_trunc('day', ts) AS day,
+                AVG(CASE WHEN isnan(value) THEN NULL ELSE value END) AS day_avg
+         FROM events GROUP BY 1, 2),
+       bounds AS (SELECT key, MIN(day) AS d0, MAX(day) AS d1
+                  FROM daily GROUP BY key),
+       spine AS (SELECT b.key, g.day
+                 FROM bounds b,
+                      LATERAL (SELECT unnest(generate_series(b.d0, b.d1,
+                                             INTERVAL 1 DAY)) AS day) g),
+       j AS (SELECT s.key, s.day, d.day_avg,
+                    epoch_us(s.day) / 86400000000.0 AS dn,
+                    CASE WHEN d.day_avg IS NOT NULL
+                         THEN epoch_us(s.day) / 86400000000.0 END AS odn
+             FROM spine s LEFT JOIN daily d USING (key, day)),
+       w AS (SELECT key, day, day_avg, dn,
+                    last_value(day_avg IGNORE NULLS)
+                      OVER (PARTITION BY key ORDER BY day
+                            ROWS UNBOUNDED PRECEDING) AS pv,
+                    last_value(odn IGNORE NULLS)
+                      OVER (PARTITION BY key ORDER BY day
+                            ROWS UNBOUNDED PRECEDING) AS pd,
+                    first_value(day_avg IGNORE NULLS)
+                      OVER (PARTITION BY key ORDER BY day
+                            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+                    first_value(odn IGNORE NULLS)
+                      OVER (PARTITION BY key ORDER BY day
+                            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+             FROM j)
+       SELECT key, day,
+              ROUND(day_avg * 10000) / 10000 AS day_avg,
+              ROUND(CASE WHEN day_avg IS NOT NULL THEN day_avg
+                         WHEN pv IS NULL THEN nv
+                         WHEN nv IS NULL THEN pv
+                         ELSE pv + (nv - pv) * (dn - pd) / (nd - pd)
+                    END * 10000) / 10000 AS interpolated,
+              day_avg IS NULL AS is_gap
+       FROM w""",
+    "q147's linear twin: holes interpolated between the nearest "
+    "observed days on each side instead of carried forward — the "
+    "climate-cube regridding fill (the reference's pandas dropna "
+    "simply discards NaN holes, precipitation_pipeline.py:107). Four "
+    "neighbor lookups are IGNORE NULLS windows over the ONE key "
+    "partitioning; day arithmetic in exact integer-µs quotients.",
+)
+def q152(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = analytics.gap_fill_interpolate(ev)
+    return out.select(
+        "key", "day",
+        oround("day_avg", 4).alias("day_avg"),
+        oround("interpolated", 4).alias("interpolated"),
+        "is_gap",
+    )
+
+
+@query(
+    "q153_robust_outliers",
+    """WITH c AS (SELECT event_id, event_type, value FROM events
+                  WHERE value IS NOT NULL AND NOT isnan(value)),
+         m AS (SELECT event_type, median(value) AS med FROM c GROUP BY 1),
+         md AS (SELECT c.event_type,
+                       median(abs(c.value - m.med)) AS mad,
+                       any_value(m.med) AS med
+                FROM c JOIN m USING (event_type) GROUP BY c.event_type)
+       SELECT c.event_id, c.event_type, c.value,
+              ROUND(0.6745 * (c.value - md.med) / md.mad * 10000) / 10000
+                AS robust_z
+       FROM c JOIN md USING (event_type)
+       WHERE md.mad > 0
+         AND abs(0.6745 * (c.value - md.med) / md.mad) > 3.5""",
+    "Robust outlier detection (Iglewicz–Hoaglin modified z-score, "
+    "median/MAD): resistant to the very extremes q149's mean/stddev "
+    "version lets inflate sigma. Two tiny per-key aggregate passes "
+    "(median, then median-of-deviations) broadcast back; the raw "
+    "stream is scanned once, never shuffled. Exact percentile here; "
+    "at 100 TB swap percentile_approx, same plan.",
+)
+def q153(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = analytics.robust_outliers(ev, z_threshold=3.5)
+    return out.select(
+        "event_id", "event_type", "value",
+        oround("robust_z", 4).alias("robust_z"),
+    )
+
+
+@query(
+    "q154_scd2_intervals",
+    """SELECT user_id, event_type, value,
+              ts AS valid_from,
+              LEAD(ts) OVER w AS valid_to,
+              LEAD(ts) OVER w IS NULL AS is_current,
+              CAST(row_number() OVER w AS BIGINT) AS version
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+    "SCD type-2 history build: each key's change events become "
+    "validity intervals [valid_from, valid_to) with an is_current "
+    "flag on the open row — the dimension-history primitive the "
+    "as-of join (q48/q91) probes. One shuffle on the key; lead and "
+    "row_number share the partitioning; ties ordered by event_id so "
+    "boundaries are shuffle-stable.",
+)
+def q154(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = analytics.scd2_intervals(ev)
+    return out.select(
+        "user_id", "event_type", "value", "valid_from", "valid_to",
+        "is_current", F.col("version").cast("bigint").alias("version"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window selection
 # ---------------------------------------------------------------------------
@@ -4096,15 +4210,19 @@ def q151(spark, sf_dir):
 #     Leftover for round 6: q95/q97-q99/q107-q109/q111-q113/
 #     q115-q121/q125/q128 (19) — after r6 every registry query has a
 #     driver row no older than 2 rounds.
-#   round 5b (late-round additions): q145-q151 (funnel, retention,
-#     gap-fill, paths, outliers, BM25, inverted index) take the first
-#     7 slots as never-driver-checked; the 7 youngest stale-cohort
-#     entries (q76-q82, all r2-green and judge-replayed green every
-#     round since) move to the round-6 leftover list.
+#   round 5b (late-round additions): q145-q154 (funnel, retention,
+#     gap-fill LOCF + linear-interpolate twins, paths, z-score + MAD
+#     outliers, SCD2 intervals, BM25, inverted index) take the first
+#     10 slots as never-driver-checked; the 10 youngest stale-cohort
+#     entries (q71/q74-q82, all r2-green and judge-replayed green
+#     every round since) move to the round-6 leftover list.
 
 DRIVER_WINDOW: list[str] = [
     # never driver-checked — new this round: event-log analytics +
     # lexical retrieval (round 5b)
+    "q152_gap_interpolate",
+    "q153_robust_outliers",
+    "q154_scd2_intervals",
     "q145_funnel",
     "q146_retention",
     "q147_gap_fill",
@@ -4156,9 +4274,6 @@ DRIVER_WINDOW: list[str] = [
     "q67_date_suite",
     "q68_regexp_suite",
     "q70_rank_suite",
-    "q71_value_windows",
-    "q74_salted_skew_join",
-    "q75_salted_agg",
 ]
 
 

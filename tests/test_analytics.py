@@ -186,3 +186,70 @@ class TestInvertedIndex:
         assert out["common"]["doc_freq"] == 5
         assert out["common"]["postings"] == [0, 1, 2]  # capped, ascending
         assert out["common"]["term_freq"] == 5
+
+
+class TestInterpolate:
+    def test_linear_midpoint(self, spark):
+        ev = _events(spark, [
+            ("a", "x", "2024-01-01T05:00:00", 10.0),
+            # Jan 2 missing: midpoint of 10 and 40 = 25
+            ("a", "x", "2024-01-03T05:00:00", 40.0),
+        ])
+        out = {r["day"].day: r for r in
+               analytics.gap_fill_interpolate(ev, key_col="event_type").collect()}
+        assert out[2]["interpolated"] == pytest.approx(25.0)
+        assert out[2]["is_gap"]
+        assert out[1]["interpolated"] == pytest.approx(10.0)
+        assert out[3]["interpolated"] == pytest.approx(40.0)
+
+    def test_unequal_gap_weights(self, spark):
+        ev = _events(spark, [
+            ("a", "x", "2024-01-01T01:00:00", 0.0),
+            ("a", "x", "2024-01-04T01:00:00", 30.0),
+        ])
+        out = {r["day"].day: r["interpolated"] for r in
+               analytics.gap_fill_interpolate(ev, key_col="event_type").collect()}
+        assert out[2] == pytest.approx(10.0)
+        assert out[3] == pytest.approx(20.0)
+
+
+class TestRobustOutliers:
+    def test_resistant_to_extreme(self, spark):
+        # 20 values at 10 ± small spread, one at 1000: classic z-score
+        # masks mild outliers when sigma inflates; MAD still flags the
+        # extreme and ONLY the extreme here.
+        base = [(1, "x", f"2024-01-01T10:{m:02d}:00", 10.0 + (m % 3))
+                for m in range(20)]
+        base.append((1, "x", "2024-01-01T11:00:00", 1000.0))
+        ev = _events(spark, base)
+        out = analytics.robust_outliers(ev, key_col="event_type").collect()
+        assert [r["value"] for r in out] == [1000.0]
+        assert abs(out[0]["robust_z"]) > 3.5
+
+    def test_zero_mad_key_excluded(self, spark):
+        ev = _events(spark, [
+            (1, "x", "2024-01-01T10:00:00", 5.0),
+            (2, "x", "2024-01-01T10:01:00", 5.0),
+            (3, "x", "2024-01-01T10:02:00", 99.0),
+        ])
+        # median 5, deviations (0,0,94) → MAD 0 → key excluded (the
+        # documented degenerate case, not a div-by-zero)
+        assert analytics.robust_outliers(ev, key_col="event_type").count() == 0
+
+
+class TestScd2:
+    def test_intervals_chain(self, spark):
+        ev = _events(spark, [
+            (1, "a", "2024-01-01T10:00:00", 1.0),
+            (1, "b", "2024-01-01T11:00:00", 2.0),
+            (2, "c", "2024-01-01T09:00:00", 3.0),
+        ])
+        rows = sorted(analytics.scd2_intervals(ev).collect(),
+                      key=lambda r: (r["user_id"], r["version"]))
+        u1 = [r for r in rows if r["user_id"] == 1]
+        assert u1[0]["valid_to"] == u1[1]["valid_from"]
+        assert not u1[0]["is_current"] and u1[1]["is_current"]
+        assert u1[1]["valid_to"] is None
+        assert [r["version"] for r in u1] == [1, 2]
+        u2 = [r for r in rows if r["user_id"] == 2]
+        assert u2[0]["is_current"] and u2[0]["version"] == 1
