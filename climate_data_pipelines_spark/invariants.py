@@ -164,6 +164,32 @@ def inv_q144(spark, sf_dir):
     )
 
 
+def inv_q155(spark, sf_dir):
+    """JPEG features vs the lossless PNG twin: q54 and q155 render the
+    SAME pixel layout from each document, so the PNG path's exact
+    mean_luma is ground truth for the lossy JPEG decode. Every doc
+    must decode with identical dimensions and mean_luma within 3 gray
+    levels (quantization at the fixture quality preserves DC well
+    under that)."""
+    from climate_data_pipelines_spark.queries import REGISTRY
+
+    png = {r["doc_id"]: r for r in
+           REGISTRY["q54_image_features"].fn(spark, sf_dir).collect()}
+    jpg = {r["doc_id"]: r for r in
+           REGISTRY["q155_jpeg_features"].fn(spark, sf_dir).collect()}
+    if not jpg or set(jpg) != set(png):
+        return False, f"doc mismatch: {len(jpg)} jpeg vs {len(png)} png"
+    dim_bad = [d for d in jpg
+               if (jpg[d]["width"], jpg[d]["height"])
+               != (png[d]["width"], png[d]["height"])]
+    if dim_bad:
+        return False, f"{len(dim_bad)} docs with dimension drift"
+    worst = max(abs(jpg[d]["mean_luma"] - png[d]["mean_luma"]) for d in jpg)
+    return worst <= 3.0, (
+        f"{len(jpg)} docs decoded, max |luma - png twin| = {worst:.3f}"
+    )
+
+
 INVARIANTS: dict[str, Callable] = {
     "q55_ann_lsh_topk": inv_q55,
     "q73_ann_ivf_topk": inv_q73,
@@ -172,4 +198,5 @@ INVARIANTS: dict[str, Callable] = {
     "q59_approx_count_distinct": inv_q59,
     "q126_semantic_dedup": inv_q126,
     "q135_mvt_tiles": inv_q135,
+    "q155_jpeg_features": inv_q155,
 }

@@ -7,11 +7,12 @@ run as Arrow-batched pandas functions over ``mapInPandas``.
 The decode kernel is REAL for PNG: a dependency-free decoder (zlib
 inflate + per-scanline unfilter, all five PNG filter types, gray8 /
 RGB8 / RGBA8) plus a matching gray8 encoder, so ``q54`` computes actual
-pixel statistics from actual image bytes. BMP, binary Netpbm and
-GIF (LZW) get real decoders too; only payloads with no in-container
-codec (JPEG, video) fall back to an honestly-labeled deterministic
-stub; the Spark-side plumbing — schema, batch
-iteration, partitioning — is identical either way.
+pixel statistics from actual image bytes. BMP, binary Netpbm, GIF
+(LZW) and baseline JPEG (functions/jpeg.py: Huffman + IDCT, restart
+intervals, arbitrary sampling factors) get real decoders too; only
+payloads with no in-container codec (video) fall back to an
+honestly-labeled deterministic stub; the Spark-side plumbing —
+schema, batch iteration, partitioning — is identical either way.
 """
 
 from __future__ import annotations
@@ -24,6 +25,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
+
+from climate_data_pipelines_spark.functions import jpeg
 
 # ---------------------------------------------------------------------------
 # Dependency-free PNG codec (stdlib only: struct + zlib)
@@ -199,6 +202,47 @@ def text_as_png_payload(
         "payload",
         F.struct(
             F.lit("image/png").alias("media_type"),
+            F.length("payload").alias("n_bytes"),
+        ).alias("media_meta"),
+    )
+
+
+def text_as_jpeg_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_pixels: int = 4096
+) -> DataFrame:
+    """Render each document's utf-8 bytes as a REAL baseline JPEG
+    payload (same deterministic near-square layout as
+    :func:`text_as_png_payload`). Docs with even ids encode as plain
+    grayscale with a restart interval; odd ids as three-component
+    4:2:0 YCbCr with neutral chroma — together covering the decoder's
+    restart and multi-component MCU paths on the driver fixture.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                pix = (text or "").encode("utf-8")[:max_pixels]
+                w = max(8, min(64, int(len(pix) ** 0.5) + 1))
+                h = max(1, -(-len(pix) // w))
+                pix = pix.ljust(w * h, b"\x00")
+                if int(did) % 2 == 0:
+                    payloads.append(
+                        jpeg.encode_jpeg_gray8(pix, w, h, restart_interval=4)
+                    )
+                else:
+                    payloads.append(jpeg.encode_jpeg_ycbcr420_gray(pix, w, h))
+            yield pd.DataFrame({id_col: pdf[id_col].values, "payload": payloads})
+
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    jp = df.select(id_col, text_col).mapInPandas(batches, schema=out_schema)
+    return jp.select(
+        F.col(id_col),
+        "payload",
+        F.struct(
+            F.lit("image/jpeg").alias("media_type"),
             F.length("payload").alias("n_bytes"),
         ).alias("media_meta"),
     )
@@ -391,12 +435,12 @@ def decode_gif(payload: bytes) -> tuple[int, int, float]:
 
 
 def _decode_image_stub(payload: bytes) -> tuple[int, int, float]:
-    """STUB decode kernel for media with no in-container codec (JPEG,
-    video — compressed formats genuinely need libjpeg/ffmpeg):
-    deterministic fake. A real deployment replaces this body with
-    PIL/ffmpeg; the signature (bytes -> (w, h, luma)) and everything
-    around it stays identical. PNG/BMP/PGM/PPM/GIF never reach this —
-    they have REAL decoders above.
+    """STUB decode kernel for media with no in-container codec (now
+    just video — it genuinely needs ffmpeg): deterministic fake. A
+    real deployment replaces this body with ffmpeg; the signature
+    (bytes -> (w, h, luma)) and everything around it stays identical.
+    PNG/BMP/PGM/PPM/GIF/JPEG never reach this — they have REAL
+    decoders (functions/jpeg.py for baseline JPEG).
     """
     n = len(payload)
     width = 16 + (n % 64)
@@ -428,6 +472,8 @@ def extract_image_features(binary_df: DataFrame) -> DataFrame:
             return decode_ppm(p)
         if p[:6] in (b"GIF87a", b"GIF89a"):
             return decode_gif(p)
+        if p[:2] == b"\xff\xd8":
+            return jpeg.decode_jpeg(p)
         return _decode_image_stub(p)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -4159,6 +4159,25 @@ def q154(spark, sf_dir):
     )
 
 
+@query(
+    "q155_jpeg_features",
+    None,
+    "Multimodal JPEG path (rows-only): REAL baseline JPEG decode — "
+    "dependency-free Huffman + batched IDCT (functions/jpeg.py), "
+    "restart intervals and 4:2:0 multi-component MCUs both exercised "
+    "by the deterministic fixture (even doc_ids: grayscale+DRI, odd: "
+    "YCbCr 4:2:0 with neutral chroma). Invariant gate: per-doc "
+    "mean_luma within 3 gray levels of the LOSSLESS PNG twin (q54 "
+    "renders the same pixels), dims exact "
+    "(tools/check_oracle.py prints the verdict).",
+)
+def q155(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.extract_image_features(
+        multimodal.text_as_jpeg_payload(docs)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window selection
 # ---------------------------------------------------------------------------
@@ -4223,6 +4242,7 @@ DRIVER_WINDOW: list[str] = [
     "q152_gap_interpolate",
     "q153_robust_outliers",
     "q154_scd2_intervals",
+    "q155_jpeg_features",
     "q145_funnel",
     "q146_retention",
     "q147_gap_fill",
@@ -4273,7 +4293,6 @@ DRIVER_WINDOW: list[str] = [
     "q66_array_suite",
     "q67_date_suite",
     "q68_regexp_suite",
-    "q70_rank_suite",
 ]
 
 
