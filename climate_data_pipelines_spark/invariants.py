@@ -190,6 +190,41 @@ def inv_q155(spark, sf_dir):
     )
 
 
+def inv_q156(spark, sf_dir):
+    """Sketch rank-error contract: each approx percentile must fall in
+    the EXACT percentile band [q-0.01, q+0.01] for its group (GK
+    accuracy 10000 ⇒ rank error ≤ 1e-4·n, far inside the band)."""
+    from climate_data_pipelines_spark.catalog import load_table
+    from climate_data_pipelines_spark.queries import REGISTRY
+
+    approx = {r["o_orderstatus"]: r for r in
+              REGISTRY["q156_approx_percentiles"].fn(spark, sf_dir).collect()}
+    bands = F.expr(
+        "percentile(o_totalprice, array(0.24, 0.26, 0.49, 0.51, "
+        "0.74, 0.76, 0.98, 1.0))"
+    )
+    exact = {
+        r["o_orderstatus"]: r["b"]
+        for r in load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(bands.alias("b"))
+        .collect()
+    }
+    if set(approx) != set(exact):
+        return False, "group mismatch"
+    worst = []
+    for g, row in approx.items():
+        b = exact[g]
+        for i, p in enumerate(["p25", "p50", "p75", "p99"]):
+            lo, hi = b[2 * i], b[2 * i + 1]
+            if not (lo <= row[p] <= hi):
+                worst.append(f"{g}.{p}={row[p]:.2f} outside [{lo:.2f},{hi:.2f}]")
+    return not worst, (
+        "; ".join(worst) if worst
+        else f"{len(approx)} groups x 4 percentiles inside exact bands"
+    )
+
+
 INVARIANTS: dict[str, Callable] = {
     "q55_ann_lsh_topk": inv_q55,
     "q73_ann_ivf_topk": inv_q73,
@@ -199,4 +234,5 @@ INVARIANTS: dict[str, Callable] = {
     "q126_semantic_dedup": inv_q126,
     "q135_mvt_tiles": inv_q135,
     "q155_jpeg_features": inv_q155,
+    "q156_approx_percentiles": inv_q156,
 }

@@ -4178,6 +4178,30 @@ def q155(spark, sf_dir):
     )
 
 
+@query(
+    "q156_approx_percentiles",
+    None,
+    "q60's 100 TB path (rows-only): approx_percentile (Greenwald-"
+    "Khanna sketch, accuracy 10000) for p25/p50/p75/p99 of "
+    "o_totalprice per order status — mergeable partial sketches, one "
+    "shuffle of sketch state instead of a sort. Invariant gate: every "
+    "approximate value lies within the exact percentile band "
+    "[q-0.01, q+0.01] (the sketch's rank-error contract, checked "
+    "against oracle-green q60's exact percentile machinery).",
+)
+def q156(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    pct = F.expr(
+        "approx_percentile(o_totalprice, array(0.25, 0.5, 0.75, 0.99), 10000)"
+    )
+    return o.groupBy("o_orderstatus").agg(
+        pct[0].alias("p25"),
+        pct[1].alias("p50"),
+        pct[2].alias("p75"),
+        pct[3].alias("p99"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window selection
 # ---------------------------------------------------------------------------

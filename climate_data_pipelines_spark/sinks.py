@@ -433,3 +433,30 @@ def write_mbtiles(
     con.commit()
     con.close()
     return n
+
+
+def write_orc_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """ORC peer of the parquet sink — same partitioning contract, for
+    deployments whose downstream readers are ORC-native (Hive/Trino
+    estates)."""
+    w = df.write.mode(mode)
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.orc(path)
+
+
+def write_jsonl(
+    df: DataFrame, path: str, partition_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """JSON-lines sink — the interchange format for handing curated
+    document corpora to tokenizer/training jobs. Column types survive
+    via JSON natively; binary columns must be dropped or base64'd by
+    the caller first."""
+    w = df.write.mode(mode)
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.json(path)

@@ -109,3 +109,34 @@ def fetch_and_unzip(url: str, dest_dir: str, timeout: int = 60) -> list[str]:
     with zipfile.ZipFile(io.BytesIO(payload)) as zf:
         zf.extractall(dest_dir)
         return [f"{dest_dir}/{n}" for n in zf.namelist()]
+
+
+def read_orc(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """ORC scan with explicit schema (never inferSchema on the hot
+    path — SURVEY §1.3). ORC carries the same pushdown/pruning story
+    as parquet in Spark; the engine treats it as a peer columnar
+    source for corpora that arrive ORC-shaped."""
+    return spark.read.schema(schema).orc(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """JSON-lines scan with explicit schema — the arrival format of
+    most crawled/exported document corpora. Explicit schema skips
+    Spark's whole-file inference pass (a full scan at 100 TB) and
+    pins column types for the oracle differential."""
+    return spark.read.schema(schema).json(path)
+
+
+def read_text_documents(
+    spark: SparkSession, path: str, wholetext: bool = False
+) -> DataFrame:
+    """Raw text ingest: one row per line (or per file with
+    ``wholetext``) with the source file path attached — the first hop
+    of a crawl-dump pipeline, feeding the documents schema via
+    monotonically-increasing ids resolved per partition."""
+    df = spark.read.option("wholetext", wholetext).text(path)
+    return df.select(
+        F.monotonically_increasing_id().alias("doc_id"),
+        F.col("value").alias("text"),
+        F.input_file_name().alias("source"),
+    )

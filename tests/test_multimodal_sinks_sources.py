@@ -618,3 +618,46 @@ def test_extract_audio_features_quarantines_bad_payloads(spark):
     assert abs(rows[1]["duration_s"] - 0.01) < 1e-9
     assert abs(rows[1]["rms"] - 0.5) < 1e-6
     assert rows[2]["sample_rate"] is None and rows[2]["n_bytes"] == 16
+
+
+class TestFormatRoundtrips:
+    """ORC / JSON-lines / raw-text peers of the parquet path: write
+    with the engine sink, read back with the explicit-schema reader,
+    byte-identical rows."""
+
+    def test_orc_roundtrip(self, spark, sf_dir, tmp_path):
+        from climate_data_pipelines_spark.catalog import load_table
+        from climate_data_pipelines_spark import sinks
+        from climate_data_pipelines_spark.sources import readers
+
+        docs = load_table(spark, sf_dir, "documents")
+        sinks.write_orc_partitioned(docs, str(tmp_path / "orc"), ["lang"])
+        back = readers.read_orc(spark, str(tmp_path / "orc"), docs.schema)
+        assert back.count() == docs.count()
+        a = {r["doc_id"]: r["text"] for r in docs.collect()}
+        b = {r["doc_id"]: r["text"] for r in back.collect()}
+        assert a == b
+
+    def test_jsonl_roundtrip(self, spark, sf_dir, tmp_path):
+        from climate_data_pipelines_spark.catalog import load_table
+        from climate_data_pipelines_spark import sinks
+        from climate_data_pipelines_spark.sources import readers
+
+        docs = load_table(spark, sf_dir, "documents")
+        sinks.write_jsonl(docs, str(tmp_path / "jl"))
+        back = readers.read_jsonl(spark, str(tmp_path / "jl"), docs.schema)
+        assert sorted(r["doc_id"] for r in back.collect()) == sorted(
+            r["doc_id"] for r in docs.collect()
+        )
+
+    def test_text_ingest(self, spark, tmp_path):
+        from climate_data_pipelines_spark.sources import readers
+
+        (tmp_path / "a.txt").write_text("line one\nline two\n")
+        (tmp_path / "b.txt").write_text("other file\n")
+        out = readers.read_text_documents(spark, str(tmp_path / "*.txt"))
+        rows = out.collect()
+        assert len(rows) == 3
+        assert len({r["doc_id"] for r in rows}) == 3  # ids unique
+        srcs = {r["text"]: r["source"] for r in rows}
+        assert srcs["other file"].endswith("b.txt")
