@@ -25,6 +25,7 @@ PYTHON_SURFACE = {
     "q140_pq_ann_topk",  # PQ sub-code encode kernel (Arrow); ADC scan
     # itself is expression-only
     "q144_audio_features",  # WAV fixture render + decode (mapInPandas)
+    "q155_jpeg_features",  # baseline-JPEG decode (mapInPandas byte codec)
 }
 
 # Iterative/recursive queries execute jobs during plan construction
