@@ -225,6 +225,75 @@ def inv_q156(spark, sf_dir):
     )
 
 
+def inv_q157(spark, sf_dir):
+    """Video features on the deterministic Y4M fixture: every doc
+    decodes (no quarantined nulls), duration_s == n_frames/fps, and
+    per-doc mean_luma equals the EXACT numpy mean of the zero-padded
+    utf-8 text bytes (the fixture writes those bytes verbatim as the
+    luma planes, so the decoder has a closed-form ground truth)."""
+    import numpy as np
+
+    from climate_data_pipelines_spark.catalog import load_table
+    from climate_data_pipelines_spark.queries import REGISTRY
+
+    rows = REGISTRY["q157_video_features"].fn(spark, sf_dir).collect()
+    if not rows:
+        return False, "no rows"
+    bad_null = [r["doc_id"] for r in rows if r["width"] is None]
+    if bad_null:
+        return False, f"{len(bad_null)} docs quarantined on the Y4M fixture"
+    dur_bad = [
+        r["doc_id"] for r in rows
+        if abs(r["duration_s"] - r["n_frames"] / r["fps"]) > 1e-6
+    ]
+    if dur_bad:
+        return False, f"{len(dur_bad)} docs with duration != n_frames/fps"
+    texts = {
+        r["doc_id"]: (r["text"] or " ")
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text").collect()
+    }
+    px, max_frames = 16 * 16, 8
+    worst = 0.0
+    for r in rows:
+        data = texts[r["doc_id"]].encode("utf-8")[: px * max_frames]
+        n = max(1, -(-len(data) // px))
+        padded = np.frombuffer(data.ljust(n * px, b"\x00"), dtype=np.uint8)
+        # operator rounds per-frame means to 4 dp before averaging
+        frame_means = [
+            round(float(padded[i * px : (i + 1) * px].mean()), 4)
+            for i in range(n)
+        ]
+        exact = round(sum(frame_means) / n, 4)
+        worst = max(worst, abs(r["mean_luma"] - exact))
+        if r["n_frames"] != n:
+            return False, f"doc {r['doc_id']}: n_frames {r['n_frames']} != {n}"
+    return worst <= 1e-9, (
+        f"{len(rows)} docs decoded, max |mean_luma - exact| = {worst:.2e}"
+    )
+
+
+def inv_q158(spark, sf_dir):
+    """Frame sampling vs the q157 feature pass: per doc, the number of
+    sampled frames must be exactly ceil(n_frames/2) and the kept
+    frame_idx values must be the even indices (stride 2 from 0)."""
+    from climate_data_pipelines_spark.queries import REGISTRY
+
+    feats = {r["doc_id"]: r["n_frames"] for r in
+             REGISTRY["q157_video_features"].fn(spark, sf_dir).collect()}
+    sampled: dict = {}
+    for r in REGISTRY["q158_frame_sample"].fn(spark, sf_dir).collect():
+        sampled.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    if not sampled or set(sampled) != set(feats):
+        return False, f"doc mismatch: {len(sampled)} sampled vs {len(feats)}"
+    for d, idxs in sampled.items():
+        want = list(range(0, feats[d], 2))
+        if sorted(idxs) != want:
+            return False, f"doc {d}: sampled idxs {sorted(idxs)} != {want}"
+    n_frames = sum(len(v) for v in sampled.values())
+    return True, f"{len(sampled)} docs, {n_frames} sampled frames, stride-2 exact"
+
+
 INVARIANTS: dict[str, Callable] = {
     "q55_ann_lsh_topk": inv_q55,
     "q73_ann_ivf_topk": inv_q73,
@@ -235,4 +304,6 @@ INVARIANTS: dict[str, Callable] = {
     "q135_mvt_tiles": inv_q135,
     "q155_jpeg_features": inv_q155,
     "q156_approx_percentiles": inv_q156,
+    "q157_video_features": inv_q157,
+    "q158_frame_sample": inv_q158,
 }

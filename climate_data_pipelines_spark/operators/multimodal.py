@@ -9,10 +9,12 @@ inflate + per-scanline unfilter, all five PNG filter types, gray8 /
 RGB8 / RGBA8) plus a matching gray8 encoder, so ``q54`` computes actual
 pixel statistics from actual image bytes. BMP, binary Netpbm, GIF
 (LZW) and baseline JPEG (functions/jpeg.py: Huffman + IDCT, restart
-intervals, arbitrary sampling factors) get real decoders too; only
-payloads with no in-container codec (video) fall back to an
-honestly-labeled deterministic stub; the Spark-side plumbing —
-schema, batch iteration, partitioning — is identical either way.
+intervals, arbitrary sampling factors) get real decoders too, as do
+WAV/PCM audio and Y4M (YUV4MPEG2) raw video; only payloads whose
+codecs genuinely aren't in the container image (compressed video —
+mp4/webm need ffmpeg) fall back to an honestly-labeled deterministic
+stub; the Spark-side plumbing — schema, batch iteration,
+partitioning — is identical either way.
 """
 
 from __future__ import annotations
@@ -436,11 +438,12 @@ def decode_gif(payload: bytes) -> tuple[int, int, float]:
 
 def _decode_image_stub(payload: bytes) -> tuple[int, int, float]:
     """STUB decode kernel for media with no in-container codec (now
-    just video — it genuinely needs ffmpeg): deterministic fake. A
-    real deployment replaces this body with ffmpeg; the signature
-    (bytes -> (w, h, luma)) and everything around it stays identical.
-    PNG/BMP/PGM/PPM/GIF/JPEG never reach this — they have REAL
-    decoders (functions/jpeg.py for baseline JPEG).
+    just COMPRESSED video — mp4/webm genuinely need ffmpeg):
+    deterministic fake. A real deployment replaces this body with
+    ffmpeg; the signature (bytes -> (w, h, luma)) and everything
+    around it stays identical. PNG/BMP/PGM/PPM/GIF/JPEG/Y4M never
+    reach this — they have REAL decoders (functions/jpeg.py for
+    baseline JPEG, decode_y4m for raw video).
     """
     n = len(payload)
     width = 16 + (n % 64)
@@ -454,8 +457,8 @@ def extract_image_features(binary_df: DataFrame) -> DataFrame:
 
     PNG, BMP, binary Netpbm (PGM/PPM) and GIF payloads get REAL
     decoders (``decode_png``/``decode_bmp``/``decode_ppm``/
-    ``decode_gif``); only formats whose
-    codecs genuinely aren't in the container (JPEG, video) fall back
+    ``decode_gif``/``decode_jpeg``); only formats whose codecs
+    genuinely aren't in the container (compressed video) fall back
     to the labeled stub. Batches arrive as pandas DataFrames (whole
     partitions, streamed) — the decode loop is per-batch Python, the
     orchestration stays distributed. At 100 TB this is the canonical
@@ -625,6 +628,245 @@ def frame_sample(binary_df: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
         F.posexplode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx", "frame_no"),
         (F.col("frame_no") * every_n_bytes).alias("byte_offset"),
     ).select("doc_id", "frame_idx", "byte_offset")
+
+
+# ---------------------------------------------------------------------------
+# Dependency-free Y4M (YUV4MPEG2) video codec — uncompressed planar YUV
+# with a text header, the canonical raw-video interchange format. This
+# closes the video decode path for REAL: only compressed containers
+# (mp4/webm — codecs genuinely not in the container image) remain
+# stubbed.
+# ---------------------------------------------------------------------------
+
+Y4M_SIG = b"YUV4MPEG2 "
+
+# colorspace tag → (chroma_x_div, chroma_y_div); None = no chroma planes
+_Y4M_CHROMA = {
+    "mono": None,
+    "420": (2, 2),
+    "420jpeg": (2, 2),
+    "420mpeg2": (2, 2),
+    "420paldv": (2, 2),
+    "422": (2, 1),
+    "444": (1, 1),
+}
+
+
+def encode_y4m(
+    y_frames: list[bytes], width: int, height: int, fps: int = 25,
+    colorspace: str = "mono",
+) -> bytes:
+    """Encode luma frames as a YUV4MPEG2 stream. ``mono`` writes the Y
+    plane only; chroma modes add neutral (128) U/V planes so the
+    visual content — and every luma statistic — is identical across
+    colorspaces."""
+    div = _Y4M_CHROMA[colorspace]
+    header = f"YUV4MPEG2 W{width} H{height} F{fps}:1 Ip A1:1 C{colorspace}\n"
+    out = [header.encode("ascii")]
+    if div is None:
+        chroma = b""
+    else:
+        cw, ch = -(-width // div[0]), -(-height // div[1])
+        chroma = b"\x80" * (cw * ch) * 2
+    for y in y_frames:
+        if len(y) != width * height:
+            raise ValueError(f"frame size {len(y)} != {width}x{height}")
+        out.append(b"FRAME\n")
+        out.append(y)
+        out.append(chroma)
+    return b"".join(out)
+
+
+def decode_y4m(payload: bytes) -> tuple[int, int, float, list[float]]:
+    """REAL dependency-free Y4M decode: parse the YUV4MPEG2 header
+    (W/H/F/C tags), walk the FRAME markers, and compute the mean luma
+    of each frame's Y plane with numpy. Chroma planes are skipped by
+    size (mono/420*/422/444 supported). Returns
+    (width, height, fps, [per-frame mean luma 0-255])."""
+    import numpy as np
+
+    if payload[: len(Y4M_SIG)] != Y4M_SIG:
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = payload.index(b"\n")
+    width = height = None
+    fps = 0.0
+    colorspace = "420"  # spec default when no C tag
+    for tok in payload[len(Y4M_SIG): nl].decode("ascii").split():
+        if tok[0] == "W":
+            width = int(tok[1:])
+        elif tok[0] == "H":
+            height = int(tok[1:])
+        elif tok[0] == "F":
+            num, den = tok[1:].split(":")
+            fps = int(num) / int(den)
+        elif tok[0] == "C":
+            colorspace = tok[1:]
+    if not width or not height:
+        raise ValueError("Y4M header missing W or H")
+    if colorspace not in _Y4M_CHROMA:
+        raise NotImplementedError(f"Y4M colorspace C{colorspace}")
+    div = _Y4M_CHROMA[colorspace]
+    y_size = width * height
+    if div is None:
+        c_size = 0
+    else:
+        c_size = (-(-width // div[0])) * (-(-height // div[1])) * 2
+    pos, lumas = nl + 1, []
+    while pos < len(payload):
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"expected FRAME marker at byte {pos}")
+        pos = payload.index(b"\n", pos) + 1  # FRAME line may carry params
+        if pos + y_size + c_size > len(payload):
+            raise ValueError("truncated Y4M frame")
+        y = np.frombuffer(payload, dtype=np.uint8, count=y_size, offset=pos)
+        lumas.append(round(float(y.mean()), 4))
+        pos += y_size + c_size
+    if not lumas:
+        raise ValueError("Y4M stream contains no frames")
+    return width, height, fps, lumas
+
+
+def text_as_y4m_payload(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    frame_w: int = 16,
+    frame_h: int = 16,
+    max_frames: int = 8,
+) -> DataFrame:
+    """Render each document's utf-8 bytes as a REAL Y4M video payload:
+    consecutive ``frame_w*frame_h``-byte chunks become luma frames
+    (last frame zero-padded), so per-frame mean luma is an exact,
+    independently computable statistic of the text bytes — the video
+    twin of :func:`text_as_png_payload`. Even doc_ids encode as Cmono,
+    odd as C420jpeg with neutral chroma, covering both plane layouts
+    of the decoder."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        px = frame_w * frame_h
+        for pdf in it:
+            payloads = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                data = (text or " ").encode("utf-8")[: px * max_frames]
+                n = max(1, -(-len(data) // px))
+                frames = [
+                    data[i * px : (i + 1) * px].ljust(px, b"\x00") for i in range(n)
+                ]
+                cs = "mono" if int(did) % 2 == 0 else "420jpeg"
+                payloads.append(encode_y4m(frames, frame_w, frame_h, colorspace=cs))
+            yield pd.DataFrame({id_col: pdf[id_col].values, "payload": payloads})
+
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    vid = df.select(id_col, text_col).mapInPandas(batches, schema=out_schema)
+    return vid.select(
+        F.col(id_col),
+        "payload",
+        F.struct(
+            F.lit("video/x-yuv4mpeg").alias("media_type"),
+            F.length("payload").alias("n_bytes"),
+        ).alias("media_meta"),
+    )
+
+
+VIDEO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("fps", T.DoubleType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("mean_luma", T.DoubleType()),
+    ]
+)
+
+
+def extract_video_features(binary_df: DataFrame) -> DataFrame:
+    """Arrow-batched video feature extraction (mapInPandas) — the video
+    twin of ``extract_image_features``. Y4M payloads get the REAL
+    ``decode_y4m``; compressed containers (mp4/webm — codecs not in
+    the container image) are per-row quarantined to null features, the
+    same error-quarantine shape as the audio path."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    w, h, fps, lumas = decode_y4m(p)
+                    rows.append(
+                        (doc_id, len(p), w, h, fps, len(lumas),
+                         round(len(lumas) / fps, 6) if fps else 0.0,
+                         round(sum(lumas) / len(lumas), 4))
+                    )
+                except (ValueError, NotImplementedError):
+                    rows.append((doc_id, len(p), None, None, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_bytes", "width", "height", "fps",
+                    "n_frames", "duration_s", "mean_luma",
+                ],
+            )
+
+    return binary_df.mapInPandas(batches, schema=VIDEO_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("byte_offset", T.LongType()),
+        T.StructField("frame_luma", T.DoubleType()),
+    ]
+)
+
+
+def sample_video_frames(binary_df: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL frame sampling over Y4M payloads: decode the container
+    index (FRAME markers), keep every ``every_n``-th frame, and emit
+    one row per kept frame with its true byte offset and mean luma.
+    The relational shape matches :func:`frame_sample` (explode →
+    per-frame rows) but offsets and statistics come from the actual
+    stream, not arithmetic on the byte length."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    w, h, _fps, _ = decode_y4m(p)
+                except (ValueError, NotImplementedError):
+                    continue
+                nl = p.index(b"\n")
+                div = None
+                for tok in p[len(Y4M_SIG): nl].decode("ascii").split():
+                    if tok[0] == "C":
+                        div = _Y4M_CHROMA[tok[1:]]
+                y_size = w * h
+                c_size = (
+                    0 if div is None
+                    else (-(-w // div[0])) * (-(-h // div[1])) * 2
+                )
+                pos, idx = nl + 1, 0
+                while pos < len(p):
+                    data_at = p.index(b"\n", pos) + 1
+                    if idx % every_n == 0:
+                        y = np.frombuffer(
+                            p, dtype=np.uint8, count=y_size, offset=data_at
+                        )
+                        rows.append((doc_id, idx, pos, round(float(y.mean()), 4)))
+                    pos = data_at + y_size + c_size
+                    idx += 1
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "byte_offset", "frame_luma"]
+            )
+
+    return binary_df.mapInPandas(batches, schema=FRAME_SCHEMA)
 
 
 def payload_sizes_arrow(binary_df: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -4202,6 +4202,46 @@ def q156(spark, sf_dir):
     )
 
 
+@query(
+    "q157_video_features",
+    None,
+    "Multimodal VIDEO path (rows-only): REAL Y4M (YUV4MPEG2) decode — "
+    "dependency-free header parse + FRAME walk + numpy per-frame luma "
+    "(operators/multimodal.py::decode_y4m). Deterministic fixture: "
+    "documents rendered as 16x16 luma frames (even doc_ids Cmono, odd "
+    "C420jpeg with neutral chroma — both plane layouts exercised); "
+    "compressed containers (mp4/webm) are per-row quarantined to null "
+    "features. Invariant gate: zero nulls on the Y4M fixture, "
+    "duration == n_frames/fps, and per-doc mean_luma equals the exact "
+    "numpy mean of the zero-padded utf-8 bytes "
+    "(tools/check_oracle.py prints the verdict).",
+)
+def q157(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.extract_video_features(
+        multimodal.text_as_y4m_payload(docs)
+    )
+
+
+@query(
+    "q158_frame_sample",
+    None,
+    "REAL video frame sampling (rows-only): decode the Y4M container "
+    "index (FRAME markers) and emit every 2nd frame as its own row "
+    "with the true byte offset and mean luma — the 100 TB shape for "
+    "'sample k frames per clip for the vision encoder'. Arrow-batched "
+    "mapInPandas; one output row per kept frame, offsets from the "
+    "actual stream, not arithmetic on byte length. Invariant gate: "
+    "sampled frame count per doc == ceil(n_frames/2) vs q157 and "
+    "frame_idx stride exactly 2 (tools/check_oracle.py).",
+)
+def q158(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.sample_video_frames(
+        multimodal.text_as_y4m_payload(docs), every_n=2
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window selection
 # ---------------------------------------------------------------------------
@@ -4261,8 +4301,11 @@ def q156(spark, sf_dir):
 #     every round since) move to the round-6 leftover list.
 
 DRIVER_WINDOW: list[str] = [
-    # never driver-checked — new this round: event-log analytics +
-    # lexical retrieval (round 5b)
+    # never driver-checked — new this round: real Y4M video decode +
+    # frame sampling (round 5c), event-log analytics + lexical
+    # retrieval (round 5b)
+    "q157_video_features",
+    "q158_frame_sample",
     "q152_gap_interpolate",
     "q153_robust_outliers",
     "q154_scd2_intervals",
@@ -4296,10 +4339,12 @@ DRIVER_WINDOW: list[str] = [
     "q42_simhash",
     "q123_simhash_fingerprints",
     "q124_simhash_candidates",
-    "q126_semantic_dedup",
     "q127_repeated_ngrams",
     "q132_repeated_spans",
-    "q55_ann_lsh_topk",
+    # (q55/q126 also changed, but both hold fresh r4 driver rows and
+    # their REAL gates — recall@10 and planted-pair coverage — run as
+    # replay invariants every round; the two window slots go to the
+    # never-checked q157/q158 instead, keeping rows-only slots <= 9)
     "q73_ann_ivf_topk",
     "q92_land_mask_grid",
     # stale r2/r3-only cohort, oldest first

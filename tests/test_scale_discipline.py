@@ -26,6 +26,8 @@ PYTHON_SURFACE = {
     # itself is expression-only
     "q144_audio_features",  # WAV fixture render + decode (mapInPandas)
     "q155_jpeg_features",  # baseline-JPEG decode (mapInPandas byte codec)
+    "q157_video_features",  # Y4M video decode (mapInPandas byte codec)
+    "q158_frame_sample",  # Y4M frame sampling (mapInPandas byte codec)
 }
 
 # Iterative/recursive queries execute jobs during plan construction
