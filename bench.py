@@ -70,6 +70,13 @@ HEADLINE = [
     "q137_sessionize",
     "q139_bloom_decontaminate",
     "q141_incremental_dedup",
+    # round-5b/5c: event-log analytics, lexical retrieval, sketches,
+    # real-codec multimodal (video)
+    "q145_funnel",
+    "q150_bm25_topk",
+    "q153_robust_outliers",
+    "q156_approx_percentiles",
+    "q157_video_features",
 ]
 
 # ANN quality: rows-only queries whose real metric is recall vs the

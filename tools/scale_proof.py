@@ -1,10 +1,11 @@
-"""Empirical scale-proof for the dedup/ANN suite (VERDICT r4 item 1).
+"""Empirical scale-proof for the dedup/ANN suite (VERDICT r4 item 1,
+extended to a 100x step in r5).
 
-Runs the heavy document/embedding operators against two corpora
-generated by tools/gen_scale_fixture.py — x1 (the sf0.1 shape: 5k
-docs / 2k vectors) and x10 (50k docs / 20k vectors) — and records the
-measured scaling curve: wall time, output rows, candidate counts, and
-candidates-per-member. The contract being tested:
+Runs the heavy document/embedding operators against corpora generated
+by tools/gen_scale_fixture.py — x1 (the sf0.1 shape: 5k docs / 2k
+vectors), x10, and optionally x100 (500k docs / 200k vectors / 10M
+events) — and records the measured scaling curve: wall time, output
+rows, candidate counts, candidates-per-member. The contract tested:
 
 - minhash/simhash LSH candidates grow ~linearly (banded buckets pair
   only true near-dups; random 240-bit band collisions are ~0), so
@@ -14,13 +15,25 @@ candidates-per-member. The contract being tested:
 - ANN LSH candidates/query grow sublinearly in corpus size at fixed
   recall (deeper corpora fill buckets, but multiprobe breadth is
   constant) — recall@10 vs the exact baseline is recorded;
-- wall time stays near-linear (the x10/x1 time ratio is printed next
-  to the 10x data ratio).
+- decontamination scales on the REALISTIC axis: the benchmark set
+  (HumanEval/MMLU-shaped: fixed size) is pinned to a ~constant-size
+  slice while the train side grows, so survivors and wall time are
+  meaningful at every scale (a benchmark that grows 10x with the
+  corpus saturates word-soup shingle space and zeroes the output);
+- wall time stays near-linear (each dir's time ratio is printed next
+  to its data ratio vs the first dir).
 
 Writes SCALEPROOF.json. Usage:
     python tools/gen_scale_fixture.py scaledata/x1 1
     python tools/gen_scale_fixture.py scaledata/x10 10
-    python tools/scale_proof.py scaledata/x1 scaledata/x10
+    python tools/gen_scale_fixture.py scaledata/x100 100
+    python tools/scale_proof.py scaledata/x1 scaledata/x10 scaledata/x100
+
+Env: SCALEPROOF_REPEATS (default 3) — timing repeats per query/dir.
+     SCALEPROOF_ONLY — comma-separated query-name substrings; limits
+       this invocation to matching queries (plus the ANN/plane blocks
+       only when 'ann' matches). Results MERGE into an existing
+       SCALEPROOF.json, so a long sweep can run in resumable chunks.
 """
 
 from __future__ import annotations
@@ -33,7 +46,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-REPEATS = 3
+REPEATS = int(os.environ.get("SCALEPROOF_REPEATS", "3"))
+BASE_DOCS = 5000  # gen_scale_fixture.BASE_DOCS — x1 document count
+
 QUERIES = [
     "q129_minhash64_candidates",
     "q122_verified_dedup_clusters",
@@ -43,7 +58,6 @@ QUERIES = [
     "q124_simhash_candidates",
     # round-5 additions (documents-based, candidate-bounded by design)
     "q136_edit_distance_verify",
-    "q139_bloom_decontaminate",
     # events-based: sessionization (users and events scale together,
     # so per-key partition work stays constant)
     "q137_sessionize",
@@ -52,8 +66,33 @@ QUERIES = [
 ]
 
 
+def _fixed_bench_decontaminate(spark, sf_dir):
+    """q139's scale-proof twin with the benchmark pinned to a
+    ~constant-size slice (doc_id stride = corpus multiplier): the
+    train side grows 10x/100x, the benchmark — like every real
+    held-out eval set — does not."""
+    from pyspark.sql import functions as F
+
+    from climate_data_pipelines_spark.catalog import load_table, table_rows
+    from climate_data_pipelines_spark.operators import training
+
+    docs = load_table(spark, sf_dir, "documents")
+    mult = max(1, table_rows(sf_dir, "documents") // BASE_DOCS)
+    bench = docs.filter(
+        (F.col("source") == "src0") & (F.col("doc_id") % mult == 0)
+    )
+    train = docs.filter(F.col("source") != "src0")
+    out = training.bloom_decontaminate(
+        train, bench, k=3, expected_items=20_000, fpp=0.01
+    )
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
+CUSTOM = {"q139_fixed_bench_decontaminate": _fixed_bench_decontaminate}
+
+
 def main() -> None:
-    dirs = sys.argv[1:3] or ["scaledata/x1", "scaledata/x10"]
+    dirs = sys.argv[1:] or ["scaledata/x1", "scaledata/x10"]
 
     from climate_data_pipelines_spark import get_spark
     from climate_data_pipelines_spark.catalog import load_table, table_rows
@@ -65,18 +104,31 @@ def main() -> None:
     def run_noop(df) -> None:
         df.write.format("noop").mode("overwrite").save()
 
+    out_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALEPROOF.json",
+    )
+    only = [s for s in os.environ.get("SCALEPROOF_ONLY", "").split(",") if s]
+
+    base = dirs[0]
     out: dict = {"dirs": dirs, "repeats": REPEATS, "queries": {}}
-    for name in QUERIES:
-        spec = REGISTRY[name]
+    if only and os.path.exists(out_path):
+        with open(out_path) as fh:
+            prev = json.load(fh)
+        if prev.get("dirs") == dirs:  # merge only across same-dir runs
+            out = prev
+    fns = {name: REGISTRY[name].fn for name in QUERIES} | CUSTOM
+    for name, fn in fns.items():
+        if only and not any(s in name for s in only):
+            continue
         res = {}
         for d in dirs:
             n_docs = table_rows(d, "documents")
-            df = spec.fn(spark, d)
-            rows = df.count()  # materialize once (count = rows metric)
+            rows = fn(spark, d).count()  # materialize once (rows metric)
             samples = []
             for _ in range(REPEATS):
                 t0 = time.perf_counter()
-                run_noop(spec.fn(spark, d))
+                run_noop(fn(spark, d))
                 samples.append(time.perf_counter() - t0)
             res[d] = {
                 "rows": rows,
@@ -84,15 +136,25 @@ def main() -> None:
                 "n_docs": n_docs,
                 "rows_per_doc": round(rows / n_docs, 4),
             }
-        r10 = res[dirs[1]]
-        r1 = res[dirs[0]]
-        res["time_ratio_x10"] = round(r10["sec"] / r1["sec"], 2)
-        res["rows_ratio_x10"] = round(r10["rows"] / max(r1["rows"], 1), 2)
+        r1 = res[base]
+        for d in dirs[1:]:
+            mult = res[d]["n_docs"] // max(r1["n_docs"], 1)
+            res[f"time_ratio_x{mult}"] = round(res[d]["sec"] / r1["sec"], 2)
+            res[f"rows_ratio_x{mult}"] = round(
+                res[d]["rows"] / max(r1["rows"], 1), 2
+            )
         out["queries"][name] = res
-        print(f"{name}: x1 {r1['sec']}s/{r1['rows']}r  x10 {r10['sec']}s/"
-              f"{r10['rows']}r  time x{res['time_ratio_x10']} rows x{res['rows_ratio_x10']}")
+        print(f"{name}: " + "  ".join(
+            f"{d.rsplit('/', 1)[-1]} {res[d]['sec']}s/{res[d]['rows']}r"
+            for d in dirs
+        ))
 
-    # ANN: candidate counts + recall@10 vs exact at both scales
+    # ANN: candidate counts + recall@10 vs exact at every scale
+    if only and not any("ann" in s for s in only):
+        with open(out_path, "w") as fh:
+            json.dump(out, fh, indent=1)
+        print("wrote SCALEPROOF.json (chunk)")
+        return
     ann = {}
     for d in dirs:
         emb = load_table(spark, d, "embeddings")
@@ -133,8 +195,7 @@ def main() -> None:
     out["derived_lsh_planes"] = planes
     print("derived planes:", planes)
 
-    with open(os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "SCALEPROOF.json"), "w") as fh:
+    with open(out_path, "w") as fh:
         json.dump(out, fh, indent=1)
     print("wrote SCALEPROOF.json")
 
