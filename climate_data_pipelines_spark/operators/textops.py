@@ -646,3 +646,51 @@ def inverted_index(
         )
         .filter(F.col("doc_freq") >= min_doc_freq)
     )
+
+
+def heavy_hitters_topk(
+    df: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sample_per_10k: int = 1000,
+    candidate_factor: int = 4,
+    seed: str = "hh-v1",
+) -> DataFrame:
+    """Frequent-items top-k via sample-then-verify — ``vocab_topk``'s
+    100 TB path. A single exact groupBy over every token shuffles the
+    full token stream; the two-phase shape shuffles (a) the token
+    stream of a deterministic ~``sample_per_10k``/10k hash-sample of
+    DOCUMENTS to nominate ``candidate_factor * k`` candidates, then
+    (b) ONLY the candidate tokens (broadcast semi-join gate on the
+    second scan) for exact counting. The gate hashes the DOCUMENT id,
+    not the token: gating on the token string would sample vocabulary
+    TYPES (deterministically erasing 90% of distinct tokens — a
+    heavy hitter could never be nominated), whereas a document sample
+    preserves every frequent token's expected share. Any token
+    appearing in >> 10k/sample_per_10k documents is nominated with
+    overwhelming probability; md5 determinism keeps the whole output
+    engine-portable (DuckDB oracle bit-equal, same two phases).
+
+    Output: (token, term_freq) — EXACT counts for the k winners,
+    ordered by (term_freq desc, token). Both top-Ns are
+    TakeOrderedAndProject, never a global sort.
+    """
+    from climate_data_pipelines_spark.operators.training import _md5_bucket
+
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    sampled = tok.filter(_md5_bucket(F.col(id_col), seed, 10_000) < sample_per_10k)
+    candidates = (
+        sampled.groupBy("token")
+        .agg(F.count("*").alias("s_freq"))
+        .orderBy(F.desc("s_freq"), F.asc("token"))
+        .limit(candidate_factor * k)
+        .select("token")
+    )
+    exact = (
+        tok.select("token")
+        .join(F.broadcast(candidates), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count("*").alias("term_freq"))
+    )
+    return exact.orderBy(F.desc("term_freq"), F.asc("token")).limit(k)

@@ -741,3 +741,47 @@ def quality_select(
         scored.crossJoin(F.broadcast(thr))
         .filter(F.col("q_score") >= F.col("q_threshold"))
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    stratify_col: str | None = None,
+    seed: str = "aes-v1",
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    A-ES): each row draws key = ln(u)/w with u ~ U(0,1); the k largest
+    keys ARE a weighted sample without replacement — e.g. "sample
+    documents proportional to token count / quality weight" ahead of
+    a training run.
+
+    u is the deterministic md5 bucket of the id (+0.5 midpoint over
+    1e6 buckets), so the sample is reproducible across engines
+    (DuckDB oracle bit-equal), stable under reruns, and — like all
+    the hash-gate samplers here — adding rows never flips another
+    row's draw. Weights must be positive; non-positive weights are
+    clamped to 1 (a 0-weight row would be ln(u)/0 = -inf, i.e. never
+    sampled — clamping keeps it merely unlikely, not impossible).
+
+    Plan shape: stateless per-row key, then either one
+    TakeOrderedAndProject (global top-k, no full sort at scale) or a
+    per-stratum window rank (one shuffle on the stratum key, per-group
+    heap via WindowGroupLimit). The key column is dropped from the
+    output so downstream hashes never see engine-specific float
+    formatting.
+    """
+    u = (_md5_bucket(F.col(id_col), seed, 1_000_000) + F.lit(0.5)) / 1_000_000.0
+    key = F.log(u) / F.greatest(F.col(weight_col).cast("double"), F.lit(1.0))
+    scored = df.withColumn("_aes_key", key)
+    if stratify_col is None:
+        return scored.orderBy(F.col("_aes_key").desc(), id_col).limit(k).drop("_aes_key")
+    w = Window.partitionBy(stratify_col).orderBy(
+        F.col("_aes_key").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn", "_aes_key")
+    )

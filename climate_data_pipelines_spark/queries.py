@@ -4242,6 +4242,69 @@ def q158(spark, sf_dir):
     )
 
 
+@query(
+    "q159_weighted_sample",
+    """WITH keyed AS (
+         SELECT doc_id, lang, source, n_chars,
+                ln((CAST('0x' || substring(md5('aes-v1' || CAST(doc_id AS VARCHAR)), 1, 15)
+                      AS BIGINT) % 1000000 + 0.5) / 1000000.0)
+                  / greatest(CAST(n_chars AS DOUBLE), 1.0) AS aes_key
+         FROM documents),
+         ranked AS (SELECT *, row_number() OVER (
+                      PARTITION BY lang ORDER BY aes_key DESC, doc_id) AS rn
+                    FROM keyed)
+       SELECT doc_id, lang, source, n_chars FROM ranked WHERE rn <= 20""",
+    "Weighted sampling WITHOUT replacement (Efraimidis-Spirakis "
+    "A-ES): key = ln(u)/weight with u the deterministic md5 bucket "
+    "of the id, top-20 keys per language = a per-stratum sample "
+    "proportional to n_chars — 'sample long documents more' ahead of "
+    "a training run, reproducible across engines and stable under "
+    "reruns. One shuffle on the stratum key; WindowGroupLimit keeps "
+    "a 20-row heap per group, the corpus is never globally sorted; "
+    "the float key never leaves the plan.",
+)
+def q159(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return training.weighted_sample_topk(
+        docs.select("doc_id", "lang", "source", "n_chars"),
+        weight_col="n_chars",
+        k=20,
+        stratify_col="lang",
+    )
+
+
+@query(
+    "q160_heavy_hitters",
+    """WITH tok AS (SELECT doc_id,
+                      unnest(list_filter(string_split(text, ' '), x -> x != ''))
+                        AS token
+                    FROM documents),
+         sampled AS (SELECT token, COUNT(*) AS s_freq FROM tok
+                     WHERE CAST('0x' || substring(md5('hh-v1' || CAST(doc_id AS VARCHAR)), 1, 15)
+                             AS BIGINT) % 10000 < 1000
+                     GROUP BY 1),
+         candidates AS (SELECT token FROM sampled
+                        ORDER BY s_freq DESC, token LIMIT 40),
+         exact AS (SELECT t.token, COUNT(*) AS term_freq
+                   FROM tok t JOIN candidates c USING (token)
+                   GROUP BY 1)
+       SELECT token, term_freq FROM exact
+       ORDER BY term_freq DESC, token LIMIT 10""",
+    "Frequent-items top-k via SAMPLE-THEN-VERIFY — q111's 100 TB "
+    "path: a deterministic 10% md5 hash-sample of DOCUMENTS (gating "
+    "on the doc id — gating on the token string would sample "
+    "vocabulary types and erase heavy hitters) nominates 4k "
+    "candidates from ~10% of the token stream, then ONLY candidate "
+    "tokens pass a broadcast semi-join gate into the exact count "
+    "(second shuffle carries k*4 keys). Exact counts for the "
+    "winners, deterministic nomination, both top-Ns "
+    "TakeOrderedAndProject.",
+)
+def q160(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return textops.heavy_hitters_topk(docs, k=10)
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window selection
 # ---------------------------------------------------------------------------
@@ -4306,6 +4369,8 @@ DRIVER_WINDOW: list[str] = [
     # retrieval (round 5b)
     "q157_video_features",
     "q158_frame_sample",
+    "q159_weighted_sample",
+    "q160_heavy_hitters",
     "q152_gap_interpolate",
     "q153_robust_outliers",
     "q154_scd2_intervals",
@@ -4360,8 +4425,6 @@ DRIVER_WINDOW: list[str] = [
     "q64_math_suite",
     "q65_conditional_suite",
     "q66_array_suite",
-    "q67_date_suite",
-    "q68_regexp_suite",
 ]
 
 

@@ -249,3 +249,40 @@ def test_quality_percentile_known_ordering_and_ties(spark):
     assert rows[3]["quality_pctile"] == rows[4]["quality_pctile"]
     # a single-row group gets percent_rank 0
     assert rows[5]["quality_pctile"] == 0.0
+
+
+def test_heavy_hitters_equals_exact_topk(spark, sf_dir):
+    """Sample-then-verify must recover the exact top-10 with exact
+    counts on the fixture (every vocab token appears in far more than
+    10 documents, so nomination is effectively certain)."""
+    from climate_data_pipelines_spark.catalog import load_table
+    from climate_data_pipelines_spark.operators import textops
+
+    docs = load_table(spark, sf_dir, "documents")
+    hh = [(r["token"], r["term_freq"])
+          for r in textops.heavy_hitters_topk(docs, k=10).collect()]
+    tok = docs.select(F.explode(F.split("text", " ")).alias("token")).filter(
+        F.col("token") != ""
+    )
+    exact = [
+        (r["token"], r["c"])
+        for r in tok.groupBy("token").agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("token")).limit(10).collect()
+    ]
+    assert hh == exact
+
+
+def test_heavy_hitters_plan_shape(spark, sf_dir):
+    """Both top-Ns are TakeOrderedAndProject and the exact phase is
+    gated by a broadcast semi-join — never a full-vocab second
+    shuffle or a global sort."""
+    from climate_data_pipelines_spark.catalog import load_table
+    from climate_data_pipelines_spark.operators import textops
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (
+        textops.heavy_hitters_topk(docs, k=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("TakeOrderedAndProject") == 2
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan

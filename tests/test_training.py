@@ -435,3 +435,63 @@ def test_domain_cap_keeps_all_when_group_small(spark):
         [(i, "s0") for i in range(3)], "doc_id long, source string"
     )
     assert training.domain_cap(df, cap=10).count() == 3
+
+
+def test_weighted_sample_matches_manual_aes(spark):
+    """The deterministic A-ES draw is exactly reproducible in plain
+    Python (md5 bucket -> ln(u)/w, top-k), so the sampled ID SET has a
+    closed-form expectation."""
+    import hashlib
+    import math
+
+    from climate_data_pipelines_spark.operators import training
+
+    rows = [(i, 10 + (i * 37) % 200) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+
+    def key(i, w):
+        h = int(hashlib.md5(f"aes-v1{i}".encode()).hexdigest()[:15], 16)
+        u = (h % 1_000_000 + 0.5) / 1_000_000
+        return math.log(u) / max(float(w), 1.0)
+
+    want = {i for i, _ in sorted(
+        rows, key=lambda r: (-key(*r), r[0]))[:10]}
+    got = {
+        r["doc_id"]
+        for r in training.weighted_sample_topk(
+            df, weight_col="n_chars", k=10
+        ).collect()
+    }
+    assert got == want
+
+
+def test_weighted_sample_favors_heavy_weights(spark):
+    """Rows with 100x the weight must dominate the sample (A-ES
+    inclusion probability is weight-proportional for k << n)."""
+    from climate_data_pipelines_spark.operators import training
+
+    rows = [(i, 10_000 if i < 50 else 1) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    picked = [
+        r["doc_id"]
+        for r in training.weighted_sample_topk(df, weight_col="w", k=20).collect()
+    ]
+    assert len(picked) == 20
+    assert sum(1 for i in picked if i < 50) >= 18
+
+
+def test_weighted_sample_stratified_per_group_k(spark, sf_dir):
+    from climate_data_pipelines_spark.catalog import load_table
+    from climate_data_pipelines_spark.operators import training
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = training.weighted_sample_topk(
+        docs.select("doc_id", "lang", "n_chars"),
+        weight_col="n_chars", k=5, stratify_col="lang",
+    )
+    per = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert per and all(v == 5 for v in per.values())
+    # plan: per-group heap, not a global sort
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
