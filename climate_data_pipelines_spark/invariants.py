@@ -294,6 +294,60 @@ def inv_q158(spark, sf_dir):
     return True, f"{len(sampled)} docs, {n_frames} sampled frames, stride-2 exact"
 
 
+def inv_q161(spark, sf_dir):
+    """PageRank vs an independent numpy power iteration on the SAME
+    edge set (rebuilt via the oracle-green q122 candidate+verify
+    stages): per-node rank within 1e-6, total rank = 1."""
+    import numpy as np
+
+    from climate_data_pipelines_spark.catalog import load_table
+    from climate_data_pipelines_spark.operators import dedup
+    from climate_data_pipelines_spark.queries import (
+        MINHASH_BANDS, MINHASH_N, REGISTRY,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, k=3, n_hashes=MINHASH_N)
+    cand = dedup.minhash_lsh_candidates(sigs, n_hashes=MINHASH_N, bands=MINHASH_BANDS)
+    edges = [
+        (r["id_a"], r["id_b"])
+        for r in dedup.jaccard_on_pairs(docs, cand, k=3)
+        .filter("jaccard >= 0.5").select("id_a", "id_b").collect()
+    ]
+    got = {r["doc_id"]: r["rank"]
+           for r in REGISTRY["q161_pagerank"].fn(spark, sf_dir).collect()}
+    if not edges:
+        return len(got) == 0, "no verified edges and no ranked nodes"
+    total = sum(got.values())
+    if abs(total - 1.0) > 1e-9:
+        return False, f"ranks sum to {total}, not 1"
+    nodes = sorted({x for e in edges for x in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(idx[a], []).append(idx[b])
+        adj.setdefault(idx[b], []).append(idx[a])
+    r = np.full(n, 1.0 / n)
+    d = 0.85
+    for _ in range(200):
+        nxt = np.full(n, (1.0 - d) / n)
+        for u, vs in adj.items():
+            share = d * r[u] / len(vs)
+            for v in vs:
+                nxt[v] += share
+        if np.abs(nxt - r).sum() < 1e-12:
+            r = nxt
+            break
+        r = nxt
+    if set(got) != set(nodes):
+        return False, f"node set mismatch: {len(got)} vs {len(nodes)}"
+    worst = max(abs(got[v] - r[idx[v]]) for v in nodes)
+    return worst <= 1e-6, (
+        f"{n} nodes, {len(edges)} edges, max |rank - numpy| = {worst:.2e}"
+    )
+
+
 INVARIANTS: dict[str, Callable] = {
     "q55_ann_lsh_topk": inv_q55,
     "q73_ann_ivf_topk": inv_q73,
@@ -306,4 +360,5 @@ INVARIANTS: dict[str, Callable] = {
     "q156_approx_percentiles": inv_q156,
     "q157_video_features": inv_q157,
     "q158_frame_sample": inv_q158,
+    "q161_pagerank": inv_q161,
 }

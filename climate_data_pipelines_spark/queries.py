@@ -36,6 +36,7 @@ from climate_data_pipelines_spark.operators import (
     asof,
     climate,
     dedup,
+    graph,
     multimodal,
     sessions,
     similarity,
@@ -4303,6 +4304,34 @@ def q159(spark, sf_dir):
 def q160(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return textops.heavy_hitters_topk(docs, k=10)
+
+
+@query(
+    "q161_pagerank",
+    None,
+    "PageRank over the VERIFIED near-dup graph (rows-only: iterative "
+    "power iteration, not SQL-expressible) — centrality ranks the "
+    "canonical copy inside each near-dup family and generalizes to "
+    "link/interaction graphs. Per round ONE shuffle over the node "
+    "key (ranks x edges -> groupBy(dst) sum), edges checkpointed "
+    "once and reused, L1-delta convergence as an Observation scalar "
+    "riding the round's localCheckpoint — no row data to the driver. "
+    "Invariant gate: per-node rank within 1e-6 of an independent "
+    "numpy power iteration on the same edges, ranks sum to 1 "
+    "(tools/check_oracle.py prints the verdict).",
+)
+def q161(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, k=3, n_hashes=MINHASH_N)
+    cand = dedup.minhash_lsh_candidates(
+        sigs, n_hashes=MINHASH_N, bands=MINHASH_BANDS
+    ).localCheckpoint(eager=True)
+    ver = (
+        dedup.jaccard_on_pairs(docs, cand, k=3)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b")
+    )
+    return graph.pagerank(ver, node_col="doc_id")
 
 
 # ---------------------------------------------------------------------------
