@@ -332,3 +332,47 @@ def test_batch_sessionize_matches_streaming_session_window(spark, sf_dir, stream
         b_end, b_n = batch[key]
         assert b_n == n, (key, b_n, n)
         assert s_end == b_end + gap, (key, s_end, b_end)
+
+
+def test_checkpoint_restart_exactly_once(spark, sf_dir, stream_dirs):
+    """Operational recovery (SURVEY.md §2.10): an availableNow run
+    with a checkpoint, new files appended, then a RESTART from the
+    same checkpoint must process ONLY the new files (no reprocessing,
+    no loss) — the file-source offset log + sink commit log are the
+    exactly-once contract a 100 TB catch-up job leans on."""
+    import os
+
+    base = f"{stream_dirs}/restart"
+    in_dir, ckpt, out_dir = f"{base}/in", f"{base}/ckpt", f"{base}/out"
+    os.makedirs(in_dir, exist_ok=True)
+    events = load_table(spark, sf_dir, "events").limit(1000).cache()
+    first = events.filter(F.col("event_id") % 2 == 0)
+    second = events.filter(F.col("event_id") % 2 == 1)
+    first.coalesce(1).write.mode("append").parquet(in_dir)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(events.schema).parquet(in_dir)
+            .select("event_id", "user_id")
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return [r["event_id"] for r in spark.read.parquet(out_dir).collect()]
+
+    got1 = run_once()
+    assert sorted(got1) == sorted(r["event_id"] for r in first.collect())
+
+    # append the second half, restart from the SAME checkpoint: the
+    # committed output must now hold each event exactly once — the
+    # first file was not reprocessed, the new one not missed
+    second.coalesce(1).write.mode("append").parquet(in_dir)
+    got2 = run_once()
+    assert len(got2) == len(set(got2)) == 1000
+    assert sorted(got2) == sorted(r["event_id"] for r in events.collect())

@@ -63,6 +63,11 @@ QUERIES = [
     "q137_sessionize",
     # round-5b: single-shuffle funnel over the same events shape
     "q145_funnel",
+    # round-5c: per-stratum heap sampling (partial WindowGroupLimit
+    # before the exchange) and sample-then-verify heavy hitters (two
+    # tiny shuffles, no full-vocab exchange)
+    "q159_weighted_sample",
+    "q160_heavy_hitters",
 ]
 
 
