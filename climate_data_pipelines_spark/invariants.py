@@ -348,6 +348,56 @@ def inv_q161(spark, sf_dir):
     )
 
 
+def inv_q162(spark, sf_dir):
+    """BPE merge table vs an independent in-memory Sennrich BPE on the
+    same word counts: identical (merge_idx, left, right, pair_count)
+    sequence — same greedy apply, same (count desc, pair asc)
+    tie-break."""
+    from climate_data_pipelines_spark.catalog import load_table
+    from climate_data_pipelines_spark.queries import REGISTRY
+
+    got = [
+        (r["merge_idx"], r["left"], r["right"], r["pair_count"])
+        for r in REGISTRY["q162_bpe_merges"].fn(spark, sf_dir).collect()
+    ]
+    wc: dict = {}
+    for r in load_table(spark, sf_dir, "documents").select("text").collect():
+        for w in (r["text"] or "").split():
+            if w:
+                wc[w] = wc.get(w, 0) + 1
+    words = {}
+    for w, c in wc.items():
+        k = tuple(list(w) + ["</w>"])
+        words[k] = words.get(k, 0) + c
+    want = []
+    for i in range(10):
+        pairs: dict = {}
+        for syms, c in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        (l, rr), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c < 2:
+            break
+        want.append((i, l, rr, c))
+        new: dict = {}
+        for syms, cnt in words.items():
+            out: list = []
+            for s in syms:
+                if out and out[-1] == l and s == rr:
+                    out[-1] = l + rr
+                else:
+                    out.append(s)
+            new[tuple(out)] = new.get(tuple(out), 0) + cnt
+        words = new
+    if got != want:
+        return False, (
+            f"merge tables differ: spark {got[:3]}... vs ref {want[:3]}..."
+        )
+    return True, f"{len(got)} merges identical to the in-memory reference"
+
+
 INVARIANTS: dict[str, Callable] = {
     "q55_ann_lsh_topk": inv_q55,
     "q73_ann_ivf_topk": inv_q73,
@@ -361,4 +411,5 @@ INVARIANTS: dict[str, Callable] = {
     "q157_video_features": inv_q157,
     "q158_frame_sample": inv_q158,
     "q161_pagerank": inv_q161,
+    "q162_bpe_merges": inv_q162,
 }

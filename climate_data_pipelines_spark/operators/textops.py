@@ -694,3 +694,94 @@ def heavy_hitters_topk(
         .agg(F.count("*").alias("term_freq"))
     )
     return exact.orderBy(F.desc("term_freq"), F.asc("token")).limit(k)
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+    end_marker: str = "</w>",
+) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich et al.): learn
+    ``n_merges`` byte-pair merges from the corpus — the tokenizer-
+    construction step of an LLM data pipeline, run where the data is
+    instead of sampling it down to one machine.
+
+    The classic algorithm iterates over a WORD-FREQUENCY dict, and
+    that is exactly what makes it distributable: one corpus pass
+    builds (word, count) — vocabulary-sized, orders of magnitude
+    smaller than the corpus — and every merge round then runs on that
+    small table: explode adjacent symbol pairs weighted by word count
+    → one map-side-combined groupBy(pair) → top-1 pair via
+    TakeOrderedAndProject (count desc, pair asc tiebreak —
+    deterministic) → apply the merge with a pure-expression
+    left-to-right greedy fold (``F.aggregate``: append, or fuse with
+    the accumulator's tail when it equals the winning pair). The word
+    table is localCheckpoint-ed per round so lineage stays flat; the
+    only driver traffic per round is the single winning pair.
+
+    Words are space-tokenized and seeded as character sequences with
+    ``end_marker`` appended (word-boundary-aware merges, per the
+    paper). Returns the learned merge table
+    (merge_idx, left, right, pair_count) in merge order.
+    """
+    spark = df.sparkSession
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("w_count"))
+        .select(
+            F.concat(
+                F.split(F.col("word"), ""), F.array(F.lit(end_marker))
+            ).alias("syms"),
+            "w_count",
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges = []
+    for i in range(n_merges):
+        pairs = (
+            words.select(
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                        F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                    )
+                ).alias("p"),
+                "w_count",
+            )
+            .groupBy("p")
+            .agg(F.sum("w_count").alias("c"))
+            .orderBy(F.desc("c"), F.asc("p.l"), F.asc("p.r"))
+            .limit(1)
+            .collect()
+        )
+        if not pairs or pairs[0]["c"] < 2:
+            break
+        left, right = pairs[0]["p"]["l"], pairs[0]["p"]["r"]
+        merges.append((i, left, right, int(pairs[0]["c"])))
+        # left-to-right greedy fold: walk the symbol array once,
+        # fusing (left, right) whenever the accumulator tail is
+        # ``left`` AND was not itself just produced by this merge
+        # (classic BPE re-scans after each fuse, so "aaa" under merge
+        # (a,a) becomes [aa, a], not [aa, aa])
+        merged = left + right
+        words = words.select(
+            F.aggregate(
+                "syms",
+                F.expr("CAST(array() AS ARRAY<STRING>)"),
+                lambda acc, x: F.when(
+                    # try_element_at: NULL (not an ANSI error) on the
+                    # empty accumulator at the fold's first step
+                    (F.try_element_at(acc, F.lit(-1)) == left) & (x == F.lit(right)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            ).alias("syms"),
+            "w_count",
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "merge_idx int, left string, right string, pair_count bigint"
+    )

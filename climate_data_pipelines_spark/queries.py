@@ -4334,6 +4334,26 @@ def q161(spark, sf_dir):
     return graph.pagerank(ver, node_col="doc_id")
 
 
+@query(
+    "q162_bpe_merges",
+    None,
+    "Distributed BPE tokenizer training (rows-only: iterative, not "
+    "SQL-expressible): learn the first 10 byte-pair merges from the "
+    "corpus. ONE corpus pass builds the (word, count) table — "
+    "vocabulary-sized, orders of magnitude smaller than the corpus — "
+    "and every merge round runs on it: weighted adjacent-pair "
+    "explode, map-side-combined groupBy(pair), top-1 via "
+    "TakeOrderedAndProject with a deterministic (count desc, pair "
+    "asc) tie-break, then a pure-expression greedy fold applies the "
+    "merge. Per-round driver traffic is the single winning pair. "
+    "Invariant gate: merge table identical to an independent "
+    "in-memory Sennrich BPE on the same word counts "
+    "(tools/check_oracle.py prints the verdict).",
+)
+def q162(spark, sf_dir):
+    return textops.bpe_train(_t(spark, sf_dir, "documents"), n_merges=10)
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window selection
 # ---------------------------------------------------------------------------

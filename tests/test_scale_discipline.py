@@ -33,7 +33,7 @@ PYTHON_SURFACE = {
 # Iterative/recursive queries execute jobs during plan construction
 # (connected components' convergence loop) — exclude from the cheap
 # plan-string sweep to keep the test fast; they have their own tests.
-SLOW_CONSTRUCTION = {"q90_dedup_clusters", "q161_pagerank"}
+SLOW_CONSTRUCTION = {"q90_dedup_clusters", "q161_pagerank", "q162_bpe_merges"}
 
 
 @pytest.fixture(scope="module")

@@ -286,3 +286,77 @@ def test_heavy_hitters_plan_shape(spark, sf_dir):
     )
     assert plan.count("TakeOrderedAndProject") == 2
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def _ref_bpe(word_counts, n_merges, end="</w>"):
+    """Independent in-memory BPE (Sennrich): same greedy left-to-right
+    apply and (count desc, pair asc) tie-break as the operator."""
+    words = {}
+    for w, c in word_counts.items():
+        words[tuple(list(w) + [end])] = words.get(tuple(list(w) + [end]), 0) + c
+    merges = []
+    for i in range(n_merges):
+        pairs = {}
+        for syms, c in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        (l, r), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c < 2:
+            break
+        merges.append((i, l, r, c))
+        new = {}
+        for syms, cnt in words.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == l and s == r:
+                    out[-1] = l + r
+                else:
+                    out.append(s)
+            new[tuple(out)] = new.get(tuple(out), 0) + cnt
+        words = new
+    return merges
+
+
+def test_bpe_train_matches_reference_small(spark):
+    from climate_data_pipelines_spark.operators import textops
+
+    corpus = ["low low low lower lower newest newest newest newest widest widest"]
+    df = spark.createDataFrame([(0, corpus[0])], "doc_id long, text string")
+    got = [
+        (r["merge_idx"], r["left"], r["right"], r["pair_count"])
+        for r in textops.bpe_train(df, n_merges=8).collect()
+    ]
+    wc = {}
+    for w in corpus[0].split():
+        wc[w] = wc.get(w, 0) + 1
+    assert got == _ref_bpe(wc, 8)
+    # sanity: the classic example learns 'est</w>' pieces first
+    assert got[0][1:3] == ("e", "s")
+
+
+def test_bpe_train_matches_reference_fixture(spark, sf_dir):
+    from climate_data_pipelines_spark.catalog import load_table
+    from climate_data_pipelines_spark.operators import textops
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    got = [
+        (r["merge_idx"], r["left"], r["right"], r["pair_count"])
+        for r in textops.bpe_train(docs, n_merges=12).collect()
+    ]
+    wc = {}
+    for r in docs.select("text").collect():
+        for w in (r["text"] or "").split():
+            if w:
+                wc[w] = wc.get(w, 0) + 1
+    assert got == _ref_bpe(wc, 12)
+    assert len(got) == 12
+
+
+def test_bpe_train_stops_when_no_repeats(spark):
+    from climate_data_pipelines_spark.operators import textops
+
+    df = spark.createDataFrame([(0, "ab cd")], "doc_id long, text string")
+    # every adjacent pair occurs once -> no merge reaches count 2
+    assert textops.bpe_train(df, n_merges=5).count() == 0
