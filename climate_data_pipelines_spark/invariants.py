@@ -398,6 +398,48 @@ def inv_q162(spark, sf_dir):
     return True, f"{len(got)} merges identical to the in-memory reference"
 
 
+def inv_q163(spark, sf_dir):
+    """Trained-vocab tokenization vs an independent in-memory BPE
+    encode: per-doc token counts identical for every document."""
+    from climate_data_pipelines_spark.catalog import load_table
+    from climate_data_pipelines_spark.operators import textops
+    from climate_data_pipelines_spark.queries import REGISTRY
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [
+        (r["left"], r["right"])
+        for r in textops.bpe_train(docs, n_merges=6).collect()
+    ]
+    got = {r["doc_id"]: r["n_bpe_tokens"]
+           for r in REGISTRY["q163_bpe_tokenize"].fn(spark, sf_dir).collect()}
+
+    def encode(text):
+        out = 0
+        for w in (text or "").split():
+            if not w:
+                continue
+            syms = list(w) + ["</w>"]
+            for l, r in merges:
+                nxt: list = []
+                for s in syms:
+                    if nxt and nxt[-1] == l and s == r:
+                        nxt[-1] = l + r
+                    else:
+                        nxt.append(s)
+                syms = nxt
+            out += len(syms)
+        return out
+
+    texts = {r["doc_id"]: r["text"]
+             for r in docs.select("doc_id", "text").collect()}
+    if set(got) != set(texts):
+        return False, f"doc mismatch: {len(got)} vs {len(texts)}"
+    bad = [d for d in got if got[d] != encode(texts[d])]
+    if bad:
+        return False, f"{len(bad)} docs with token-count drift (e.g. {bad[:3]})"
+    return True, f"{len(got)} docs, trained-vocab token counts identical"
+
+
 INVARIANTS: dict[str, Callable] = {
     "q55_ann_lsh_topk": inv_q55,
     "q73_ann_ivf_topk": inv_q73,
@@ -412,4 +454,5 @@ INVARIANTS: dict[str, Callable] = {
     "q158_frame_sample": inv_q158,
     "q161_pagerank": inv_q161,
     "q162_bpe_merges": inv_q162,
+    "q163_bpe_tokenize": inv_q163,
 }

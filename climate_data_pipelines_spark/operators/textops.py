@@ -785,3 +785,53 @@ def bpe_train(
     return spark.createDataFrame(
         merges, "merge_idx int, left string, right string, pair_count bigint"
     )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    end_marker: str = "</w>",
+) -> DataFrame:
+    """Apply a trained BPE merge list (``bpe_train`` output order) —
+    the tokenize-with-trained-vocab step. Every merge becomes one
+    pure-expression greedy fold over the per-word symbol array, merges
+    chained IN TRAINING ORDER inside a single projection: no UDF, no
+    shuffle, no per-merge job — one narrow map over the corpus,
+    whatever the merge count. Returns (id, bpe_tokens, n_bpe_tokens);
+    token count with a trained tokenizer is the budgeting currency of
+    every mix/pack step upstream.
+    """
+
+    def apply_merge(syms, left, right):
+        merged = left + right
+        return F.aggregate(
+            syms,
+            F.expr("CAST(array() AS ARRAY<STRING>)"),
+            lambda acc, x: F.when(
+                (F.try_element_at(acc, F.lit(-1)) == left) & (x == F.lit(right)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+
+    word_syms = F.transform(
+        tokens(text_col),
+        lambda w: F.concat(F.split(w, ""), F.array(F.lit(end_marker))),
+    )
+    def merge_step(l, r):
+        # closure factory: a default-arg lambda would change the
+        # visible arity and break transform's lambda introspection
+        return lambda s: apply_merge(s, l, r)
+
+    encoded = word_syms
+    for left, right in merges:
+        encoded = F.transform(encoded, merge_step(left, right))
+    flat = F.flatten(encoded)
+    return df.select(
+        F.col(id_col),
+        flat.alias("bpe_tokens"),
+        F.size(flat).alias("n_bpe_tokens"),
+    )

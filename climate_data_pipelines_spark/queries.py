@@ -4354,6 +4354,26 @@ def q162(spark, sf_dir):
     return textops.bpe_train(_t(spark, sf_dir, "documents"), n_merges=10)
 
 
+@query(
+    "q163_bpe_tokenize",
+    None,
+    "Tokenize with the TRAINED vocab (rows-only): q162's learned "
+    "merges applied corpus-wide as chained pure-expression greedy "
+    "folds inside ONE projection — no UDF, no shuffle, no per-merge "
+    "job; token count under the trained tokenizer is the budgeting "
+    "currency of every mix/pack step. Invariant gate: per-doc token "
+    "arrays identical to an independent in-memory BPE encode "
+    "(tools/check_oracle.py prints the verdict).",
+)
+def q163(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    merges = [
+        (r["left"], r["right"])
+        for r in textops.bpe_train(docs, n_merges=6).collect()
+    ]
+    return textops.bpe_encode(docs, merges).select("doc_id", "n_bpe_tokens")
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window selection
 # ---------------------------------------------------------------------------

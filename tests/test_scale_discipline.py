@@ -33,7 +33,12 @@ PYTHON_SURFACE = {
 # Iterative/recursive queries execute jobs during plan construction
 # (connected components' convergence loop) — exclude from the cheap
 # plan-string sweep to keep the test fast; they have their own tests.
-SLOW_CONSTRUCTION = {"q90_dedup_clusters", "q161_pagerank", "q162_bpe_merges"}
+SLOW_CONSTRUCTION = {
+    "q90_dedup_clusters",
+    "q161_pagerank",
+    "q162_bpe_merges",
+    "q163_bpe_tokenize",
+}
 
 
 @pytest.fixture(scope="module")

@@ -360,3 +360,50 @@ def test_bpe_train_stops_when_no_repeats(spark):
     df = spark.createDataFrame([(0, "ab cd")], "doc_id long, text string")
     # every adjacent pair occurs once -> no merge reaches count 2
     assert textops.bpe_train(df, n_merges=5).count() == 0
+
+
+def _ref_bpe_encode(text, merges, end="</w>"):
+    out = []
+    for w in text.split():
+        if not w:
+            continue
+        syms = list(w) + [end]
+        for l, r in merges:
+            nxt = []
+            for s in syms:
+                if nxt and nxt[-1] == l and s == r:
+                    nxt[-1] = l + r
+                else:
+                    nxt.append(s)
+            syms = nxt
+        out.extend(syms)
+    return out
+
+
+def test_bpe_encode_matches_reference_and_is_narrow(spark):
+    from climate_data_pipelines_spark.operators import textops
+
+    corpus = "low low low lower lower newest newest newest newest widest widest"
+    df = spark.createDataFrame([(0, corpus)], "doc_id long, text string")
+    merges = [
+        (r["left"], r["right"])
+        for r in textops.bpe_train(df, n_merges=8).collect()
+    ]
+    enc = textops.bpe_encode(df, merges)
+    row = enc.collect()[0]
+    want = _ref_bpe_encode(corpus, merges)
+    assert row["bpe_tokens"] == want
+    assert row["n_bpe_tokens"] == len(want)
+    # training compressed the stream: fewer BPE tokens than characters
+    assert len(want) < sum(len(w) + 1 for w in corpus.split())
+    # tokenize-with-vocab is a narrow map: zero exchanges in the plan
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_bpe_encode_empty_merges_is_char_split(spark):
+    from climate_data_pipelines_spark.operators import textops
+
+    df = spark.createDataFrame([(0, "ab c")], "doc_id long, text string")
+    row = textops.bpe_encode(df, []).collect()[0]
+    assert row["bpe_tokens"] == ["a", "b", "</w>", "c", "</w>"]
