@@ -55,13 +55,17 @@ def pagerank(
 
     Returns (node, rank) with ranks summing to 1.
 
-    Raises RuntimeError if the L1 delta has not dropped below ``tol``
-    after ``max_iter`` rounds. The worst-case rate is ``damping`` per
-    round (undirected near-dup graphs are full of bipartite pieces —
+    ``tol`` bounds the L1 distance of the RETURNED ranks from the
+    true fixed point: the loop stops once the per-round delta drops
+    below tol·(1-d)/d, because a delta of δ only guarantees the
+    iterate is within δ·d/(1-d) of the fixed point (geometric tail at
+    rate ≤ d). Raises RuntimeError if that has not happened after
+    ``max_iter`` rounds. The worst-case rate is ``damping`` per round
+    (undirected near-dup graphs are full of bipartite pieces —
     isolated pairs, stars — whose iterates oscillate and shrink only
     by the damping factor), so reaching 1e-6 takes
-    ln(tol)/ln(damping) ≈ 85 rounds: the default bound is sized for
-    that, and a looser ``tol`` buys a proportionally shorter run.
+    ln(tol·(1-d)/d)/ln(d) ≈ 96 rounds at the defaults: the bound is
+    sized for that, and a looser ``tol`` buys a shorter run.
     """
     from pyspark.sql import Observation
 
@@ -80,7 +84,12 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         return nodes.select(F.col(node_col), F.lit(0.0).alias("rank"))
-    degree = sym.groupBy("src").agg(F.count("*").alias("deg"))
+    # node-sized and loop-invariant: materialize ONCE — otherwise every
+    # round (and the directed-mode dangling join a second time) re-runs
+    # the edge-scale groupBy shuffle
+    degree = sym.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint(
+        eager=True
+    )
 
     ranks = nodes.select(
         F.col(node_col), F.lit(1.0 / n).alias("rank")
@@ -123,7 +132,10 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
         ranks = new_ranks.select(node_col, "rank")
-        if obs.get["l1"] < tol:
+        # a per-round L1 delta of δ only bounds the distance to the
+        # fixed point by ~δ·d/(1-d) (geometric tail at rate ≤ d), so
+        # stop at tol·(1-d)/d to make the RETURNED ranks within ~tol
+        if obs.get["l1"] < tol * (1.0 - damping) / damping:
             break
     else:
         raise RuntimeError(

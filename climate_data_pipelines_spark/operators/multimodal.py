@@ -677,14 +677,11 @@ def encode_y4m(
     return b"".join(out)
 
 
-def decode_y4m(payload: bytes) -> tuple[int, int, float, list[float]]:
-    """REAL dependency-free Y4M decode: parse the YUV4MPEG2 header
-    (W/H/F/C tags), walk the FRAME markers, and compute the mean luma
-    of each frame's Y plane with numpy. Chroma planes are skipped by
-    size (mono/420*/422/444 supported). Returns
-    (width, height, fps, [per-frame mean luma 0-255])."""
-    import numpy as np
-
+def _y4m_geometry(payload: bytes) -> tuple[int, int, float, int, int, int]:
+    """Parse a YUV4MPEG2 header ONCE for every consumer: returns
+    (width, height, fps, y_size, c_size, header_end). A single parser
+    keeps decode and frame-sampling in exact agreement on the frame
+    geometry — the C-tag default (420 per spec) included."""
     if payload[: len(Y4M_SIG)] != Y4M_SIG:
         raise ValueError("not a YUV4MPEG2 payload")
     nl = payload.index(b"\n")
@@ -711,7 +708,19 @@ def decode_y4m(payload: bytes) -> tuple[int, int, float, list[float]]:
         c_size = 0
     else:
         c_size = (-(-width // div[0])) * (-(-height // div[1])) * 2
-    pos, lumas = nl + 1, []
+    return width, height, fps, y_size, c_size, nl + 1
+
+
+def decode_y4m(payload: bytes) -> tuple[int, int, float, list[float]]:
+    """REAL dependency-free Y4M decode: parse the YUV4MPEG2 header
+    (W/H/F/C tags), walk the FRAME markers, and compute the mean luma
+    of each frame's Y plane with numpy. Chroma planes are skipped by
+    size (mono/420*/422/444 supported). Returns
+    (width, height, fps, [per-frame mean luma 0-255])."""
+    import numpy as np
+
+    width, height, fps, y_size, c_size, pos = _y4m_geometry(payload)
+    lumas: list[float] = []
     while pos < len(payload):
         if payload[pos : pos + 5] != b"FRAME":
             raise ValueError(f"expected FRAME marker at byte {pos}")
@@ -838,30 +847,32 @@ def sample_video_frames(binary_df: DataFrame, every_n: int = 2) -> DataFrame:
         for pdf in it:
             rows = []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                # the shared header parser keeps this walk in exact
+                # agreement with decode_y4m's frame geometry (same
+                # C-tag default, same chroma rounding); a malformed
+                # stream is quarantined per row, not a task failure
                 try:
-                    w, h, _fps, _ = decode_y4m(p)
+                    _w, _h, _fps, y_size, c_size, pos = _y4m_geometry(p)
+                    doc_rows = []
+                    idx = 0
+                    while pos < len(p):
+                        if p[pos : pos + 5] != b"FRAME":
+                            raise ValueError(f"expected FRAME marker at {pos}")
+                        data_at = p.index(b"\n", pos) + 1
+                        if data_at + y_size + c_size > len(p):
+                            raise ValueError("truncated Y4M frame")
+                        if idx % every_n == 0:
+                            y = np.frombuffer(
+                                p, dtype=np.uint8, count=y_size, offset=data_at
+                            )
+                            doc_rows.append(
+                                (doc_id, idx, pos, round(float(y.mean()), 4))
+                            )
+                        pos = data_at + y_size + c_size
+                        idx += 1
                 except (ValueError, NotImplementedError):
-                    continue
-                nl = p.index(b"\n")
-                div = None
-                for tok in p[len(Y4M_SIG): nl].decode("ascii").split():
-                    if tok[0] == "C":
-                        div = _Y4M_CHROMA[tok[1:]]
-                y_size = w * h
-                c_size = (
-                    0 if div is None
-                    else (-(-w // div[0])) * (-(-h // div[1])) * 2
-                )
-                pos, idx = nl + 1, 0
-                while pos < len(p):
-                    data_at = p.index(b"\n", pos) + 1
-                    if idx % every_n == 0:
-                        y = np.frombuffer(
-                            p, dtype=np.uint8, count=y_size, offset=data_at
-                        )
-                        rows.append((doc_id, idx, pos, round(float(y.mean()), 4)))
-                    pos = data_at + y_size + c_size
-                    idx += 1
+                    continue  # quarantine the whole doc, no partial rows
+                rows.extend(doc_rows)
             yield pd.DataFrame(
                 rows, columns=["doc_id", "frame_idx", "byte_offset", "frame_luma"]
             )

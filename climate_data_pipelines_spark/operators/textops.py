@@ -696,6 +696,27 @@ def heavy_hitters_topk(
     return exact.orderBy(F.desc("term_freq"), F.asc("token")).limit(k)
 
 
+def _bpe_merge_fold(syms, left: str, right: str) -> Column:
+    """The ONE greedy left-to-right BPE merge fold shared by training
+    and encoding (divergent copies would silently break the trained-
+    vocab invariant): walk the symbol array once, fusing (left, right)
+    whenever the accumulator tail equals ``left`` — the fused symbol
+    left+right can never re-match ``left`` (right is non-empty), so
+    this reproduces classic BPE's re-scan semantics ("aaa" under
+    merge (a,a) → [aa, a], not [aa, aa])."""
+    merged = left + right
+    return F.aggregate(
+        syms,
+        F.expr("CAST(array() AS ARRAY<STRING>)"),
+        lambda acc, x: F.when(
+            # try_element_at: NULL (not an ANSI error) on the empty
+            # accumulator at the fold's first step
+            (F.try_element_at(acc, F.lit(-1)) == left) & (x == F.lit(right)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
 def bpe_train(
     df: DataFrame,
     n_merges: int = 10,
@@ -761,25 +782,8 @@ def bpe_train(
             break
         left, right = pairs[0]["p"]["l"], pairs[0]["p"]["r"]
         merges.append((i, left, right, int(pairs[0]["c"])))
-        # left-to-right greedy fold: walk the symbol array once,
-        # fusing (left, right) whenever the accumulator tail is
-        # ``left`` AND was not itself just produced by this merge
-        # (classic BPE re-scans after each fuse, so "aaa" under merge
-        # (a,a) becomes [aa, a], not [aa, aa])
-        merged = left + right
         words = words.select(
-            F.aggregate(
-                "syms",
-                F.expr("CAST(array() AS ARRAY<STRING>)"),
-                lambda acc, x: F.when(
-                    # try_element_at: NULL (not an ANSI error) on the
-                    # empty accumulator at the fold's first step
-                    (F.try_element_at(acc, F.lit(-1)) == left) & (x == F.lit(right)),
-                    F.concat(
-                        F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
-                    ),
-                ).otherwise(F.concat(acc, F.array(x))),
-            ).alias("syms"),
+            _bpe_merge_fold("syms", left, right).alias("syms"),
             "w_count",
         ).localCheckpoint(eager=True)
     return spark.createDataFrame(
@@ -804,19 +808,6 @@ def bpe_encode(
     every mix/pack step upstream.
     """
 
-    def apply_merge(syms, left, right):
-        merged = left + right
-        return F.aggregate(
-            syms,
-            F.expr("CAST(array() AS ARRAY<STRING>)"),
-            lambda acc, x: F.when(
-                (F.try_element_at(acc, F.lit(-1)) == left) & (x == F.lit(right)),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
-                ),
-            ).otherwise(F.concat(acc, F.array(x))),
-        )
-
     word_syms = F.transform(
         tokens(text_col),
         lambda w: F.concat(F.split(w, ""), F.array(F.lit(end_marker))),
@@ -824,7 +815,7 @@ def bpe_encode(
     def merge_step(l, r):
         # closure factory: a default-arg lambda would change the
         # visible arity and break transform's lambda introspection
-        return lambda s: apply_merge(s, l, r)
+        return lambda s: _bpe_merge_fold(s, l, r)
 
     encoded = word_syms
     for left, right in merges:

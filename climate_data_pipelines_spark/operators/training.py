@@ -761,9 +761,11 @@ def weighted_sample_topk(
     1e6 buckets), so the sample is reproducible across engines
     (DuckDB oracle bit-equal), stable under reruns, and — like all
     the hash-gate samplers here — adding rows never flips another
-    row's draw. Weights must be positive; non-positive weights are
-    clamped to 1 (a 0-weight row would be ln(u)/0 = -inf, i.e. never
-    sampled — clamping keeps it merely unlikely, not impossible).
+    row's draw. Weights must be positive; ONLY non-positive weights
+    are clamped to 1 (a 0-weight row would be ln(u)/0 = -inf, i.e.
+    never sampled — clamping keeps it merely unlikely, not
+    impossible). Fractional weights in (0, 1) are honored as-is —
+    quality scores are the advertised use case.
 
     Plan shape: stateless per-row key, then either one
     TakeOrderedAndProject (global top-k, no full sort at scale) or a
@@ -773,7 +775,8 @@ def weighted_sample_topk(
     formatting.
     """
     u = (_md5_bucket(F.col(id_col), seed, 1_000_000) + F.lit(0.5)) / 1_000_000.0
-    key = F.log(u) / F.greatest(F.col(weight_col).cast("double"), F.lit(1.0))
+    w_col = F.col(weight_col).cast("double")
+    key = F.log(u) / F.when(w_col > 0, w_col).otherwise(F.lit(1.0))
     scored = df.withColumn("_aes_key", key)
     if stratify_col is None:
         return scored.orderBy(F.col("_aes_key").desc(), id_col).limit(k).drop("_aes_key")

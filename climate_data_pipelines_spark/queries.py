@@ -4249,7 +4249,8 @@ def q158(spark, sf_dir):
          SELECT doc_id, lang, source, n_chars,
                 ln((CAST('0x' || substring(md5('aes-v1' || CAST(doc_id AS VARCHAR)), 1, 15)
                       AS BIGINT) % 1000000 + 0.5) / 1000000.0)
-                  / greatest(CAST(n_chars AS DOUBLE), 1.0) AS aes_key
+                  / (CASE WHEN n_chars > 0 THEN CAST(n_chars AS DOUBLE)
+                          ELSE 1.0 END) AS aes_key
          FROM documents),
          ranked AS (SELECT *, row_number() OVER (
                       PARTITION BY lang ORDER BY aes_key DESC, doc_id) AS rn

@@ -452,7 +452,7 @@ def test_weighted_sample_matches_manual_aes(spark):
     def key(i, w):
         h = int(hashlib.md5(f"aes-v1{i}".encode()).hexdigest()[:15], 16)
         u = (h % 1_000_000 + 0.5) / 1_000_000
-        return math.log(u) / max(float(w), 1.0)
+        return math.log(u) / (float(w) if w > 0 else 1.0)
 
     want = {i for i, _ in sorted(
         rows, key=lambda r: (-key(*r), r[0]))[:10]}

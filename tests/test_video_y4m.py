@@ -117,3 +117,32 @@ def test_compressed_video_quarantined_to_null(spark):
     rows = multimodal.extract_video_features(df).collect()
     assert len(rows) == 1 and rows[0]["width"] is None
     assert rows[0]["n_bytes"] == len(fake_mp4)
+
+
+def test_sample_video_frames_spec_default_colorspace(spark):
+    """A Y4M header with NO C tag means C420 per spec: the frame walk
+    must use the same default as decode_y4m (a mono-assuming walk
+    would misalign into chroma bytes and fail or emit garbage)."""
+    y = bytes([5] * 4)
+    p = multimodal.encode_y4m([y, y, y], 2, 2, colorspace="420")
+    headerless = p.replace(b" C420\n", b"\n", 1)
+    assert b" C" not in headerless[: headerless.index(b"\n")]
+    # decode agrees it's 3 frames of luma 5
+    assert multimodal.decode_y4m(headerless)[3] == [5.0, 5.0, 5.0]
+    df = spark.createDataFrame([(1, headerless)], "doc_id long, payload binary")
+    rows = sorted(
+        multimodal.sample_video_frames(df, every_n=2).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert [(r["frame_idx"], r["frame_luma"]) for r in rows] == [(0, 5.0), (2, 5.0)]
+
+
+def test_sample_video_frames_quarantines_truncated(spark):
+    good = multimodal.encode_y4m([bytes(256)] * 2, 16, 16, colorspace="mono")
+    df = spark.createDataFrame(
+        [(1, good), (2, good[:-20])], "doc_id long, payload binary"
+    )
+    rows = multimodal.sample_video_frames(df, every_n=1).collect()
+    # doc 2 is dropped whole — no partial rows from before the truncation
+    assert {r["doc_id"] for r in rows} == {1}
+    assert len(rows) == 2

@@ -122,6 +122,14 @@ def main() -> None:
             prev = json.load(fh)
         if prev.get("dirs") == dirs:  # merge only across same-dir runs
             out = prev
+            out["repeats"] = REPEATS  # describe THIS run's samples
+        else:
+            print(
+                f"WARNING: existing SCALEPROOF.json covers dirs "
+                f"{prev.get('dirs')} != {dirs}; its results will be "
+                "DISCARDED on write (re-run prior chunks with these "
+                "dirs, or align the dir arguments to merge)"
+            )
     fns = {name: REGISTRY[name].fn for name in QUERIES} | CUSTOM
     for name, fn in fns.items():
         if only and not any(s in name for s in only):
