@@ -324,6 +324,7 @@ class _BitReader:
         self._acc = 0
         self._nbits = 0
         self.marker: int | None = None
+        self._pad_bits = 0  # zero bits appended past a marker
 
     def _fill(self) -> None:
         d = self.data
@@ -339,11 +340,20 @@ class _BitReader:
                     self.marker = 0xFF00 | nxt
                     self._acc = (self._acc << 8) | 0  # pad
                     self._nbits += 8
+                    self._pad_bits += 8
                     continue
             else:
                 self.pos += 1
             self._acc = (self._acc << 8) | byte
             self._nbits += 8
+
+    def consumed_padding(self) -> int:
+        """Zero-pad bits actually DECODED (not just prefetched): pads
+        are only ever appended after the marker, so the unconsumed
+        tail of the accumulator holds min(_nbits, _pad_bits) of them.
+        A conforming stream consumes at most 7 (final-byte alignment);
+        more means the entropy data ended before the MCUs did."""
+        return self._pad_bits - min(self._nbits, self._pad_bits)
 
     def read_bit(self) -> int:
         if self._nbits == 0:
@@ -362,6 +372,7 @@ class _BitReader:
         self._acc = 0
         self._nbits = 0
         self.marker = None
+        self._pad_bits = 0
         d = self.data
         # scan forward to the marker (skip stuffing already consumed)
         while self.pos + 1 < len(d):
@@ -462,6 +473,11 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float]:
         pos += 2 + seglen
     if width is None or scan is None:
         raise ValueError("JPEG missing SOF or SOS")
+    if len(scan) != len(comps):
+        # a partial scan means non-interleaved (one scan per
+        # component); decoding it with interleaved-MCU geometry would
+        # produce silently wrong output
+        raise NotImplementedError("non-interleaved multi-scan JPEG")
 
     hmax = max(h for _, h, _, _ in comps)
     vmax = max(v for _, _, v, _ in comps)
@@ -516,6 +532,12 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float]:
                             idx = (my * lv + by) * yw_blocks + (mx * lh + bx)
                             y_blocks[idx] = blk.reshape(8, 8)
             mcu_count += 1
+            # entropy data that ends before the MCUs do would otherwise
+            # zero-fill the rest of the image silently (all-zero bits
+            # decode as valid Huffman symbols); >7 consumed pad bits is
+            # past any legal final-byte alignment
+            if reader.consumed_padding() > 7:
+                raise ValueError("truncated JPEG entropy data")
 
     pix = _idct2(y_blocks) + 128.0
     img = (

@@ -43,18 +43,19 @@ def funnel(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
-    tie_col: str = "event_id",
 ) -> DataFrame:
     """Strictly-ordered funnel: per user, the earliest timestamp of each
     stage such that stage k happens STRICTLY AFTER the user's earliest
     qualified stage k-1 event.
 
-    Single shuffle on ``user_col``: each stage's qualification flag is a
-    running window over the same partitioning; epoch-microsecond RANGE
-    frames give the strict "any qualified previous-stage event strictly
-    earlier" semantics without a self-join per stage (the join-chain
-    formulation — one join per stage — is the DuckDB oracle twin and
-    shuffles ``len(stages)`` times; this does it in one).
+    Single shuffle on ``user_col``: each stage's qualification flag is
+    ``min(qualified stage k-1 epoch)`` over the whole user partition
+    plus a strict ``>`` comparison — "exists a strictly earlier
+    qualified previous-stage event" needs only the partition-wide min
+    as the lower bound, no ordered frame and no tiebreak column, and
+    no self-join per stage (the join-chain formulation — one join per
+    stage — is the DuckDB oracle twin and shuffles ``len(stages)``
+    times; this does it in one).
 
     Returns one row per user who reached stage 0, with one nullable
     ``t_<stage>`` timestamp column per stage.

@@ -274,6 +274,23 @@ def decode_bmp(payload: bytes) -> tuple[int, int, float]:
         raise NotImplementedError(f"{bpp}-bpp BMP")
     top_down = height < 0
     height = abs(height)
+    palette_luma = None
+    if bpp == 8:
+        # 8-bpp pixels are PALETTE INDICES: read the BGRA color table
+        # (between the info header and the pixel data) and map each
+        # index through BT.601 — raw indices are luma only for the
+        # identity grayscale ramp, and an inverted or color palette
+        # would otherwise return a silently wrong statistic
+        n_colors = struct.unpack_from("<I", payload, 46)[0] or 256
+        tbl_off = 14 + hdr_size
+        if tbl_off + 4 * n_colors > data_off:
+            raise ValueError("BMP color table overruns pixel data offset")
+        palette_luma = [
+            0.299 * payload[tbl_off + 4 * i + 2]
+            + 0.587 * payload[tbl_off + 4 * i + 1]
+            + 0.114 * payload[tbl_off + 4 * i]
+            for i in range(n_colors)
+        ]
     row_bytes = (width * bpp // 8 + 3) & ~3
     total = 0.0
     for r in range(height):
@@ -281,7 +298,7 @@ def decode_bmp(payload: bytes) -> tuple[int, int, float]:
         base = data_off + src * row_bytes
         row = payload[base : base + width * (bpp // 8)]
         if bpp == 8:
-            total += sum(row)
+            total += sum(palette_luma[i] for i in row)
         else:
             step = bpp // 8
             for x in range(0, width * step, step):
@@ -315,6 +332,8 @@ def decode_ppm(payload: bytes) -> tuple[int, int, float]:
     width, height, maxval = fields
     if maxval > 255:
         raise NotImplementedError("16-bit Netpbm samples")
+    if maxval < 1:
+        raise ValueError(f"invalid Netpbm maxval {maxval}")
     n_px = width * height
     raw = payload[pos : pos + n_px * (3 if rgb else 1)]
     if rgb:
@@ -324,6 +343,9 @@ def decode_ppm(payload: bytes) -> tuple[int, int, float]:
         )
     else:
         total = float(sum(raw))
+    # Netpbm samples are 0..maxval; scale to the 0-255 luma contract
+    # shared with decode_png (maxval 15 pure white is 255.0, not 15.0)
+    total *= 255.0 / maxval
     return width, height, round(total / n_px, 4) if n_px else 0.0
 
 
@@ -463,21 +485,28 @@ def extract_image_features(binary_df: DataFrame) -> DataFrame:
     partitions, streamed) — the decode loop is per-batch Python, the
     orchestration stays distributed. At 100 TB this is the canonical
     shape: repartition by payload size budget upstream, one Python
-    worker per core decoding its partition's batches.
+    worker per core decoding its partition's batches. A corrupt or
+    unsupported payload (progressive JPEG, truncated GIF, …) is
+    PER-ROW quarantined to null feature columns — the audio twin's
+    error shape — instead of failing the task: one bad image in a
+    crawl corpus must not abort a 100 TB pass through 4 retries.
     """
 
-    def decode_one(p: bytes) -> tuple[int, int, float]:
-        if p[:8] == PNG_SIG:
-            return decode_png(p)
-        if p[:2] == b"BM":
-            return decode_bmp(p)
-        if p[:2] in (b"P5", b"P6"):
-            return decode_ppm(p)
-        if p[:6] in (b"GIF87a", b"GIF89a"):
-            return decode_gif(p)
-        if p[:2] == b"\xff\xd8":
-            return jpeg.decode_jpeg(p)
-        return _decode_image_stub(p)
+    def decode_one(p: bytes) -> tuple:
+        try:
+            if p[:8] == PNG_SIG:
+                return decode_png(p)
+            if p[:2] == b"BM":
+                return decode_bmp(p)
+            if p[:2] in (b"P5", b"P6"):
+                return decode_ppm(p)
+            if p[:6] in (b"GIF87a", b"GIF89a"):
+                return decode_gif(p)
+            if p[:2] == b"\xff\xd8":
+                return jpeg.decode_jpeg(p)
+            return _decode_image_stub(p)
+        except (ValueError, NotImplementedError, IndexError, struct.error):
+            return (None, None, None)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -565,11 +565,13 @@ def bm25_topk(
     Okapi BM25 with the standard idf = ln(1 + (N - df + 0.5)/(df + 0.5)).
     Plan shape at 100 TB:
 
-    - ONE explode of the corpus restricted to query terms via
-      ``array_intersect`` BEFORE the explode — only matching tokens
-      leave the scan, so the exploded stream is |hits|, not |tokens|;
-    - corpus stats (N, avgdl) and per-term document frequencies are
-      tiny aggregates cross/broadcast-joined back;
+    - ONE explode of the corpus restricted to query terms — the token
+      array is ``filter``-ed to the query set BEFORE the explode, so
+      only matching tokens leave the scan and the exploded stream is
+      |hits|, not |tokens|;
+    - corpus stats (N, avgdl) reuse the SAME scan's per-doc lengths
+      (no second tokenization pass over the corpus); per-term document
+      frequencies are tiny aggregates cross/broadcast-joined back;
     - final score is one hash agg on doc_id and a
       TakeOrderedAndProject top-k (per-partition k, no global sort).
     """
@@ -579,22 +581,11 @@ def bm25_topk(
     base = df.select(
         F.col(id_col),
         F.size(toks).alias("dl"),
-        F.array_intersect(toks, lit_terms).alias("_probe"),
-        toks.alias("_toks"),
+        F.filter(toks, lambda t: F.array_contains(lit_terms, t)).alias("_hits"),
     )
-    # tf per (doc, matching term): filter tokens to the query set, then
-    # explode only the hits.
-    hits = base.select(
-        id_col,
-        "dl",
-        F.explode(F.filter("_toks", lambda t: F.array_contains(lit_terms, t))).alias(
-            "term"
-        ),
-    )
+    hits = base.select(id_col, "dl", F.explode("_hits").alias("term"))
     tf = hits.groupBy(id_col, "term", "dl").agg(F.count("*").alias("tf"))
-    stats = df.select(F.size(tokens(text_col)).alias("dl")).agg(
-        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
-    )
+    stats = base.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
     dfreq = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
     idf = F.log(
         F.lit(1.0)
@@ -626,22 +617,29 @@ def inverted_index(
     corpus.
 
     explode(distinct per doc) → one hash agg per token. The postings
-    array is capped with ``slice(array_sort(collect_list(...)))`` —
-    collect_list on a capped, per-token group is bounded by the cap
-    after slice, and the hot-token groups are exactly the ones the
-    ``min_doc_freq`` filter keeps, so skew concentrates where output
-    is wanted. At 100 TB the cap bounds row width; the full posting
-    list would instead be a partitioned sink keyed by (token, shard).
+    cap is applied BEFORE the collect: a per-token ``row_number``
+    (ordered by doc id) nulls out every entry past the cap, and
+    ``collect_list`` skips nulls — so the aggregation buffer for a
+    hot token holds at most ``postings_cap`` ids, never the full
+    posting list (a stop-word in 10^8 docs would otherwise collect
+    GBs into one executor's agg buffer before any slice ran). Costs
+    one keyed window sort over (token, id, tf) rows; at 100 TB the
+    full posting list would instead be a partitioned sink keyed by
+    (token, shard).
     """
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
     per_doc = tok.groupBy("token", id_col).agg(F.count("*").alias("tf"))
+    w = Window.partitionBy("token").orderBy(id_col)
+    ranked = per_doc.withColumn("_rn", F.row_number().over(w))
     return (
-        per_doc.groupBy("token")
+        ranked.groupBy("token")
         .agg(
             F.count("*").alias("doc_freq"),
             F.sum("tf").alias("term_freq"),
-            F.slice(
-                F.array_sort(F.collect_list(F.col(id_col))), 1, postings_cap
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("_rn") <= postings_cap, F.col(id_col))
+                )
             ).alias("postings"),
         )
         .filter(F.col("doc_freq") >= min_doc_freq)

@@ -340,11 +340,16 @@ def bloom_decontaminate(
             F.broadcast(bits_i), f"_b{i}", "left_semi"
         )
     bad = (
-        prefiltered.join(F.broadcast(bench_sh), "shingle", "left_semi")
+        # the exact verify join must NOT force-broadcast bench_sh —
+        # the whole premise of the bloom stage is that the raw
+        # benchmark shingle strings are too big to broadcast; a plain
+        # shuffle semi-join is correct at any size (AQE still picks a
+        # broadcast strategy on its own when the set is small)
+        prefiltered.join(bench_sh, "shingle", "left_semi")
         .select(id_col)
         .distinct()
     )
-    return train.join(F.broadcast(bad), id_col, "left_anti")
+    return train.join(bad, id_col, "left_anti")
 
 
 def hash_split(

@@ -3694,8 +3694,8 @@ def q139(spark, sf_dir):
     "q140_pq_ann_topk",
     None,
     "ANN third path (rows-only): product quantization + ADC scan + "
-    "exact re-rank. Each unit vector compresses to m=8 one-byte "
-    "sub-codes (32x vs float32 at dim 64) — at 100 TB the ADC scan "
+    "exact re-rank. Each unit vector compresses to m=16 one-byte "
+    "sub-codes (16x vs float32 at dim 64) — at 100 TB the ADC scan "
     "reads the code table, not the embedding column, and is pure "
     "expression work (transform/aggregate over a broadcast per-query "
     "LUT); Python only in the one-off Arrow encode pass. Approximate "

@@ -661,3 +661,77 @@ class TestFormatRoundtrips:
         assert len({r["doc_id"] for r in rows}) == 3  # ids unique
         srcs = {r["text"]: r["source"] for r in rows}
         assert srcs["other file"].endswith("b.txt")
+
+
+def test_pgm_maxval_scaling():
+    # maxval 15, both pixels at full scale → pure white = 255.0
+    pgm = b"P5 2 1 15 " + bytes([15, 15])
+    w, h, luma = multimodal.decode_ppm(pgm)
+    assert (w, h, luma) == (2, 1, 255.0)
+    # half scale at maxval 10 → 127.5
+    pgm2 = b"P5 1 1 10 " + bytes([5])
+    assert multimodal.decode_ppm(pgm2)[2] == 127.5
+
+
+def _bmp8(width, height, indices_top_down, palette):
+    """Minimal 8-bpp BMP: BITMAPINFOHEADER + BGRA color table +
+    bottom-up padded rows of palette indices."""
+    import struct
+
+    n_colors = len(palette)
+    row_bytes = (width + 3) & ~3
+    data_off = 14 + 40 + 4 * n_colors
+    pixel_bytes = row_bytes * height
+    hdr = b"BM" + struct.pack(
+        "<IHHI", data_off + pixel_bytes, 0, 0, data_off
+    )
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 8, 0, pixel_bytes, 0, 0,
+        n_colors, 0,
+    )
+    table = b"".join(
+        bytes([b, g, r, 0]) for (r, g, b) in palette
+    )
+    rows = b""
+    for y in range(height - 1, -1, -1):  # bottom-up
+        row = bytes(indices_top_down[y]).ljust(row_bytes, b"\x00")
+        rows += row
+    return hdr + info + table + rows
+
+
+def test_bmp8_palette_mapped_luma():
+    # inverted gray palette: index 0 -> white, index 1 -> black
+    palette = [(255, 255, 255), (0, 0, 0)]
+    bmp = _bmp8(2, 1, [[0, 1]], palette)
+    w, h, luma = multimodal.decode_bmp(bmp)
+    assert (w, h) == (2, 1)
+    assert luma == 127.5  # (255 + 0) / 2 — raw indices would give 0.5
+    # color palette goes through BT.601
+    red_only = _bmp8(1, 1, [[0]], [(255, 0, 0)])
+    assert multimodal.decode_bmp(red_only)[2] == round(0.299 * 255, 4)
+
+
+def test_jpeg_truncated_entropy_raises():
+    from climate_data_pipelines_spark.functions import jpeg as jpeg_mod
+
+    pix = bytes(range(64)) * 4  # 16x16
+    good = jpeg_mod.encode_jpeg_gray8(pix, 16, 16)
+    assert jpeg_mod.decode_jpeg(good)  # sanity
+    # chop entropy bytes but keep the EOI marker: must raise, not
+    # silently zero-fill the missing MCUs
+    import pytest as _pytest
+
+    truncated = good[:-12] + b"\xff\xd9"
+    with _pytest.raises(ValueError, match="truncated JPEG entropy"):
+        jpeg_mod.decode_jpeg(truncated)
+
+
+def test_image_features_quarantine_bad_payload(spark):
+    good_pgm = b"P5 2 1 255 " + bytes([10, 20])
+    bad_gif = b"GIF89a" + bytes(4)  # truncated descriptor
+    df = spark.createDataFrame(
+        [(1, good_pgm), (2, bad_gif)], "doc_id long, payload binary"
+    )
+    rows = {r["doc_id"]: r for r in multimodal.extract_image_features(df).collect()}
+    assert rows[1]["mean_luma"] == 15.0
+    assert rows[2]["width"] is None and rows[2]["n_bytes"] == len(bad_gif)
