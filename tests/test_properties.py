@@ -253,3 +253,63 @@ def test_gif_decode_matches_mean(width, height, compress, data):
     w, h, luma = multimodal.decode_gif(_gif_gray(width, height, pixels, compress))
     assert (w, h) == (width, height)
     assert abs(luma - sum(pixels) / n) < 0.01
+
+
+@given(
+    width=st.integers(1, 12),
+    height=st.integers(1, 12),
+    n_frames=st.integers(1, 4),
+    colorspace=st.sampled_from(["mono", "420", "420jpeg", "422", "444"]),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_y4m_roundtrip_property(width, height, n_frames, colorspace, seed):
+    # encode→decode is exact for any dims/colorspace/frame count:
+    # per-frame mean luma equals numpy's mean of the written Y plane
+    import numpy as np
+
+    from climate_data_pipelines_spark.operators import multimodal
+
+    rng = np.random.default_rng(seed)
+    frames = [
+        rng.integers(0, 256, width * height, dtype=np.uint8).tobytes()
+        for _ in range(n_frames)
+    ]
+    payload = multimodal.encode_y4m(frames, width, height, colorspace=colorspace)
+    w, h, fps, lumas = multimodal.decode_y4m(payload)
+    assert (w, h, fps) == (width, height, 25.0)
+    want = [
+        round(float(np.frombuffer(f, dtype=np.uint8).mean()), 4) for f in frames
+    ]
+    assert lumas == want
+
+
+_word = st.text(alphabet="abcd", min_size=1, max_size=6)
+
+
+@given(
+    words=st.lists(_word, min_size=1, max_size=20),
+    n_merges=st.integers(1, 6),
+)
+@settings(max_examples=15, deadline=None)
+def test_bpe_train_encode_property(spark, words, n_merges):
+    # distributed train + encode vs the in-memory reference on an
+    # arbitrary small corpus: identical merge tables AND identical
+    # token streams (train/encode share one fold, so a greedy-apply
+    # divergence would surface here)
+    from climate_data_pipelines_spark.operators import textops
+    from tests.test_textops import _ref_bpe, _ref_bpe_encode
+
+    corpus = " ".join(words)
+    df = spark.createDataFrame([(0, corpus)], "doc_id long, text string")
+    got_merges = [
+        (r["merge_idx"], r["left"], r["right"], r["pair_count"])
+        for r in textops.bpe_train(df, n_merges=n_merges).collect()
+    ]
+    wc: dict = {}
+    for w in words:
+        wc[w] = wc.get(w, 0) + 1
+    assert got_merges == _ref_bpe(wc, n_merges)
+    pairs = [(l, r) for _, l, r, _ in got_merges]
+    row = textops.bpe_encode(df, pairs).collect()[0]
+    assert row["bpe_tokens"] == _ref_bpe_encode(corpus, pairs)
