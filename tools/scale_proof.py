@@ -68,6 +68,10 @@ QUERIES = [
     # tiny shuffles, no full-vocab exchange)
     "q159_weighted_sample",
     "q160_heavy_hitters",
+    # round-5c: iterative PageRank over the verified near-dup graph
+    # (edge set grows linearly with the corpus; rounds stay O(1) on
+    # the regular pair/clique components the fixture plants)
+    "q161_pagerank",
 ]
 
 
