@@ -37,8 +37,12 @@ def norm(a: Column | str) -> Column:
 
 
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
-    """Cosine similarity between two array columns (double)."""
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity between two array columns (double). A
+    zero-norm input scores 0.0, NOT NaN: Spark orders NaN above every
+    number, so an unguarded 0/0 would rank a zero embedding #1 in
+    every top-k and pass every >= threshold near-dup filter."""
+    denom = norm(a) * norm(b)
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
 def sq_l2(a: Column | str, b: Column | str) -> Column:

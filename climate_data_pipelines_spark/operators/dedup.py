@@ -375,17 +375,26 @@ def jaccard_on_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    # ALL three joins are left joins: an endpoint whose text yields no
+    # shingles (shorter than k tokens, empty, null) has no sizes row,
+    # and an inner join would silently DROP the pair instead of
+    # returning the promised jaccard = 0
+    n_common = F.coalesce(F.col("n_common"), F.lit(0))
+    union = (
+        F.coalesce(F.col("n_a"), F.lit(0))
+        + F.coalesce(F.col("n_b"), F.lit(0))
+        - n_common
+    )
     return (
         pairs.join(common, ["id_a", "id_b"], "left")
-        .join(sa, "id_a")
-        .join(sb, "id_b")
+        .join(sa, "id_a", "left")
+        .join(sb, "id_b", "left")
         .select(
             "id_a",
             "id_b",
-            (
-                F.coalesce(F.col("n_common"), F.lit(0))
-                / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_common"), F.lit(0)))
-            ).alias("jaccard"),
+            F.when(union > 0, n_common / union).otherwise(F.lit(0.0)).alias(
+                "jaccard"
+            ),
         )
     )
 
@@ -596,8 +605,13 @@ def simhash_band_candidates(
                 F.pmod(
                     F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
                     .cast("long"),
+                    # ceil, not floor: width 500 at cap 256 must split
+                    # into 2 salt groups (floor gave 1 = no split at
+                    # all for widths in (cap, 2*cap) — the
+                    # semantic_dedup sibling uses ceil for this)
                     F.greatest(
-                        (F.count("*").over(wspec) / bucket_cap).cast("long"), F.lit(1)
+                        F.ceil(F.count("*").over(wspec) / bucket_cap).cast("long"),
+                        F.lit(1),
                     ),
                 ),
             ).otherwise(F.lit(0)),

@@ -240,7 +240,10 @@ def ann_ivf_topk(
         n_cells = d_cells if n_cells is None else n_cells
         n_probe = d_probe if n_probe is None else n_probe
     df = spread_for_cpu(df)
-    normed = df.select(
+    # null embeddings cannot be clustered or probed — exclude them up
+    # front (the LSH path's null-guard equivalent; KMeans.fit throws
+    # on a null feature row)
+    normed = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col), l2_normalize(vec_col).alias("_nv")
     )
     feats = normed.select(
@@ -476,7 +479,6 @@ def semantic_dedup(
     corpus_n: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    keep: str = "min",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication over an embedding column:
     drop documents whose MEANING duplicates another's even when the
@@ -713,12 +715,17 @@ def pq_topk(
     q_rows = query_df.select(
         "query_id", l2_normalize("query_vec").alias("_nq")
     ).collect()
+    if not q_rows:
+        raise ValueError("pq_topk: query_df is empty")
     dim = len(q_rows[0]["_nq"])
 
     # -- 1. train: hash-ordered deterministic sample (content-stable,
-    # no full-corpus collect; xxhash64 order is shuffle-independent)
+    # no full-corpus collect; xxhash64 order is shuffle-independent).
+    # Null embeddings are excluded — a None in the sample would turn
+    # np.asarray ragged and crash the codebook fit.
     sample_rows = (
-        df.select(F.col(id_col), l2_normalize(vec_col).alias("_nv"))
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col), l2_normalize(vec_col).alias("_nv"))
         .orderBy(F.xxhash64(F.col(id_col).cast("string")), F.col(id_col))
         .limit(train_n)
         .collect()

@@ -409,7 +409,11 @@ def write_mbtiles(
     BATCH = 1024
     for r in tiles.select("z", "x", "y", "tile").toLocalIterator():
         # MBTiles uses TMS row order: flip y
-        batch.append((r.z, r.x, (1 << r.z) - 1 - r.y, gzip.compress(bytes(r.tile))))
+        # mtime=0: gzip otherwise embeds wall-clock time in each blob,
+        # making byte-identical pyramids hash differently across runs
+        batch.append(
+            (r.z, r.x, (1 << r.z) - 1 - r.y, gzip.compress(bytes(r.tile), mtime=0))
+        )
         min_z = r.z if min_z is None else min(min_z, r.z)
         max_z = r.z if max_z is None else max(max_z, r.z)
         if len(batch) >= BATCH:

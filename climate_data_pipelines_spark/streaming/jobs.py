@@ -133,6 +133,7 @@ def stream_stream_join(
     right: DataFrame,
     watermark: str = "1 hour",
     max_delay: str = "30 minutes",
+    dedup_self_pairs: bool = True,
 ) -> DataFrame:
     """Stream-stream inner join with watermarks + a time-range
     condition (SURVEY.md §2.10 engine-added surface).
@@ -143,6 +144,13 @@ def stream_stream_join(
     state: without the range bound a stream-stream join must hold
     every row forever. Returns one row per matching (user_id, ts
     proximity) pair.
+
+    ``dedup_self_pairs`` (default True) adds ``l_event_id <
+    r_event_id`` — correct ONLY when both sides are the SAME stream
+    (each unordered pair once, no self-pairs). Joining two DISTINCT
+    streams with independent id sequences MUST pass False: their ids
+    carry no pair-ordering meaning, and the filter would silently
+    drop roughly half of all legitimate matches.
     """
     l = left.withWatermark("ts", watermark).select(
         F.col("user_id").alias("l_user_id"),
@@ -156,10 +164,11 @@ def stream_stream_join(
     )
     cond = (
         (F.col("l_user_id") == F.col("r_user_id"))
-        & (F.col("l_event_id") < F.col("r_event_id"))
         & (F.col("r_ts") >= F.col("l_ts"))
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {max_delay}"))
     )
+    if dedup_self_pairs:
+        cond = cond & (F.col("l_event_id") < F.col("r_event_id"))
     return l.join(r, cond, "inner").select(
         F.col("l_user_id").alias("user_id"),
         "l_event_id",
@@ -177,13 +186,20 @@ def write_foreach_batch_parquet(
     escape hatch for sinks Spark lacks natively — each micro-batch
     arrives as a *batch* DataFrame, so any batch writer works; Spark
     guarantees at-least-once per batch_id, and the writer makes it
-    effectively-once by being idempotent per batch.
+    effectively-once by being idempotent per batch: output is
+    PARTITIONED by _batch_id and written with dynamic partition
+    overwrite, so a replayed batch REPLACES its own partition instead
+    of appending duplicate rows (a plain append would double batch N's
+    rows whenever the query restarts between the write and the
+    checkpoint commit).
     """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         (
             batch_df.withColumn("_batch_id", F.lit(batch_id))
-            .write.mode("append")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
             .parquet(out_dir)
         )
 
@@ -399,8 +415,16 @@ def decontaminate_stream(
     return (
         stream.crossJoin(F.broadcast(bench_set))
         .filter(
-            ~F.arrays_overlap(
-                F.array_distinct(shingles("text", k)), F.col("_bench_shingles")
+            # coalesce: a null-text doc yields NULL shingles → NULL
+            # overlap → the bare NOT would drop it, but the batch twin
+            # (no shingle rows → never flagged) KEEPS it; default the
+            # overlap to false so both modes keep null-text docs
+            ~F.coalesce(
+                F.arrays_overlap(
+                    F.array_distinct(shingles("text", k)),
+                    F.col("_bench_shingles"),
+                ),
+                F.lit(False),
             )
         )
         .drop("_bench_shingles")

@@ -400,3 +400,22 @@ def test_cross_candidates_equal_cross_subset_of_self_join(spark, sf_dir):
     assert got == expected and all(
         r["id_a"] not in base_ids and r["id_b"] in base_ids for r in cross.collect()
     )
+
+
+def test_jaccard_on_pairs_keeps_zero_shingle_endpoints(spark):
+    """A pair whose endpoint has fewer than k tokens (no shingles)
+    must come back with jaccard = 0.0, not vanish from the output."""
+    from climate_data_pipelines_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x y"), (3, "a b c d e")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], "id_a long, id_b long"
+    )
+    out = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in dedup.jaccard_on_pairs(docs, pairs, k=3).collect()}
+    assert set(out) == {(1, 2), (1, 3), (2, 3)}
+    assert out[(1, 2)] == 0.0 and out[(2, 3)] == 0.0
+    assert out[(1, 3)] == 1.0

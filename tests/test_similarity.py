@@ -301,3 +301,21 @@ def test_pq_topk_recall_vs_exact(spark, sf_dir):
     for r in rows:
         if r["rank"] == 1:
             assert top_exact[r["query_id"]] == r["vec_id"]
+
+
+def test_cosine_zero_vector_scores_zero_not_nan(spark):
+    """Spark orders NaN above every double: an unguarded 0/0 cosine
+    would rank a zero embedding #1 for every query. It must score 0.0
+    and never enter the top ranks."""
+    from climate_data_pipelines_spark.operators import similarity
+
+    rows = [(0, [0.0, 0.0, 0.0])] + [
+        (i, [float(i), 1.0, 0.0]) for i in range(1, 6)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0])], "query_id long, query_vec array<float>"
+    )
+    top = similarity.cosine_topk(df, q, k=3).collect()
+    assert all(r["vec_id"] != 0 for r in top)
+    assert all(r["cosine"] == r["cosine"] for r in top)  # no NaN
