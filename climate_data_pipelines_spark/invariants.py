@@ -343,7 +343,11 @@ def inv_q161(spark, sf_dir):
     if set(got) != set(nodes):
         return False, f"node set mismatch: {len(got)} vs {len(nodes)}"
     worst = max(abs(got[v] - r[idx[v]]) for v in nodes)
-    return worst <= 1e-6, (
+    # the operator only contracts ~tol=1e-6 to the fixed point while
+    # the numpy reference converges to 1e-12: accept 2e-6 so the gate
+    # has headroom when the iterate stops exactly at its bound
+    # (ADVICE r5 — a 1e-6 threshold on a 1e-6 guarantee is zero-margin)
+    return worst <= 2e-6, (
         f"{n} nodes, {len(edges)} edges, max |rank - numpy| = {worst:.2e}"
     )
 
@@ -400,7 +404,11 @@ def inv_q162(spark, sf_dir):
 
 def inv_q163(spark, sf_dir):
     """Trained-vocab tokenization vs an independent in-memory BPE
-    encode: per-doc token counts identical for every document."""
+    encode: per-doc token ARRAYS identical for every document (the
+    engine-side arrays come from the same ``bpe_encode`` projection
+    the query counts), and the query's ``n_bpe_tokens`` equals each
+    array's length (ADVICE r5: the gate now proves exactly what the
+    query description claims)."""
     from climate_data_pipelines_spark.catalog import load_table
     from climate_data_pipelines_spark.operators import textops
     from climate_data_pipelines_spark.queries import REGISTRY
@@ -412,9 +420,11 @@ def inv_q163(spark, sf_dir):
     ]
     got = {r["doc_id"]: r["n_bpe_tokens"]
            for r in REGISTRY["q163_bpe_tokenize"].fn(spark, sf_dir).collect()}
+    arrays = {r["doc_id"]: list(r["bpe_tokens"])
+              for r in textops.bpe_encode(docs, merges).collect()}
 
     def encode(text):
-        out = 0
+        out: list = []
         for w in (text or "").split():
             if not w:
                 continue
@@ -427,17 +437,20 @@ def inv_q163(spark, sf_dir):
                     else:
                         nxt.append(s)
                 syms = nxt
-            out += len(syms)
+            out.extend(syms)
         return out
 
     texts = {r["doc_id"]: r["text"]
              for r in docs.select("doc_id", "text").collect()}
-    if set(got) != set(texts):
+    if set(got) != set(texts) or set(arrays) != set(texts):
         return False, f"doc mismatch: {len(got)} vs {len(texts)}"
-    bad = [d for d in got if got[d] != encode(texts[d])]
+    bad = [d for d in got if arrays[d] != encode(texts[d])]
     if bad:
-        return False, f"{len(bad)} docs with token-count drift (e.g. {bad[:3]})"
-    return True, f"{len(got)} docs, trained-vocab token counts identical"
+        return False, f"{len(bad)} docs with token-array drift (e.g. {bad[:3]})"
+    bad = [d for d in got if got[d] != len(arrays[d])]
+    if bad:
+        return False, f"{len(bad)} docs where n_bpe_tokens != len(bpe_tokens)"
+    return True, f"{len(got)} docs, trained-vocab token arrays identical"
 
 
 INVARIANTS: dict[str, Callable] = {

@@ -20,7 +20,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from climate_data_pipelines_spark.functions.text import normalize_text, shingles, tokens
-from climate_data_pipelines_spark.operators.scale import spread_for_cpu
+from climate_data_pipelines_spark.operators.scale import (
+    spread_for_cpu,
+    unpersist_checkpoint,
+)
 
 
 def exact_dedup_keys(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -803,12 +806,17 @@ def connected_components(
             F.col("component").alias("grandparent"),
         )
         obs = Observation()
+        prev_labels = labels
         labels = (
             propagated.join(parent, "component")
             .select(F.col(node_col), F.col("grandparent").alias("component"))
             .observe(obs, _sum_metric())
             .localCheckpoint(eager=True)
         )
+        # free the previous round's label checkpoint now that the new
+        # one is materialized (bounds storage at 2 label tables + the
+        # edge table for the whole run, ADVICE r5 pattern)
+        unpersist_checkpoint(prev_labels)
         cur_sum = obs.get["s"]
         if cur_sum == prev_sum:
             break

@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from climate_data_pipelines_spark.operators.scale import unpersist_checkpoint
+
 
 def pagerank(
     edges: DataFrame,
@@ -94,6 +96,7 @@ def pagerank(
     ranks = nodes.select(
         F.col(node_col), F.lit(1.0 / n).alias("rank")
     ).localCheckpoint(eager=True)
+    ranks_ckpt = ranks  # handle to the round's live checkpoint
 
     base = (1.0 - damping) / n
     for _ in range(max_iter):
@@ -131,7 +134,13 @@ def pagerank(
             .observe(obs, F.sum(F.abs(F.col("rank") - F.col("_prev"))).alias("l1"))
             .localCheckpoint(eager=True)
         )
+        # the new round's checkpoint is materialized (eager=True), so
+        # the previous round's blocks are dead weight — drop them now
+        # instead of letting ~max_iter node-sized checkpoints pile up
+        # in executor storage for the whole run (ADVICE r5)
+        prev_ckpt, ranks_ckpt = ranks_ckpt, new_ranks
         ranks = new_ranks.select(node_col, "rank")
+        unpersist_checkpoint(prev_ckpt)
         # a per-round L1 delta of δ only bounds the distance to the
         # fixed point by ~δ·d/(1-d) (geometric tail at rate ≤ d), so
         # stop at tol·(1-d)/d to make the RETURNED ranks within ~tol

@@ -16,7 +16,10 @@ from climate_data_pipelines_spark.functions.text import (
     shingles,
     tokens,
 )
-from climate_data_pipelines_spark.operators.scale import spread_for_cpu
+from climate_data_pipelines_spark.operators.scale import (
+    spread_for_cpu,
+    unpersist_checkpoint,
+)
 
 # Function-word profiles for the n-gram/keyword language heuristic.
 # Deterministic and intentionally tiny: real corpora would use
@@ -780,10 +783,15 @@ def bpe_train(
             break
         left, right = pairs[0]["p"]["l"], pairs[0]["p"]["r"]
         merges.append((i, left, right, int(pairs[0]["c"])))
+        prev_words = words
         words = words.select(
             _bpe_merge_fold("syms", left, right).alias("syms"),
             "w_count",
         ).localCheckpoint(eager=True)
+        # new round's word table is materialized; free the previous
+        # round's checkpoint blocks instead of accumulating one
+        # vocab-sized block per merge (ADVICE r5, same as pagerank)
+        unpersist_checkpoint(prev_words)
     return spark.createDataFrame(
         merges, "merge_idx int, left string, right string, pair_count bigint"
     )
@@ -800,10 +808,20 @@ def bpe_encode(
     the tokenize-with-trained-vocab step. Every merge becomes one
     pure-expression greedy fold over the per-word symbol array, merges
     chained IN TRAINING ORDER inside a single projection: no UDF, no
-    shuffle, no per-merge job — one narrow map over the corpus,
-    whatever the merge count. Returns (id, bpe_tokens, n_bpe_tokens);
-    token count with a trained tokenizer is the budgeting currency of
-    every mix/pack step upstream.
+    shuffle, no per-merge job — one narrow map over the corpus.
+    Returns (id, bpe_tokens, n_bpe_tokens); token count with a trained
+    tokenizer is the budgeting currency of every mix/pack step
+    upstream.
+
+    Practical merge-count bound: each merge adds one nested
+    transform+aggregate level to the SAME projection, so the Catalyst
+    expression tree grows linearly and deeply per merge — fine for the
+    tens of merges this repo trains (≤ 12), but a production 32k-merge
+    vocab would blow codegen/nesting limits (and sequential ``select``
+    chunks don't help — CollapseProject folds them back into one
+    tree). The production path for large vocabs is a trained-vocab
+    longest-match tokenizer (vocabulary broadcast, one Arrow-batched
+    kernel) rather than replaying thousands of merges as expressions.
     """
 
     word_syms = F.transform(

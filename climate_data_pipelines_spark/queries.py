@@ -4031,7 +4031,8 @@ def q150(spark, sf_dir):
          per_doc AS (SELECT token, doc_id, COUNT(*) AS tf
                      FROM tok GROUP BY token, doc_id)
        SELECT token, COUNT(*) AS doc_freq, CAST(SUM(tf) AS BIGINT) AS term_freq,
-              list_slice(list_sort(list(doc_id)), 1, 50) AS postings
+              array_to_string(list_slice(list_sort(list(doc_id)), 1, 50),
+                              ',') AS postings
        FROM per_doc GROUP BY token HAVING COUNT(*) >= 2""",
     "Inverted-index build: token → (document frequency, total term "
     "frequency, first 50 doc ids ascending) — the search sidecar a "
@@ -4039,11 +4040,20 @@ def q150(spark, sf_dir):
     "one token-keyed hash agg (map-side combined); the postings array "
     "is slice-capped so row width is bounded regardless of token "
     "skew. At 100 TB the uncapped postings would be a partitioned "
-    "sink keyed by (token, shard) instead of a column.",
+    "sink keyed by (token, shard) instead of a column. The registry "
+    "row serializes postings to a comma-joined string (the driver's "
+    "canonicalizer cannot sort array columns — r5 driver ERROR); the "
+    "operator itself keeps the typed array for API users.",
 )
 def q151(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    return textops.inverted_index(docs, min_doc_freq=2, postings_cap=50)
+    out = textops.inverted_index(docs, min_doc_freq=2, postings_cap=50)
+    return out.select(
+        "token",
+        "doc_freq",
+        "term_freq",
+        F.array_join("postings", ",").alias("postings"),
+    )
 
 
 @query(
@@ -4363,8 +4373,10 @@ def q162(spark, sf_dir):
     "folds inside ONE projection — no UDF, no shuffle, no per-merge "
     "job; token count under the trained tokenizer is the budgeting "
     "currency of every mix/pack step. Invariant gate: per-doc token "
-    "arrays identical to an independent in-memory BPE encode "
-    "(tools/check_oracle.py prints the verdict).",
+    "arrays from the same bpe_encode projection identical to an "
+    "independent in-memory BPE encode, and this query's n_bpe_tokens "
+    "equal to each array's length (tools/check_oracle.py prints the "
+    "verdict).",
 )
 def q163(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
