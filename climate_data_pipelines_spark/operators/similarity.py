@@ -165,6 +165,7 @@ def derive_ivf_params(
     min_probed_members: int = 320,
     max_cells: int = 4096,
     min_probed_frac: float = 0.0,
+    probe_frac: float = 0.25,
 ) -> tuple[int, int]:
     """Corpus-adaptive IVF parameters.
 
@@ -189,6 +190,14 @@ def derive_ivf_params(
     Default 0.0 — production embedding corpora cluster, and the
     nlist/4 fraction is the standard working point; the fixture
     queries pass the floor explicitly (docs/SCALEPROOF.md Finding 3).
+
+    ``probe_frac`` is that standing probe fraction (default 1/4, the
+    i.i.d.-fixture working point). On CLUSTERED corpora — the geometry
+    real embeddings have — a query's true neighbors live in the few
+    sub-cells k-means carved its cluster into, so a much lower
+    fraction (1/32 in tools/ann_scale_proof.py, the production-style
+    setting) keeps recall while probing only a few % of the corpus;
+    ``min_probed_members`` still rescues tiny corpora.
     """
     import math
 
@@ -196,7 +205,10 @@ def derive_ivf_params(
     n_cells = max(8, min(max_cells, int(math.sqrt(n))))
     by_members = math.ceil(n_cells * min_probed_members / n)
     by_frac = math.ceil(n_cells * min_probed_frac)
-    n_probe = max(1, min(n_cells, max(n_cells // 4, by_members, by_frac)))
+    n_probe = max(
+        1,
+        min(n_cells, max(int(n_cells * probe_frac), by_members, by_frac)),
+    )
     return n_cells, n_probe
 
 
@@ -211,6 +223,7 @@ def ann_ivf_topk(
     seed: int = 42,
     corpus_n: int | None = None,
     min_probed_frac: float = 0.0,
+    probe_frac: float = 0.25,
 ) -> DataFrame:
     """Approximate top-k via an IVF coarse quantizer (SURVEY.md §2.11
     'IVF variant as the scale path'):
@@ -236,7 +249,9 @@ def ann_ivf_topk(
 
     if n_cells is None or n_probe is None:
         n = corpus_n if corpus_n is not None else df.count()
-        d_cells, d_probe = derive_ivf_params(n, min_probed_frac=min_probed_frac)
+        d_cells, d_probe = derive_ivf_params(
+            n, min_probed_frac=min_probed_frac, probe_frac=probe_frac
+        )
         n_cells = d_cells if n_cells is None else n_cells
         n_probe = d_probe if n_probe is None else n_probe
     df = spread_for_cpu(df)
@@ -479,6 +494,7 @@ def semantic_dedup(
     corpus_n: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    pair_ids_first: bool = True,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication over an embedding column:
     drop documents whose MEANING duplicates another's even when the
@@ -525,6 +541,108 @@ def semantic_dedup(
             n, n_tables, target_candidates, multiprobe=multiprobe_bits >= 1
         )
     df = spread_for_cpu(df)
+
+    if pair_ids_first:
+        # -- candidate-ids-first plan (default; VERDICT r5 item 7) ---
+        # The inline plan below ships a vector copy through EVERY
+        # bucket/probe exchange — n_tables·(2 + n_planes) copies of
+        # each embedding per run (checkpoint storage: n_tables copies).
+        # Here vectors are checkpointed ONCE (unit-normalized), every
+        # bucket/salt/probe join moves (id, table, bucket) triples
+        # only, candidates are deduplicated ACROSS tables/probes while
+        # still 16-byte id pairs, and the surviving candidate set does
+        # one id-keyed re-join per side to score — 2·|candidates|
+        # vector lookups total. Measured at x10/x100 (SCALEPROOF.json
+        # semantic_dedup_probe_traffic): same edges bit-for-bit, less
+        # data on every exchange, and the scoring work drops by the
+        # cross-table duplication factor. Sign bits are scale-
+        # invariant, so hashing the normalized copy equals hashing the
+        # raw vector (zero/null vectors behave identically: null sigs
+        # never bucket; zero vectors normalize to themselves).
+        vn = df.select(
+            F.col(id_col), l2_normalize(vec_col).alias("_vn")
+        ).localCheckpoint(eager=True)
+        b = vn.select(
+            F.col(id_col),
+            F.posexplode(_lsh_signatures("_vn", n_tables, n_planes)).alias(
+                "table", "bucket"
+            ),
+        ).localCheckpoint(eager=True)
+
+        wb = Window.partitionBy("table", "bucket")
+        b_salted = b.withColumn(
+            "_k",
+            F.greatest(
+                F.lit(1), F.ceil(F.count("*").over(wb) / F.lit(bucket_cap))
+            ).cast("int"),
+        ).withColumn(
+            "_salt",
+            F.pmod(F.xxhash64("table", F.col(id_col)), F.col("_k")).cast("int"),
+        )
+        same_bucket = (
+            b_salted.select(
+                "table", "bucket", "_salt", F.col(id_col).alias("id_a")
+            )
+            .join(
+                b_salted.select(
+                    "table", "bucket", "_salt", F.col(id_col).alias("id_b")
+                ),
+                ["table", "bucket", "_salt"],
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        cand = same_bucket
+        if multiprobe_bits >= 1 and n_planes > 0:
+            flips = b.select(
+                F.col(id_col).alias("id_b"), "table",
+                F.explode(
+                    F.array(*[
+                        F.col("bucket").bitwiseXOR(F.lit(1 << p))
+                        for p in range(n_planes)
+                    ])
+                ).alias("bucket"),
+            )
+            probe_pairs = (
+                b.select("table", "bucket", F.col(id_col).alias("id_a"))
+                .join(flips, ["table", "bucket"])
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b")
+            )
+            cand = same_bucket.unionByName(probe_pairs)
+        edges = (
+            cand.distinct()
+            .join(
+                vn.select(
+                    F.col(id_col).alias("id_a"), F.col("_vn").alias("_va")
+                ),
+                "id_a",
+            )
+            .join(
+                vn.select(
+                    F.col(id_col).alias("id_b"), F.col("_vn").alias("_vb")
+                ),
+                "id_b",
+            )
+            .filter(dot("_va", "_vb") >= threshold)
+            .select("id_a", "id_b")
+            .localCheckpoint(eager=True)
+        )
+        clusters = connected_components(
+            edges, nodes=df.select(id_col), node_col=id_col
+        ).withColumnRenamed("component", "cluster")
+        sizes = clusters.groupBy("cluster").agg(
+            F.count("*").alias("cluster_size")
+        )
+        return (
+            clusters.join(sizes, "cluster")
+            .select(
+                id_col,
+                "cluster",
+                "cluster_size",
+                (F.col(id_col) == F.col("cluster")).alias("is_keeper"),
+            )
+        )
 
     # One vectorized signature pass (all tables at once), unit-norm
     # computed once per MEMBER (not per pair — per-pair cosine recomputes

@@ -17,7 +17,13 @@ across a 10x corpus step (VERDICT r4 next-step 1):
 Deterministic (seed fixed). Other tables are copied from the base
 sf dir so every registry query can run against the output dir.
 
-Usage: python tools/gen_scale_fixture.py OUT_DIR MULT [BASE_SF_DIR]
+Usage: python tools/gen_scale_fixture.py OUT_DIR MULT [BASE_SF_DIR] [--mog]
+
+``--mog`` replaces the i.i.d. embeddings with a clustered
+mixture-of-Gaussians corpus (64 centers, ~0.92 within-cluster pairwise
+cosine, 10% i.i.d. background) — the geometry on which ANN pruning can
+actually be MEASURED (i.i.d. vectors are all ~orthogonal; no index
+prunes them). Used by tools/ann_scale_proof.py.
 """
 
 from __future__ import annotations
@@ -88,6 +94,53 @@ def gen_embeddings(n: int, seed: int = 4242):
     )
 
 
+MOG_CLUSTERS = 64
+MOG_NOISE_FRAC = 0.10
+MOG_PAIR_COS = 0.92  # expected within-cluster PAIRWISE cosine
+
+
+def gen_embeddings_mog(n: int, seed: int = 4242):
+    """Clustered (mixture-of-Gaussians) embeddings — the geometry a
+    REAL embedding corpus has (topics/templates cluster tightly;
+    i.i.d. Gaussian vectors, by contrast, are all ~orthogonal and no
+    index can prune them — docs/SCALEPROOF.md Finding 3 / VERDICT r5
+    missing-item 1).
+
+    ``MOG_CLUSTERS`` unit-norm centers; member = normalize(center +
+    sigma*noise) with sigma chosen so the expected within-cluster
+    pairwise cosine is ``MOG_PAIR_COS`` (cos ~ 1/(1+sigma^2*dim) for
+    small sigma, so sigma = sqrt((1/cos - 1)/dim)); the last
+    ``MOG_NOISE_FRAC`` of ids are i.i.d. background vectors (real
+    corpora have unclusterable tails). Cluster assignment is
+    ``vec_id % MOG_CLUSTERS`` over the clustered prefix, so the
+    fixture's standard query ids (vec_id < 3) are always cluster
+    members and every cluster grows linearly with the corpus. label =
+    cluster % 10 keeps the label-blocked queries meaningful.
+    """
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((MOG_CLUSTERS, DIM))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    n_clustered = n - int(n * MOG_NOISE_FRAC)
+    sigma = float(np.sqrt((1.0 / MOG_PAIR_COS - 1.0) / DIM))
+    cluster = np.arange(n_clustered) % MOG_CLUSTERS
+    v = centers[cluster] + sigma * rng.standard_normal((n_clustered, DIM))
+    noise = rng.standard_normal((n - n_clustered, DIM))
+    v = np.vstack([v, noise])
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    labels = np.concatenate(
+        [cluster % 10, rng.integers(0, 10, n - n_clustered)]
+    ).astype(np.int32)
+    return pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [row.astype(np.float32) for row in v], pa.list_(pa.float32())
+            ),
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+
+
 BASE_EVENTS = 100_000
 BASE_USERS = 1_500
 EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]
@@ -126,15 +179,18 @@ def gen_events(mult: int, seed: int = 777):
 
 
 def main() -> None:
-    out_dir = sys.argv[1]
-    mult = int(sys.argv[2])
-    base = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
+    args = [a for a in sys.argv[1:] if a != "--mog"]
+    mog = "--mog" in sys.argv[1:]
+    out_dir = args[0]
+    mult = int(args[1])
+    base = args[2] if len(args) > 2 else "/root/testdata/sf0.1"
     os.makedirs(out_dir, exist_ok=True)
     # row-group size matters: the real fixture is one small file/one
     # group; write the scaled corpus the same way so the single-split
     # scan (the case spread_for_cpu exists for) is reproduced
     pq.write_table(gen_documents(BASE_DOCS * mult), f"{out_dir}/documents.parquet")
-    pq.write_table(gen_embeddings(BASE_EMB * mult), f"{out_dir}/embeddings.parquet")
+    gen_emb = gen_embeddings_mog if mog else gen_embeddings
+    pq.write_table(gen_emb(BASE_EMB * mult), f"{out_dir}/embeddings.parquet")
     pq.write_table(gen_events(mult), f"{out_dir}/events.parquet")
     for t in (
         "region", "nation", "customer", "supplier", "part",
@@ -145,8 +201,9 @@ def main() -> None:
         if os.path.exists(src) and not os.path.exists(dst):
             shutil.copyfile(src, dst)
     print(f"wrote {out_dir}: documents x{mult} ({BASE_DOCS * mult}), "
-          f"embeddings x{mult} ({BASE_EMB * mult}), "
-          f"events x{mult} ({BASE_EVENTS * mult})")
+          f"embeddings x{mult} ({BASE_EMB * mult}"
+          + (", clustered/MoG" if mog else "")
+          + f"), events x{mult} ({BASE_EVENTS * mult})")
 
 
 if __name__ == "__main__":
