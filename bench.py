@@ -103,6 +103,7 @@ def main() -> None:
     run(REGISTRY["q17_agg_suite"].fn(spark, sf_dir))
 
     timings: dict[str, float] = {}
+    timings_min: dict[str, float] = {}
     for name in HEADLINE:
         spec = REGISTRY.get(name)
         if spec is None:
@@ -113,6 +114,10 @@ def main() -> None:
             run(spec.fn(spark, sf_dir))
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 3)
+        # min-of-k rides out suite/VM contention spikes the median
+        # can't (a q126-style doubling under load shows in the median
+        # but not the min when the plan itself is unchanged)
+        timings_min[name] = round(min(samples), 3)
 
     # ANN recall@10 vs the exact cosine baseline (the quality metric a
     # rows-only approximate query actually answers to)
@@ -143,11 +148,36 @@ def main() -> None:
         k=1 << 30, n_planes=5, n_tables=8, multiprobe_bits=2,
     ).count()
 
+    # regression self-flagging (VERDICT r5 item 8): compare this run's
+    # medians against the newest recorded BENCH_r*.json so a doubling
+    # is visible in the artifact itself, not only to a reader diffing
+    # two rounds. delta = this_median / prev_median (>1 = slower).
+    deltas: dict[str, float] = {}
+    prev_round = None
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        import glob
+
+        benches = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+        if benches:
+            prev_round = os.path.basename(benches[-1])
+            with open(benches[-1]) as fh:
+                prev = json.load(fh)
+            prev_q = (prev.get("parsed") or prev).get("queries", {})
+            for name, sec in timings.items():
+                if name in prev_q and prev_q[name]:
+                    deltas[name] = round(sec / prev_q[name], 2)
+    except Exception:
+        pass  # a malformed prior artifact must not fail the bench
+
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "queries_min": timings_min,
+        "delta_vs_prev": deltas,
+        "prev_round": prev_round,
         "sf": sf,
         "repeats": REPEATS,
         **recall,

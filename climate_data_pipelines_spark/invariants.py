@@ -453,6 +453,76 @@ def inv_q163(spark, sf_dir):
     return True, f"{len(got)} docs, trained-vocab token arrays identical"
 
 
+def inv_q164(spark, sf_dir):
+    """Ranked-kernel BPE tokenize vs BOTH engine's expression-fold
+    encoder and an independent in-memory ranked encode: per-doc token
+    arrays identical across all three, and q164's n_bpe_tokens equals
+    the array length. Pins the lowest-rank-first kernel's equivalence
+    to replaying merges in training order."""
+    from climate_data_pipelines_spark.catalog import load_table
+    from climate_data_pipelines_spark.operators import textops
+    from climate_data_pipelines_spark.queries import REGISTRY
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [
+        (r["left"], r["right"])
+        for r in textops.bpe_train(docs, n_merges=24, batch_m=8).collect()
+    ]
+    got = {r["doc_id"]: r["n_bpe_tokens"]
+           for r in REGISTRY["q164_bpe_tokenize_ranked"].fn(spark, sf_dir).collect()}
+    ranked = {r["doc_id"]: list(r["bpe_tokens"])
+              for r in textops.bpe_encode_ranked(docs, merges).collect()}
+    folded = {r["doc_id"]: list(r["bpe_tokens"])
+              for r in textops.bpe_encode(docs, merges).collect()}
+
+    rk = {p: i for i, p in enumerate(merges)}
+
+    def encode(text):
+        out: list = []
+        for w in (text or "").split():
+            if not w:
+                continue
+            syms = list(w) + ["</w>"]
+            while len(syms) > 1:
+                best = min(
+                    (rk[p] for p in zip(syms, syms[1:]) if p in rk),
+                    default=None,
+                )
+                if best is None:
+                    break
+                l, r = merges[best]
+                nxt: list = []
+                i = 0
+                while i < len(syms):
+                    if i < len(syms) - 1 and syms[i] == l and syms[i + 1] == r:
+                        nxt.append(l + r)
+                        i += 2
+                    else:
+                        nxt.append(syms[i])
+                        i += 1
+                syms = nxt
+            out.extend(syms)
+        return out
+
+    texts = {r["doc_id"]: r["text"]
+             for r in docs.select("doc_id", "text").collect()}
+    if not (set(got) == set(texts) == set(ranked) == set(folded)):
+        return False, "doc-id set mismatch across encoders"
+    bad = [d for d in texts if ranked[d] != folded[d]]
+    if bad:
+        return False, f"{len(bad)} docs where ranked != expression fold"
+    bad = [d for d in texts if ranked[d] != encode(texts[d])]
+    if bad:
+        return False, f"{len(bad)} docs where ranked != in-memory reference"
+    bad = [d for d in texts if got[d] != len(ranked[d])]
+    if bad:
+        return False, f"{len(bad)} docs where n_bpe_tokens != len(tokens)"
+    return True, (
+        f"{len(texts)} docs, ranked kernel == expression fold == "
+        f"in-memory reference ({len(merges)} merges)"
+    )
+
+
 INVARIANTS: dict[str, Callable] = {
     "q55_ann_lsh_topk": inv_q55,
     "q73_ann_ivf_topk": inv_q73,
@@ -468,4 +538,5 @@ INVARIANTS: dict[str, Callable] = {
     "q161_pagerank": inv_q161,
     "q162_bpe_merges": inv_q162,
     "q163_bpe_tokenize": inv_q163,
+    "q164_bpe_tokenize_ranked": inv_q164,
 }

@@ -4387,6 +4387,31 @@ def q163(spark, sf_dir):
     return textops.bpe_encode(docs, merges).select("doc_id", "n_bpe_tokens")
 
 
+@query(
+    "q164_bpe_tokenize_ranked",
+    None,
+    "Production-vocab BPE tokenize (rows-only): the batched train "
+    "(top-8 non-overlapping merges/round, ~n/8 driver round-trips) "
+    "feeds the RANKED Arrow kernel — broadcast pair->rank dict, "
+    "lowest-rank-first merge loop per word, per-batch word cache — "
+    "which handles 32k-merge vocabs that the expression-fold q163 "
+    "path cannot (one nested Catalyst fold per merge). Shuffle-free "
+    "narrow projection. Invariant gate: per-doc token arrays "
+    "identical to BOTH the expression-fold encoder and an "
+    "independent in-memory ranked encode "
+    "(tools/check_oracle.py prints the verdict).",
+)
+def q164(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    merges = [
+        (r["left"], r["right"])
+        for r in textops.bpe_train(docs, n_merges=24, batch_m=8).collect()
+    ]
+    return textops.bpe_encode_ranked(docs, merges).select(
+        "doc_id", "n_bpe_tokens"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window selection
 # ---------------------------------------------------------------------------
@@ -4444,69 +4469,79 @@ def q163(spark, sf_dir):
 #     10 slots as never-driver-checked; the 10 youngest stale-cohort
 #     entries (q71/q74-q82, all r2-green and judge-replayed green
 #     every round since) move to the round-6 leftover list.
+#   round 6 (this list): (a) q151 lead — the r5 driver ERROR, output
+#     schema fixed (postings serialized to string in both twins);
+#     (b) the 5 queries NO driver round has ever checked (q156,
+#     q161-q163 which registered after the r5 window froze, and the
+#     new q164 ranked-BPE kernel); (c) re-proofs of everything items
+#     1-3/5/7 touched — semantic dedup's new pair-ids-first default
+#     (q126), the CC checkpoint-unpersist adopters (q90/q122/q141),
+#     the ANN family whose derive params gained knobs (q55/q73/q140);
+#     (d) the full documented leftover list — the 19 stale
+#     r2/r3-only queries + the 10-query cohort moved in 5b; (e) 8
+#     oldest r4-only queries (q83/q93/q104/q105/q106/q110/q130/q133;
+#     q102 waits for r7). Rows-only slots: 9 (q156, q161-q164, q126,
+#     q55, q73, q140) <= 9.
 
 DRIVER_WINDOW: list[str] = [
-    # never driver-checked — new this round: real Y4M video decode +
-    # frame sampling (round 5c), event-log analytics + lexical
-    # retrieval (round 5b)
-    "q157_video_features",
-    "q158_frame_sample",
-    "q159_weighted_sample",
-    "q160_heavy_hitters",
-    "q152_gap_interpolate",
-    "q153_robust_outliers",
-    "q154_scd2_intervals",
-    "q155_jpeg_features",
-    "q145_funnel",
-    "q146_retention",
-    "q147_gap_fill",
-    "q148_event_paths",
-    "q149_value_outliers",
-    "q150_bm25_topk",
+    # lead: the r5 driver ERROR, now string-serialized in both twins
     "q151_inverted_index",
-    # never driver-checked (registered after the r4 window froze, or
-    # new this round: q136-q140)
-    "q134_strip_spans",
-    "q135_mvt_tiles",
-    "q136_edit_distance_verify",
-    "q137_sessionize",
-    "q138_stratified_sample",
-    "q139_bloom_decontaminate",
-    "q140_pq_ann_topk",
-    "q141_incremental_dedup",
-    "q142_domain_cap",
-    "q143_quality_calibrate",
-    "q144_audio_features",
-    # changed this round — must re-prove
-    "q37_minhash_lsh_candidates",
-    "q41_minhash_signatures",
+    # never driver-checked
+    "q156_approx_percentiles",
+    "q161_pagerank",
+    "q162_bpe_merges",
+    "q163_bpe_tokenize",
+    "q164_bpe_tokenize_ranked",
+    # changed this round — must re-prove (pair-ids-first semantic
+    # dedup; connected-components unpersist adopters; ANN derive-param
+    # surface)
+    "q126_semantic_dedup",
     "q90_dedup_clusters",
     "q122_verified_dedup_clusters",
-    "q129_minhash64_candidates",
-    "q42_simhash",
-    "q123_simhash_fingerprints",
-    "q124_simhash_candidates",
-    "q127_repeated_ngrams",
-    "q132_repeated_spans",
-    # (q55/q126 also changed, but both hold fresh r4 driver rows and
-    # their REAL gates — recall@10 and planted-pair coverage — run as
-    # replay invariants every round; the two window slots go to the
-    # never-checked q157/q158 instead, keeping rows-only slots <= 9)
+    "q141_incremental_dedup",
+    "q55_ann_lsh_topk",
     "q73_ann_ivf_topk",
-    "q92_land_mask_grid",
-    # stale r2/r3-only cohort, oldest first
-    "q40_ngram_jaccard",
-    "q45_token_count",
-    "q46_fingerprint",
-    "q47_lang_id",
-    "q58_cube_grouping",
-    "q60_percentiles",
-    "q61_unpivot",
-    "q62_pivot",
-    "q63_string_suite",
-    "q64_math_suite",
-    "q65_conditional_suite",
-    "q66_array_suite",
+    "q140_pq_ann_topk",
+    # stale r2/r3-only leftover list (documented in the round-5 note)
+    "q95_struct_update",
+    "q97_string_agg",
+    "q98_histogram",
+    "q99_map_suite",
+    "q107_hash_split",
+    "q108_pack_sequences",
+    "q109_tfidf_top_term",
+    "q111_vocab_topk",
+    "q112_shuffle_batches",
+    "q113_label_centroids",
+    "q115_degree_days",
+    "q116_domain_upsample",
+    "q117_fractional_upsample",
+    "q118_bigram_lm_score",
+    "q119_line_dedup",
+    "q120_chunk_windows",
+    "q121_dedup_keep_longest",
+    "q125_token_budget_mix",
+    "q128_quality_select",
+    # cohort moved to round 6 in the 5b rotation
+    "q71_value_windows",
+    "q74_salted_skew_join",
+    "q75_salted_agg",
+    "q76_tile_rollup",
+    "q77_grouping_sets",
+    "q78_exists_subquery",
+    "q79_scalar_subquery",
+    "q80_redact",
+    "q81_repetition_ratio",
+    "q82_sentence_stats",
+    # oldest r4-only queries (no driver row since round 4)
+    "q83_time_rollup",
+    "q93_try_functions",
+    "q104_time_weighted_avg",
+    "q105_locf_gapfill",
+    "q106_decontaminate",
+    "q110_per_key_trend",
+    "q130_contamination_rate",
+    "q133_dsir_weights",
 ]
 
 

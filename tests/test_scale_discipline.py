@@ -28,6 +28,8 @@ PYTHON_SURFACE = {
     "q155_jpeg_features",  # baseline-JPEG decode (mapInPandas byte codec)
     "q157_video_features",  # Y4M video decode (mapInPandas byte codec)
     "q158_frame_sample",  # Y4M frame sampling (mapInPandas byte codec)
+    "q164_bpe_tokenize_ranked",  # ranked-merge BPE kernel (Arrow,
+    # broadcast pair->rank dict — the 32k-vocab path)
 }
 
 # Iterative/recursive queries execute jobs during plan construction
@@ -38,6 +40,7 @@ SLOW_CONSTRUCTION = {
     "q161_pagerank",
     "q162_bpe_merges",
     "q163_bpe_tokenize",
+    "q164_bpe_tokenize_ranked",
 }
 
 

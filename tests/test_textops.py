@@ -362,6 +362,127 @@ def test_bpe_train_stops_when_no_repeats(spark):
     assert textops.bpe_train(df, n_merges=5).count() == 0
 
 
+def _ref_bpe_batched(
+    word_counts, n_merges, batch_m, candidate_factor=4, end="</w>"
+):
+    """In-memory mirror of the batched (batch_m > 1) train path: top
+    batch_m*candidate_factor pairs per round, greedy NON-OVERLAPPING
+    accept in (count desc, pair asc) order, all accepted merges
+    applied with round-start counts recorded."""
+    words = {}
+    for w, c in word_counts.items():
+        words[tuple(list(w) + [end])] = words.get(tuple(list(w) + [end]), 0) + c
+    merges = []
+    while len(merges) < n_merges:
+        pairs = {}
+        for syms, c in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        top = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        top = [(p, c) for p, c in top[: batch_m * candidate_factor] if c >= 2]
+        if not top:
+            break
+        used, batch = set(), []
+        room = min(batch_m, n_merges - len(merges))
+        for (l, r), c in top:
+            if l in used or r in used or (l + r) in used:
+                continue
+            used.update((l, r, l + r))
+            batch.append((l, r, c))
+            if len(batch) >= room:
+                break
+        for l, r, c in batch:
+            merges.append((len(merges), l, r, c))
+        for l, r, _ in batch:
+            new = {}
+            for syms, cnt in words.items():
+                out = []
+                for s in syms:
+                    if out and out[-1] == l and s == r:
+                        out[-1] = l + r
+                    else:
+                        out.append(s)
+                new[tuple(out)] = new.get(tuple(out), 0) + cnt
+            words = new
+    return merges
+
+
+def test_bpe_train_batched_matches_reference(spark, sf_dir):
+    """batch_m>1 path vs the in-memory batched mirror: identical merge
+    table — and the recorded counts are the FROZEN round-start counts
+    (exact for disjoint-symbol merges, which is what the greedy
+    non-overlap rule guarantees)."""
+    from climate_data_pipelines_spark.catalog import load_table
+    from climate_data_pipelines_spark.operators import textops
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    got = [
+        (r["merge_idx"], r["left"], r["right"], r["pair_count"])
+        for r in textops.bpe_train(docs, n_merges=18, batch_m=4).collect()
+    ]
+    wc = {}
+    for r in docs.select("text").collect():
+        for w in (r["text"] or "").split():
+            if w:
+                wc[w] = wc.get(w, 0) + 1
+    assert got == _ref_bpe_batched(wc, 18, 4)
+    assert len(got) == 18
+
+
+def test_bpe_encode_ranked_equals_fold(spark, sf_dir):
+    """Ranked Arrow kernel vs the expression-fold encoder: identical
+    per-doc token arrays on the fixture corpus (24 trained merges,
+    batched train)."""
+    from climate_data_pipelines_spark.catalog import load_table
+    from climate_data_pipelines_spark.operators import textops
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    merges = [
+        (r["left"], r["right"])
+        for r in textops.bpe_train(docs, n_merges=24, batch_m=8).collect()
+    ]
+    fold = {r["doc_id"]: list(r["bpe_tokens"])
+            for r in textops.bpe_encode(docs, merges).collect()}
+    ranked = {r["doc_id"]: list(r["bpe_tokens"])
+              for r in textops.bpe_encode_ranked(docs, merges).collect()}
+    assert ranked == fold
+    ns = {r["doc_id"]: r["n_bpe_tokens"]
+          for r in textops.bpe_encode_ranked(docs, merges).collect()}
+    assert all(ns[d] == len(ranked[d]) for d in ranked)
+
+
+def test_bpe_encode_ranked_overlap_semantics(spark):
+    """Overlapping runs must match classic greedy left-to-right:
+    'aaa' under merge (a,a) -> [aa, a</w>]... exact agreement with the
+    sequential fold on adversarial repeats."""
+    from climate_data_pipelines_spark.operators import textops
+
+    df = spark.createDataFrame(
+        [(0, "aaa aaaa aa a abab ababab")], "doc_id long, text string"
+    )
+    merges = [("a", "a"), ("a", "b"), ("aa", "a"), ("ab", "ab")]
+    fold = textops.bpe_encode(df, merges).collect()[0]
+    ranked = textops.bpe_encode_ranked(df, merges).collect()[0]
+    assert list(ranked["bpe_tokens"]) == list(fold["bpe_tokens"])
+
+
+def test_bpe_train_batch_m1_is_classic(spark):
+    """batch_m=1 must stay bit-identical to the classic Sennrich path
+    (the q162 reference-parity invariant pins this contract)."""
+    from climate_data_pipelines_spark.operators import textops
+
+    corpus = "low low low lower lower newest newest newest newest widest widest"
+    df = spark.createDataFrame([(0, corpus)], "doc_id long, text string")
+    got = [
+        (r["merge_idx"], r["left"], r["right"], r["pair_count"])
+        for r in textops.bpe_train(df, n_merges=8, batch_m=1).collect()
+    ]
+    wc = {}
+    for w in corpus.split():
+        wc[w] = wc.get(w, 0) + 1
+    assert got == _ref_bpe(wc, 8)
+
+
 def _ref_bpe_encode(text, merges, end="</w>"):
     out = []
     for w in text.split():
