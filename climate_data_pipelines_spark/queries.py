@@ -4412,6 +4412,48 @@ def q164(spark, sf_dir):
     )
 
 
+@query(
+    "q165_binned_range_join",
+    """WITH bands AS (SELECT o_custkey AS ck,
+                        ROUND((AVG(o_totalprice) - 2000) * 100) / 100 AS lo,
+                        ROUND((AVG(o_totalprice) + 2000) * 100) / 100 AS hi
+                      FROM orders GROUP BY o_custkey)
+       SELECT b.ck, COUNT(*) AS n_in_band,
+              ROUND(SUM(o.o_totalprice) * 100) / 100 AS sum_price
+       FROM orders o JOIN bands b
+         ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+       GROUP BY b.ck""",
+    "Bin-bucketed range join — the SCALE path for interval containment "
+    "when the bounds side (here 1,500 per-customer price bands) is too "
+    "large to broadcast: both sides quantize to 4,000-wide value bins, "
+    "intervals explode across the bins they span, and the join is a "
+    "plain shuffle EQUI-join on the bin + exact containment filter — "
+    "no BroadcastNestedLoopJoin, no cartesian (plan-asserted in "
+    "tests). A (fact, interval) match lands in exactly one bin (the "
+    "fact's), so the output is duplicate-free without a distinct even "
+    "with overlapping intervals. Oracle: DuckDB's native inequality "
+    "join over the identical band table.",
+)
+def q165(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    bands = orders.groupBy(F.col("o_custkey").alias("ck")).agg(
+        oround(F.avg("o_totalprice") - 2000.0, 2).alias("lo"),
+        oround(F.avg("o_totalprice") + 2000.0, 2).alias("hi"),
+    )
+    joined = asof.binned_range_join(
+        orders.select("o_totalprice"),
+        bands,
+        "o_totalprice",
+        "lo",
+        "hi",
+        bin_width=4000.0,
+    )
+    return joined.groupBy("ck").agg(
+        F.count("*").alias("n_in_band"),
+        oround(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window selection
 # ---------------------------------------------------------------------------
@@ -4471,17 +4513,18 @@ def q164(spark, sf_dir):
 #     every round since) move to the round-6 leftover list.
 #   round 6 (this list): (a) q151 lead — the r5 driver ERROR, output
 #     schema fixed (postings serialized to string in both twins);
-#     (b) the 5 queries NO driver round has ever checked (q156,
+#     (b) the 6 queries NO driver round has ever checked (q156,
 #     q161-q163 which registered after the r5 window froze, and the
-#     new q164 ranked-BPE kernel); (c) re-proofs of everything items
+#     new q164 ranked-BPE kernel + q165 binned range join);
+#     (c) re-proofs of everything items
 #     1-3/5/7 touched — semantic dedup's new pair-ids-first default
 #     (q126), the CC checkpoint-unpersist adopters (q90/q122/q141),
 #     the ANN family whose derive params gained knobs (q55/q73/q140);
 #     (d) the full documented leftover list — the 19 stale
-#     r2/r3-only queries + the 10-query cohort moved in 5b; (e) 8
-#     oldest r4-only queries (q83/q93/q104/q105/q106/q110/q130/q133;
-#     q102 waits for r7). Rows-only slots: 9 (q156, q161-q164, q126,
-#     q55, q73, q140) <= 9.
+#     r2/r3-only queries + the 10-query cohort moved in 5b; (e) 7
+#     oldest r4-only queries (q83/q93/q104/q106/q110/q130/q133;
+#     q102/q105 wait for r7). Rows-only slots: 9 (q156, q161-q164,
+#     q126, q55, q73, q140) <= 9.
 
 DRIVER_WINDOW: list[str] = [
     # lead: the r5 driver ERROR, now string-serialized in both twins
@@ -4492,6 +4535,7 @@ DRIVER_WINDOW: list[str] = [
     "q162_bpe_merges",
     "q163_bpe_tokenize",
     "q164_bpe_tokenize_ranked",
+    "q165_binned_range_join",
     # changed this round — must re-prove (pair-ids-first semantic
     # dedup; connected-components unpersist adopters; ANN derive-param
     # surface)
@@ -4537,7 +4581,6 @@ DRIVER_WINDOW: list[str] = [
     "q83_time_rollup",
     "q93_try_functions",
     "q104_time_weighted_avg",
-    "q105_locf_gapfill",
     "q106_decontaminate",
     "q110_per_key_trend",
     "q130_contamination_rate",

@@ -144,3 +144,54 @@ def test_locf_fills_forward_only(spark):
     )
     out = asof.locf(df, "k", "ts", "v").orderBy("k", "ts").collect()
     assert [r.filled for r in out] == [None, 5.0, 5.0, 8.0, 8.0, None]
+
+
+def test_binned_range_join_matches_broadcast(spark):
+    """binned_range_join must be row-identical to the broadcast
+    nested-loop range_join — including overlapping intervals, exact
+    boundary values (lo inclusive, hi exclusive), and intervals
+    spanning multiple bins."""
+    from climate_data_pipelines_spark.operators import asof
+
+    fact = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(
+            [0.0, 9.99, 10.0, 15.0, 19.99, 20.0, 35.0, 50.0, 99.9, -5.0]
+        )],
+        "fid long, v double",
+    )
+    bounds = spark.createDataFrame(
+        [  # overlapping + multi-bin + exact-boundary intervals
+            ("a", 0.0, 10.0),
+            ("b", 5.0, 25.0),
+            ("c", 10.0, 20.0),
+            ("d", -10.0, 100.0),
+            ("e", 20.0, 20.0),  # empty interval: matches nothing
+        ],
+        "name string, lo double, hi double",
+    )
+    exact = sorted(
+        (r["fid"], r["name"])
+        for r in asof.range_join(fact, bounds, "v", "lo", "hi").collect()
+    )
+    for bw in (1.0, 7.0, 64.0):
+        binned = sorted(
+            (r["fid"], r["name"])
+            for r in asof.binned_range_join(
+                fact, bounds, "v", "lo", "hi", bin_width=bw
+            ).collect()
+        )
+        assert binned == exact, f"bin_width={bw}"
+
+
+def test_binned_range_join_plan_is_equi(spark, sf_dir):
+    """The point of binning: q165's physical plan must contain a
+    shuffle equi-join on the bin, never a BroadcastNestedLoopJoin or
+    cartesian product."""
+    from climate_data_pipelines_spark.queries import REGISTRY
+
+    plan = (
+        REGISTRY["q165_binned_range_join"].fn(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
