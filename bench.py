@@ -77,6 +77,10 @@ HEADLINE = [
     "q153_robust_outliers",
     "q156_approx_percentiles",
     "q157_video_features",
+    # round-6 additions: ranked-merge BPE tokenize (Arrow kernel over
+    # a batched train) and the bin-bucketed range join
+    "q164_bpe_tokenize_ranked",
+    "q165_binned_range_join",
 ]
 
 # ANN quality: rows-only queries whose real metric is recall vs the

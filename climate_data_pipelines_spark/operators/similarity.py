@@ -740,6 +740,121 @@ def semantic_dedup(
     )
 
 
+def semantic_decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int | None = None,
+    n_tables: int = 6,
+    multiprobe_bits: int = 1,
+    target_candidates: int = 96,
+    corpus_n: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Cross-corpus SEMANTIC decontamination: flag training vectors
+    whose meaning duplicates a held-out benchmark item even when the
+    surface text differs — the contamination the n-gram paths
+    (q106/q139 shingle decontamination) cannot see (paraphrased eval
+    questions, translated prompts, templated rewrites).
+
+    Same bucketed, pair-ids-first discipline as ``semantic_dedup``:
+    both corpora hash with the SAME deterministic hyperplane family
+    (``_lsh_signatures`` — reproducible across frames), candidate
+    (train_id, bench_id) pairs come from (table, bucket) equi-joins
+    plus Hamming-1 probes exploded on the BENCH side only (eval sets
+    are orders of magnitude smaller than the train corpus — the
+    explode rides the small frame), dedup while still 16-byte id
+    pairs, then one id-keyed re-join per side scores exact cosine.
+    The train corpus is never self-paired and never exploded.
+
+    Plane depth derives from the TRAIN corpus size (pass ``corpus_n``
+    to skip the count job) — bucket occupancy, and with it the join
+    fan-out, tracks the big side. No false positives by construction
+    (every flagged pair is exactly scored); recall < 1 is the LSH
+    trade, gated by the q166 invariant against a brute-force numpy
+    cross-check.
+
+    Returns one row per CONTAMINATED train vector:
+    (vec_id, bench_id, cosine) for its best-matching benchmark item
+    (ties broken toward the smallest bench id).
+    """
+    if n_planes is None:
+        n = corpus_n if corpus_n is not None else train.count()
+        n_planes = derive_lsh_planes(
+            n, n_tables, target_candidates, multiprobe=multiprobe_bits >= 1
+        )
+    train = spread_for_cpu(train)
+
+    def normed(frame):
+        return frame.select(
+            F.col(id_col), l2_normalize(vec_col).alias("_vn")
+        ).localCheckpoint(eager=True)
+
+    def bucketed(vn):
+        return vn.select(
+            F.col(id_col),
+            F.posexplode(_lsh_signatures("_vn", n_tables, n_planes)).alias(
+                "table", "bucket"
+            ),
+        )
+
+    vn_t, vn_b = normed(train), normed(bench)
+    bt = bucketed(vn_t)
+    bb = bucketed(vn_b).localCheckpoint(eager=True)
+
+    t_ids = bt.select("table", "bucket", F.col(id_col).alias("train_id"))
+    b_ids = bb.select("table", "bucket", F.col(id_col).alias("bench_id"))
+    cand = t_ids.join(b_ids, ["table", "bucket"]).select("train_id", "bench_id")
+    if multiprobe_bits >= 1 and n_planes > 0:
+        probes = bb.select(
+            F.col(id_col).alias("bench_id"), "table",
+            F.explode(
+                F.array(*[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << p))
+                    for p in range(n_planes)
+                ])
+            ).alias("bucket"),
+        )
+        cand = cand.unionByName(
+            t_ids.join(probes, ["table", "bucket"]).select(
+                "train_id", "bench_id"
+            )
+        )
+    scored = (
+        cand.distinct()
+        .join(
+            vn_t.select(F.col(id_col).alias("train_id"), F.col("_vn").alias("_vt")),
+            "train_id",
+        )
+        .join(
+            vn_b.select(F.col(id_col).alias("bench_id"), F.col("_vn").alias("_vb")),
+            "bench_id",
+        )
+        .filter(dot("_vt", "_vb") >= threshold)
+        .select(
+            F.col("train_id").alias(id_col),
+            "bench_id",
+            oracle_round(dot("_vt", "_vb"), 6).alias("cosine"),
+        )
+    )
+    # best benchmark match per train vector: one keyed max_by — ties
+    # (same rounded cosine) go to the smallest bench id via the
+    # negated-id struct ordering
+    best = F.max(
+        F.struct(F.col("cosine"), (-F.col("bench_id")).alias("_nid"))
+    ).alias("_best")
+    return (
+        scored.groupBy(id_col)
+        .agg(best)
+        .select(
+            id_col,
+            (-F.col("_best._nid")).alias("bench_id"),
+            F.col("_best.cosine").alias("cosine"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ) ANN — the memory-compression scale path
 # ---------------------------------------------------------------------------

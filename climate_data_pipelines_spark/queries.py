@@ -4413,6 +4413,69 @@ def q164(spark, sf_dir):
 
 
 @query(
+    "q166_semantic_decontaminate",
+    """WITH bench AS (
+         SELECT vec_id + 10000 AS bench_id,
+                CAST(list_transform(CAST(embedding AS DOUBLE[]),
+                       (x, i) -> x * (1.0 + 0.002 * ((i - 1) % 3)))
+                     AS FLOAT[]) AS bv
+         FROM embeddings WHERE vec_id < 40
+         UNION ALL
+         SELECT vec_id + 20000 AS bench_id,
+                CAST(list_reverse(CAST(embedding AS DOUBLE[])) AS FLOAT[])
+         FROM embeddings WHERE vec_id >= 40 AND vec_id < 80),
+       s AS (SELECT t.vec_id, b.bench_id,
+               ROUND((list_dot_product(CAST(t.embedding AS DOUBLE[]),
+                                       CAST(b.bv AS DOUBLE[])) /
+                 (sqrt(list_dot_product(CAST(t.embedding AS DOUBLE[]),
+                                        CAST(t.embedding AS DOUBLE[]))) *
+                  sqrt(list_dot_product(CAST(b.bv AS DOUBLE[]),
+                                        CAST(b.bv AS DOUBLE[]))))) * 1000000)
+                 / 1000000 AS cosine
+             FROM embeddings t CROSS JOIN bench b),
+       f AS (SELECT vec_id, bench_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cosine DESC, bench_id) AS rn
+             FROM s WHERE cosine >= 0.99)
+       SELECT vec_id, bench_id, cosine FROM f WHERE rn = 1""",
+    "Cross-corpus SEMANTIC decontamination: flag train vectors whose "
+    "meaning duplicates a benchmark item even when the text differs — "
+    "the contamination shingle decontamination (q106/q139) cannot "
+    "see. Benchmark = 40 planted perturbed copies of train vectors "
+    "(the paraphrased-eval case) + 40 reversed-vector clean controls; "
+    "both corpora hash with the same deterministic hyperplane family, "
+    "candidate (train, bench) pairs come from bucket equi-joins + "
+    "Hamming-1 probes exploded on the BENCH side only (eval sets are "
+    "tiny; the train corpus is never exploded or self-paired), dedup "
+    "as 16-byte id pairs, then exact cosine on the survivors. No "
+    "false positives by construction; the planted pairs sit at "
+    "cosine ~1 where multi-table multiprobe recall is ~1-1e-30, so "
+    "the DuckDB brute-force twin hash-matches. Output: one row per "
+    "contaminated train vector with its best benchmark match.",
+)
+def q166(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    planted = emb.filter(F.col("vec_id") < 40).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: x * (1.0 + 0.002 * (i % 3))
+        ).cast("array<float>").alias("embedding"),
+    )
+    controls = emb.filter(
+        (F.col("vec_id") >= 40) & (F.col("vec_id") < 80)
+    ).select(
+        (F.col("vec_id") + 20000).alias("vec_id"),
+        F.reverse("embedding").alias("embedding"),
+    )
+    bench = planted.unionByName(controls)
+    out = similarity.semantic_decontaminate(
+        emb, bench, threshold=0.99,
+        corpus_n=table_rows(sf_dir, "embeddings"),
+    )
+    return out.select("vec_id", "bench_id", "cosine")
+
+
+@query(
     "q165_binned_range_join",
     """WITH bands AS (SELECT o_custkey AS ck,
                         ROUND((AVG(o_totalprice) - 2000) * 100) / 100 AS lo,
@@ -4513,18 +4576,18 @@ def q165(spark, sf_dir):
 #     every round since) move to the round-6 leftover list.
 #   round 6 (this list): (a) q151 lead — the r5 driver ERROR, output
 #     schema fixed (postings serialized to string in both twins);
-#     (b) the 6 queries NO driver round has ever checked (q156,
+#     (b) the 7 queries NO driver round has ever checked (q156,
 #     q161-q163 which registered after the r5 window froze, and the
-#     new q164 ranked-BPE kernel + q165 binned range join);
-#     (c) re-proofs of everything items
+#     new q164 ranked-BPE kernel, q165 binned range join, q166
+#     semantic decontamination); (c) re-proofs of everything items
 #     1-3/5/7 touched — semantic dedup's new pair-ids-first default
 #     (q126), the CC checkpoint-unpersist adopters (q90/q122/q141),
 #     the ANN family whose derive params gained knobs (q55/q73/q140);
 #     (d) the full documented leftover list — the 19 stale
-#     r2/r3-only queries + the 10-query cohort moved in 5b; (e) 7
-#     oldest r4-only queries (q83/q93/q104/q106/q110/q130/q133;
-#     q102/q105 wait for r7). Rows-only slots: 9 (q156, q161-q164,
-#     q126, q55, q73, q140) <= 9.
+#     r2/r3-only queries + the 10-query cohort moved in 5b; (e) 6
+#     oldest r4-only queries (q83/q93/q106/q110/q130/q133;
+#     q102/q104/q105 wait for r7). Rows-only slots: 9 (q156,
+#     q161-q164, q126, q55, q73, q140) <= 9.
 
 DRIVER_WINDOW: list[str] = [
     # lead: the r5 driver ERROR, now string-serialized in both twins
@@ -4536,6 +4599,7 @@ DRIVER_WINDOW: list[str] = [
     "q163_bpe_tokenize",
     "q164_bpe_tokenize_ranked",
     "q165_binned_range_join",
+    "q166_semantic_decontaminate",
     # changed this round — must re-prove (pair-ids-first semantic
     # dedup; connected-components unpersist adopters; ANN derive-param
     # surface)
@@ -4580,7 +4644,6 @@ DRIVER_WINDOW: list[str] = [
     # oldest r4-only queries (no driver row since round 4)
     "q83_time_rollup",
     "q93_try_functions",
-    "q104_time_weighted_avg",
     "q106_decontaminate",
     "q110_per_key_trend",
     "q130_contamination_rate",

@@ -30,6 +30,9 @@ PYTHON_SURFACE = {
     "q158_frame_sample",  # Y4M frame sampling (mapInPandas byte codec)
     "q164_bpe_tokenize_ranked",  # ranked-merge BPE kernel (Arrow,
     # broadcast pair->rank dict — the 32k-vocab path)
+    "q166_semantic_decontaminate",  # one-matmul LSH signature kernel
+    # (Arrow) stays live on the TRAIN side: the big corpus pipelines
+    # scan->sig->join without materializing a bucket table
 }
 
 # Iterative/recursive queries execute jobs during plan construction

@@ -319,3 +319,49 @@ def test_cosine_zero_vector_scores_zero_not_nan(spark):
     top = similarity.cosine_topk(df, q, k=3).collect()
     assert all(r["vec_id"] != 0 for r in top)
     assert all(r["cosine"] == r["cosine"] for r in top)  # no NaN
+
+
+def test_semantic_decontaminate_planted_and_controls(spark, sf_dir):
+    """Planted perturbed copies are all flagged and matched to their
+    source vector; reversed-vector controls and untouched train rows
+    never are (no false positives by construction)."""
+    import pyspark.sql.functions as F
+
+    from climate_data_pipelines_spark.catalog import load_table, table_rows
+    from climate_data_pipelines_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    planted = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding", lambda x, i: x * (1.0 + 0.002 * (i % 3)))
+        .cast("array<float>")
+        .alias("embedding"),
+    )
+    controls = emb.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 40)).select(
+        (F.col("vec_id") + 20000).alias("vec_id"),
+        F.reverse("embedding").alias("embedding"),
+    )
+    out = similarity.semantic_decontaminate(
+        emb.select("vec_id", "embedding"),
+        planted.unionByName(controls),
+        threshold=0.99,
+        corpus_n=table_rows(sf_dir, "embeddings"),
+    ).collect()
+    got = {r["vec_id"]: r["bench_id"] for r in out}
+    # every planted source flagged, matched to ITS perturbed copy
+    assert got == {v: v + 10000 for v in range(20)}
+    assert all(r["cosine"] >= 0.99 for r in out)
+
+
+def test_semantic_decontaminate_empty_bench(spark, sf_dir):
+    """An empty benchmark flags nothing (and must not error on the
+    empty bucket/probe joins)."""
+    from climate_data_pipelines_spark.catalog import load_table, table_rows
+    from climate_data_pipelines_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.semantic_decontaminate(
+        emb, emb.filter("vec_id < 0"), threshold=0.9,
+        corpus_n=table_rows(sf_dir, "embeddings"),
+    )
+    assert out.count() == 0

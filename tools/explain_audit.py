@@ -111,6 +111,17 @@ AUDITS = {
     # join stays broadcast at this sf (docs dim is small), and no
     # global sort appears (window sort is per-partition)
     "q143_quality_calibrate": [("Window", True), ("CartesianProduct", False)],
+    # ranked-BPE tokenize: one Arrow kernel, narrow projection — no
+    # shuffle, no join (the train phase runs before the plan exists)
+    "q164_bpe_tokenize_ranked": [
+        ("ArrowEvalPython", True), ("Exchange", False), ("Join", False),
+    ],
+    # binned range join: the interval containment must plan as an
+    # EQUI-join on the bin key, never a nested-loop/cartesian
+    "q165_binned_range_join": [
+        ("BroadcastNestedLoopJoin", False), ("CartesianProduct", False),
+        ("HashAggregate", True),
+    ],
 }
 
 
