@@ -63,16 +63,12 @@ def encode_png_gray8(pixels: bytes, width: int, height: int) -> bytes:
     )
 
 
-def decode_png(payload: bytes) -> tuple[int, int, float]:
-    """Decode a PNG to (width, height, mean_luma) — real pixel math.
-
-    Supports bit depth 8, color types 0 (gray), 2 (RGB), 6 (RGBA),
-    non-interlaced; all five scanline filter types (None/Sub/Up/
-    Average/Paeth) are unfiltered per the PNG spec. Luma for color
-    images is ITU-R BT.601 (0.299 R + 0.587 G + 0.114 B). Anything
-    outside that envelope raises NotImplementedError — a genuine
-    feature guard, not a silent wrong answer.
-    """
+def _png_unfiltered_rows(payload: bytes):
+    """Parse + inflate + unfilter a PNG; yields the shared envelope
+    ``(width, height, color_type, bpp, rows)`` where ``rows`` is the
+    list of unfiltered scanline bytearrays (stride = width·bpp).
+    Both the mean-luma decode and the perceptual-hash path build on
+    this single spec implementation."""
     if payload[:8] != PNG_SIG:
         raise ValueError("not a PNG payload")
     pos, width, height, color_type, idat = 8, None, None, None, []
@@ -103,7 +99,7 @@ def decode_png(payload: bytes) -> tuple[int, int, float]:
     if len(raw) != height * (stride + 1):
         raise ValueError("PNG pixel data length mismatch")
     prev = bytearray(stride)
-    luma_sum, rpos = 0.0, 0
+    rows, rpos = [], 0
     for _y in range(height):
         ftype = raw[rpos]
         line = bytearray(raw[rpos + 1 : rpos + 1 + stride])
@@ -130,6 +126,25 @@ def decode_png(payload: bytes) -> tuple[int, int, float]:
                 ) & 0xFF
         elif ftype != 0:
             raise ValueError(f"bad PNG filter type {ftype}")
+        rows.append(line)
+        prev = line
+    return width, height, color_type, bpp, rows
+
+
+def decode_png(payload: bytes) -> tuple[int, int, float]:
+    """Decode a PNG to (width, height, mean_luma) — real pixel math.
+
+    Supports bit depth 8, color types 0 (gray), 2 (RGB), 6 (RGBA),
+    non-interlaced; all five scanline filter types (None/Sub/Up/
+    Average/Paeth) are unfiltered per the PNG spec. Luma for color
+    images is ITU-R BT.601 (0.299 R + 0.587 G + 0.114 B). Anything
+    outside that envelope raises NotImplementedError — a genuine
+    feature guard, not a silent wrong answer.
+    """
+    width, height, color_type, bpp, rows = _png_unfiltered_rows(payload)
+    stride = width * bpp
+    luma_sum = 0.0
+    for line in rows:
         if color_type == 0:
             luma_sum += sum(line)
         else:
@@ -137,8 +152,48 @@ def decode_png(payload: bytes) -> tuple[int, int, float]:
                 luma_sum += (
                     0.299 * line[i] + 0.587 * line[i + 1] + 0.114 * line[i + 2]
                 )
-        prev = line
     return width, height, luma_sum / (width * height)
+
+
+def png_dhash(payload: bytes, hash_size: int = 8) -> int:
+    """Difference hash (dHash) of a PNG — the standard near-dup image
+    fingerprint: block-average the luma plane down to a
+    (hash_size+1) × hash_size grid, emit one bit per horizontal
+    neighbor comparison (left < right). Robust to re-encoding, small
+    noise, and brightness-preserving edits; a single changed pixel
+    flips at most a couple of bits, while unrelated images differ in
+    ~half of the 64.
+
+    Pure-integer pooling: cell averages are kept as exact fractions
+    (sum, area) and neighbor comparison left/nl < right/nr is done by
+    cross-multiplication left·nr < right·nl — bit-deterministic on
+    every platform, no float rounding anywhere.
+    """
+    width, height, color_type, bpp, rows = _png_unfiltered_rows(payload)
+    gw, gh = hash_size + 1, hash_size
+    # luma as integer milli-units for color (BT.601 weights ×1000)
+    # so pooling stays exact-integer
+    cells = [[0] * gw for _ in range(gh)]
+    areas = [[0] * gw for _ in range(gh)]
+    for y, line in enumerate(rows):
+        gy = y * gh // height
+        for x in range(width):
+            gx = x * gw // width
+            if color_type == 0:
+                v = 1000 * line[x]
+            else:
+                i = x * bpp
+                v = 299 * line[i] + 587 * line[i + 1] + 114 * line[i + 2]
+            cells[gy][gx] += v
+            areas[gy][gx] += 1
+    bits = 0
+    for gy in range(gh):
+        for gx in range(hash_size):
+            l, r = cells[gy][gx], cells[gy][gx + 1]
+            nl, nr = max(1, areas[gy][gx]), max(1, areas[gy][gx + 1])
+            bits = (bits << 1) | (1 if l * nr < r * nl else 0)
+    # interpret as signed 64-bit so it fits Spark's LongType
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
 
 
 def attach_binary_payload(
@@ -522,6 +577,44 @@ def extract_image_features(binary_df: DataFrame) -> DataFrame:
             )
 
     return binary_df.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def image_dhashes(binary_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Perceptual fingerprints for image NEAR-dup detection: 64-bit
+    dHash per payload (``png_dhash``) over Arrow-batched mapInPandas —
+    the image twin of SimHash-for-text. Exact byte-level dedup (q36's
+    digest groupBy on the payload) misses re-encoded or slightly
+    edited copies of the same picture; the dHash survives those, and
+    the packed-64-bit output drops straight into the existing
+    Hamming-band machinery (``dedup.simhash_band_candidates`` with
+    bits=64 — pigeonhole over 4×16-bit bands + exact
+    popcount-of-xor verification), so image near-dup pairs cost one
+    band equi-join, never an all-pairs pixel comparison.
+
+    Undecodable payloads quarantine to a null hash (the
+    ``extract_image_features`` error shape) and drop out of the band
+    join. Returns (id, dhash).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hashes = []
+            for p in pdf["payload"]:
+                try:
+                    if p[:8] == PNG_SIG:
+                        hashes.append(png_dhash(p))
+                    else:
+                        hashes.append(None)
+                except (ValueError, NotImplementedError, IndexError, struct.error):
+                    hashes.append(None)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].values, "dhash": pd.array(hashes, dtype="Int64")}
+            )
+
+    schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("dhash", T.LongType())]
+    )
+    return binary_df.mapInPandas(batches, schema=schema)
 
 
 def text_as_wav_payload(

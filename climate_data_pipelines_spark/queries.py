@@ -4476,6 +4476,56 @@ def q166(spark, sf_dir):
 
 
 @query(
+    "q167_image_neardup",
+    None,
+    "Image NEAR-dup detection (rows-only: the PNG decode + dHash "
+    "kernel is Python-side): every document renders to its gray8 PNG "
+    "(the q54 fixture path), 25 planted copies with ONE text byte "
+    "changed join the corpus (a one-pixel edit — the re-encoded/"
+    "retouched-duplicate case byte-digest dedup q36 cannot see), "
+    "each image fingerprints to a 64-bit dHash (integer-exact block "
+    "pooling), and near-dup pairs come from the existing Hamming-band "
+    "machinery (4 x 16-bit bands, pigeonhole) with exact "
+    "popcount-of-xor verification at Hamming <= 3 — one band "
+    "equi-join, never an all-pairs pixel comparison. Invariant gate: "
+    "the pair set equals a brute-force all-pairs Hamming scan over "
+    "the same fingerprints AND every planted pair is recovered "
+    "(tools/check_oracle.py prints the verdict).",
+)
+def q167(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    edited = docs.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat(
+            F.substring(F.col("text"), 1, F.length("text") - 1), F.lit("#")
+        ).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(edited)
+    # checkpoint: the decode+hash kernel is the expensive pass and the
+    # frame feeds three plan branches (band join sides + the hamming
+    # re-join) — materialize once instead of decoding 3x
+    hashed = (
+        multimodal.image_dhashes(multimodal.text_as_png_payload(corpus))
+        .withColumnRenamed("dhash", "simhash")
+        .localCheckpoint(eager=True)
+    )
+    pairs = dedup.simhash_band_candidates(
+        hashed, bits=64, bands=4, hamming_max=3
+    )
+    ha = hashed.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("_ha"))
+    hb = hashed.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("_hb"))
+    return (
+        pairs.join(ha, "id_a")
+        .join(hb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).alias("hamming"),
+        )
+    )
+
+
+@query(
     "q165_binned_range_join",
     """WITH bands AS (SELECT o_custkey AS ck,
                         ROUND((AVG(o_totalprice) - 2000) * 100) / 100 AS lo,
@@ -4587,7 +4637,10 @@ def q165(spark, sf_dir):
 #     r2/r3-only queries + the 10-query cohort moved in 5b; (e) 6
 #     oldest r4-only queries (q83/q93/q106/q110/q130/q133;
 #     q102/q104/q105 wait for r7). Rows-only slots: 9 (q156,
-#     q161-q164, q126, q55, q73, q140) <= 9.
+#     q161-q164, q126, q55, q73, q140) <= 9 — which is why the
+#     late-round rows-only q167 (image near-dup) ALSO waits for r7:
+#     a 10th rows-only slot would break the cap; its invariant runs
+#     in every replay meanwhile.
 
 DRIVER_WINDOW: list[str] = [
     # lead: the r5 driver ERROR, now string-serialized in both twins

@@ -735,3 +735,57 @@ def test_image_features_quarantine_bad_payload(spark):
     rows = {r["doc_id"]: r for r in multimodal.extract_image_features(df).collect()}
     assert rows[1]["mean_luma"] == 15.0
     assert rows[2]["width"] is None and rows[2]["n_bytes"] == len(bad_gif)
+
+
+def test_png_dhash_known_gradient():
+    """A horizontal gradient (brightness strictly increasing left to
+    right) must hash to all-ones (every left cell darker than its
+    right neighbor); the reversed gradient to all-zeros."""
+    from climate_data_pipelines_spark.operators import multimodal as mm
+
+    w, h = 18, 16
+    inc = bytes(min(255, x * 14) for _y in range(h) for x in range(w))
+    dec = bytes(min(255, (w - 1 - x) * 14) for _y in range(h) for x in range(w))
+    all_ones = mm.png_dhash(mm.encode_png_gray8(inc, w, h))
+    all_zero = mm.png_dhash(mm.encode_png_gray8(dec, w, h))
+    assert all_ones == -1  # 64 one-bits as signed int64
+    assert all_zero == 0
+
+
+def test_png_dhash_one_pixel_edit_is_near():
+    """One changed pixel flips at most 2 of the 64 bits (its cell's
+    two neighbor comparisons); an unrelated image differs in many."""
+    import numpy as np
+
+    from climate_data_pipelines_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(7)
+    w, h = 27, 24
+    base = rng.integers(0, 256, w * h).astype(np.uint8).tobytes()
+    edited = bytearray(base)
+    edited[w * 3 + 5] = (edited[w * 3 + 5] + 128) % 256
+    other = rng.integers(0, 256, w * h).astype(np.uint8).tobytes()
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    h0 = mm.png_dhash(mm.encode_png_gray8(base, w, h))
+    h1 = mm.png_dhash(mm.encode_png_gray8(bytes(edited), w, h))
+    h2 = mm.png_dhash(mm.encode_png_gray8(other, w, h))
+    assert ham(h0, h1) <= 2
+    assert ham(h0, h2) > 10
+    # determinism: same payload, same hash
+    assert h0 == mm.png_dhash(mm.encode_png_gray8(base, w, h))
+
+
+def test_image_dhashes_quarantines_bad_payload(spark):
+    """Non-PNG payloads hash to null instead of failing the batch."""
+    from climate_data_pipelines_spark.operators import multimodal as mm
+
+    good = mm.encode_png_gray8(bytes(range(64)), 8, 8)
+    df = spark.createDataFrame(
+        [(0, bytearray(good)), (1, bytearray(b"not a png"))],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r["dhash"] for r in mm.image_dhashes(df).collect()}
+    assert rows[0] is not None and rows[1] is None

@@ -44,6 +44,7 @@ SLOW_CONSTRUCTION = {
     "q162_bpe_merges",
     "q163_bpe_tokenize",
     "q164_bpe_tokenize_ranked",
+    "q167_image_neardup",  # decode+hash pass checkpointed at construction
 }
 
 

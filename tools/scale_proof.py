@@ -97,7 +97,36 @@ def _fixed_bench_decontaminate(spark, sf_dir):
     return out.select("doc_id", "lang", "source", "n_chars")
 
 
-CUSTOM = {"q139_fixed_bench_decontaminate": _fixed_bench_decontaminate}
+def _fixed_bench_semantic_decontaminate(spark, sf_dir):
+    """q166's scale twin on the REALISTIC axis (the q139 pattern):
+    the benchmark is pinned to 100 planted perturbed copies of base
+    vectors — real eval sets don't grow with the train corpus — while
+    the train side scales 10x/100x. Output stays exactly the 100
+    planted hits at every scale (the i.i.d. background never crosses
+    the 0.99 threshold), so the timing curve isolates the
+    cross-corpus bucket join + probe on a growing train side."""
+    from pyspark.sql import functions as F
+
+    from climate_data_pipelines_spark.catalog import load_table, table_rows
+    from climate_data_pipelines_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") < 100).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x, i: x * (1.0 + 0.002 * (i % 3)))
+        .cast("array<float>")
+        .alias("embedding"),
+    )
+    return similarity.semantic_decontaminate(
+        emb, bench, threshold=0.99,
+        corpus_n=table_rows(sf_dir, "embeddings"),
+    )
+
+
+CUSTOM = {
+    "q139_fixed_bench_decontaminate": _fixed_bench_decontaminate,
+    "q166_fixed_bench_semantic_decon": _fixed_bench_semantic_decontaminate,
+}
 
 
 def main() -> None:
