@@ -78,9 +78,12 @@ HEADLINE = [
     "q156_approx_percentiles",
     "q157_video_features",
     # round-6 additions: ranked-merge BPE tokenize (Arrow kernel over
-    # a batched train) and the bin-bucketed range join
+    # a batched train), bin-bucketed range join, cross-corpus semantic
+    # decontamination, and perceptual-hash image near-dup
     "q164_bpe_tokenize_ranked",
     "q165_binned_range_join",
+    "q166_semantic_decontaminate",
+    "q167_image_neardup",
 ]
 
 # ANN quality: rows-only queries whose real metric is recall vs the

@@ -653,15 +653,11 @@ def text_as_wav_payload(
     return df.select(id_col, text_col).mapInPandas(batches, schema=out_schema)
 
 
-def decode_wav(payload: bytes) -> tuple[int, int, int, float]:
-    """REAL dependency-free WAV decode (RIFF/WAVE, PCM 8/16-bit and
-    IEEE float32): walks the chunk list to `fmt ` and `data`, then
-    computes (sample_rate, n_channels, n_samples_per_channel, rms)
-    with numpy over the raw sample buffer. RMS is in normalized
-    [-1, 1] amplitude (8-bit PCM is unsigned per the WAV spec, 16-bit
-    signed, float32 as-is) so the statistic is format-independent —
-    the audio analog of the image decoders' BT.601 mean luma.
-    """
+def _wav_samples(payload: bytes):
+    """Parse a RIFF/WAVE payload to ``(rate, n_channels, samples)``
+    with samples as a normalized [-1, 1] float64 numpy array (8-bit
+    PCM unsigned per spec, 16-bit signed, float32 as-is). Shared
+    envelope for the RMS decode and the audio fingerprint path."""
     import numpy as np
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -687,9 +683,85 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, float]:
         x = np.frombuffer(data, dtype="<f4").astype(np.float64)
     else:
         raise NotImplementedError(f"WAV format={audio_fmt} bits={bits}")
+    return rate, n_ch, x
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, float]:
+    """REAL dependency-free WAV decode (RIFF/WAVE, PCM 8/16-bit and
+    IEEE float32): walks the chunk list to `fmt ` and `data`, then
+    computes (sample_rate, n_channels, n_samples_per_channel, rms)
+    with numpy over the raw sample buffer. RMS is in normalized
+    [-1, 1] amplitude (8-bit PCM is unsigned per the WAV spec, 16-bit
+    signed, float32 as-is) so the statistic is format-independent —
+    the audio analog of the image decoders' BT.601 mean luma.
+    """
+    import numpy as np
+
+    rate, n_ch, x = _wav_samples(payload)
     n_samples = len(x) // max(n_ch, 1)
     rms = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
     return rate, n_ch, n_samples, round(rms, 6)
+
+
+def wav_ehash(payload: bytes, hash_size: int = 8) -> int:
+    """Energy-envelope difference hash of a WAV — the audio twin of
+    ``png_dhash``: mono-mix, split the sample stream into
+    (hash_size² + 1) equal windows, one bit per neighboring-window
+    energy comparison (left < right). Volume-invariant by
+    construction (uniform gain scales every window energy equally, so
+    no comparison flips) and robust to small edits: one changed
+    sample perturbs one window's energy and can flip at most its two
+    neighbor comparisons, while unrelated audio differs in ~half the
+    64 bits. Deterministic: fixed window boundaries, numpy float64
+    sums in fixed order.
+    """
+    import numpy as np
+
+    _rate, n_ch, x = _wav_samples(payload)
+    if n_ch > 1:
+        n = (len(x) // n_ch) * n_ch
+        x = x[:n].reshape(-1, n_ch).mean(axis=1)
+    nwin = hash_size * hash_size + 1
+    if len(x) == 0:
+        return 0
+    # pad so the stream splits evenly; zero-energy tail is fine (the
+    # comparisons stay deterministic)
+    pad = (-len(x)) % nwin
+    if pad:
+        x = np.concatenate([x, np.zeros(pad)])
+    e = (x * x).reshape(nwin, -1).sum(axis=1)
+    bits = 0
+    for i in range(nwin - 1):
+        bits = (bits << 1) | (1 if e[i] < e[i + 1] else 0)
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def audio_ehashes(binary_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Perceptual fingerprints for audio NEAR-dup detection: 64-bit
+    energy-envelope hash per WAV payload (``wav_ehash``) over
+    Arrow-batched mapInPandas — drops into the same Hamming-band
+    machinery as the image/text fingerprints
+    (``dedup.simhash_band_candidates`` with bits=64). Catches the
+    re-encoded / volume-normalized / lightly-edited copies that a
+    byte digest cannot. Undecodable payloads quarantine to a null
+    hash. Returns (id, ehash)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hashes = []
+            for p in pdf["payload"]:
+                try:
+                    hashes.append(wav_ehash(p))
+                except (ValueError, NotImplementedError, IndexError, struct.error):
+                    hashes.append(None)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].values, "ehash": pd.array(hashes, dtype="Int64")}
+            )
+
+    schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("ehash", T.LongType())]
+    )
+    return binary_df.mapInPandas(batches, schema=schema)
 
 
 AUDIO_SCHEMA = T.StructType(

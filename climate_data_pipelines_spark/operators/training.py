@@ -689,6 +689,53 @@ def token_budget_mix(
     )
 
 
+def temperature_mix(
+    df: DataFrame,
+    alpha: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+    seed: str = "tmix-v1",
+    resolution: int = 10_000,
+) -> DataFrame:
+    """Temperature-based mixture sampling: derive the per-domain
+    target shares from the corpus itself as share_i^alpha, normalized
+    — the multilingual/multi-source rebalancing rule (alpha < 1
+    flattens the mix toward uniform, boosting low-resource domains;
+    alpha = 1 keeps natural proportions; alpha = 0 is uniform).
+    ``token_budget_mix`` takes the recipe as an explicit target table;
+    this DERIVES the recipe and reuses the same stateless keep rule.
+
+    Plan: one groupBy(domain) token count (|domains| rows), the
+    alpha-power normalization inside a single broadcast-sized frame
+    (a window over the tiny domain table — never the corpus), then
+    the identical min(1, target·total/dom) keep-rate and md5-bucket
+    Bernoulli filter. The corpus is scanned, never shuffled.
+
+    Returns surviving rows + (n_tok, keep_rate) like
+    ``token_budget_mix``.
+    """
+    toks = df.withColumn("n_tok", F.size(tokens(text_col)))
+    dom = toks.groupBy(domain_col).agg(F.sum("n_tok").alias("dom_tokens"))
+    w = Window.partitionBy()
+    targets = dom.select(
+        F.col(domain_col),
+        (
+            F.pow(F.col("dom_tokens").cast("double"), F.lit(alpha))
+            / F.sum(F.pow(F.col("dom_tokens").cast("double"), F.lit(alpha))).over(w)
+        ).alias("target_frac"),
+    )
+    return token_budget_mix(
+        df,
+        targets,
+        text_col=text_col,
+        id_col=id_col,
+        domain_col=domain_col,
+        seed=seed,
+        resolution=resolution,
+    )
+
+
 def quality_select(
     df: DataFrame,
     keep_frac: float = 0.5,

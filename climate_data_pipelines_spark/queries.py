@@ -4476,6 +4476,90 @@ def q166(spark, sf_dir):
 
 
 @query(
+    "q168_temperature_mix",
+    """WITH toks AS (SELECT doc_id, source,
+                       len(list_filter(string_split(text, ' '), x -> x != ''))
+                         AS n_tok
+                     FROM documents),
+         dom AS (SELECT source, SUM(n_tok) AS dom_tokens FROM toks GROUP BY source),
+         tgt AS (SELECT source,
+                   POWER(CAST(dom_tokens AS DOUBLE), 0.5)
+                     / SUM(POWER(CAST(dom_tokens AS DOUBLE), 0.5)) OVER ()
+                     AS target_frac
+                 FROM dom),
+         tot AS (SELECT SUM(n_tok) AS total_tokens FROM toks),
+         rates AS (SELECT d.source,
+                     LEAST(1.0, t.target_frac * tot.total_tokens / d.dom_tokens)
+                       AS keep_rate
+                   FROM dom d CROSS JOIN tot JOIN tgt t ON t.source = d.source)
+       SELECT k.doc_id, k.source, k.n_tok,
+              ROUND(r.keep_rate * 1000000) / 1000000 AS keep_rate
+       FROM toks k JOIN rates r ON r.source = k.source
+       WHERE CAST('0x' || substring(md5('tmix-v1' || CAST(k.doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) % 10000
+             < CAST(ROUND(r.keep_rate * 10000, 0) AS BIGINT)""",
+    "Temperature-based mixture sampling (alpha = 0.5): the per-domain "
+    "target shares are DERIVED from the corpus as share^alpha "
+    "normalized — the multilingual rebalancing rule that boosts "
+    "low-resource domains toward uniform — then applied with q125's "
+    "stateless md5-bucket keep rule. The alpha-power normalization is "
+    "a window over the |domains|-row table, never the corpus; the "
+    "corpus is scanned once and never shuffled.",
+)
+def q168(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = training.temperature_mix(docs, alpha=0.5)
+    return out.select(
+        "doc_id", "source", "n_tok", oround(F.col("keep_rate"), 6).alias("keep_rate")
+    )
+
+
+@query(
+    "q169_audio_neardup",
+    None,
+    "Audio NEAR-dup detection (rows-only: the WAV decode + envelope "
+    "hash kernel is Python-side) — q167's audio twin: every document "
+    "renders to its 8-bit PCM WAV (the q144 fixture path), 25 planted "
+    "copies with ONE sample changed join the corpus, each clip "
+    "fingerprints to a 64-bit energy-envelope hash (volume-invariant "
+    "by construction — uniform gain flips no window comparison), and "
+    "near-dup pairs come from the shared Hamming-band machinery "
+    "(4 x 16-bit bands + exact popcount verify at Hamming <= 3). "
+    "Invariant gate: pair set equals a brute-force all-pairs Hamming "
+    "scan over the same fingerprints AND every planted pair is "
+    "recovered (tools/check_oracle.py prints the verdict).",
+)
+def q169(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    edited = docs.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 600000).alias("doc_id"),
+        F.concat(
+            F.substring(F.col("text"), 1, F.length("text") - 1), F.lit("#")
+        ).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(edited)
+    hashed = (
+        multimodal.audio_ehashes(multimodal.text_as_wav_payload(corpus))
+        .withColumnRenamed("ehash", "simhash")
+        .localCheckpoint(eager=True)
+    )
+    pairs = dedup.simhash_band_candidates(
+        hashed, bits=64, bands=4, hamming_max=3
+    )
+    ha = hashed.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("_ha"))
+    hb = hashed.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("_hb"))
+    return (
+        pairs.join(ha, "id_a")
+        .join(hb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).alias("hamming"),
+        )
+    )
+
+
+@query(
     "q167_image_neardup",
     None,
     "Image NEAR-dup detection (rows-only: the PNG decode + dHash "
@@ -4629,14 +4713,15 @@ def q165(spark, sf_dir):
 #     (b) the 7 queries NO driver round has ever checked (q156,
 #     q161-q163 which registered after the r5 window froze, and the
 #     new q164 ranked-BPE kernel, q165 binned range join, q166
-#     semantic decontamination); (c) re-proofs of everything items
+#     semantic decontamination, q168 temperature mix);
+#     (c) re-proofs of everything items
 #     1-3/5/7 touched — semantic dedup's new pair-ids-first default
 #     (q126), the CC checkpoint-unpersist adopters (q90/q122/q141),
 #     the ANN family whose derive params gained knobs (q55/q73/q140);
 #     (d) the full documented leftover list — the 19 stale
 #     r2/r3-only queries + the 10-query cohort moved in 5b; (e) 6
-#     oldest r4-only queries (q83/q93/q106/q110/q130/q133;
-#     q102/q104/q105 wait for r7). Rows-only slots: 9 (q156,
+#     oldest r4-only queries (q83/q93/q106/q110/q130;
+#     q102/q104/q105/q133 wait for r7). Rows-only slots: 9 (q156,
 #     q161-q164, q126, q55, q73, q140) <= 9 — which is why the
 #     late-round rows-only q167 (image near-dup) ALSO waits for r7:
 #     a 10th rows-only slot would break the cap; its invariant runs
@@ -4653,6 +4738,7 @@ DRIVER_WINDOW: list[str] = [
     "q164_bpe_tokenize_ranked",
     "q165_binned_range_join",
     "q166_semantic_decontaminate",
+    "q168_temperature_mix",
     # changed this round — must re-prove (pair-ids-first semantic
     # dedup; connected-components unpersist adopters; ANN derive-param
     # surface)
@@ -4700,7 +4786,6 @@ DRIVER_WINDOW: list[str] = [
     "q106_decontaminate",
     "q110_per_key_trend",
     "q130_contamination_rate",
-    "q133_dsir_weights",
 ]
 
 

@@ -789,3 +789,45 @@ def test_image_dhashes_quarantines_bad_payload(spark):
     )
     rows = {r["doc_id"]: r["dhash"] for r in mm.image_dhashes(df).collect()}
     assert rows[0] is not None and rows[1] is None
+
+
+def test_wav_ehash_volume_invariant_and_edit_sensitivity():
+    """Uniform gain must not flip any envelope comparison (identical
+    hash); one changed sample flips at most 2 bits; unrelated audio
+    differs in many."""
+    import struct as _struct
+
+    import numpy as np
+
+    from climate_data_pipelines_spark.operators import multimodal as mm
+
+    def wav16(samples):
+        data = (np.clip(samples, -1, 1) * 32767).astype("<i2").tobytes()
+        fmt = _struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        chunks = b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+        chunks += b"data" + _struct.pack("<I", len(data)) + data
+        return b"RIFF" + _struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal(1300) * 0.3
+    h0 = mm.wav_ehash(wav16(x))
+    assert mm.wav_ehash(wav16(x * 0.5)) == h0  # volume invariance
+    y = x.copy()
+    y[700] += 0.8
+    h1 = mm.wav_ehash(wav16(y))
+    other = rng.standard_normal(1300) * 0.3
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(h0, h1) <= 2
+    assert ham(h0, mm.wav_ehash(wav16(other))) > 10
+
+
+def test_audio_ehashes_quarantines_bad_payload(spark):
+    from climate_data_pipelines_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame(
+        [(0, bytearray(b"not a wav"))], "doc_id long, payload binary"
+    )
+    assert mm.audio_ehashes(df).collect()[0]["ehash"] is None

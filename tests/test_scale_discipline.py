@@ -45,6 +45,7 @@ SLOW_CONSTRUCTION = {
     "q163_bpe_tokenize",
     "q164_bpe_tokenize_ranked",
     "q167_image_neardup",  # decode+hash pass checkpointed at construction
+    "q169_audio_neardup",  # same shape, WAV energy-envelope hash
 }
 
 

@@ -122,6 +122,12 @@ AUDITS = {
         ("BroadcastNestedLoopJoin", False), ("CartesianProduct", False),
         ("HashAggregate", True),
     ],
+    # temperature mix: the derived-target normalization is a window
+    # over the |domains|-row table; the corpus side must join its
+    # keep-rate dim broadcast, never sort-merge shuffle on source
+    "q168_temperature_mix": [
+        ("BroadcastHashJoin", True), ("SortMergeJoin", False),
+    ],
 }
 
 
