@@ -633,6 +633,60 @@ def inv_q169(spark, sf_dir):
     )
 
 
+def inv_q170(spark, sf_dir):
+    """Video near-dup pair set vs a brute-force all-pairs Hamming scan
+    over the SAME brightness-profile fingerprints (the q167/q169
+    pattern): exact equality plus recovery of every planted
+    one-pixel-byte edit."""
+    import pyspark.sql.functions as F
+
+    from climate_data_pipelines_spark.catalog import load_table
+    from climate_data_pipelines_spark.operators import multimodal
+    from climate_data_pipelines_spark.queries import REGISTRY
+
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in REGISTRY["q170_video_neardup"].fn(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    edited = docs.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 700000).alias("doc_id"),
+        F.concat(
+            F.substring(F.col("text"), 1, F.length("text") - 1), F.lit("#")
+        ).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(edited)
+    hashes = {
+        r["doc_id"]: r["vhash"]
+        for r in multimodal.video_vhashes(
+            multimodal.text_as_y4m_payload(corpus)
+        ).collect()
+        if r["vhash"] is not None
+    }
+    ids = sorted(hashes)
+    exact = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1")
+            if d <= 3:
+                exact[(a, b)] = d
+    if got != exact:
+        miss = set(exact) - set(got)
+        extra = set(got) - set(exact)
+        return False, (
+            f"pair-set mismatch: {len(miss)} missed, {len(extra)} extra "
+            f"(e.g. {list(miss)[:3] or list(extra)[:3]})"
+        )
+    planted = [(v, v + 700000) for v in range(25)]
+    missing = [p for p in planted if p not in got]
+    if missing:
+        return False, f"{len(missing)} planted one-byte pairs missed: {missing[:5]}"
+    return True, (
+        f"{len(got)} near-dup pairs == brute-force Hamming<=3 scan over "
+        f"{len(ids)} clips; all 25 planted one-byte edits recovered"
+    )
+
+
 INVARIANTS: dict[str, Callable] = {
     "q55_ann_lsh_topk": inv_q55,
     "q73_ann_ivf_topk": inv_q73,
@@ -651,4 +705,5 @@ INVARIANTS: dict[str, Callable] = {
     "q164_bpe_tokenize_ranked": inv_q164,
     "q167_image_neardup": inv_q167,
     "q169_audio_neardup": inv_q169,
+    "q170_video_neardup": inv_q170,
 }

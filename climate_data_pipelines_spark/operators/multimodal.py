@@ -929,6 +929,74 @@ def decode_y4m(payload: bytes) -> tuple[int, int, float, list[float]]:
     return width, height, fps, lumas
 
 
+def y4m_vhash(payload: bytes, hash_size: int = 8) -> int:
+    """Spatio-temporal brightness-profile hash of a Y4M video — the
+    video member of the perceptual near-dup family (image ``png_dhash``
+    / audio ``wav_ehash``): concatenate every frame's Y plane in
+    display order, split the luma stream into (hash_size² + 1) equal
+    windows, one bit per neighboring-window mean-brightness comparison
+    (left < right). A one-byte pixel edit perturbs one window's sum
+    and can flip at most its two neighbor comparisons; re-containered
+    copies (same frames, different chroma layout) hash identically
+    because only Y planes enter the stream. Integer-exact pooling:
+    window means compared as cross-multiplied (sum, count) fractions —
+    bit-deterministic, no float anywhere.
+    """
+    _w, _h, _fps, y_size, c_size, pos = _y4m_geometry(payload)
+    planes = []
+    while pos < len(payload):
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"expected FRAME marker at byte {pos}")
+        pos = payload.index(b"\n", pos) + 1
+        if pos + y_size + c_size > len(payload):
+            raise ValueError("truncated Y4M frame")
+        planes.append(payload[pos : pos + y_size])
+        pos += y_size + c_size
+    if not planes:
+        raise ValueError("Y4M stream contains no frames")
+    stream = b"".join(planes)
+    nwin = hash_size * hash_size + 1
+    n = len(stream)
+    sums = [0] * nwin
+    counts = [0] * nwin
+    for i, v in enumerate(stream):
+        w = i * nwin // n
+        sums[w] += v
+        counts[w] += 1
+    bits = 0
+    for i in range(nwin - 1):
+        l, r = sums[i], sums[i + 1]
+        nl, nr = max(1, counts[i]), max(1, counts[i + 1])
+        bits = (bits << 1) | (1 if l * nr < r * nl else 0)
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def video_vhashes(binary_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Perceptual fingerprints for video NEAR-dup detection: 64-bit
+    brightness-profile hash per Y4M payload (``y4m_vhash``) over
+    Arrow-batched mapInPandas, completing the image/audio/video
+    near-dup family on the shared Hamming-band machinery
+    (``dedup.simhash_band_candidates`` with bits=64). Undecodable
+    payloads quarantine to a null hash. Returns (id, vhash)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hashes = []
+            for p in pdf["payload"]:
+                try:
+                    hashes.append(y4m_vhash(p))
+                except (ValueError, NotImplementedError, IndexError, struct.error):
+                    hashes.append(None)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].values, "vhash": pd.array(hashes, dtype="Int64")}
+            )
+
+    schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("vhash", T.LongType())]
+    )
+    return binary_df.mapInPandas(batches, schema=schema)
+
+
 def text_as_y4m_payload(
     df: DataFrame,
     text_col: str = "text",

@@ -4560,6 +4560,53 @@ def q169(spark, sf_dir):
 
 
 @query(
+    "q170_video_neardup",
+    None,
+    "Video NEAR-dup detection (rows-only: the Y4M decode + profile "
+    "hash kernel is Python-side) — completes the image/audio/video "
+    "perceptual near-dup family: every document renders to its Y4M "
+    "clip (the q157 fixture path, mono AND 420jpeg chroma layouts), "
+    "25 planted copies with ONE pixel byte changed join the corpus, "
+    "each clip fingerprints to a 64-bit brightness-profile hash over "
+    "the concatenated Y planes (chroma-layout-invariant: only luma "
+    "enters the stream, so a re-containered copy hashes identically), "
+    "and near-dup pairs come from the shared Hamming-band machinery "
+    "(4 x 16-bit bands + exact popcount verify at Hamming <= 3). "
+    "Invariant gate: pair set equals a brute-force all-pairs Hamming "
+    "scan over the same fingerprints AND every planted pair is "
+    "recovered (tools/check_oracle.py prints the verdict).",
+)
+def q170(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    edited = docs.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 700000).alias("doc_id"),
+        F.concat(
+            F.substring(F.col("text"), 1, F.length("text") - 1), F.lit("#")
+        ).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(edited)
+    hashed = (
+        multimodal.video_vhashes(multimodal.text_as_y4m_payload(corpus))
+        .withColumnRenamed("vhash", "simhash")
+        .localCheckpoint(eager=True)
+    )
+    pairs = dedup.simhash_band_candidates(
+        hashed, bits=64, bands=4, hamming_max=3
+    )
+    ha = hashed.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("_ha"))
+    hb = hashed.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("_hb"))
+    return (
+        pairs.join(ha, "id_a")
+        .join(hb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).alias("hamming"),
+        )
+    )
+
+
+@query(
     "q167_image_neardup",
     None,
     "Image NEAR-dup detection (rows-only: the PNG decode + dHash "

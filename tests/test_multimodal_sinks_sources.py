@@ -831,3 +831,44 @@ def test_audio_ehashes_quarantines_bad_payload(spark):
         [(0, bytearray(b"not a wav"))], "doc_id long, payload binary"
     )
     assert mm.audio_ehashes(df).collect()[0]["ehash"] is None
+
+
+def test_y4m_vhash_chroma_invariant_and_edit_sensitivity():
+    """Only Y planes enter the profile hash, so the same frames in
+    mono and 420jpeg containers hash identically; one changed pixel
+    byte flips at most 2 bits; unrelated clips differ in many."""
+    import numpy as np
+
+    from climate_data_pipelines_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(13)
+    w, h = 16, 16
+    frames = [rng.integers(0, 256, w * h).astype(np.uint8).tobytes()
+              for _ in range(6)]
+    h_mono = mm.y4m_vhash(mm.encode_y4m(frames, w, h, colorspace="mono"))
+    h_420 = mm.y4m_vhash(mm.encode_y4m(frames, w, h, colorspace="420jpeg"))
+    assert h_mono == h_420  # chroma-layout invariance
+
+    edited = [bytearray(f) for f in frames]
+    edited[2][100] = (edited[2][100] + 128) % 256
+    h_edit = mm.y4m_vhash(
+        mm.encode_y4m([bytes(f) for f in edited], w, h, colorspace="mono")
+    )
+    other = [rng.integers(0, 256, w * h).astype(np.uint8).tobytes()
+             for _ in range(6)]
+    h_other = mm.y4m_vhash(mm.encode_y4m(other, w, h, colorspace="mono"))
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(h_mono, h_edit) <= 2
+    assert ham(h_mono, h_other) > 10
+
+
+def test_video_vhashes_quarantines_bad_payload(spark):
+    from climate_data_pipelines_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame(
+        [(0, bytearray(b"not a y4m"))], "doc_id long, payload binary"
+    )
+    assert mm.video_vhashes(df).collect()[0]["vhash"] is None

@@ -46,6 +46,7 @@ SLOW_CONSTRUCTION = {
     "q164_bpe_tokenize_ranked",
     "q167_image_neardup",  # decode+hash pass checkpointed at construction
     "q169_audio_neardup",  # same shape, WAV energy-envelope hash
+    "q170_video_neardup",  # same shape, Y4M brightness-profile hash
 }
 
 
