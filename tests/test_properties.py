@@ -313,3 +313,64 @@ def test_bpe_train_encode_property(spark, words, n_merges):
     pairs = [(l, r) for _, l, r, _ in got_merges]
     row = textops.bpe_encode(df, pairs).collect()[0]
     assert row["bpe_tokens"] == _ref_bpe_encode(corpus, pairs)
+
+
+@settings(**_SETTINGS)
+@given(
+    values=st.lists(
+        st.floats(-100, 100, allow_nan=False, width=32), min_size=1, max_size=25
+    ),
+    intervals=st.lists(
+        st.tuples(st.floats(-120, 120, allow_nan=False, width=32),
+                  st.floats(0, 80, allow_nan=False, width=32)),
+        min_size=1, max_size=10,
+    ),
+    bin_width=st.sampled_from([0.7, 5.0, 37.0, 250.0]),
+)
+def test_binned_range_join_property(spark, values, intervals, bin_width):
+    """binned_range_join == plain in-memory interval containment for
+    arbitrary (overlapping, empty, multi-bin) intervals and any bin
+    width — duplicate-free, boundary-exact (lo inclusive, hi
+    exclusive)."""
+    from climate_data_pipelines_spark.operators import asof
+
+    fact = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(values)], "fid long, v double"
+    )
+    bounds = spark.createDataFrame(
+        [(j, float(lo), float(lo + w)) for j, (lo, w) in enumerate(intervals)],
+        "bid long, lo double, hi double",
+    )
+    got = sorted(
+        (r["fid"], r["bid"])
+        for r in asof.binned_range_join(
+            fact, bounds, "v", "lo", "hi", bin_width=bin_width
+        ).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, v in enumerate(values)
+        for j, (lo, w) in enumerate(intervals)
+        if lo <= v < lo + w
+    )
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    docs=st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]),
+                  st.integers(1, 8)),
+        min_size=2, max_size=30,
+    ),
+)
+def test_temperature_mix_alpha_one_is_identity(spark, docs):
+    """alpha=1 derives target_frac == natural share, so keep_rate is
+    exactly 1 for every domain — the mix keeps the whole corpus."""
+    from climate_data_pipelines_spark.operators import training
+
+    rows = [(i, s, " ".join(["w"] * n)) for i, (s, n) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = training.temperature_mix(df, alpha=1.0).collect()
+    assert len(out) == len(rows)
+    assert all(abs(r["keep_rate"] - 1.0) < 1e-9 for r in out)
