@@ -736,6 +736,68 @@ def temperature_mix(
     )
 
 
+def shard_assign(
+    df: DataFrame,
+    tokens_per_shard: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_size: int = 4096,
+) -> DataFrame:
+    """Training-shard assignment: walk the corpus in deterministic
+    ``id_col`` order and cut a new shard every ``tokens_per_shard``
+    tokens — the pack-into-shards step between curation and the
+    trainer's dataloader. shard = floor(exclusive-prefix-sum / cap),
+    so a document straddling a boundary belongs to the shard where it
+    STARTS (the dataloader convention; shards overshoot by at most one
+    document).
+
+    The naive plan is ``SUM(n_tok) OVER (ORDER BY id)`` — a GLOBAL
+    window, which Spark executes on ONE partition: the whole corpus
+    through a single task at 100 TB. This is the scalable twin — the
+    classic hierarchical prefix sum:
+
+    1. bucket = id-range block (``id_col`` div ``bucket_size``) —
+       deterministic, order-preserving across buckets;
+    2. per-bucket token totals (one map-side-combined aggregate,
+       |buckets| rows);
+    3. exclusive running offset OVER the tiny bucket table (the only
+       ordered window, |buckets| rows on one partition — fine: at
+       10^9 docs and bucket 4096 that is ~250k rows);
+    4. broadcast-join offsets back; within-bucket exclusive cumsum is
+       a window PARTITIONED by bucket (parallel), + the bucket offset.
+
+    Output equals the single-window plan row-for-row (q171's DuckDB
+    oracle IS that plan), but every corpus-sized stage is partitioned.
+    Returns (id, n_tok, shard).
+    """
+    toks = df.select(
+        F.col(id_col), F.size(tokens(text_col)).alias("n_tok")
+    ).withColumn("_bkt", (F.col(id_col) / bucket_size).cast("long"))
+    per_bucket = toks.groupBy("_bkt").agg(F.sum("n_tok").alias("_bkt_tok"))
+    w_b = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_bucket.select(
+        "_bkt",
+        F.coalesce(F.sum("_bkt_tok").over(w_b), F.lit(0)).alias("_off"),
+    )
+    w_in = (
+        Window.partitionBy("_bkt")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        toks.join(F.broadcast(offsets), "_bkt")
+        .withColumn(
+            "_excl",
+            F.col("_off") + F.coalesce(F.sum("n_tok").over(w_in), F.lit(0)),
+        )
+        .select(
+            id_col,
+            "n_tok",
+            F.floor(F.col("_excl") / tokens_per_shard).alias("shard"),
+        )
+    )
+
+
 def quality_select(
     df: DataFrame,
     keep_frac: float = 0.5,

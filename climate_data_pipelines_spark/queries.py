@@ -4560,6 +4560,36 @@ def q169(spark, sf_dir):
 
 
 @query(
+    "q171_shard_assign",
+    """WITH toks AS (SELECT doc_id,
+                       len(list_filter(string_split(text, ' '), x -> x != ''))
+                         AS n_tok
+                     FROM documents),
+         c AS (SELECT doc_id, n_tok,
+                 COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS excl
+               FROM toks)
+       SELECT doc_id, n_tok,
+              CAST(FLOOR(excl / 20000.0) AS BIGINT) AS shard
+       FROM c""",
+    "Training-shard assignment — cut a new shard every 20k tokens in "
+    "deterministic doc order (the pack-into-shards step feeding the "
+    "trainer's dataloader; a boundary-straddling doc belongs to the "
+    "shard where it STARTS). The oracle is the naive global window "
+    "(SUM OVER (ORDER BY id)) — which Spark would execute on ONE "
+    "partition; the engine plan is the hierarchical prefix sum: "
+    "per-id-range-bucket totals, an exclusive running offset over the "
+    "|buckets|-row table only, broadcast offsets back, and a "
+    "PARTITIONED within-bucket window — row-identical output with "
+    "every corpus-sized stage parallel.",
+)
+def q171(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return training.shard_assign(docs, tokens_per_shard=20_000)
+
+
+@query(
     "q170_video_neardup",
     None,
     "Video NEAR-dup detection (rows-only: the Y4M decode + profile "
@@ -4760,15 +4790,16 @@ def q165(spark, sf_dir):
 #     (b) the 7 queries NO driver round has ever checked (q156,
 #     q161-q163 which registered after the r5 window froze, and the
 #     new q164 ranked-BPE kernel, q165 binned range join, q166
-#     semantic decontamination, q168 temperature mix);
+#     semantic decontamination, q168 temperature mix, q171 shard
+#     assignment);
 #     (c) re-proofs of everything items
 #     1-3/5/7 touched — semantic dedup's new pair-ids-first default
 #     (q126), the CC checkpoint-unpersist adopters (q90/q122/q141),
 #     the ANN family whose derive params gained knobs (q55/q73/q140);
 #     (d) the full documented leftover list — the 19 stale
 #     r2/r3-only queries + the 10-query cohort moved in 5b; (e) 6
-#     oldest r4-only queries (q83/q93/q106/q110/q130;
-#     q102/q104/q105/q133 wait for r7). Rows-only slots: 9 (q156,
+#     oldest r4-only queries (q83/q93/q106/q110;
+#     q102/q104/q105/q130/q133 wait for r7). Rows-only slots: 9 (q156,
 #     q161-q164, q126, q55, q73, q140) <= 9 — which is why the
 #     late-round rows-only q167 (image near-dup) ALSO waits for r7:
 #     a 10th rows-only slot would break the cap; its invariant runs
@@ -4786,6 +4817,7 @@ DRIVER_WINDOW: list[str] = [
     "q165_binned_range_join",
     "q166_semantic_decontaminate",
     "q168_temperature_mix",
+    "q171_shard_assign",
     # changed this round — must re-prove (pair-ids-first semantic
     # dedup; connected-components unpersist adopters; ANN derive-param
     # surface)
@@ -4832,7 +4864,6 @@ DRIVER_WINDOW: list[str] = [
     "q93_try_functions",
     "q106_decontaminate",
     "q110_per_key_trend",
-    "q130_contamination_rate",
 ]
 
 

@@ -374,3 +374,32 @@ def test_temperature_mix_alpha_one_is_identity(spark, docs):
     out = training.temperature_mix(df, alpha=1.0).collect()
     assert len(out) == len(rows)
     assert all(abs(r["keep_rate"] - 1.0) < 1e-9 for r in out)
+
+
+@settings(**_SETTINGS)
+@given(
+    toks=st.lists(st.integers(0, 500), min_size=1, max_size=40),
+    cap=st.sampled_from([100, 777, 5000]),
+    bucket=st.sampled_from([1, 3, 4096]),
+)
+def test_shard_assign_matches_naive_prefix_sum(spark, toks, cap, bucket):
+    """The hierarchical prefix-sum shard assignment must equal the
+    naive single-window plan for any token sizes, shard cap, and
+    bucket size (including bucket=1: one bucket per doc, offsets
+    table does all the work)."""
+    from climate_data_pipelines_spark.operators import training
+
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate(toks)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tok"], r["shard"])
+        for r in training.shard_assign(
+            df, tokens_per_shard=cap, bucket_size=bucket
+        ).collect()
+    }
+    excl = 0
+    want = {}
+    for i, n in enumerate(toks):
+        want[i] = (n, excl // cap)
+        excl += n
+    assert got == want
