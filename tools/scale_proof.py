@@ -72,6 +72,11 @@ QUERIES = [
     # (edge set grows linearly with the corpus; rounds stay O(1) on
     # the regular pair/clique components the fixture plants)
     "q161_pagerank",
+    # round-6: hierarchical prefix-sum shard assignment (the global
+    # ordered window's scalable twin — every corpus-sized stage
+    # partitioned; only the |buckets|-row offset table is windowed
+    # on one partition)
+    "q171_shard_assign",
 ]
 
 
