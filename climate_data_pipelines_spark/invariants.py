@@ -523,38 +523,40 @@ def inv_q164(spark, sf_dir):
     )
 
 
-def inv_q167(spark, sf_dir):
-    """Image near-dup pair set vs a brute-force all-pairs Hamming scan
-    over the SAME per-image fingerprints: exact equality (the banding
-    path must neither miss a pair — pigeonhole at bands > hamming_max
-    — nor emit an unverified one), plus recovery of every planted
-    one-pixel-edit pair."""
-    from climate_data_pipelines_spark.queries import REGISTRY
-
-    got = {
-        (r["id_a"], r["id_b"]): r["hamming"]
-        for r in REGISTRY["q167_image_neardup"].fn(spark, sf_dir).collect()
-    }
-    # recompute the fingerprint table exactly as the query builds it
+def _neardup_invariant(spark, sf_dir, qname, payload_fn_name, hashes_fn_name,
+                       hash_col, offset, noun):
+    """Shared verdict for the perceptual near-dup family
+    (q167/q169/q170): the query's pair set must EXACTLY equal a
+    brute-force all-pairs Hamming<=3 scan over the same per-item
+    fingerprints (the banding path must neither miss a pair —
+    pigeonhole at bands > hamming_max — nor emit an unverified one),
+    and every planted one-byte edit must be recovered. One
+    implementation so the reference construction cannot drift from
+    the query's (r6 code-review finding)."""
     import pyspark.sql.functions as F
 
     from climate_data_pipelines_spark.catalog import load_table
     from climate_data_pipelines_spark.operators import multimodal
+    from climate_data_pipelines_spark.queries import REGISTRY
 
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in REGISTRY[qname].fn(spark, sf_dir).collect()
+    }
     docs = load_table(spark, sf_dir, "documents")
     edited = docs.filter(F.col("doc_id") < 25).select(
-        (F.col("doc_id") + 500000).alias("doc_id"),
+        (F.col("doc_id") + offset).alias("doc_id"),
         F.concat(
             F.substring(F.col("text"), 1, F.length("text") - 1), F.lit("#")
         ).alias("text"),
     )
     corpus = docs.select("doc_id", "text").unionByName(edited)
+    payload_fn = getattr(multimodal, payload_fn_name)
+    hashes_fn = getattr(multimodal, hashes_fn_name)
     hashes = {
-        r["doc_id"]: r["dhash"]
-        for r in multimodal.image_dhashes(
-            multimodal.text_as_png_payload(corpus)
-        ).collect()
-        if r["dhash"] is not None
+        r["doc_id"]: r[hash_col]
+        for r in hashes_fn(payload_fn(corpus)).collect()
+        if r[hash_col] is not None
     }
     ids = sorted(hashes)
     exact = {}
@@ -570,120 +572,34 @@ def inv_q167(spark, sf_dir):
             f"pair-set mismatch: {len(miss)} missed, {len(extra)} extra "
             f"(e.g. {list(miss)[:3] or list(extra)[:3]})"
         )
-    planted = [(v, v + 500000) for v in range(25)]
-    missing = [p for p in planted if p not in got]
-    if missing:
-        return False, f"{len(missing)} planted one-pixel pairs missed: {missing[:5]}"
-    return True, (
-        f"{len(got)} near-dup pairs == brute-force Hamming<=3 scan over "
-        f"{len(ids)} images; all 25 planted one-pixel edits recovered"
-    )
-
-
-def inv_q169(spark, sf_dir):
-    """Audio near-dup pair set vs a brute-force all-pairs Hamming scan
-    over the SAME energy-envelope fingerprints (q167's audio twin):
-    exact equality plus recovery of every planted one-sample edit."""
-    import pyspark.sql.functions as F
-
-    from climate_data_pipelines_spark.catalog import load_table
-    from climate_data_pipelines_spark.operators import multimodal
-    from climate_data_pipelines_spark.queries import REGISTRY
-
-    got = {
-        (r["id_a"], r["id_b"]): r["hamming"]
-        for r in REGISTRY["q169_audio_neardup"].fn(spark, sf_dir).collect()
-    }
-    docs = load_table(spark, sf_dir, "documents")
-    edited = docs.filter(F.col("doc_id") < 25).select(
-        (F.col("doc_id") + 600000).alias("doc_id"),
-        F.concat(
-            F.substring(F.col("text"), 1, F.length("text") - 1), F.lit("#")
-        ).alias("text"),
-    )
-    corpus = docs.select("doc_id", "text").unionByName(edited)
-    hashes = {
-        r["doc_id"]: r["ehash"]
-        for r in multimodal.audio_ehashes(
-            multimodal.text_as_wav_payload(corpus)
-        ).collect()
-        if r["ehash"] is not None
-    }
-    ids = sorted(hashes)
-    exact = {}
-    for i, a in enumerate(ids):
-        for b in ids[i + 1:]:
-            d = bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1")
-            if d <= 3:
-                exact[(a, b)] = d
-    if got != exact:
-        miss = set(exact) - set(got)
-        extra = set(got) - set(exact)
-        return False, (
-            f"pair-set mismatch: {len(miss)} missed, {len(extra)} extra "
-            f"(e.g. {list(miss)[:3] or list(extra)[:3]})"
-        )
-    planted = [(v, v + 600000) for v in range(25)]
-    missing = [p for p in planted if p not in got]
-    if missing:
-        return False, f"{len(missing)} planted one-sample pairs missed: {missing[:5]}"
-    return True, (
-        f"{len(got)} near-dup pairs == brute-force Hamming<=3 scan over "
-        f"{len(ids)} clips; all 25 planted one-sample edits recovered"
-    )
-
-
-def inv_q170(spark, sf_dir):
-    """Video near-dup pair set vs a brute-force all-pairs Hamming scan
-    over the SAME brightness-profile fingerprints (the q167/q169
-    pattern): exact equality plus recovery of every planted
-    one-pixel-byte edit."""
-    import pyspark.sql.functions as F
-
-    from climate_data_pipelines_spark.catalog import load_table
-    from climate_data_pipelines_spark.operators import multimodal
-    from climate_data_pipelines_spark.queries import REGISTRY
-
-    got = {
-        (r["id_a"], r["id_b"]): r["hamming"]
-        for r in REGISTRY["q170_video_neardup"].fn(spark, sf_dir).collect()
-    }
-    docs = load_table(spark, sf_dir, "documents")
-    edited = docs.filter(F.col("doc_id") < 25).select(
-        (F.col("doc_id") + 700000).alias("doc_id"),
-        F.concat(
-            F.substring(F.col("text"), 1, F.length("text") - 1), F.lit("#")
-        ).alias("text"),
-    )
-    corpus = docs.select("doc_id", "text").unionByName(edited)
-    hashes = {
-        r["doc_id"]: r["vhash"]
-        for r in multimodal.video_vhashes(
-            multimodal.text_as_y4m_payload(corpus)
-        ).collect()
-        if r["vhash"] is not None
-    }
-    ids = sorted(hashes)
-    exact = {}
-    for i, a in enumerate(ids):
-        for b in ids[i + 1:]:
-            d = bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1")
-            if d <= 3:
-                exact[(a, b)] = d
-    if got != exact:
-        miss = set(exact) - set(got)
-        extra = set(got) - set(exact)
-        return False, (
-            f"pair-set mismatch: {len(miss)} missed, {len(extra)} extra "
-            f"(e.g. {list(miss)[:3] or list(extra)[:3]})"
-        )
-    planted = [(v, v + 700000) for v in range(25)]
-    missing = [p for p in planted if p not in got]
+    planted = [(v, v + offset) for v in range(25)]
+    missing = [pr for pr in planted if pr not in got]
     if missing:
         return False, f"{len(missing)} planted one-byte pairs missed: {missing[:5]}"
     return True, (
         f"{len(got)} near-dup pairs == brute-force Hamming<=3 scan over "
-        f"{len(ids)} clips; all 25 planted one-byte edits recovered"
+        f"{len(ids)} {noun}; all 25 planted one-byte edits recovered"
+    )
+
+
+def inv_q167(spark, sf_dir):
+    return _neardup_invariant(
+        spark, sf_dir, "q167_image_neardup",
+        "text_as_png_payload", "image_dhashes", "dhash", 500000, "images",
+    )
+
+
+def inv_q169(spark, sf_dir):
+    return _neardup_invariant(
+        spark, sf_dir, "q169_audio_neardup",
+        "text_as_wav_payload", "audio_ehashes", "ehash", 600000, "clips",
+    )
+
+
+def inv_q170(spark, sf_dir):
+    return _neardup_invariant(
+        spark, sf_dir, "q170_video_neardup",
+        "text_as_y4m_payload", "video_vhashes", "vhash", 700000, "clips",
     )
 
 

@@ -579,6 +579,36 @@ def extract_image_features(binary_df: DataFrame) -> DataFrame:
     return binary_df.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+def _perceptual_hashes(
+    binary_df: DataFrame, kernel, out_col: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Shared Arrow-batched wrapper for the perceptual-hash family
+    (image ``png_dhash`` / audio ``wav_ehash`` / video ``y4m_vhash``):
+    apply ``kernel`` per payload over mapInPandas; any payload the
+    kernel rejects (wrong magic, truncated, unsupported envelope)
+    quarantines to a null hash — the ``extract_image_features`` error
+    shape — and drops out of the downstream band join. ONE
+    implementation so the quarantine contract and batch shape cannot
+    drift between modalities (r6 code-review finding)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hashes = []
+            for p in pdf["payload"]:
+                try:
+                    hashes.append(kernel(p))
+                except (ValueError, NotImplementedError, IndexError, struct.error):
+                    hashes.append(None)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].values, out_col: pd.array(hashes, dtype="Int64")}
+            )
+
+    schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField(out_col, T.LongType())]
+    )
+    return binary_df.mapInPandas(batches, schema=schema)
+
+
 def image_dhashes(binary_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Perceptual fingerprints for image NEAR-dup detection: 64-bit
     dHash per payload (``png_dhash``) over Arrow-batched mapInPandas —
@@ -590,31 +620,9 @@ def image_dhashes(binary_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     bits=64 — pigeonhole over 4×16-bit bands + exact
     popcount-of-xor verification), so image near-dup pairs cost one
     band equi-join, never an all-pairs pixel comparison.
-
-    Undecodable payloads quarantine to a null hash (the
-    ``extract_image_features`` error shape) and drop out of the band
-    join. Returns (id, dhash).
+    Returns (id, dhash); undecodable payloads → null hash.
     """
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            hashes = []
-            for p in pdf["payload"]:
-                try:
-                    if p[:8] == PNG_SIG:
-                        hashes.append(png_dhash(p))
-                    else:
-                        hashes.append(None)
-                except (ValueError, NotImplementedError, IndexError, struct.error):
-                    hashes.append(None)
-            yield pd.DataFrame(
-                {id_col: pdf[id_col].values, "dhash": pd.array(hashes, dtype="Int64")}
-            )
-
-    schema = T.StructType(
-        [T.StructField(id_col, T.LongType()), T.StructField("dhash", T.LongType())]
-    )
-    return binary_df.mapInPandas(batches, schema=schema)
+    return _perceptual_hashes(binary_df, png_dhash, "dhash", id_col)
 
 
 def text_as_wav_payload(
@@ -743,25 +751,8 @@ def audio_ehashes(binary_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     machinery as the image/text fingerprints
     (``dedup.simhash_band_candidates`` with bits=64). Catches the
     re-encoded / volume-normalized / lightly-edited copies that a
-    byte digest cannot. Undecodable payloads quarantine to a null
-    hash. Returns (id, ehash)."""
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            hashes = []
-            for p in pdf["payload"]:
-                try:
-                    hashes.append(wav_ehash(p))
-                except (ValueError, NotImplementedError, IndexError, struct.error):
-                    hashes.append(None)
-            yield pd.DataFrame(
-                {id_col: pdf[id_col].values, "ehash": pd.array(hashes, dtype="Int64")}
-            )
-
-    schema = T.StructType(
-        [T.StructField(id_col, T.LongType()), T.StructField("ehash", T.LongType())]
-    )
-    return binary_df.mapInPandas(batches, schema=schema)
+    byte digest cannot. Returns (id, ehash); undecodable → null."""
+    return _perceptual_hashes(binary_df, wav_ehash, "ehash", id_col)
 
 
 AUDIO_SCHEMA = T.StructType(
@@ -976,25 +967,9 @@ def video_vhashes(binary_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     brightness-profile hash per Y4M payload (``y4m_vhash``) over
     Arrow-batched mapInPandas, completing the image/audio/video
     near-dup family on the shared Hamming-band machinery
-    (``dedup.simhash_band_candidates`` with bits=64). Undecodable
-    payloads quarantine to a null hash. Returns (id, vhash)."""
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            hashes = []
-            for p in pdf["payload"]:
-                try:
-                    hashes.append(y4m_vhash(p))
-                except (ValueError, NotImplementedError, IndexError, struct.error):
-                    hashes.append(None)
-            yield pd.DataFrame(
-                {id_col: pdf[id_col].values, "vhash": pd.array(hashes, dtype="Int64")}
-            )
-
-    schema = T.StructType(
-        [T.StructField(id_col, T.LongType()), T.StructField("vhash", T.LongType())]
-    )
-    return binary_df.mapInPandas(batches, schema=schema)
+    (``dedup.simhash_band_candidates`` with bits=64).
+    Returns (id, vhash); undecodable → null."""
+    return _perceptual_hashes(binary_df, y4m_vhash, "vhash", id_col)
 
 
 def text_as_y4m_payload(

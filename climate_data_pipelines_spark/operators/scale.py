@@ -38,17 +38,25 @@ def unpersist_checkpoint(df: DataFrame) -> None:
     """
     try:
         jvm = df.sparkSession._jvm
-        if not getattr(unpersist_checkpoint, "_quieted", False):
-            # unpersisting a local checkpoint logs a WARN per call
-            # ("lineage has been truncated...") — expected here, the
-            # freed round is dead by contract; raise that logger to
-            # ERROR once so iterative jobs don't spam one WARN/round
-            jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
-                "org.apache.spark.rdd.MapPartitionsRDD",
-                jvm.org.apache.logging.log4j.Level.ERROR,
-            )
-            unpersist_checkpoint._quieted = True
-        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        # unpersisting a local checkpoint logs a WARN ("lineage has
+        # been truncated...") — expected here, the freed round is dead
+        # by contract. Raise the logger to ERROR only AROUND the call
+        # and restore it after, so legitimate MapPartitionsRDD
+        # warnings elsewhere in the app stay visible (r6 code-review
+        # finding: a permanent ERROR level masked them all).
+        cfg = jvm.org.apache.logging.log4j.core.config.Configurator
+        logger = jvm.org.apache.logging.log4j.LogManager.getLogger(
+            "org.apache.spark.rdd.MapPartitionsRDD"
+        )
+        prev_level = logger.getLevel()
+        cfg.setLevel(
+            "org.apache.spark.rdd.MapPartitionsRDD",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+        try:
+            df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        finally:
+            cfg.setLevel("org.apache.spark.rdd.MapPartitionsRDD", prev_level)
     except Exception:
         pass
 

@@ -821,6 +821,10 @@ def semantic_decontaminate(
                 "train_id", "bench_id"
             )
         )
+    # threshold on the SAME rounded value the output carries: the
+    # DuckDB twin rounds before its WHERE, so filtering the raw dot
+    # here would disagree on any pair in the ~5e-7 band just below
+    # threshold (r6 code-review finding)
     scored = (
         cand.distinct()
         .join(
@@ -831,12 +835,12 @@ def semantic_decontaminate(
             vn_b.select(F.col(id_col).alias("bench_id"), F.col("_vn").alias("_vb")),
             "bench_id",
         )
-        .filter(dot("_vt", "_vb") >= threshold)
         .select(
             F.col("train_id").alias(id_col),
             "bench_id",
             oracle_round(dot("_vt", "_vb"), 6).alias("cosine"),
         )
+        .filter(F.col("cosine") >= threshold)
     )
     # best benchmark match per train vector: one keyed max_by — ties
     # (same rounded cosine) go to the smallest bench id via the

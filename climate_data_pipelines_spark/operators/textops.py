@@ -833,6 +833,10 @@ def bpe_train(
         # round's checkpoint blocks instead of accumulating one
         # vocab-sized block per merge (ADVICE r5, same as pagerank)
         unpersist_checkpoint(prev_words)
+    # the returned merge table is driver-built — the final round's word
+    # checkpoint is unreachable from it, so free that too (unlike
+    # pagerank/CC, where the final checkpoint backs the result)
+    unpersist_checkpoint(words)
     return spark.createDataFrame(
         merges, "merge_idx int, left string, right string, pair_count bigint"
     )

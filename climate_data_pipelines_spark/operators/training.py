@@ -706,11 +706,14 @@ def temperature_mix(
     ``token_budget_mix`` takes the recipe as an explicit target table;
     this DERIVES the recipe and reuses the same stateless keep rule.
 
-    Plan: one groupBy(domain) token count (|domains| rows), the
-    alpha-power normalization inside a single broadcast-sized frame
-    (a window over the tiny domain table — never the corpus), then
-    the identical min(1, target·total/dom) keep-rate and md5-bucket
-    Bernoulli filter. The corpus is scanned, never shuffled.
+    Plan: ONE groupBy(domain) token count (|domains| rows) serves both
+    the alpha-power normalization AND the keep-rate derivation —
+    total_tokens is the window-sum of the per-domain sums (integer
+    arithmetic, exactly equal to a separate corpus aggregate), so the
+    corpus is scanned once, never twice (r6 code-review finding:
+    delegating to ``token_budget_mix`` recomputed the identical domain
+    aggregate from scratch) and never shuffled. The keep rule is the
+    same stateless md5-bucket Bernoulli as ``token_budget_mix``.
 
     Returns surviving rows + (n_tok, keep_rate) like
     ``token_budget_mix``.
@@ -718,21 +721,20 @@ def temperature_mix(
     toks = df.withColumn("n_tok", F.size(tokens(text_col)))
     dom = toks.groupBy(domain_col).agg(F.sum("n_tok").alias("dom_tokens"))
     w = Window.partitionBy()
-    targets = dom.select(
+    powered = F.pow(F.col("dom_tokens").cast("double"), F.lit(alpha))
+    rates = dom.select(
         F.col(domain_col),
-        (
-            F.pow(F.col("dom_tokens").cast("double"), F.lit(alpha))
-            / F.sum(F.pow(F.col("dom_tokens").cast("double"), F.lit(alpha))).over(w)
-        ).alias("target_frac"),
+        F.least(
+            F.lit(1.0),
+            (powered / F.sum(powered).over(w))
+            * F.sum("dom_tokens").over(w)
+            / F.col("dom_tokens"),
+        ).alias("keep_rate"),
     )
-    return token_budget_mix(
-        df,
-        targets,
-        text_col=text_col,
-        id_col=id_col,
-        domain_col=domain_col,
-        seed=seed,
-        resolution=resolution,
+    bucket = _md5_bucket(F.col(id_col), seed, resolution)
+    return (
+        toks.join(F.broadcast(rates), domain_col)
+        .filter(bucket < F.round(F.col("keep_rate") * resolution, 0).cast("long"))
     )
 
 

@@ -4530,32 +4530,10 @@ def q168(spark, sf_dir):
     "recovered (tools/check_oracle.py prints the verdict).",
 )
 def q169(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    edited = docs.filter(F.col("doc_id") < 25).select(
-        (F.col("doc_id") + 600000).alias("doc_id"),
-        F.concat(
-            F.substring(F.col("text"), 1, F.length("text") - 1), F.lit("#")
-        ).alias("text"),
-    )
-    corpus = docs.select("doc_id", "text").unionByName(edited)
-    hashed = (
-        multimodal.audio_ehashes(multimodal.text_as_wav_payload(corpus))
-        .withColumnRenamed("ehash", "simhash")
-        .localCheckpoint(eager=True)
-    )
-    pairs = dedup.simhash_band_candidates(
-        hashed, bits=64, bands=4, hamming_max=3
-    )
-    ha = hashed.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("_ha"))
-    hb = hashed.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("_hb"))
-    return (
-        pairs.join(ha, "id_a")
-        .join(hb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).alias("hamming"),
-        )
+    return _perceptual_neardup(
+        spark, sf_dir,
+        multimodal.text_as_wav_payload, multimodal.audio_ehashes,
+        "ehash", 600000,
     )
 
 
@@ -4589,6 +4567,46 @@ def q171(spark, sf_dir):
     return training.shard_assign(docs, tokens_per_shard=20_000)
 
 
+def _perceptual_neardup(spark, sf_dir, payload_fn, hashes_fn, hash_col, offset):
+    """Shared body for the image/audio/video perceptual near-dup
+    queries (q167/q169/q170): plant 25 one-byte edits at
+    doc_id+offset, fingerprint the union with the modality's kernel,
+    band-join at Hamming <= 3, and report each pair with its exact
+    distance. One implementation so the planted-edit construction and
+    the banding/verify parameters cannot drift between modalities
+    (r6 code-review finding)."""
+    docs = _t(spark, sf_dir, "documents")
+    edited = docs.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + offset).alias("doc_id"),
+        F.concat(
+            F.substring(F.col("text"), 1, F.length("text") - 1), F.lit("#")
+        ).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(edited)
+    # checkpoint: the decode+hash kernel is the expensive pass and the
+    # frame feeds three plan branches (band join sides + the hamming
+    # re-join) — materialize once instead of decoding 3x
+    hashed = (
+        hashes_fn(payload_fn(corpus))
+        .withColumnRenamed(hash_col, "simhash")
+        .localCheckpoint(eager=True)
+    )
+    pairs = dedup.simhash_band_candidates(
+        hashed, bits=64, bands=4, hamming_max=3
+    )
+    ha = hashed.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("_ha"))
+    hb = hashed.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("_hb"))
+    return (
+        pairs.join(ha, "id_a")
+        .join(hb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).alias("hamming"),
+        )
+    )
+
+
 @query(
     "q170_video_neardup",
     None,
@@ -4607,32 +4625,10 @@ def q171(spark, sf_dir):
     "recovered (tools/check_oracle.py prints the verdict).",
 )
 def q170(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    edited = docs.filter(F.col("doc_id") < 25).select(
-        (F.col("doc_id") + 700000).alias("doc_id"),
-        F.concat(
-            F.substring(F.col("text"), 1, F.length("text") - 1), F.lit("#")
-        ).alias("text"),
-    )
-    corpus = docs.select("doc_id", "text").unionByName(edited)
-    hashed = (
-        multimodal.video_vhashes(multimodal.text_as_y4m_payload(corpus))
-        .withColumnRenamed("vhash", "simhash")
-        .localCheckpoint(eager=True)
-    )
-    pairs = dedup.simhash_band_candidates(
-        hashed, bits=64, bands=4, hamming_max=3
-    )
-    ha = hashed.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("_ha"))
-    hb = hashed.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("_hb"))
-    return (
-        pairs.join(ha, "id_a")
-        .join(hb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).alias("hamming"),
-        )
+    return _perceptual_neardup(
+        spark, sf_dir,
+        multimodal.text_as_y4m_payload, multimodal.video_vhashes,
+        "vhash", 700000,
     )
 
 
@@ -4654,35 +4650,10 @@ def q170(spark, sf_dir):
     "(tools/check_oracle.py prints the verdict).",
 )
 def q167(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    edited = docs.filter(F.col("doc_id") < 25).select(
-        (F.col("doc_id") + 500000).alias("doc_id"),
-        F.concat(
-            F.substring(F.col("text"), 1, F.length("text") - 1), F.lit("#")
-        ).alias("text"),
-    )
-    corpus = docs.select("doc_id", "text").unionByName(edited)
-    # checkpoint: the decode+hash kernel is the expensive pass and the
-    # frame feeds three plan branches (band join sides + the hamming
-    # re-join) — materialize once instead of decoding 3x
-    hashed = (
-        multimodal.image_dhashes(multimodal.text_as_png_payload(corpus))
-        .withColumnRenamed("dhash", "simhash")
-        .localCheckpoint(eager=True)
-    )
-    pairs = dedup.simhash_band_candidates(
-        hashed, bits=64, bands=4, hamming_max=3
-    )
-    ha = hashed.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("_ha"))
-    hb = hashed.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("_hb"))
-    return (
-        pairs.join(ha, "id_a")
-        .join(hb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).alias("hamming"),
-        )
+    return _perceptual_neardup(
+        spark, sf_dir,
+        multimodal.text_as_png_payload, multimodal.image_dhashes,
+        "dhash", 500000,
     )
 
 

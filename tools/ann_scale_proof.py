@@ -90,7 +90,7 @@ def main() -> None:
         sec = time.perf_counter() - t0
         hits = sum(len(exact[k_] & approx.get(k_, set())) for k_ in exact)
         total = sum(len(v) for v in exact.values())
-        n_cand = cand_fn(emb, q, n_vec)
+        n_cand = cand_fn(emb, q, n_vec, len(exact))
         entry = {
             "recall@10": round(hits / total, 3) if total else 0.0,
             "candidates": n_cand,
@@ -118,7 +118,7 @@ def main() -> None:
                 ),
                 # k wider than any candidate set -> row count IS the
                 # distinct candidate count
-                lambda emb, q, n: similarity.ann_lsh_topk(
+                lambda emb, q, n, nq: similarity.ann_lsh_topk(
                     emb, q, k=1 << 30, n_planes=None, n_tables=8,
                     multiprobe_bits=1, corpus_n=n_vec,
                 ).count(),
@@ -137,7 +137,7 @@ def main() -> None:
                     emb, q, k=10, n_cells=None, n_probe=None,
                     corpus_n=n_vec, probe_frac=1.0 / 32.0,
                 ),
-                lambda emb, q, n: similarity.ann_ivf_topk(
+                lambda emb, q, n, nq: similarity.ann_ivf_topk(
                     emb, q, k=1 << 30, n_cells=None, n_probe=None,
                     corpus_n=n_vec, probe_frac=1.0 / 32.0,
                 ).count(),
@@ -163,8 +163,9 @@ def main() -> None:
                 ),
                 # PQ's ADC pass scans every CODE row by design (the win
                 # is 16x memory, not row pruning); the raw-vector reads
-                # are the re-rank tail — the honest "candidate" count
-                lambda emb, q, n: rf * 10 * 3,
+                # are the re-rank tail — the honest "candidate" count,
+                # sized by the ACTUAL query count (r6 review finding)
+                lambda emb, q, n, nq, _rf=rf: _rf * 10 * nq,
             )
 
     with open(OUT_PATH, "w") as fh:
