@@ -1,0 +1,149 @@
+"""End-to-end LLM training-data curation pipeline.
+
+The flagship composition of the engine's LLM-data surface into the ONE
+job a data team actually runs before a training run — the analog of the
+reference's staged climate pipelines (reference
+pipelines/temperature_pipeline.py run(): download → split → geojson →
+tiles), re-expressed as chained lazy DataFrame stages with exactly the
+materialization points the algorithms require:
+
+  1. QUALITY gate        — stateless predicate (textops.quality_predicate)
+  2. EXACT dedup         — content-digest agg, keep min id (one 32-byte
+                           key exchange)
+  3. NEAR-dup dedup      — MinHash signatures → banded LSH candidates →
+                           exact Jaccard verify → connected components →
+                           keep min id per cluster (candidates
+                           checkpointed once; CC iterates on the
+                           candidate subgraph only)
+  4. DECONTAMINATION     — Bloom-prefiltered 3-shingle overlap vs the
+                           held-out benchmark corpus (exact-equal
+                           output; no false negatives)
+  5. TEMPERATURE mix     — per-domain share^alpha targets derived from
+                           the surviving corpus, stateless md5 keep
+  6. SHARD assignment    — hierarchical prefix sum (never a global
+                           single-partition window)
+  7. SHARD sink          — parquet partitioned by shard + manifest.json
+
+Scale shape: stages 1/5/6 are scans + tiny broadcast dims; stage 2 is
+one digest exchange; stage 3's pair shuffles carry 16-byte ids; stage 4
+broadcasts only benchmark-sized state. Nothing row-sized ever reaches
+the driver — the manifest aggregate (|shards| rows) is the only
+collect.
+
+CLI:
+    python -m climate_data_pipelines_spark.plans.llm_curation \
+        --sf-dir /root/testdata/sf0.001 --out /tmp/curated \
+        [--alpha 0.5] [--tokens-per-shard 20000] \
+        [--jaccard 0.5] [--benchmark-source src0]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from climate_data_pipelines_spark import sinks
+from climate_data_pipelines_spark.catalog import load_table
+from climate_data_pipelines_spark.operators import dedup, textops, training
+from climate_data_pipelines_spark.queries import (
+    MINHASH_BANDS,
+    MINHASH_N,
+)
+
+
+def neardup_dedup(
+    df: DataFrame,
+    jaccard_threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Verified near-dup dedup, keep the min id per cluster (the q122
+    pipeline step packaged): signatures → banded candidates → exact
+    Jaccard verify on candidate pairs only → connected components →
+    left-semi keep of the cluster representatives."""
+    sigs = dedup.minhash_signatures(df, k=3, n_hashes=MINHASH_N)
+    cand = dedup.minhash_lsh_candidates(
+        sigs, n_hashes=MINHASH_N, bands=MINHASH_BANDS
+    ).localCheckpoint(eager=True)
+    ver = (
+        dedup.jaccard_on_pairs(df, cand, k=3)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b")
+    )
+    clusters = dedup.connected_components(
+        ver, nodes=df.select(id_col), node_col=id_col
+    )
+    keepers = clusters.filter(F.col(id_col) == F.col("component")).select(id_col)
+    return df.join(keepers, id_col, "left_semi")
+
+
+def curate_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    alpha: float = 0.5,
+    tokens_per_shard: int = 20_000,
+    jaccard_threshold: float = 0.5,
+    benchmark_source: str = "src0",
+) -> dict:
+    """Run the full curation chain on the ``documents`` table and
+    write trainer shards + manifest to ``out_dir``. The documents
+    whose ``source`` equals ``benchmark_source`` play the held-out
+    eval set (the q139 convention): they are excluded from training
+    and any train document sharing a 3-shingle with them is dropped.
+    Returns the manifest dict (per-shard doc/token counts)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == benchmark_source)
+    train = docs.filter(F.col("source") != benchmark_source)
+
+    passed = train.filter(textops.quality_predicate("text"))
+    unique = dedup.exact_dedup(passed)
+    neardup_free = neardup_dedup(unique, jaccard_threshold)
+    clean = training.bloom_decontaminate(
+        neardup_free, bench, k=3, expected_items=20_000, fpp=0.01
+    )
+    mixed = training.temperature_mix(clean, alpha=alpha)
+    sharded = training.shard_assign(
+        mixed.select("doc_id", "text"), tokens_per_shard
+    )
+    out = (
+        mixed.drop("n_tok")
+        .join(sharded.select("doc_id", "n_tok", "shard"), "doc_id")
+    )
+    return sinks.write_training_shards(out, out_dir)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--sf-dir", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--alpha", type=float, default=0.5)
+    p.add_argument("--tokens-per-shard", type=int, default=20_000)
+    p.add_argument("--jaccard", type=float, default=0.5)
+    p.add_argument("--benchmark-source", default="src0")
+    return p
+
+
+def main() -> None:
+    from climate_data_pipelines_spark import get_spark
+
+    args = build_parser().parse_args()
+    spark = get_spark(app_name="llm-curation")
+    manifest = curate_corpus(
+        spark,
+        args.sf_dir,
+        args.out,
+        alpha=args.alpha,
+        tokens_per_shard=args.tokens_per_shard,
+        jaccard_threshold=args.jaccard,
+        benchmark_source=args.benchmark_source,
+    )
+    print(
+        f"wrote {manifest['n_shards']} shards / {manifest['total_docs']} docs "
+        f"/ {manifest['total_tokens']} tokens to {args.out}"
+    )
+
+
+if __name__ == "__main__":
+    main()

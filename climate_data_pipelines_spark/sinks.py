@@ -464,3 +464,47 @@ def write_jsonl(
     if partition_cols:
         w = w.partitionBy(*partition_cols)
     w.json(path)
+
+
+def write_training_shards(
+    df: DataFrame, out_dir: str, mode: str = "overwrite"
+) -> dict:
+    """Trainer-facing shard sink: parquet partitioned by ``shard``
+    (one directory per shard — the unit a dataloader maps to one
+    worker/epoch slice) plus a ``manifest.json`` recording per-shard
+    document and token counts and the totals. ``df`` must carry
+    ``shard`` and ``n_tok`` (``training.shard_assign`` output joined
+    back to the payload columns).
+
+    The manifest aggregate is |shards|-sized (never row-sized) and is
+    the ONLY driver materialization; it doubles as the sink's
+    verification record — a reader can check each shard's parquet
+    against the manifest row without scanning the corpus. Returns the
+    manifest dict.
+    """
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    df.write.partitionBy("shard").mode(mode).parquet(f"{out_dir}/shards")
+    rows = (
+        df.groupBy("shard")
+        .agg(F.count("*").alias("docs"), F.sum("n_tok").alias("tokens"))
+        .orderBy("shard")
+        .collect()
+    )
+    manifest = {
+        "shards": [
+            {"shard": int(r["shard"]), "docs": int(r["docs"]),
+             "tokens": int(r["tokens"])}
+            for r in rows
+        ],
+        "n_shards": len(rows),
+        "total_docs": int(sum(r["docs"] for r in rows)),
+        "total_tokens": int(sum(r["tokens"] for r in rows)),
+    }
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    return manifest
