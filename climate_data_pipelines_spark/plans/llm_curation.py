@@ -86,15 +86,24 @@ def curate_corpus(
     tokens_per_shard: int = 20_000,
     jaccard_threshold: float = 0.5,
     benchmark_source: str = "src0",
+    bench_stride: int = 1,
 ) -> dict:
     """Run the full curation chain on the ``documents`` table and
     write trainer shards + manifest to ``out_dir``. The documents
     whose ``source`` equals ``benchmark_source`` play the held-out
     eval set (the q139 convention): they are excluded from training
     and any train document sharing a 3-shingle with them is dropped.
+    ``bench_stride`` keeps every stride-th benchmark doc — the
+    fixed-eval-set convention for scale runs (real eval sets do not
+    grow with the train corpus; on the word-soup scale fixtures an
+    unpinned benchmark saturates the 3-shingle space and
+    decontaminates the entire corpus, docs/SCALEPROOF.md Finding 4).
     Returns the manifest dict (per-shard doc/token counts)."""
     docs = load_table(spark, sf_dir, "documents")
-    bench = docs.filter(F.col("source") == benchmark_source)
+    bench = docs.filter(
+        (F.col("source") == benchmark_source)
+        & (F.col("doc_id") % bench_stride == 0)
+    )
     train = docs.filter(F.col("source") != benchmark_source)
 
     passed = train.filter(textops.quality_predicate("text"))
