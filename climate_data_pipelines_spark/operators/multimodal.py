@@ -597,7 +597,14 @@ def _perceptual_hashes(
             for p in pdf["payload"]:
                 try:
                     hashes.append(kernel(p))
-                except (ValueError, NotImplementedError, IndexError, struct.error):
+                except (
+                    ValueError,
+                    NotImplementedError,
+                    IndexError,
+                    TypeError,  # null payload
+                    struct.error,
+                    zlib.error,  # corrupt deflate stream inside a PNG
+                ):
                     hashes.append(None)
             yield pd.DataFrame(
                 {id_col: pdf[id_col].values, out_col: pd.array(hashes, dtype="Int64")}

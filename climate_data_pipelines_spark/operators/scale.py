@@ -14,7 +14,11 @@ plain SQL (queries q74/q75).
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, functions as F
+
+_UNPERSIST_LOG_LOCK = threading.Lock()
 
 
 def unpersist_checkpoint(df: DataFrame) -> None:
@@ -42,21 +46,27 @@ def unpersist_checkpoint(df: DataFrame) -> None:
         # been truncated...") — expected here, the freed round is dead
         # by contract. Raise the logger to ERROR only AROUND the call
         # and restore it after, so legitimate MapPartitionsRDD
-        # warnings elsewhere in the app stay visible (r6 code-review
-        # finding: a permanent ERROR level masked them all).
-        cfg = jvm.org.apache.logging.log4j.core.config.Configurator
-        logger = jvm.org.apache.logging.log4j.LogManager.getLogger(
-            "org.apache.spark.rdd.MapPartitionsRDD"
-        )
-        prev_level = logger.getLevel()
-        cfg.setLevel(
-            "org.apache.spark.rdd.MapPartitionsRDD",
-            jvm.org.apache.logging.log4j.Level.ERROR,
-        )
-        try:
-            df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-        finally:
-            cfg.setLevel("org.apache.spark.rdd.MapPartitionsRDD", prev_level)
+        # warnings elsewhere in the app stay visible. The module lock
+        # makes the save/restore reentrancy-safe: without it, an
+        # interleaved call could capture ERROR as its "previous" level
+        # and pin the logger there for the session (r6 second-review
+        # finding).
+        with _UNPERSIST_LOG_LOCK:
+            cfg = jvm.org.apache.logging.log4j.core.config.Configurator
+            logger = jvm.org.apache.logging.log4j.LogManager.getLogger(
+                "org.apache.spark.rdd.MapPartitionsRDD"
+            )
+            prev_level = logger.getLevel()
+            cfg.setLevel(
+                "org.apache.spark.rdd.MapPartitionsRDD",
+                jvm.org.apache.logging.log4j.Level.ERROR,
+            )
+            try:
+                df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+            finally:
+                cfg.setLevel(
+                    "org.apache.spark.rdd.MapPartitionsRDD", prev_level
+                )
     except Exception:
         pass
 

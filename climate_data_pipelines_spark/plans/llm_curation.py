@@ -62,6 +62,8 @@ def neardup_dedup(
     pipeline step packaged): signatures → banded candidates → exact
     Jaccard verify on candidate pairs only → connected components →
     left-semi keep of the cluster representatives."""
+    from climate_data_pipelines_spark.operators.scale import unpersist_checkpoint
+
     sigs = dedup.minhash_signatures(df, k=3, n_hashes=MINHASH_N)
     cand = dedup.minhash_lsh_candidates(
         sigs, n_hashes=MINHASH_N, bands=MINHASH_BANDS
@@ -74,6 +76,11 @@ def neardup_dedup(
     clusters = dedup.connected_components(
         ver, nodes=df.select(id_col), node_col=id_col
     )
+    # connected_components has materialized its own edge + label
+    # checkpoints by the time it returns, so the candidate frame is
+    # dead — free it instead of pinning it for the session
+    # (r6 second-review finding; same rule as bpe_train's final table)
+    unpersist_checkpoint(cand)
     keepers = clusters.filter(F.col(id_col) == F.col("component")).select(id_col)
     return df.join(keepers, id_col, "left_semi")
 
@@ -106,13 +113,21 @@ def curate_corpus(
     )
     train = docs.filter(F.col("source") != benchmark_source)
 
+    from climate_data_pipelines_spark.operators.scale import unpersist_checkpoint
+
     passed = train.filter(textops.quality_predicate("text"))
     unique = dedup.exact_dedup(passed)
     neardup_free = neardup_dedup(unique, jaccard_threshold)
     clean = training.bloom_decontaminate(
         neardup_free, bench, k=3, expected_items=20_000, fpp=0.01
     )
-    mixed = training.temperature_mix(clean, alpha=alpha)
+    # materialize the curated corpus ONCE: the shard join below
+    # references it on both sides (payload + shard_assign), so an
+    # unmaterialized plan would evaluate the whole expensive chain
+    # per branch (r6 second-review finding); freed after the sink
+    mixed = training.temperature_mix(clean, alpha=alpha).localCheckpoint(
+        eager=True
+    )
     sharded = training.shard_assign(
         mixed.select("doc_id", "text"), tokens_per_shard
     )
@@ -120,7 +135,9 @@ def curate_corpus(
         mixed.drop("n_tok")
         .join(sharded.select("doc_id", "n_tok", "shard"), "doc_id")
     )
-    return sinks.write_training_shards(out, out_dir)
+    manifest = sinks.write_training_shards(out, out_dir)
+    unpersist_checkpoint(mixed)
+    return manifest
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -131,6 +148,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tokens-per-shard", type=int, default=20_000)
     p.add_argument("--jaccard", type=float, default=0.5)
     p.add_argument("--benchmark-source", default="src0")
+    p.add_argument(
+        "--bench-stride", type=int, default=1,
+        help="keep every Nth benchmark doc (fixed-eval-set convention "
+        "for scale runs; SCALEPROOF uses stride == corpus multiplier)",
+    )
     return p
 
 
@@ -147,6 +169,7 @@ def main() -> None:
         tokens_per_shard=args.tokens_per_shard,
         jaccard_threshold=args.jaccard,
         benchmark_source=args.benchmark_source,
+        bench_stride=args.bench_stride,
     )
     print(
         f"wrote {manifest['n_shards']} shards / {manifest['total_docs']} docs "

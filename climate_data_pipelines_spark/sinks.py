@@ -477,10 +477,11 @@ def write_training_shards(
     back to the payload columns).
 
     The manifest aggregate is |shards|-sized (never row-sized) and is
-    the ONLY driver materialization; it doubles as the sink's
-    verification record — a reader can check each shard's parquet
-    against the manifest row without scanning the corpus. Returns the
-    manifest dict.
+    the ONLY driver materialization. It is computed by READING BACK
+    the parquet just written — not by re-executing the input plan —
+    so it is a true verification record of what landed on disk (and
+    one pipeline evaluation instead of two; r6 second-review finding).
+    Returns the manifest dict.
     """
     import json
     import os
@@ -488,8 +489,10 @@ def write_training_shards(
     from pyspark.sql import functions as F
 
     df.write.partitionBy("shard").mode(mode).parquet(f"{out_dir}/shards")
+    spark = df.sparkSession
     rows = (
-        df.groupBy("shard")
+        spark.read.parquet(f"{out_dir}/shards")
+        .groupBy("shard")
         .agg(F.count("*").alias("docs"), F.sum("n_tok").alias("tokens"))
         .orderBy("shard")
         .collect()

@@ -41,19 +41,27 @@ def test_manifest_matches_shard_parquet(spark, curated):
         assert json.load(fh) == manifest
 
 
-def test_shards_are_contiguous_and_token_bounded(curated):
-    """Shard ids are 0..n-1 with no holes, and every shard except the
-    last holds >= the target minus one straddling document (the
-    cut-where-it-starts rule can overshoot but never leaves a shard
-    short while later shards exist)."""
+def test_shards_are_ordered_and_tokens_counted_independently(spark, curated):
+    """Shard ids are strictly increasing (a document longer than the
+    cap can legitimately SKIP an id — floor(excl/cap) jumps — so
+    contiguity is not the contract), the doc-order → shard mapping is
+    monotone non-decreasing, and the manifest's token totals equal an
+    INDEPENDENT whitespace recount of the kept texts (not the sink's
+    own n_tok column — r6 second-review finding: the old assertion
+    compared the manifest to itself)."""
     out, manifest = curated
     ids = [s["shard"] for s in manifest["shards"]]
-    assert ids == list(range(len(ids)))
-    for s in manifest["shards"][:-1]:
-        assert s["tokens"] >= 1  # non-empty by construction
-    # exclusive-prefix rule: total tokens across shards is exactly the
-    # corpus total, nothing dropped or double-counted
-    assert manifest["total_tokens"] == sum(s["tokens"] for s in manifest["shards"])
+    assert ids == sorted(set(ids))
+    rows = (
+        spark.read.parquet(f"{out}/shards")
+        .select("doc_id", "text", "shard")
+        .collect()
+    )
+    by_doc = sorted((r["doc_id"], r["shard"]) for r in rows)
+    shards_in_doc_order = [s for _, s in by_doc]
+    assert shards_in_doc_order == sorted(shards_in_doc_order)
+    recount = sum(len([t for t in (r["text"] or "").split() if t]) for r in rows)
+    assert manifest["total_tokens"] == recount
 
 
 def test_curated_corpus_properties(spark, sf_dir, curated):

@@ -872,3 +872,21 @@ def test_video_vhashes_quarantines_bad_payload(spark):
         [(0, bytearray(b"not a y4m"))], "doc_id long, payload binary"
     )
     assert mm.video_vhashes(df).collect()[0]["vhash"] is None
+
+
+def test_perceptual_hash_quarantines_corrupt_deflate(spark):
+    """A payload with a valid PNG signature but a corrupt IDAT stream
+    must quarantine to a null hash, not kill the task (zlib.error is
+    in the quarantine tuple — r6 second-review finding)."""
+    from climate_data_pipelines_spark.operators import multimodal as mm
+
+    good = mm.encode_png_gray8(bytes(range(64)), 8, 8)
+    corrupt = bytearray(good)
+    corrupt[50] ^= 0xFF  # scramble inside the IDAT deflate stream
+    df = spark.createDataFrame(
+        [(0, bytearray(good)), (1, corrupt), (2, None)],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r["dhash"] for r in mm.image_dhashes(df).collect()}
+    assert rows[0] is not None
+    assert rows[1] is None and rows[2] is None
