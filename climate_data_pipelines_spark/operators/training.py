@@ -319,17 +319,31 @@ def bloom_decontaminate(
     stream before the (now much smaller) exact join — so the DuckDB
     oracle is the plain exact decontamination SQL, hash-checkable.
     """
-    bench_sh = benchmark.select(
-        F.explode(F.array_distinct(shingles(text_col, k))).alias("shingle")
-    ).distinct()
+    from climate_data_pipelines_spark.operators.scale import spread_for_cpu
+
+    # the benchmark shingle set is referenced 4x (3 position dims +
+    # the exact verify join) — materialize it once instead of
+    # re-running the explode+distinct per reference; it is the SMALL
+    # side by the operator's own premise (a fixed eval set)
+    bench_sh = (
+        benchmark.select(
+            F.explode(F.array_distinct(shingles(text_col, k))).alias("shingle")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     fill = fpp ** (1.0 / n_hashes)
     n_bits = max(64, int(math.ceil(n_hashes * expected_items / -math.log(1.0 - fill))))
 
     def pos(i: int, col):
         return F.pmod(F.xxhash64(F.concat(F.lit(f"bf{i}|"), col)), F.lit(n_bits))
 
-    # one distinct-position dim per hash seed; each is ≤ n_bits ints
-    train_sh = train.select(
+    # one distinct-position dim per hash seed; each is ≤ n_bits ints.
+    # spread_for_cpu: the shingle explode + 3 hash probes per row are
+    # the CPU-bound stage, and a small parquet file scans as ONE split
+    # — without the spread the whole prefilter runs single-threaded
+    # (the minhash lesson, operators/scale.py)
+    train_sh = spread_for_cpu(train).select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(text_col, k))).alias("shingle"),
     )
