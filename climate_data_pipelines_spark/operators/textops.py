@@ -680,7 +680,13 @@ def heavy_hitters_topk(
     """
     from climate_data_pipelines_spark.operators.training import _md5_bucket
 
-    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    # spread: both phases explode the token stream — CPU-bound per-row
+    # work that inherits a single scan split on small parquet files
+    # (the q139 lesson, SCALEPROOF.md Finding 7); no-op at production
+    # split counts
+    tok = spread_for_cpu(df).select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("token")
+    )
     sampled = tok.filter(_md5_bucket(F.col(id_col), seed, 10_000) < sample_per_10k)
     candidates = (
         sampled.groupBy("token")
