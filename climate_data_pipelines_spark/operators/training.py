@@ -786,7 +786,11 @@ def shard_assign(
     oracle IS that plan), but every corpus-sized stage is partitioned.
     Returns (id, n_tok, shard).
     """
-    toks = df.select(
+    from climate_data_pipelines_spark.operators.scale import spread_for_cpu
+
+    # the tokenize pass is the map-side CPU stage; spread it past a
+    # small file's single scan split (SCALEPROOF.md Finding 7 pattern)
+    toks = spread_for_cpu(df).select(
         F.col(id_col), F.size(tokens(text_col)).alias("n_tok")
     ).withColumn("_bkt", (F.col(id_col) / bucket_size).cast("long"))
     per_bucket = toks.groupBy("_bkt").agg(F.sum("n_tok").alias("_bkt_tok"))
