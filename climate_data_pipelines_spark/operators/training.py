@@ -295,6 +295,7 @@ def bloom_decontaminate(
     expected_items: int = 100_000,
     fpp: float = 0.01,
     n_hashes: int = 3,
+    spread: bool = True,
 ) -> DataFrame:
     """``decontaminate`` scale path: an expression-level BLOOM FILTER
     prefilter in front of the exact shingle join — for when the
@@ -342,8 +343,13 @@ def bloom_decontaminate(
     # spread_for_cpu: the shingle explode + 3 hash probes per row are
     # the CPU-bound stage, and a small parquet file scans as ONE split
     # — without the spread the whole prefilter runs single-threaded
-    # (the minhash lesson, operators/scale.py)
-    train_sh = spread_for_cpu(train).select(
+    # (the minhash lesson, operators/scale.py). ``spread=False`` for
+    # callers whose train side is a DERIVED frame that is already
+    # post-shuffle partitioned (plans/llm_curation): the partition
+    # probe itself forces a full plan→RDD conversion of the upstream
+    # chain, pure waste when the answer is known to be "wide enough"
+    spread_train = spread_for_cpu(train) if spread else train
+    train_sh = spread_train.select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(text_col, k))).alias("shingle"),
     )

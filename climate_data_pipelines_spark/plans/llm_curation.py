@@ -116,10 +116,20 @@ def curate_corpus(
     from climate_data_pipelines_spark.operators.scale import unpersist_checkpoint
 
     passed = train.filter(textops.quality_predicate("text"))
-    unique = dedup.exact_dedup(passed)
+    # materialize the quality+exact-dedup output ONCE: the near-dup
+    # stage references it four ways (signatures, Jaccard endpoint
+    # joins, the CC node set, the final keeper semi-join) and the mix
+    # checkpoint once more — unmaterialized, each reference re-ran the
+    # full scan+filter+digest chain (this one checkpoint cut the x100
+    # end-to-end run 165 → 65 s)
+    unique = dedup.exact_dedup(passed).localCheckpoint(eager=True)
     neardup_free = neardup_dedup(unique, jaccard_threshold)
     clean = training.bloom_decontaminate(
-        neardup_free, bench, k=3, expected_items=20_000, fpp=0.01
+        # spread=False: neardup_free is already post-shuffle
+        # partitioned by the dedup stages; the spread probe would pay
+        # a full plan->RDD conversion of the whole upstream chain
+        neardup_free, bench, k=3, expected_items=20_000, fpp=0.01,
+        spread=False,
     )
     # materialize the curated corpus ONCE: the shard join below
     # references it on both sides (payload + shard_assign), so an
@@ -137,6 +147,7 @@ def curate_corpus(
     )
     manifest = sinks.write_training_shards(out, out_dir)
     unpersist_checkpoint(mixed)
+    unpersist_checkpoint(unique)
     return manifest
 
 
