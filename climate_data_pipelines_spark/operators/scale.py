@@ -247,7 +247,27 @@ def spread_for_cpu(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     added. Call it only in operators whose per-row CPU dwarfs the
     row's serialization cost (minhash/simhash families, not plain
     projections).
+
+    DERIVED frames short-circuit before the partition probe: the
+    ``df.rdd`` probe itself forces a full plan→RDD conversion of the
+    upstream chain — pure waste when the input has already passed a
+    shuffle (joins/aggregates/windows produce spark.sql.shuffle
+    .partitions-wide output; AQE may coalesce, but only because the
+    data is small enough not to need spreading). The check walks the
+    ANALYZED logical plan (analysis only — no physical planning, no
+    jobs) for shuffle-inducing nodes (r6 third-review finding: the
+    per-callsite opt-out flag was a bandaid).
     """
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+        if any(
+            marker in plan
+            for marker in ("Join ", "Aggregate ", "Window ",
+                           "Repartition", "Sort ")
+        ):
+            return df
+    except Exception:
+        pass  # internal-API probe failed: fall through to the rdd path
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:

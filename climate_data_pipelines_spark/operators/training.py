@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from climate_data_pipelines_spark.functions.text import shingles, tokens
+from climate_data_pipelines_spark.operators.scale import spread_for_cpu
 
 
 def _md5_bucket(col, seed: str, n_buckets: int):
@@ -295,7 +296,6 @@ def bloom_decontaminate(
     expected_items: int = 100_000,
     fpp: float = 0.01,
     n_hashes: int = 3,
-    spread: bool = True,
 ) -> DataFrame:
     """``decontaminate`` scale path: an expression-level BLOOM FILTER
     prefilter in front of the exact shingle join — for when the
@@ -320,19 +320,15 @@ def bloom_decontaminate(
     stream before the (now much smaller) exact join — so the DuckDB
     oracle is the plain exact decontamination SQL, hash-checkable.
     """
-    from climate_data_pipelines_spark.operators.scale import spread_for_cpu
-
     # the benchmark shingle set is referenced 4x (3 position dims +
-    # the exact verify join) — materialize it once instead of
-    # re-running the explode+distinct per reference; it is the SMALL
-    # side by the operator's own premise (a fixed eval set)
-    bench_sh = (
-        benchmark.select(
-            F.explode(F.array_distinct(shingles(text_col, k))).alias("shingle")
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # the exact verify join) but stays LAZY: it is the SMALL side by
+    # the operator's own premise (a fixed eval set), the recomputes
+    # fuse into pipelined stages, and an eager checkpoint here both
+    # ran jobs at plan-construction time and measured SLOWER at x100
+    # (6.9 s vs 5.8 s — r6 third-review finding)
+    bench_sh = benchmark.select(
+        F.explode(F.array_distinct(shingles(text_col, k))).alias("shingle")
+    ).distinct()
     fill = fpp ** (1.0 / n_hashes)
     n_bits = max(64, int(math.ceil(n_hashes * expected_items / -math.log(1.0 - fill))))
 
@@ -343,13 +339,10 @@ def bloom_decontaminate(
     # spread_for_cpu: the shingle explode + 3 hash probes per row are
     # the CPU-bound stage, and a small parquet file scans as ONE split
     # — without the spread the whole prefilter runs single-threaded
-    # (the minhash lesson, operators/scale.py). ``spread=False`` for
-    # callers whose train side is a DERIVED frame that is already
-    # post-shuffle partitioned (plans/llm_curation): the partition
-    # probe itself forces a full plan→RDD conversion of the upstream
-    # chain, pure waste when the answer is known to be "wide enough"
-    spread_train = spread_for_cpu(train) if spread else train
-    train_sh = spread_train.select(
+    # (the minhash lesson, operators/scale.py). Derived post-shuffle
+    # inputs short-circuit inside spread_for_cpu itself (no plan→RDD
+    # probe), so this is safe for any caller.
+    train_sh = spread_for_cpu(train).select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(text_col, k))).alias("shingle"),
     )
@@ -792,8 +785,6 @@ def shard_assign(
     oracle IS that plan), but every corpus-sized stage is partitioned.
     Returns (id, n_tok, shard).
     """
-    from climate_data_pipelines_spark.operators.scale import spread_for_cpu
-
     # the tokenize pass is the map-side CPU stage; spread it past a
     # small file's single scan split (SCALEPROOF.md Finding 7 pattern)
     toks = spread_for_cpu(df).select(

@@ -125,11 +125,7 @@ def curate_corpus(
     unique = dedup.exact_dedup(passed).localCheckpoint(eager=True)
     neardup_free = neardup_dedup(unique, jaccard_threshold)
     clean = training.bloom_decontaminate(
-        # spread=False: neardup_free is already post-shuffle
-        # partitioned by the dedup stages; the spread probe would pay
-        # a full plan->RDD conversion of the whole upstream chain
-        neardup_free, bench, k=3, expected_items=20_000, fpp=0.01,
-        spread=False,
+        neardup_free, bench, k=3, expected_items=20_000, fpp=0.01
     )
     # materialize the curated corpus ONCE: the shard join below
     # references it on both sides (payload + shard_assign), so an
