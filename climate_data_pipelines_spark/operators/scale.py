@@ -260,10 +260,12 @@ def spread_for_cpu(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """
     try:
         plan = df._jdf.queryExecution().analyzed().toString()
+        # NOT "Repartition": an explicit coalesce/repartition DOWN is
+        # exactly the few-partitions case that needs spreading (the
+        # guard test constructs it with coalesce(1))
         if any(
             marker in plan
-            for marker in ("Join ", "Aggregate ", "Window ",
-                           "Repartition", "Sort ")
+            for marker in ("Join ", "Aggregate ", "Window ", "Sort ")
         ):
             return df
     except Exception:
