@@ -147,6 +147,111 @@ def curate_corpus(
     return manifest
 
 
+def curate_increment(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    base_dir: str,
+    alpha: float = 0.5,  # noqa: ARG001 — reserved; mixing is global, see note
+    jaccard_threshold: float = 0.5,
+    benchmark: DataFrame | None = None,
+) -> dict:
+    """The DAY-N run: curate a new document batch AGAINST an existing
+    curated corpus (a ``curate_corpus`` output directory) and append
+    the survivors as new shards — the daily-crawl-increment workflow,
+    where re-running the full job over the whole history would cost
+    O(total) every day instead of O(batch).
+
+    Stages on the new batch only:
+      1. quality gate + exact dedup WITHIN the batch;
+      2. exact dedup AGAINST the base: anti-join on the content
+         digest of the base corpus (read from the shard parquet —
+         32-byte keys, the base text never reshuffles);
+      3. near-dup WITHIN the batch (``neardup_dedup``);
+      4. CROSS-corpus near-dup vs the base:
+         ``minhash_lsh_candidates_cross`` — the base is never
+         self-paired, only (new × base) buckets join — then exact
+         Jaccard verify, dropping the NEW member of each pair;
+      5. optional benchmark decontamination (pass the eval frame);
+      6. shard assignment continuing the numbering AFTER the base's
+         last shard; parquet append + a fresh read-back manifest that
+         covers base + increment together.
+
+    Temperature mixing is deliberately NOT re-run per increment — mix
+    ratios are a global property of the corpus; rebalance by running
+    the full job when the recipe changes. Returns the combined
+    manifest.
+    """
+    import pyspark.sql.functions as F
+
+    from climate_data_pipelines_spark.operators.scale import unpersist_checkpoint
+
+    base = spark.read.parquet(f"{base_dir}/shards")
+    base_max_shard = (
+        base.agg(F.coalesce(F.max("shard"), F.lit(-1)).alias("m")).collect()[0]["m"]
+    )
+
+    passed = new_docs.filter(textops.quality_predicate("text"))
+    unique = dedup.exact_dedup(passed).localCheckpoint(eager=True)
+    # exact dedup vs base: digest anti-join (32-byte keys both sides)
+    digest = F.sha2(F.col("text"), 256)
+    base_digests = base.select(digest.alias("_d")).distinct()
+    fresh = unique.withColumn("_d", digest).join(
+        base_digests, "_d", "left_anti"
+    ).drop("_d")
+    batch_clean = neardup_dedup(fresh, jaccard_threshold)
+
+    sn = dedup.minhash_signatures(batch_clean, k=3, n_hashes=MINHASH_N)
+    sb = dedup.minhash_signatures(base, k=3, n_hashes=MINHASH_N)
+    cand = dedup.minhash_lsh_candidates_cross(
+        sn, sb, n_hashes=MINHASH_N, bands=MINHASH_BANDS
+    ).localCheckpoint(eager=True)
+    both = batch_clean.select("doc_id", "text").unionByName(
+        base.select("doc_id", "text")
+    )
+    ver = dedup.jaccard_on_pairs(both, cand, k=3).filter(
+        F.col("jaccard") >= jaccard_threshold
+    )
+    dup_new = ver.select(F.col("id_a").alias("doc_id")).distinct()
+    survivors = batch_clean.join(F.broadcast(dup_new), "doc_id", "left_anti")
+    if benchmark is not None:
+        survivors = training.bloom_decontaminate(
+            survivors, benchmark, k=3, expected_items=20_000, fpp=0.01
+        )
+    survivors = survivors.localCheckpoint(eager=True)
+    # cand is only safe to free AFTER survivors has materialized — the
+    # lazy verify stage reads its blocks (unlike neardup_dedup, where
+    # connected_components checkpoints everything first; freeing it
+    # earlier raised checkpointRDDBlockIdNotFound in the e2e test)
+    unpersist_checkpoint(cand)
+
+    # shard cap carried over from the base manifest's observed target
+    # is not recoverable exactly (the last shard may be partial); new
+    # shards simply continue the id sequence — the dataloader contract
+    # is per-shard token counts in the manifest, not equal sizes
+    import json as _json
+
+    with open(f"{base_dir}/manifest.json") as fh:
+        base_manifest = _json.load(fh)
+    cap = max(
+        (s["tokens"] for s in base_manifest["shards"]), default=20_000
+    )
+    sharded = training.shard_assign(
+        survivors.select("doc_id", "text"), int(cap)
+    )
+    out = (
+        survivors.join(sharded.select("doc_id", "n_tok", "shard"), "doc_id")
+        .withColumn("shard", F.col("shard") + F.lit(base_max_shard + 1))
+        # schema parity with the base shards: increments are not
+        # re-mixed, so their keep rate is definitionally 1
+        .withColumn("keep_rate", F.lit(1.0))
+    )
+    out = out.select(*spark.read.parquet(f"{base_dir}/shards").columns)
+    manifest = sinks.write_training_shards(out, base_dir, mode="append")
+    unpersist_checkpoint(survivors)
+    unpersist_checkpoint(unique)
+    return manifest
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("--sf-dir", required=True)
