@@ -1,14 +1,25 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
-    {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {"q17_agg_suite": sec, ...}, "sf": 0.1}
+The LAST stdout line is ONE compact JSON record (the driver's tail
+buffer is finite — round 6 lost the headline because a single giant
+line outgrew it):
+    {"metric": "headline_queries_total", "value": <total sec>,
+     "unit": "sec", "queries": {"q17_agg_suite": sec, ...},
+     "sf": 0.1, "repeats": ..., "<ann>_recall@10": ...}
+
+Per-query detail that is useful but not driver-parsed — min-of-k
+timings, delta-vs-previous-round ratios, sample counts — goes to a
+PRECEDING stdout line (record "bench_detail") and to
+``BENCH_DETAIL.json`` next to this file.
 
 Each query executes its full plan via the noop sink (distributed
 execution, nothing collected to the driver). JVM/session startup is
 excluded; a warmup query primes the JIT + parquet footer caches.
-Each query is timed as the MEDIAN OF 3 runs (single-shot timings are
-cold-codegen dominated and ±20% noisy under machine load).
+Each query is timed as the MEDIAN of its repeats — 3 runs normally,
+5 when the 3-run median lands under ``EXTRA_REPEATS_UNDER`` seconds,
+because sub-second timings are cold-codegen dominated and ±20% noisy
+under machine load, which generated phantom >1.15x deltas every
+round.
 """
 
 from __future__ import annotations
@@ -91,6 +102,8 @@ HEADLINE = [
 ANN_RECALL = ["q55_ann_lsh_topk", "q73_ann_ivf_topk", "q140_pq_ann_topk"]
 
 REPEATS = 3
+# sub-second queries get 2 extra runs (median of 5) — noise control
+EXTRA_REPEATS_UNDER = 1.5
 
 
 def main() -> None:
@@ -111,6 +124,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     timings_min: dict[str, float] = {}
+    n_samples: dict[str, int] = {}
     for name in HEADLINE:
         spec = REGISTRY.get(name)
         if spec is None:
@@ -120,11 +134,19 @@ def main() -> None:
             t0 = time.perf_counter()
             run(spec.fn(spark, sf_dir))
             samples.append(time.perf_counter() - t0)
+        # fast queries are the noisy ones: widen to median-of-5 so a
+        # single contention spike can't flip the reported median
+        if statistics.median(samples) < EXTRA_REPEATS_UNDER:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                run(spec.fn(spark, sf_dir))
+                samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 3)
         # min-of-k rides out suite/VM contention spikes the median
         # can't (a q126-style doubling under load shows in the median
         # but not the min when the plan itself is unchanged)
         timings_min[name] = round(min(samples), 3)
+        n_samples[name] = len(samples)
 
     # ANN recall@10 vs the exact cosine baseline (the quality metric a
     # rows-only approximate query actually answers to)
@@ -165,31 +187,78 @@ def main() -> None:
     try:
         import glob
 
-        benches = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
-        if benches:
-            prev_round = os.path.basename(benches[-1])
-            with open(benches[-1]) as fh:
-                prev = json.load(fh)
-            prev_q = (prev.get("parsed") or prev).get("queries", {})
-            for name, sec in timings.items():
-                if name in prev_q and prev_q[name]:
-                    deltas[name] = round(sec / prev_q[name], 2)
+        prev_q: dict[str, float] = {}
+        # best source: last round's full-detail sidecar (written below)
+        detail_path = os.path.join(here, "BENCH_DETAIL.json")
+        prev_detail = {}
+        if os.path.exists(detail_path):
+            with open(detail_path) as fh:
+                prev_detail = json.load(fh)
+        if prev_detail.get("sf") == sf:
+            # only comparable at the same scale factor (a smoke run at
+            # sf0.001 must not become the baseline for sf0.1 deltas)
+            prev_q = prev_detail.get("queries", {})
+            prev_round = "BENCH_DETAIL.json"
+        else:
+            benches = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+            if benches:
+                prev_round = os.path.basename(benches[-1])
+                with open(benches[-1]) as fh:
+                    prev = json.load(fh)
+                prev_q = (prev.get("parsed") or {}).get("queries", {})
+                if not prev_q:
+                    # r6's artifact is parsed:null — recover per-query
+                    # medians from the truncated tail string
+                    for m in re.finditer(
+                        r'"(q\w+)":\s*([0-9.]+)', prev.get("tail", "")
+                    ):
+                        prev_q[m.group(1)] = float(m.group(2))
+        for name, sec in timings.items():
+            if name in prev_q and prev_q[name]:
+                deltas[name] = round(sec / prev_q[name], 2)
     except Exception:
         pass  # a malformed prior artifact must not fail the bench
+
+    # full detail: sidecar file + a PRECEDING stdout line (the driver
+    # keeps only the last ~2000 chars of output, so the final line
+    # below must stay compact — round 6's single giant line lost the
+    # headline to that buffer)
+    detail = {
+        "record": "bench_detail",
+        "queries": timings,
+        "queries_min": timings_min,
+        "n_samples": n_samples,
+        "delta_vs_prev": deltas,
+        "prev_round": prev_round,
+        "sf": sf,
+    }
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+    print(json.dumps(detail))
 
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
+        "n_queries": len(timings),
         "queries": timings,
-        "queries_min": timings_min,
-        "delta_vs_prev": deltas,
-        "prev_round": prev_round,
         "sf": sf,
         "repeats": REPEATS,
+        "extra_repeats_under_sec": EXTRA_REPEATS_UNDER,
+        "detail": "BENCH_DETAIL.json",
         **recall,
     }
-    print(json.dumps(out))
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) >= 1900:
+        # driver tail buffer is ~2000 chars: fall back to the 8 worst
+        # queries so the headline total always survives
+        out.pop("queries")
+        out["worst_queries"] = dict(
+            sorted(timings.items(), key=lambda kv: -kv[1])[:8]
+        )
+        line = json.dumps(out, separators=(",", ":"))
+    assert len(line) < 1900, f"headline line too long ({len(line)})"
+    print(line)
 
 
 if __name__ == "__main__":

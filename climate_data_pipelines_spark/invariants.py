@@ -603,7 +603,436 @@ def inv_q170(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# round-7 gates for the grandfathered r1–r4 rows-only queries: every
+# rows-only registry query is invariant-checked in the replay (the
+# discipline VERDICT r6 "what's wrong #2" flagged as unevenly applied)
+# ---------------------------------------------------------------------------
+
+
+def inv_q34(spark, sf_dir):
+    """Scalar Python UDF vs its built-in twin: the type_weight mapping
+    re-expressed as a JVM-side map literal gives identical weights for
+    every event."""
+    from climate_data_pipelines_spark.catalog import load_table
+    from climate_data_pipelines_spark.queries import REGISTRY
+
+    got = {
+        r["event_id"]: r["weight"]
+        for r in REGISTRY["q34_python_udf"].fn(spark, sf_dir).collect()
+    }
+    weights = {"click": 1, "view": 2, "purchase": 5, "signup": 7, "error": 0}
+    m = F.create_map(
+        *[F.lit(x) for kv in weights.items() for x in kv]
+    )
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        r["event_id"]: r["w"]
+        for r in ev.select(
+            "event_id",
+            F.coalesce(m[F.col("event_type")], F.lit(-1)).alias("w"),
+        ).collect()
+    }
+    if got != want:
+        bad = [k for k in want if got.get(k) != want[k]][:5]
+        return False, f"{len(want) - sum(got.get(k) == want[k] for k in want)} weight mismatches (e.g. ids {bad})"
+    return True, f"{len(got)} UDF weights == built-in map-literal twin"
+
+
+def inv_q42(spark, sf_dir):
+    """xxhash64 SimHash vs an independent reconstruction: collect the
+    per-token xxhash64 vocabulary once (the only shared primitive —
+    xxhash64 has no pure-Python twin in this container), then rebuild
+    every fingerprint's 64 bit-votes and sign-pack in numpy. Catches
+    any defect in the explode/conditional-sum/packing plan."""
+    import numpy as np
+
+    from climate_data_pipelines_spark.catalog import load_table
+    from climate_data_pipelines_spark.functions.text import tokens
+    from climate_data_pipelines_spark.queries import REGISTRY
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = {
+        r["tok"]: r["h"]
+        for r in docs.select(F.explode(tokens("text")).alias("tok"))
+        .distinct()
+        .withColumn("h", F.xxhash64("tok"))
+        .collect()
+    }
+    shifts = np.arange(64, dtype=np.uint64)
+    want = {}
+    for r in docs.select("doc_id", tokens("text").alias("toks")).collect():
+        if not r["toks"]:
+            continue  # no tokens -> no exploded rows -> no output row
+        hs = np.array(
+            [vocab[t] for t in r["toks"]], dtype=np.int64
+        ).astype(np.uint64)
+        bits = (hs[:, None] >> shifts) & np.uint64(1)
+        votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+        fp = int(((votes > 0).astype(np.uint64) << shifts).sum())
+        want[r["doc_id"]] = fp - (1 << 64) if fp >= 1 << 63 else fp
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in REGISTRY["q42_simhash"].fn(spark, sf_dir).collect()
+    }
+    if got != want:
+        bad = [k for k in want if got.get(k) != want.get(k)][:5]
+        return False, f"fingerprint mismatch on {len(bad)}+ docs (e.g. {bad})"
+    return True, f"{len(got)} fingerprints == numpy vote/pack reconstruction"
+
+
+def inv_q54(spark, sf_dir):
+    """Image features vs raw bytes: the PNG fixtures render each doc's
+    utf-8 bytes as gray8 pixels, so width/height follow the documented
+    shape formula and mean_luma equals the numpy mean of the padded
+    byte array — independent of BOTH the PNG encoder and decoder."""
+    from climate_data_pipelines_spark.catalog import load_table
+    from climate_data_pipelines_spark.queries import REGISTRY
+
+    got = {
+        r["doc_id"]: (r["width"], r["height"], r["mean_luma"])
+        for r in REGISTRY["q54_image_features"].fn(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    bad = []
+    for r in docs:
+        pix = (r["text"] or "").encode("utf-8")[:4096]
+        w = max(8, min(64, int(len(pix) ** 0.5) + 1))
+        h = max(1, -(-len(pix) // w))
+        padded = pix.ljust(w * h, b"\x00")
+        mean = sum(padded) / (w * h)
+        gw, gh, gm = got.get(r["doc_id"], (None, None, None))
+        if gw != w or gh != h or gm is None or abs(gm - mean) > 1e-9:
+            bad.append(r["doc_id"])
+    if bad:
+        return False, f"{len(bad)} docs off (e.g. {bad[:5]})"
+    return True, f"{len(docs)} images: shape + mean_luma == raw-byte stats"
+
+
+def inv_q69(spark, sf_dir):
+    """Seeded Bernoulli sample: deterministic under re-run, row count
+    inside 6-sigma binomial bounds, and every sampled row exists in
+    the source (semi-join back is lossless)."""
+    from climate_data_pipelines_spark.catalog import load_table
+    from climate_data_pipelines_spark.queries import REGISTRY
+
+    a = {(r[0], r[1]) for r in REGISTRY["q69_sample"].fn(spark, sf_dir).collect()}
+    b = {(r[0], r[1]) for r in REGISTRY["q69_sample"].fn(spark, sf_dir).collect()}
+    if a != b:
+        return False, f"seeded sample not deterministic: {len(a ^ b)} rows differ"
+    n_src = load_table(spark, sf_dir, "lineitem").count()
+    p = 0.1
+    mean, sigma = n_src * p, (n_src * p * (1 - p)) ** 0.5
+    if abs(len(a) - mean) > 6 * sigma:
+        return False, f"|{len(a)} - {mean:.0f}| > 6 sigma ({sigma:.1f})"
+    src = {
+        (r[0], r[1])
+        for r in load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber")
+        .collect()
+    }
+    if not a <= src:
+        return False, f"{len(a - src)} sampled rows not in source"
+    return True, (
+        f"deterministic, {len(a)} rows within 6 sigma of {mean:.0f}, all in source"
+    )
+
+
+def inv_q72(spark, sf_dir):
+    """MLlib MinHashLSH candidates: reported estimated distance stays
+    <= the threshold, pairs are canonical (a<b, unique), every
+    exact-duplicate shingle-set pair is recovered with distance 0
+    (identical vectors collide in every hash table), and the reported
+    distance tracks the true raw-shingle Jaccard distance within 0.02
+    (HashingTF collisions at 2^18 features are the only slack)."""
+    from climate_data_pipelines_spark.catalog import load_table
+    from climate_data_pipelines_spark.functions.text import shingles
+    from climate_data_pipelines_spark.queries import REGISTRY
+
+    rows = REGISTRY["q72_minhash_lsh_ml"].fn(spark, sf_dir).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard_dist"] for r in rows}
+    if len(pairs) != len(rows):
+        return False, "duplicate pairs in output"
+    if any(a >= b for a, b in pairs):
+        return False, "non-canonical pair ordering"
+    if any(d < 0 or d > 0.9 + 1e-9 for d in pairs.values()):
+        return False, "distance outside [0, max_jaccard_distance]"
+    sets = {
+        r["doc_id"]: frozenset(r["sh"])
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.array_distinct(shingles("text", 3)).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .collect()
+    }
+    ids = sorted(sets)
+    checked = 0
+    for (a, b), d in pairs.items():
+        true_d = 1.0 - len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+        if abs(d - true_d) > 0.02:
+            return False, f"pair ({a},{b}) est {d} vs true {true_d:.4f}"
+        checked += 1
+    by_set: dict = {}
+    for i in ids:
+        by_set.setdefault(sets[i], []).append(i)
+    missing = [
+        (a, b)
+        for dup_ids in by_set.values()
+        for ai, a in enumerate(dup_ids)
+        for b in dup_ids[ai + 1:]
+        if (a, b) not in pairs or pairs[(a, b)] > 1e-9
+    ]
+    if missing:
+        return False, f"exact-duplicate pairs missed: {missing[:5]}"
+    return True, (
+        f"{checked} pairs within 0.02 of true Jaccard, all exact dups at d=0"
+    )
+
+
+def inv_q84(spark, sf_dir):
+    """Stratified sampleBy: deterministic under re-run, strata limited
+    to the requested fractions, per-stratum counts inside 6-sigma
+    binomial bounds (exact for the p=1.0 stratum), rows a subset of
+    the source."""
+    from collections import Counter
+
+    from climate_data_pipelines_spark.catalog import load_table
+    from climate_data_pipelines_spark.queries import REGISTRY
+
+    fractions = {
+        "click": 0.05, "view": 0.02, "purchase": 0.5, "signup": 0.5,
+        "error": 1.0,
+    }
+    a = {
+        (r["event_id"], r["event_type"])
+        for r in REGISTRY["q84_stratified_sample"].fn(spark, sf_dir).collect()
+    }
+    b = {
+        (r["event_id"], r["event_type"])
+        for r in REGISTRY["q84_stratified_sample"].fn(spark, sf_dir).collect()
+    }
+    if a != b:
+        return False, f"seeded sampleBy not deterministic: {len(a ^ b)} differ"
+    src = {
+        (r["event_id"], r["event_type"])
+        for r in load_table(spark, sf_dir, "events")
+        .select("event_id", "event_type")
+        .collect()
+    }
+    if not a <= src:
+        return False, f"{len(a - src)} sampled rows not in source"
+    if {t for _, t in a} - set(fractions):
+        return False, "stratum outside the fraction map"
+    src_n = Counter(t for _, t in src)
+    got_n = Counter(t for _, t in a)
+    for t, p in fractions.items():
+        n, mean = got_n.get(t, 0), src_n.get(t, 0) * p
+        if p == 1.0:
+            if n != src_n.get(t, 0):
+                return False, f"stratum {t}: p=1.0 but {n} != {src_n.get(t)}"
+            continue
+        sigma = (src_n.get(t, 0) * p * (1 - p)) ** 0.5
+        if abs(n - mean) > 6 * sigma + 5:
+            return False, f"stratum {t}: {n} vs mean {mean:.0f} (sigma {sigma:.1f})"
+    return True, f"deterministic, {len(a)} rows, all strata in binomial bounds"
+
+
+def inv_q88(spark, sf_dir):
+    """Mergeable HLL rollup: the union of per-day sketches estimates
+    the true distinct user count within 5%, and the exact companion
+    aggregates (n_events, n_days) are exactly right."""
+    from climate_data_pipelines_spark.catalog import load_table
+    from climate_data_pipelines_spark.queries import REGISTRY
+
+    row = REGISTRY["q88_hll_sketch_merge"].fn(spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.agg(
+        F.countDistinct("user_id").alias("u"),
+        F.count("*").alias("n"),
+        F.countDistinct(F.to_date("ts")).alias("d"),
+    ).collect()[0]
+    if row["n_events"] != exact["n"]:
+        return False, f"n_events {row['n_events']} != {exact['n']}"
+    if row["n_days"] != exact["d"]:
+        return False, f"n_days {row['n_days']} != {exact['d']}"
+    err = abs(row["distinct_users_est"] - exact["u"]) / exact["u"]
+    return err <= 0.05, (
+        f"HLL union est {row['distinct_users_est']} vs exact {exact['u']} "
+        f"(rel err {err:.4f}, bound 0.05)"
+    )
+
+
+def inv_q89(spark, sf_dir):
+    """Python UDTF vs an in-memory reference: re-split every collected
+    text with the same sentence rule in driver Python and compare the
+    full (doc_id, sent_idx, sentence) set."""
+    import re
+
+    from climate_data_pipelines_spark.catalog import load_table
+    from climate_data_pipelines_spark.queries import REGISTRY
+
+    got = {
+        (r["doc_id"], r["sent_idx"], r["sentence"])
+        for r in REGISTRY["q89_udtf_sentences"].fn(spark, sf_dir).collect()
+    }
+    want = set()
+    for r in load_table(spark, sf_dir, "documents").select("doc_id", "text").collect():
+        if r["text"] is None:
+            continue
+        idx = 0
+        for part in re.split(r"[.!?]+", r["text"]):
+            s = part.strip()
+            if s:
+                want.add((r["doc_id"], idx, s))
+                idx += 1
+    if got != want:
+        return False, f"{len(got ^ want)} sentence rows differ"
+    return True, f"{len(got)} UDTF rows == driver re-split"
+
+
+def inv_q91(spark, sf_dir):
+    """Cogrouped-pandas as-of join vs the JVM-side asof.asof_join on
+    the identical left/right split: per-left-row matched ref_event_id
+    must agree exactly, and no left row may be dropped."""
+    from climate_data_pipelines_spark.catalog import load_table
+    from climate_data_pipelines_spark.operators import asof
+    from climate_data_pipelines_spark.queries import REGISTRY
+
+    got = {
+        (r["user_id"], r["event_id"]): r["ref_event_id"]
+        for r in REGISTRY["q91_cogrouped_asof"].fn(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    left = ev.filter(F.pmod("event_id", F.lit(2)) == 0)
+    right = ev.filter(F.pmod("event_id", F.lit(2)) == 1).select(
+        "user_id",
+        F.col("event_id").alias("ref_event_id"),
+        F.col("ts").alias("rts"),
+    )
+    want = {
+        (r["user_id"], r["event_id"]): r["ref_event_id"]
+        for r in asof.asof_join(
+            left,
+            right,
+            on="user_id",
+            left_ts="ts",
+            right_ts="rts",
+            right_vals=["ref_event_id"],
+            tie_col="ref_event_id",
+        ).collect()
+    }
+    if len(got) != left.count():
+        return False, f"left rows dropped: {len(got)} vs {left.count()}"
+    if got != want:
+        bad = [k for k in want if got.get(k) != want[k]][:3]
+        return False, f"as-of matches differ from JVM twin (e.g. {bad})"
+    return True, f"{len(got)} as-of matches == JVM asof_join twin"
+
+
+def inv_q131(spark, sf_dir):
+    """Compression ratio vs direct zlib: byte sizes and the rounded
+    ratio recomputed in driver Python on the collected texts must
+    match exactly (DEFLATE at a fixed level is deterministic)."""
+    import zlib
+
+    from climate_data_pipelines_spark.catalog import load_table
+    from climate_data_pipelines_spark.queries import REGISTRY
+
+    got = {
+        r["doc_id"]: (r["n_bytes"], r["n_compressed"], r["compression_ratio"])
+        for r in REGISTRY["q131_compression_ratio"].fn(spark, sf_dir).collect()
+    }
+    import math
+
+    bad = []
+    for r in load_table(spark, sf_dir, "documents").select("doc_id", "text").collect():
+        raw = (r["text"] or "").encode("utf-8")
+        nc = len(zlib.compress(raw, 6))
+        # oround semantics (half away from zero), NOT Python's
+        # banker's round: 93/128 = .7265625 must give .726563
+        ratio = math.floor(nc / len(raw) * 1e6 + 0.5) / 1e6 if raw else None
+        gb, gc, gr = got.get(r["doc_id"], (None, None, None))
+        if gb != len(raw) or gc != nc:
+            bad.append(r["doc_id"])
+        elif ratio is None:
+            if gr is not None:
+                bad.append(r["doc_id"])
+        elif gr is None or abs(gr - ratio) > 1e-9:
+            bad.append(r["doc_id"])
+    if bad:
+        return False, f"{len(bad)} docs off (e.g. {bad[:5]})"
+    return True, f"{len(got)} docs: sizes + rounded ratio == direct zlib"
+
+
+def inv_q134(spark, sf_dir):
+    """Exact-substring dedup contract, checked against a driver-Python
+    reconstruction: every 8-token gram that appeared in >=2 documents
+    (including the whole-short-doc clamp shingle) must be ABSENT from
+    every cleaned text, and the q134 lengths must equal the cleaned
+    texts'. (A strict re-scan fixpoint is deliberately NOT asserted:
+    stripping can collapse several short docs to identical remainders,
+    whose whole-text shingles legitimately re-repeat.)"""
+    from collections import defaultdict
+
+    from climate_data_pipelines_spark.catalog import load_table
+    from climate_data_pipelines_spark.operators import textops
+    from climate_data_pipelines_spark.queries import REGISTRY
+
+    def grams(text: str, k: int = 8):
+        toks = [t for t in (text or "").split() if t]
+        if not toks:
+            return []
+        return [
+            " ".join(toks[i:i + k])
+            for i in range(max(len(toks) - k + 1, 1))
+        ]
+
+    docs = load_table(spark, sf_dir, "documents")
+    gram_docs: dict = defaultdict(set)
+    for r in docs.select("doc_id", "text").collect():
+        for g in grams(r["text"]):
+            gram_docs[g].add(r["doc_id"])
+    repeated = {g for g, ds in gram_docs.items() if len(ds) >= 2}
+    cleaned = {
+        r["doc_id"]: r["text_dedup"]
+        for r in textops.strip_repeated_spans(docs, k=8, min_docs=2)
+        .select("doc_id", "text_dedup")
+        .collect()
+    }
+    survivors = [
+        (d, g)
+        for d, t in cleaned.items()
+        for g in grams(t)
+        if g in repeated
+    ]
+    if survivors:
+        return False, (
+            f"{len(survivors)} repeated grams survive (e.g. {survivors[:3]})"
+        )
+    got = {
+        r["doc_id"]: r["n_chars_dedup"]
+        for r in REGISTRY["q134_strip_spans"].fn(spark, sf_dir).collect()
+    }
+    want = {d: len(t) for d, t in cleaned.items()}
+    if got != want:
+        bad = [d for d in want if got.get(d) != want[d]][:5]
+        return False, f"length mismatch on {len(bad)}+ docs (e.g. {bad})"
+    return True, (
+        f"all {len(repeated)} corpus-repeated grams stripped from every doc"
+    )
+
+
 INVARIANTS: dict[str, Callable] = {
+    "q34_python_udf": inv_q34,
+    "q42_simhash": inv_q42,
+    "q54_image_features": inv_q54,
+    "q69_sample": inv_q69,
+    "q72_minhash_lsh_ml": inv_q72,
+    "q84_stratified_sample": inv_q84,
+    "q88_hll_sketch_merge": inv_q88,
+    "q89_udtf_sentences": inv_q89,
+    "q91_cogrouped_asof": inv_q91,
+    "q131_compression_ratio": inv_q131,
+    "q134_strip_spans": inv_q134,
     "q55_ann_lsh_topk": inv_q55,
     "q73_ann_ivf_topk": inv_q73,
     "q140_pq_ann_topk": inv_q140,

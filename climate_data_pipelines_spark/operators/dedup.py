@@ -419,37 +419,32 @@ def levenshtein_on_pairs(
     ``min_similarity`` set, a LENGTH-GAP PREFILTER runs before the
     O(|a|·|b|) DP: dist >= |len_a - len_b| always, so any pair whose
     length gap alone exceeds (1 - min_similarity) · max_len cannot
-    pass and is dropped from a cheap column compare — at 100 TB the
-    texts for those pairs are never materialized into the DP. The
-    prefilter is a pure optimization: the surviving set is identical
-    to filtering afterward, so the DuckDB oracle is plain
+    pass. The prefilter runs on a NARROW (id, length) projection —
+    the pair join shuffles 12-byte rows, the gap filter prunes, and
+    only surviving pairs' endpoints ship their text into the DP
+    joins (r7: previously the texts joined first and the filter ran
+    after, so every candidate pair's text crossed the wire at 100
+    TB). The prefilter is a pure optimization: the surviving set is
+    identical to filtering afterward, so the DuckDB oracle is plain
     levenshtein() + the same threshold.
 
     Scale shape mirrors ``jaccard_on_pairs``: semi-join endpoints
-    first (only candidate docs ship their text), two broadcast-able
-    id equi-joins; cost is per-pair, never all-pairs. Returns
-    (id_a, id_b, len_a, len_b, edit_distance, edit_similarity).
+    first (only surviving candidate docs ship their text), two
+    broadcast-able id equi-joins; cost is per-pair, never all-pairs.
+    Returns (id_a, id_b, len_a, len_b, edit_distance,
+    edit_similarity).
     """
-    endpoints = pairs.select(F.col("id_a").alias(id_col)).unionByName(
-        pairs.select(F.col("id_b").alias(id_col))
-    ).distinct()
-    texts = df.join(endpoints, id_col, "left_semi").select(
-        F.col(id_col), F.col(text_col).alias("_txt"), F.length(text_col).alias("_len")
-    )
-    joined = (
+    lens = df.select(F.col(id_col), F.length(text_col).alias("_len"))
+    pairs = (
         pairs.join(
-            texts.select(
-                F.col(id_col).alias("id_a"),
-                F.col("_txt").alias("_ta"),
-                F.col("_len").alias("len_a"),
+            lens.select(
+                F.col(id_col).alias("id_a"), F.col("_len").alias("len_a")
             ),
             "id_a",
         )
         .join(
-            texts.select(
-                F.col(id_col).alias("id_b"),
-                F.col("_txt").alias("_tb"),
-                F.col("_len").alias("len_b"),
+            lens.select(
+                F.col(id_col).alias("id_b"), F.col("_len").alias("len_b")
             ),
             "id_b",
         )
@@ -457,9 +452,29 @@ def levenshtein_on_pairs(
     max_len = F.greatest("len_a", "len_b")
     if min_similarity is not None:
         gap_bound = (F.lit(1.0) - F.lit(min_similarity)) * max_len
-        joined = joined.filter(
+        pairs = pairs.filter(
             F.abs(F.col("len_a") - F.col("len_b")) <= gap_bound
         )
+    endpoints = pairs.select(F.col("id_a").alias(id_col)).unionByName(
+        pairs.select(F.col("id_b").alias(id_col))
+    ).distinct()
+    texts = df.join(endpoints, id_col, "left_semi").select(
+        F.col(id_col), F.col(text_col).alias("_txt")
+    )
+    joined = (
+        pairs.join(
+            texts.select(
+                F.col(id_col).alias("id_a"), F.col("_txt").alias("_ta")
+            ),
+            "id_a",
+        )
+        .join(
+            texts.select(
+                F.col(id_col).alias("id_b"), F.col("_txt").alias("_tb")
+            ),
+            "id_b",
+        )
+    )
     out = joined.select(
         "id_a",
         "id_b",
@@ -701,6 +716,7 @@ def connected_components(
     id_b: str = "id_b",
     node_col: str = "node",
     max_iter: int = 20,
+    steps_per_checkpoint: int = 2,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation — the
     clustering step that turns pairwise near-dup candidates (MinHash/
@@ -735,9 +751,27 @@ def connected_components(
     subset, or overlapping) can never perturb the sum mid-flight.
     Returns (node, component).
 
+    Two r7 scale-curve cuts (the per-ROUND fixed overhead — checkpoint
+    job + scalar action — dominated the x100 wall ratio, ×12.8 in
+    SCALEPROOF r6):
+
+    - labels INITIALIZE at ``least(node, min neighbor)`` — one
+      groupBy over the edge table, which IS the first propagation
+      round at strictly lower cost than the generic
+      union+groupBy+jump step (no label join, no jump), so one full
+      round disappears;
+    - ``steps_per_checkpoint`` propagate+jump steps chain LAZILY
+      between checkpoints. A chained step references its input twice
+      (the jump self-join), so the un-checkpointed plan doubles per
+      step — 2 keeps it at ~4 copies of the propagate subplan, safely
+      under the Catalyst stats-product blowup that stacking JUMPS
+      alone hit (see the jump note below), while halving the number
+      of checkpoint jobs + convergence actions.
+
     Raises RuntimeError if propagation has not converged after
-    ``max_iter`` iterations (a chain longer than the bound would
-    otherwise silently split one component into several); raise
+    ``max_iter`` checkpoint rounds (each applying
+    ``steps_per_checkpoint`` steps; a chain longer than the bound
+    would otherwise silently split one component into several); raise
     ``max_iter`` for deep graphs. Near-dup graphs converge in a
     handful of rounds — hitting the bound means the input is not the
     shallow cluster graph this is designed for.
@@ -769,49 +803,62 @@ def connected_components(
                 F.col(nodes.columns[0]).alias(node_col)
             ).distinct().select(F.col(node_col), F.col(node_col).alias("component"))
         return empty
+    # round 0 folded into initialization: component = least(node,
+    # min neighbor) via ONE groupBy over the symmetric edge table —
+    # the same result the generic step would produce from identity
+    # labels, minus its label join, union, and jump
     obs0 = Observation()
     labels = (
-        base.select(F.col(node_col), F.col(node_col).alias("component"))
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("_mn"))
+        .select(
+            F.col("src").alias(node_col),
+            F.least(F.col("src"), F.col("_mn")).alias("component"),
+        )
         .observe(obs0, _sum_metric())
         .localCheckpoint(eager=True)
     )
     prev_sum = obs0.get["s"]
-    for _ in range(max_iter):
+
+    def _step(lbls: DataFrame) -> DataFrame:
         neighbor_lbls = (
-            labels.join(sym, labels[node_col] == sym["src"])
+            lbls.join(sym, lbls[node_col] == sym["src"])
             .select(F.col("dst").alias(node_col), F.col("component"))
         )
         propagated = (
-            labels.unionByName(neighbor_lbls)
+            lbls.unionByName(neighbor_lbls)
             .groupBy(node_col)
             .agg(F.min("component").alias("component"))
         )
-        # pointer jumping: component <- label(component), applied a few
-        # times per round so compression compounds (long chains need
-        # O(diameter) plain-propagation rounds; each jump roughly
-        # doubles how far the min label has reached). Every label is a
-        # node id and every node has a label row, so the inner join is
-        # total; labels only decrease, preserving the monotone-sum
-        # convergence invariant. The jump joins are label-table-sized
-        # (one row per node), much cheaper than the edge join.
-        # ONE jump per round, chained lazily on the propagation plan:
-        # a single extra join level is safe, but stacking more jumps
-        # either re-inlines the propagation join per referenced side
-        # (exponential lineage) or, with checkpoints in between,
-        # explodes Catalyst's size-in-bytes stats product (measured
-        # OOM) — the compounding across rounds already yields
-        # exponential label reach, so one jump is the sweet spot.
+        # pointer jumping: component <- label(component), so
+        # compression compounds (long chains need O(diameter) plain-
+        # propagation rounds; each jump roughly doubles how far the
+        # min label has reached). Every label is a node id and every
+        # node has a label row, so the inner join is total; labels
+        # only decrease, preserving the monotone-sum convergence
+        # invariant. The jump joins are label-table-sized (one row
+        # per node), much cheaper than the edge join. ONE jump per
+        # step: stacking more jumps either re-inlines the propagation
+        # join per referenced side (exponential lineage) or, with
+        # checkpoints in between, explodes Catalyst's size-in-bytes
+        # stats product (measured OOM) — the compounding across
+        # steps already yields exponential label reach.
         parent = propagated.select(
             F.col(node_col).alias("component"),
             F.col("component").alias("grandparent"),
         )
+        return propagated.join(parent, "component").select(
+            F.col(node_col), F.col("grandparent").alias("component")
+        )
+
+    for _ in range(max_iter):
+        stepped = labels
+        for _ in range(max(1, steps_per_checkpoint)):
+            stepped = _step(stepped)
         obs = Observation()
         prev_labels = labels
         labels = (
-            propagated.join(parent, "component")
-            .select(F.col(node_col), F.col("grandparent").alias("component"))
-            .observe(obs, _sum_metric())
-            .localCheckpoint(eager=True)
+            stepped.observe(obs, _sum_metric()).localCheckpoint(eager=True)
         )
         # free the previous round's label checkpoint now that the new
         # one is materialized (bounds storage at 2 label tables + the

@@ -19,6 +19,43 @@ import threading
 from pyspark.sql import DataFrame, functions as F
 
 _UNPERSIST_LOG_LOCK = threading.Lock()
+_UNPERSIST_FILTER_INSTALLED = False
+
+
+def _install_unpersist_log_filter(jvm) -> None:
+    """Install (once per JVM) a message-specific log4j2 RegexFilter
+    that denies ONLY the expected ``RDD N was locally checkpointed,
+    its lineage has been truncated and cannot be recomputed after
+    unpersisting`` WARN — the line every intentional
+    ``unpersist_checkpoint`` call emits by design.
+
+    This replaces the earlier raise-level-to-ERROR-around-the-call
+    scheme: mutating the shared MapPartitionsRDD logger level hid
+    legitimate warnings from concurrent jobs during the window and
+    pinned an explicit level on a logger that previously inherited it
+    (round-6 advice). A message filter is global but surgical — every
+    other MapPartitionsRDD (and root) warning still passes.
+    """
+    global _UNPERSIST_FILTER_INSTALLED
+    with _UNPERSIST_LOG_LOCK:
+        if _UNPERSIST_FILTER_INSTALLED:
+            return
+        Result = jvm.org.apache.logging.log4j.core.Filter.Result
+        flt = jvm.org.apache.logging.log4j.core.filter.RegexFilter.createFilter(
+            ".*locally checkpointed.*cannot be recomputed after"
+            " unpersisting.*",
+            None,
+            False,
+            Result.DENY,
+            Result.NEUTRAL,
+        )
+        ctx = jvm.org.apache.logging.log4j.LogManager.getContext(False)
+        config = ctx.getConfiguration()
+        config.getLoggerConfig(
+            "org.apache.spark.rdd.MapPartitionsRDD"
+        ).addFilter(flt)
+        ctx.updateLoggers()
+        _UNPERSIST_FILTER_INSTALLED = True
 
 
 def unpersist_checkpoint(df: DataFrame) -> None:
@@ -42,31 +79,11 @@ def unpersist_checkpoint(df: DataFrame) -> None:
     """
     try:
         jvm = df.sparkSession._jvm
-        # unpersisting a local checkpoint logs a WARN ("lineage has
-        # been truncated...") — expected here, the freed round is dead
-        # by contract. Raise the logger to ERROR only AROUND the call
-        # and restore it after, so legitimate MapPartitionsRDD
-        # warnings elsewhere in the app stay visible. The module lock
-        # makes the save/restore reentrancy-safe: without it, an
-        # interleaved call could capture ERROR as its "previous" level
-        # and pin the logger there for the session (r6 second-review
-        # finding).
-        with _UNPERSIST_LOG_LOCK:
-            cfg = jvm.org.apache.logging.log4j.core.config.Configurator
-            logger = jvm.org.apache.logging.log4j.LogManager.getLogger(
-                "org.apache.spark.rdd.MapPartitionsRDD"
-            )
-            prev_level = logger.getLevel()
-            cfg.setLevel(
-                "org.apache.spark.rdd.MapPartitionsRDD",
-                jvm.org.apache.logging.log4j.Level.ERROR,
-            )
-            try:
-                df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-            finally:
-                cfg.setLevel(
-                    "org.apache.spark.rdd.MapPartitionsRDD", prev_level
-                )
+        try:
+            _install_unpersist_log_filter(jvm)
+        except Exception:
+            pass  # suppression is cosmetic; accept the WARN if it fails
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
     except Exception:
         pass
 
@@ -254,19 +271,24 @@ def spread_for_cpu(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     shuffle (joins/aggregates/windows produce spark.sql.shuffle
     .partitions-wide output; AQE may coalesce, but only because the
     data is small enough not to need spreading). The check walks the
-    ANALYZED logical plan (analysis only — no physical planning, no
-    jobs) for shuffle-inducing nodes (r6 third-review finding: the
-    per-callsite opt-out flag was a bandaid).
+    PHYSICAL plan (driver-side planning only, no jobs — and the
+    QueryExecution caches it, so a frame returned unchanged reuses
+    the work at action time) for a ``ShuffleExchangeExec`` on the
+    STREAMED path: broadcast subtrees are skipped, because a
+    broadcast hash join does not repartition the probe side — a
+    single-split scan joined against a broadcast dim still needs the
+    spread (round-6 advice; the earlier substring match on "Join "
+    skipped it, and could false-positive on literals/aliases).
     """
     try:
-        plan = df._jdf.queryExecution().analyzed().toString()
-        # NOT "Repartition": an explicit coalesce/repartition DOWN is
-        # exactly the few-partitions case that needs spreading (the
-        # guard test constructs it with coalesce(1))
-        if any(
-            marker in plan
-            for marker in ("Join ", "Aggregate ", "Window ", "Sort ")
-        ):
+        # executedPlan, not sparkPlan: exchanges are only inserted by
+        # the EnsureRequirements preparation rule. Under AQE the root
+        # is AdaptiveSparkPlanExec — probe its initial plan (planning
+        # is driver-side and cached on the QueryExecution; no jobs)
+        plan = df._jdf.queryExecution().executedPlan()
+        if plan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+            plan = plan.initialPlan()
+        if _streamed_side_has_shuffle(plan):
             return df
     except Exception:
         pass  # internal-API probe failed: fall through to the rdd path
@@ -275,3 +297,24 @@ def spread_for_cpu(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def _streamed_side_has_shuffle(jnode) -> bool:
+    """Walk a physical-plan tree (py4j SparkPlan node) looking for a
+    shuffle that determines the ROOT's partitioning. Subtrees under a
+    broadcast exchange are build sides — their exchanges (even shuffle
+    ones, e.g. an aggregate later broadcast) do not repartition the
+    streamed side, so they are skipped. Explicit coalesce/repartition
+    DOWN compiles to CoalesceExec (no exchange), so the
+    few-partitions case the spread exists for still falls through to
+    the probe."""
+    name = jnode.getClass().getSimpleName()
+    if name.startswith(("BroadcastExchange", "BroadcastQueryStage")):
+        return False
+    if name.startswith(("ShuffleExchange", "ShuffleQueryStage")):
+        return True
+    it = jnode.children().iterator()
+    while it.hasNext():
+        if _streamed_side_has_shuffle(it.next()):
+            return True
+    return False

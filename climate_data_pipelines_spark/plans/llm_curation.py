@@ -141,7 +141,9 @@ def curate_corpus(
         mixed.drop("n_tok")
         .join(sharded.select("doc_id", "n_tok", "shard"), "doc_id")
     )
-    manifest = sinks.write_training_shards(out, out_dir)
+    manifest = sinks.write_training_shards(
+        out, out_dir, tokens_per_shard=tokens_per_shard
+    )
     unpersist_checkpoint(mixed)
     unpersist_checkpoint(unique)
     return manifest
@@ -160,6 +162,11 @@ def curate_increment(
     the survivors as new shards — the daily-crawl-increment workflow,
     where re-running the full job over the whole history would cost
     O(total) every day instead of O(batch).
+
+    PRECONDITION: ``doc_id`` is globally unique across the base corpus
+    and every increment batch (namespace daily ids if the crawler
+    restarts its sequence). Enforced by a cheap semi-join check that
+    raises ``ValueError`` on any clash.
 
     Stages on the new batch only:
       1. quality gate + exact dedup WITHIN the batch;
@@ -190,10 +197,32 @@ def curate_increment(
         base.agg(F.coalesce(F.max("shard"), F.lit(-1)).alias("m")).collect()[0]["m"]
     )
 
+    # PRECONDITION: doc_ids are globally unique across the batch and
+    # the base corpus. A crawl that restarts its id sequence per day
+    # would put two different texts under one id in the cross-corpus
+    # verify (inflating per-pair shingle counts) and collide appended
+    # shard rows with base rows — enforce cheaply before any dedup
+    # math (32-byte keys both sides, one small semi-join).
+    clash = new_docs.select("doc_id").join(
+        base.select("doc_id"), "doc_id", "left_semi"
+    )
+    if not clash.isEmpty():
+        raise ValueError(
+            "curate_increment requires globally unique doc_ids: the new "
+            "batch reuses ids already present in the base corpus "
+            "(namespace the increment ids, e.g. day_offset + doc_id)"
+        )
+
     passed = new_docs.filter(textops.quality_predicate("text"))
     unique = dedup.exact_dedup(passed).localCheckpoint(eager=True)
-    # exact dedup vs base: digest anti-join (32-byte keys both sides)
-    digest = F.sha2(F.col("text"), 256)
+    # exact dedup vs base: digest anti-join (32-byte keys both sides).
+    # The digest MUST be the same key exact_dedup groups on — sha256 of
+    # the NORMALIZED text (dedup.py:37) — or a case/whitespace variant
+    # of a base doc would survive the increment while a full re-run
+    # drops it (round-6 advice, medium).
+    from climate_data_pipelines_spark.functions.text import normalize_text
+
+    digest = F.sha2(normalize_text(F.col("text")), 256)
     base_digests = base.select(digest.alias("_d")).distinct()
     fresh = unique.withColumn("_d", digest).join(
         base_digests, "_d", "left_anti"
@@ -224,15 +253,17 @@ def curate_increment(
     # earlier raised checkpointRDDBlockIdNotFound in the e2e test)
     unpersist_checkpoint(cand)
 
-    # shard cap carried over from the base manifest's observed target
-    # is not recoverable exactly (the last shard may be partial); new
-    # shards simply continue the id sequence — the dataloader contract
-    # is per-shard token counts in the manifest, not equal sizes
+    # shard cap: read the CONFIGURED tokens_per_shard the base run
+    # recorded in its manifest. Inferring it from max(observed tokens)
+    # ratchets upward across successive increments, because shards
+    # overshoot the cap at document boundaries and each append rewrites
+    # the manifest from the ever-larger union (round-6 advice). The
+    # observed-max fallback only covers pre-r7 manifests.
     import json as _json
 
     with open(f"{base_dir}/manifest.json") as fh:
         base_manifest = _json.load(fh)
-    cap = max(
+    cap = base_manifest.get("tokens_per_shard") or max(
         (s["tokens"] for s in base_manifest["shards"]), default=20_000
     )
     sharded = training.shard_assign(
@@ -246,7 +277,10 @@ def curate_increment(
         .withColumn("keep_rate", F.lit(1.0))
     )
     out = out.select(*spark.read.parquet(f"{base_dir}/shards").columns)
-    manifest = sinks.write_training_shards(out, base_dir, mode="append")
+    # re-record the configured cap so day-N+1 reads the same value
+    manifest = sinks.write_training_shards(
+        out, base_dir, mode="append", tokens_per_shard=int(cap)
+    )
     unpersist_checkpoint(survivors)
     unpersist_checkpoint(unique)
     return manifest

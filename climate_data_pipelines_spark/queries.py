@@ -2602,7 +2602,11 @@ def q68(spark, sf_dir):
     "--drop-densest size-budget analog (SURVEY.md §4).",
 )
 def q69(spark, sf_dir):
-    return _t(spark, sf_dir, "lineitem").sample(0.1, seed=42).select(
+    # fraction= MUST be the keyword: sample(0.1, seed=42) hits the
+    # (fraction, seed) positional overload and silently DROPS the
+    # keyword seed — the r7 determinism invariant caught the plan
+    # carrying a random seed
+    return _t(spark, sf_dir, "lineitem").sample(fraction=0.1, seed=42).select(
         "l_orderkey", "l_linenumber"
     )
 
@@ -4776,65 +4780,80 @@ def q165(spark, sf_dir):
 #     a 10th rows-only slot would break the cap; its invariant runs
 #     in every replay meanwhile.
 
+#   round 7 (this list): (a) lead with the only three registry
+#     queries NO driver round has ever checked — q167/q169/q170
+#     (image/audio/video perceptual near-dup, rows+INV; they waited
+#     out round 6 behind the rows-only<=9 cap); (b) the five stale
+#     r4-only queries the r6 note scheduled (q102/q104/q105/q130/
+#     q133); (c) re-proofs of everything round 7 touches — the
+#     connected-components scale work (q90/q122/q141/q161), the
+#     q136 candidate-join length bucketing; (d) the stalest
+#     remaining cohort by driver CORRECTNESS recency: all four
+#     r2-only queries (q67/q68/q70/q94) and the full 29-query
+#     r3-only cohort (q01…q84 below); (e) four r4 fillers
+#     (q05/q100/q101/q103) keeping the list at exactly 50.
+#     Rows-only slots: q167/q169/q170, q161, q34, q59, q69, q84
+#     = 8 <= 9 (one slot is intentionally kept free for a
+#     late-round rows+INV addition, mirroring what cost q167 its
+#     r6 slot).
 DRIVER_WINDOW: list[str] = [
-    # lead: the r5 driver ERROR, now string-serialized in both twins
-    "q151_inverted_index",
-    # never driver-checked
-    "q156_approx_percentiles",
-    "q161_pagerank",
-    "q162_bpe_merges",
-    "q163_bpe_tokenize",
-    "q164_bpe_tokenize_ranked",
-    "q165_binned_range_join",
-    "q166_semantic_decontaminate",
-    "q168_temperature_mix",
-    "q171_shard_assign",
-    # changed this round — must re-prove (pair-ids-first semantic
-    # dedup; connected-components unpersist adopters; ANN derive-param
-    # surface)
-    "q126_semantic_dedup",
+    # never driver-checked (rows+INV; invariants run in every replay)
+    "q167_image_neardup",
+    "q169_audio_neardup",
+    "q170_video_neardup",
+    # stale r4-only cohort scheduled by the round-6 note
+    "q102_anomaly",
+    "q104_time_weighted_avg",
+    "q105_locf_gapfill",
+    "q130_contamination_rate",
+    "q133_dsir_weights",
+    # changed this round — must re-prove (connected-components scale
+    # pass; edit-distance candidate length bucketing)
     "q90_dedup_clusters",
     "q122_verified_dedup_clusters",
     "q141_incremental_dedup",
-    "q55_ann_lsh_topk",
-    "q73_ann_ivf_topk",
-    "q140_pq_ann_topk",
-    # stale r2/r3-only leftover list (documented in the round-5 note)
-    "q95_struct_update",
-    "q97_string_agg",
-    "q98_histogram",
-    "q99_map_suite",
-    "q107_hash_split",
-    "q108_pack_sequences",
-    "q109_tfidf_top_term",
-    "q111_vocab_topk",
-    "q112_shuffle_batches",
-    "q113_label_centroids",
-    "q115_degree_days",
-    "q116_domain_upsample",
-    "q117_fractional_upsample",
-    "q118_bigram_lm_score",
-    "q119_line_dedup",
-    "q120_chunk_windows",
-    "q121_dedup_keep_longest",
-    "q125_token_budget_mix",
-    "q128_quality_select",
-    # cohort moved to round 6 in the 5b rotation
-    "q71_value_windows",
-    "q74_salted_skew_join",
-    "q75_salted_agg",
-    "q76_tile_rollup",
-    "q77_grouping_sets",
-    "q78_exists_subquery",
-    "q79_scalar_subquery",
-    "q80_redact",
-    "q81_repetition_ratio",
-    "q82_sentence_stats",
-    # oldest r4-only queries (no driver row since round 4)
-    "q83_time_rollup",
-    "q93_try_functions",
-    "q106_decontaminate",
-    "q110_per_key_trend",
+    "q161_pagerank",
+    "q136_edit_distance_verify",
+    # r2-only queries (stalest oracle rows in any CORRECTNESS file)
+    "q67_date_suite",
+    "q68_regexp_suite",
+    "q70_rank_suite",
+    "q94_bitwise_null_suite",
+    # full r3-only cohort, oldest driver rows after the r2 four
+    "q01_projection",
+    "q02_time_range",
+    "q03_null_drop",
+    "q04_mask_semi_join",
+    "q06_broadcast_lookup_join",
+    "q07_grid_semi_join",
+    "q08_grid_anti_join",
+    "q09_multiway_join",
+    "q13_partition_layout",
+    "q15_group_count",
+    "q17_agg_suite",
+    "q21_sort_limit",
+    "q32_geojson_feature",
+    "q34_python_udf",
+    "q36_exact_dedup",
+    "q38_cosine_topk",
+    "q39_word_count",
+    "q43_embedding_neardup",
+    "q48_asof_join",
+    "q49_range_join",
+    "q50_sliding_window",
+    "q51_session_window",
+    "q52_dedup_rows",
+    "q53_multimodal_meta",
+    "q56_pandas_udf",
+    "q57_grouped_pandas",
+    "q59_approx_count_distinct",
+    "q69_sample",
+    "q84_stratified_sample",
+    # r4 fillers to hold the window at exactly 50
+    "q05_numeric_validity",
+    "q100_date_spine",
+    "q101_nearest_station",
+    "q103_regrid",
 ]
 
 

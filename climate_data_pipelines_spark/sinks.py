@@ -467,7 +467,10 @@ def write_jsonl(
 
 
 def write_training_shards(
-    df: DataFrame, out_dir: str, mode: str = "overwrite"
+    df: DataFrame,
+    out_dir: str,
+    mode: str = "overwrite",
+    tokens_per_shard: int | None = None,
 ) -> dict:
     """Trainer-facing shard sink: parquet partitioned by ``shard``
     (one directory per shard — the unit a dataloader maps to one
@@ -481,6 +484,11 @@ def write_training_shards(
     the parquet just written — not by re-executing the input plan —
     so it is a true verification record of what landed on disk (and
     one pipeline evaluation instead of two; r6 second-review finding).
+
+    ``tokens_per_shard`` is the CONFIGURED cap, recorded verbatim in
+    the manifest so incremental appends can reuse it — inferring it
+    from observed shard sizes ratchets upward across increments
+    because shards overshoot at document boundaries (round-6 advice).
     Returns the manifest dict.
     """
     import json
@@ -507,6 +515,8 @@ def write_training_shards(
         "total_docs": int(sum(r["docs"] for r in rows)),
         "total_tokens": int(sum(r["tokens"] for r in rows)),
     }
+    if tokens_per_shard is not None:
+        manifest["tokens_per_shard"] = int(tokens_per_shard)
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "manifest.json"), "w") as fh:
         json.dump(manifest, fh, indent=1)

@@ -151,3 +151,40 @@ def test_spread_for_cpu_guard(spark):
     wide = spark.range(100).repartition(8)
     same = scale.spread_for_cpu(wide, min_parts=4)
     assert same is wide  # identity, not a new plan
+
+
+def test_spread_for_cpu_broadcast_join_still_spreads(spark):
+    # a broadcast hash join does NOT repartition the streamed side:
+    # a single-split input joined against a broadcast dim must still
+    # be spread for a downstream CPU-heavy stage (round-6 advice —
+    # the old substring guard saw "Join" and skipped)
+    fact = spark.range(100).coalesce(1)
+    dim = spark.range(10).withColumnRenamed("id", "id2")
+    joined = fact.join(
+        F.broadcast(dim), fact.id == dim.id2, "left"
+    ).drop("id2")
+    spread = scale.spread_for_cpu(joined, min_parts=4)
+    assert spread.rdd.getNumPartitions() == 4
+    assert spread.count() == 100
+
+
+def test_spread_for_cpu_shuffle_join_passthrough(spark):
+    # a shuffle join's output is already shuffle.partitions-wide —
+    # the structural probe must see the ShuffleExchange and return
+    # the frame untouched (no .rdd probe, no extra repartition)
+    a = spark.range(100)
+    b = spark.range(100).withColumnRenamed("id", "id2")
+    joined = a.hint("merge").join(b, a.id == b.id2).drop("id2")
+    same = scale.spread_for_cpu(joined, min_parts=4)
+    assert same is joined
+
+
+def test_spread_for_cpu_aggregate_passthrough(spark):
+    # aggregates shuffle on their keys: derived frames pass through
+    grouped = (
+        spark.range(100)
+        .groupBy((F.col("id") % 7).alias("k"))
+        .count()
+    )
+    same = scale.spread_for_cpu(grouped, min_parts=4)
+    assert same is grouped

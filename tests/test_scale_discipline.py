@@ -120,6 +120,20 @@ def test_driver_window_covers_priority_queries():
     assert len(weak) <= 9, f"too many rows-only window slots: {weak}"
 
 
+def test_every_rows_only_query_has_replay_invariant():
+    # the replay harness's verdict for an oracle-less query is only as
+    # strong as its invariant: every rows-only registry entry must be
+    # gated (r7 closed the 11 grandfathered r1–r4 gaps; this pins the
+    # discipline for future registrations)
+    from climate_data_pipelines_spark.invariants import INVARIANTS
+
+    rows_only = {n for n, s in REGISTRY.items() if s.oracle is None}
+    ungated = sorted(rows_only - set(INVARIANTS))
+    assert ungated == [], f"rows-only queries without invariants: {ungated}"
+    stale = sorted(set(INVARIANTS) - set(REGISTRY))
+    assert stale == [], f"invariants for unknown queries: {stale}"
+
+
 def test_repetition_ratio_is_linear_per_row(plans):
     # the Gopher repetition signal must not be the O(distinct·n)
     # nested loop (filter-per-distinct-gram): the linear form has no
