@@ -428,6 +428,15 @@ def levenshtein_on_pairs(
     identical to filtering afterward, so the DuckDB oracle is plain
     levenshtein() + the same threshold.
 
+    The DP itself is BANDED when ``min_similarity`` is set: Spark's
+    thresholded ``levenshtein(a, b, k)`` (3.5+) early-exits once the
+    distance provably exceeds k, computing only the 2k+1-wide diagonal
+    band — O(max_len · k) cells instead of O(|a|·|b|). The per-pair
+    bound k = floor((1 - min_similarity) · max_len) is exactly the
+    survival cutoff, so every surviving pair gets its exact distance
+    and every -1 (band exceeded) is a pair the similarity filter would
+    have dropped anyway — output identical, oracle unchanged.
+
     Scale shape mirrors ``jaccard_on_pairs``: semi-join endpoints
     first (only surviving candidate docs ship their text), two
     broadcast-able id equi-joins; cost is per-pair, never all-pairs.
@@ -475,12 +484,26 @@ def levenshtein_on_pairs(
             "id_b",
         )
     )
+    if min_similarity is not None:
+        # banded DP: per-pair diagonal bound = the survival cutoff.
+        # levenshtein(a, b, k) returns -1 when dist > k — those pairs
+        # fail the similarity filter below by construction.
+        joined = joined.withColumn(
+            "_thr",
+            F.floor(
+                (F.lit(1.0) - F.lit(min_similarity))
+                * F.greatest("len_a", "len_b")
+            ).cast("int"),
+        )
+        dist_expr = F.expr("levenshtein(_ta, _tb, _thr)")
+    else:
+        dist_expr = F.levenshtein("_ta", "_tb")
     out = joined.select(
         "id_a",
         "id_b",
         "len_a",
         "len_b",
-        F.levenshtein("_ta", "_tb").alias("edit_distance"),
+        dist_expr.alias("edit_distance"),
     ).withColumn(
         # greatest(·, 1) guards the both-empty pair (0/0 → engine-
         # dependent NaN/NULL); empty-vs-empty then scores 1.0 exactly
@@ -490,7 +513,12 @@ def levenshtein_on_pairs(
         / F.greatest(F.greatest("len_a", "len_b"), F.lit(1)).cast("double"),
     )
     if min_similarity is not None:
-        out = out.filter(F.col("edit_similarity") >= F.lit(min_similarity))
+        # edit_distance = -1 marks band-exceeded pairs (dist > cutoff);
+        # without the >= 0 guard their similarity computes as > 1.0
+        out = out.filter(
+            (F.col("edit_distance") >= 0)
+            & (F.col("edit_similarity") >= F.lit(min_similarity))
+        )
     return out
 
 

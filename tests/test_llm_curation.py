@@ -168,3 +168,102 @@ def test_curate_increment_appends_clean_shards(spark, sf_dir, tmp_path_factory):
     )
     leaked = ver.count()
     assert leaked == 0, f"{leaked} near-dup pairs survive in the union"
+
+
+def test_curate_increment_matches_full_rerun(spark, sf_dir, tmp_path_factory):
+    """Incremental-vs-full PARITY: day-0 corpus + day-1 increment must
+    equal a from-scratch ``curate_corpus`` over the combined universe,
+    stated at the level where the two are defined to agree — the set
+    of surviving EQUIVALENCE CLASSES (exact-digest groups linked by
+    verified near-dup edges), one representative each. Doc-id choice
+    inside a class is policy (full run keeps the global min id; the
+    increment keeps the base member), so ids may differ while the
+    corpus — which classes survive, and how many docs — must not.
+
+    Universe design keeps the eval set FIXED across runs (real eval
+    sets don't grow with the crawl): benchmark docs (source=src0) only
+    exist among the even ids, so day-0, the increment, and the
+    from-scratch run all decontaminate against the same frame.
+    alpha=1.0 makes temperature mixing a keep-all (natural shares), so
+    mixing — deliberately global-only, not re-run per increment —
+    cannot contribute spurious diffs."""
+    import pyspark.sql.functions as F
+
+    from climate_data_pipelines_spark.catalog import load_table
+    from climate_data_pipelines_spark.functions.text import normalize_text
+    from climate_data_pipelines_spark.operators import dedup, textops
+    from climate_data_pipelines_spark.plans.llm_curation import (
+        curate_corpus,
+        curate_increment,
+    )
+    from climate_data_pipelines_spark.queries import MINHASH_BANDS, MINHASH_N
+
+    docs = load_table(spark, sf_dir, "documents")
+    day0 = docs.filter(F.col("doc_id") % 2 == 0)
+    day1 = docs.filter(
+        (F.col("doc_id") % 2 == 1) & (F.col("source") != "src0")
+    )
+
+    day0_dir = str(tmp_path_factory.mktemp("parity_day0"))
+    univ_dir = str(tmp_path_factory.mktemp("parity_univ"))
+    day0.write.parquet(f"{day0_dir}/documents.parquet")
+    day0.unionByName(day1).write.parquet(f"{univ_dir}/documents.parquet")
+
+    inc_out = str(tmp_path_factory.mktemp("parity_inc"))
+    full_out = str(tmp_path_factory.mktemp("parity_full"))
+    curate_corpus(spark, day0_dir, inc_out, alpha=1.0, tokens_per_shard=300)
+    bench = day0.filter(F.col("source") == "src0")
+    curate_increment(spark, day1, inc_out, benchmark=bench)
+    curate_corpus(spark, univ_dir, full_out, alpha=1.0, tokens_per_shard=300)
+
+    inc = spark.read.parquet(f"{inc_out}/shards")
+    full = spark.read.parquet(f"{full_out}/shards")
+    assert inc.count() == full.count(), "survivor counts diverge"
+
+    # equivalence classes over the combined train universe: exact-digest
+    # representatives linked by verified near-dup edges at the
+    # pipeline's own threshold
+    train = day0.unionByName(day1).filter(F.col("source") != "src0")
+    uniq = dedup.exact_dedup(
+        train.filter(textops.quality_predicate("text"))
+    ).localCheckpoint(eager=True)
+    sigs = dedup.minhash_signatures(uniq, k=3, n_hashes=MINHASH_N)
+    cand = dedup.minhash_lsh_candidates(
+        sigs, n_hashes=MINHASH_N, bands=MINHASH_BANDS
+    )
+    ver = dedup.jaccard_on_pairs(uniq, cand, k=3).filter(
+        F.col("jaccard") >= 0.5
+    ).select("id_a", "id_b")
+    comps = dedup.connected_components(
+        ver, nodes=uniq.select("doc_id"), node_col="doc_id"
+    )
+
+    digest = F.sha2(normalize_text(F.col("text")), 256).alias("_d")
+    # digest -> component (via the exact-dedup representative)
+    d2c = (
+        uniq.select("doc_id", digest)
+        .join(comps, "doc_id")
+        .select("_d", "component")
+    )
+
+    def survived_components(frame):
+        return (
+            frame.select(digest)
+            .join(d2c, "_d")
+            .select("component")
+        )
+
+    ic, fc = survived_components(inc), survived_components(full)
+    assert ic.count() == ic.distinct().count(), (
+        "increment kept two docs of one equivalence class"
+    )
+    assert fc.count() == fc.distinct().count(), (
+        "full run kept two docs of one equivalence class"
+    )
+    diff = ic.distinct().unionByName(fc.distinct()).groupBy(
+        "component"
+    ).count().filter(F.col("count") != 2)
+    assert diff.isEmpty(), (
+        "surviving equivalence classes diverge between the increment "
+        "and the from-scratch run"
+    )
