@@ -1021,6 +1021,55 @@ def inv_q134(spark, sf_dir):
     )
 
 
+def inv_q172(spark, sf_dir):
+    """MJPEG-in-AVI frames vs the LOSSLESS Y4M twin: both fixtures
+    chunk each document's utf-8 bytes into identical 16×16 luma
+    frames, so the raw-container per-frame mean is exact ground truth
+    for the JPEG-compressed decode. The (doc_id, frame_idx) sets must
+    be identical, every frame's luma within 3 gray levels of the
+    twin's (fixture-quality DC quantization stays well under that —
+    measured ≤0.2), and the '00dc' byte offsets strictly increasing
+    inside each container (a real RIFF walk, not arithmetic)."""
+    from climate_data_pipelines_spark.catalog import load_table
+    from climate_data_pipelines_spark.operators import multimodal
+    from climate_data_pipelines_spark.queries import REGISTRY
+
+    avi = {
+        (r["doc_id"], r["frame_idx"]): r
+        for r in REGISTRY["q172_avi_mjpeg_frames"].fn(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    y4m = {
+        (r["doc_id"], r["frame_idx"]): r["frame_luma"]
+        for r in multimodal.sample_video_frames(
+            multimodal.text_as_y4m_payload(docs), every_n=1
+        ).collect()
+    }
+    if not avi or set(avi) != set(y4m):
+        only = set(avi) ^ set(y4m)
+        return False, (
+            f"frame-set mismatch: {len(avi)} avi vs {len(y4m)} y4m "
+            f"(e.g. {list(only)[:3]})"
+        )
+    worst = max(abs(avi[k]["frame_luma"] - y4m[k]) for k in avi)
+    if worst > 3.0:
+        return False, f"max |frame luma - y4m twin| = {worst:.3f} > 3.0"
+    by_doc: dict[int, list] = {}
+    for (d, i), r in avi.items():
+        by_doc.setdefault(d, []).append((i, r["byte_offset"]))
+    bad = [
+        d for d, fr in by_doc.items()
+        if [o for _, o in sorted(fr)] != sorted({o for _, o in fr})
+    ]
+    if bad:
+        return False, f"{len(bad)} docs with non-increasing chunk offsets"
+    return True, (
+        f"{len(avi)} frames across {len(by_doc)} AVI containers; "
+        f"max |luma - lossless twin| = {worst:.3f}; offsets strictly "
+        "increasing"
+    )
+
+
 INVARIANTS: dict[str, Callable] = {
     "q34_python_udf": inv_q34,
     "q42_simhash": inv_q42,
@@ -1051,4 +1100,5 @@ INVARIANTS: dict[str, Callable] = {
     "q167_image_neardup": inv_q167,
     "q169_audio_neardup": inv_q169,
     "q170_video_neardup": inv_q170,
+    "q172_avi_mjpeg_frames": inv_q172,
 }

@@ -10,11 +10,12 @@ RGB8 / RGBA8) plus a matching gray8 encoder, so ``q54`` computes actual
 pixel statistics from actual image bytes. BMP, binary Netpbm, GIF
 (LZW) and baseline JPEG (functions/jpeg.py: Huffman + IDCT, restart
 intervals, arbitrary sampling factors) get real decoders too, as do
-WAV/PCM audio and Y4M (YUV4MPEG2) raw video; only payloads whose
-codecs genuinely aren't in the container image (compressed video —
-mp4/webm need ffmpeg) fall back to an honestly-labeled deterministic
-stub; the Spark-side plumbing — schema, batch iteration,
-partitioning — is identical either way.
+WAV/PCM audio, Y4M (YUV4MPEG2) raw video and MJPEG-in-AVI compressed
+video (stdlib RIFF walk + the baseline-JPEG decoder per frame); only
+payloads whose codecs genuinely aren't in the container image
+(inter-frame video — mp4/webm need ffmpeg) fall back to an
+honestly-labeled deterministic stub; the Spark-side plumbing —
+schema, batch iteration, partitioning — is identical either way.
 """
 
 from __future__ import annotations
@@ -1040,16 +1041,18 @@ VIDEO_SCHEMA = T.StructType(
 def extract_video_features(binary_df: DataFrame) -> DataFrame:
     """Arrow-batched video feature extraction (mapInPandas) — the video
     twin of ``extract_image_features``. Y4M payloads get the REAL
-    ``decode_y4m``; compressed containers (mp4/webm — codecs not in
-    the container image) are per-row quarantined to null features, the
-    same error-quarantine shape as the audio path."""
+    ``decode_y4m`` and MJPEG-in-AVI payloads the REAL
+    ``decode_avi_mjpeg`` (RIFF walk + per-frame baseline-JPEG decode);
+    compressed containers needing absent codecs (mp4/webm) are per-row
+    quarantined to null features, the same error-quarantine shape as
+    the audio path."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
                 try:
-                    w, h, fps, lumas = decode_y4m(p)
+                    w, h, fps, lumas = _decode_video(p)
                     rows.append(
                         (doc_id, len(p), w, h, fps, len(lumas),
                          round(len(lumas) / fps, 6) if fps else 0.0,
@@ -1079,49 +1082,292 @@ FRAME_SCHEMA = T.StructType(
 
 
 def sample_video_frames(binary_df: DataFrame, every_n: int = 2) -> DataFrame:
-    """REAL frame sampling over Y4M payloads: decode the container
-    index (FRAME markers), keep every ``every_n``-th frame, and emit
-    one row per kept frame with its true byte offset and mean luma.
-    The relational shape matches :func:`frame_sample` (explode →
+    """REAL frame sampling over video payloads: decode the container
+    index (Y4M FRAME markers, or the AVI movi chunk walk for
+    MJPEG-in-AVI), keep every ``every_n``-th frame, and emit one row
+    per kept frame with its true byte offset and mean luma. The
+    relational shape matches :func:`frame_sample` (explode →
     per-frame rows) but offsets and statistics come from the actual
     stream, not arithmetic on the byte length."""
     import numpy as np
+
+    def y4m_rows(doc_id, p):
+        # the shared header parser keeps this walk in exact agreement
+        # with decode_y4m's frame geometry (same C-tag default, same
+        # chroma rounding)
+        _w, _h, _fps, y_size, c_size, pos = _y4m_geometry(p)
+        doc_rows = []
+        idx = 0
+        while pos < len(p):
+            if p[pos : pos + 5] != b"FRAME":
+                raise ValueError(f"expected FRAME marker at {pos}")
+            data_at = p.index(b"\n", pos) + 1
+            if data_at + y_size + c_size > len(p):
+                raise ValueError("truncated Y4M frame")
+            if idx % every_n == 0:
+                y = np.frombuffer(p, dtype=np.uint8, count=y_size, offset=data_at)
+                doc_rows.append((doc_id, idx, pos, round(float(y.mean()), 4)))
+            pos = data_at + y_size + c_size
+            idx += 1
+        return doc_rows
+
+    def avi_rows(doc_id, p):
+        # byte_offset is the absolute position of the '00dc' chunk
+        # header — the AVI analogue of the Y4M FRAME-marker offset
+        width, height, _fps, frames = _avi_walk(p)
+        doc_rows = []
+        for idx, (off, f) in enumerate(frames):
+            if idx % every_n:
+                continue
+            fw, fh, luma = jpeg.decode_jpeg(f)
+            if (fw, fh) != (width, height):
+                raise ValueError("frame geometry disagrees with container")
+            doc_rows.append((doc_id, idx, off, round(luma, 4)))
+        return doc_rows
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
-                # the shared header parser keeps this walk in exact
-                # agreement with decode_y4m's frame geometry (same
-                # C-tag default, same chroma rounding); a malformed
-                # stream is quarantined per row, not a task failure
+                # a malformed stream is quarantined per row (whole doc,
+                # no partial rows), not a task failure
                 try:
-                    _w, _h, _fps, y_size, c_size, pos = _y4m_geometry(p)
-                    doc_rows = []
-                    idx = 0
-                    while pos < len(p):
-                        if p[pos : pos + 5] != b"FRAME":
-                            raise ValueError(f"expected FRAME marker at {pos}")
-                        data_at = p.index(b"\n", pos) + 1
-                        if data_at + y_size + c_size > len(p):
-                            raise ValueError("truncated Y4M frame")
-                        if idx % every_n == 0:
-                            y = np.frombuffer(
-                                p, dtype=np.uint8, count=y_size, offset=data_at
-                            )
-                            doc_rows.append(
-                                (doc_id, idx, pos, round(float(y.mean()), 4))
-                            )
-                        pos = data_at + y_size + c_size
-                        idx += 1
+                    if p[:4] == b"RIFF" and p[8:12] == AVI_FOURCC:
+                        doc_rows = avi_rows(doc_id, p)
+                    else:
+                        doc_rows = y4m_rows(doc_id, p)
                 except (ValueError, NotImplementedError):
-                    continue  # quarantine the whole doc, no partial rows
+                    continue
                 rows.extend(doc_rows)
             yield pd.DataFrame(
                 rows, columns=["doc_id", "frame_idx", "byte_offset", "frame_luma"]
             )
 
     return binary_df.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# MJPEG-in-AVI container codec — a COMPRESSED video container decoded
+# dependency-free: the RIFF chunk walk is the WAV parser's sibling
+# (same <fourcc><le32 size><payload> grammar, even-byte padding) and
+# each '00dc' frame chunk is a baseline JPEG handled by the existing
+# functions/jpeg.py decoder. This closes the "compressed containers
+# stubbed" line for the one compressed format the container image can
+# genuinely decode; mp4/webm (inter-frame codecs needing ffmpeg)
+# remain honestly quarantined.
+# ---------------------------------------------------------------------------
+
+AVI_FOURCC = b"AVI "
+
+
+def _riff_chunk(tag: bytes, data: bytes) -> bytes:
+    """One RIFF chunk: fourcc + little-endian size + payload, padded to
+    an even byte boundary (the pad byte is NOT counted in size)."""
+    pad = b"\x00" if len(data) % 2 else b""
+    return tag + struct.pack("<I", len(data)) + data + pad
+
+
+def _riff_list(list_tag: bytes, body: bytes) -> bytes:
+    return _riff_chunk(b"LIST", list_tag + body)
+
+
+def encode_avi_mjpeg(
+    jpeg_frames: list[bytes], width: int, height: int, fps: int = 25
+) -> bytes:
+    """Encode pre-compressed baseline-JPEG frames as a minimal but
+    spec-shaped AVI: RIFF('AVI ' LIST('hdrl' avih LIST('strl' strh
+    strf)) LIST('movi' '00dc'×n) 'idx1'). Every header field a player
+    actually reads (frame timing, stream count, geometry, 'MJPG'
+    fourcc, frame count, index) is populated."""
+    if not jpeg_frames:
+        raise ValueError("AVI needs at least one frame")
+    us_per_frame = round(1_000_000 / fps)
+    max_frame = max(len(f) for f in jpeg_frames)
+    avih = struct.pack(
+        "<14I",
+        us_per_frame,            # dwMicroSecPerFrame
+        max_frame * fps,         # dwMaxBytesPerSec
+        0,                       # dwPaddingGranularity
+        0x10,                    # dwFlags: AVIF_HASINDEX
+        len(jpeg_frames),        # dwTotalFrames
+        0,                       # dwInitialFrames
+        1,                       # dwStreams
+        max_frame,               # dwSuggestedBufferSize
+        width, height,
+        0, 0, 0, 0,              # dwReserved[4]
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack(
+            "<IHHIIIIIIIi",
+            0, 0, 0,             # dwFlags, wPriority, wLanguage
+            0,                   # dwInitialFrames
+            1, fps,              # dwScale / dwRate = frame rate
+            0,                   # dwStart
+            len(jpeg_frames),    # dwLength (frames)
+            max_frame,           # dwSuggestedBufferSize
+            0,                   # dwQuality
+            0,                   # dwSampleSize (0 = varying)
+        )
+        + struct.pack("<4h", 0, 0, width, height)  # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+    )
+    movi_chunks, offsets = [], []
+    at = 4  # offsets are relative to the 'movi' fourcc, per convention
+    for f in jpeg_frames:
+        offsets.append(at)
+        c = _riff_chunk(b"00dc", f)
+        movi_chunks.append(c)
+        at += len(c)
+    movi = _riff_list(b"movi", b"".join(movi_chunks))
+    idx1 = _riff_chunk(
+        b"idx1",
+        b"".join(
+            b"00dc" + struct.pack("<III", 0x10, off, len(f))  # AVIIF_KEYFRAME
+            for off, f in zip(offsets, jpeg_frames)
+        ),
+    )
+    return _riff_chunk(b"RIFF", AVI_FOURCC + hdrl + movi + idx1)
+
+
+def _avi_walk(payload: bytes) -> tuple[int, int, float, list[tuple[int, bytes]]]:
+    """Parse an AVI payload to (width, height, fps, frames) where
+    frames is [(chunk_offset, jpeg_bytes), ...] in stream order —
+    offsets are absolute positions of each '00dc'/'00db' chunk header
+    in the payload. Pure stdlib RIFF walk; raises ValueError on a
+    malformed container."""
+    if payload[:4] != b"RIFF" or payload[8:12] != AVI_FOURCC:
+        raise ValueError("not an AVI payload")
+    geom: dict[str, float] = {}
+    frames: list[tuple[int, bytes]] = []
+
+    def scan(lo: int, hi: int) -> None:
+        pos = lo
+        while pos + 8 <= hi:
+            tag = payload[pos : pos + 4]
+            size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+            body = pos + 8
+            if body + size > hi:
+                raise ValueError("truncated AVI chunk")
+            if tag == b"LIST":
+                ltag = payload[body : body + 4]
+                if ltag == b"movi":
+                    q, end = body + 4, body + size
+                    while q + 8 <= end:
+                        ctag = payload[q : q + 4]
+                        csz = struct.unpack("<I", payload[q + 4 : q + 8])[0]
+                        if q + 8 + csz > end:
+                            raise ValueError("truncated movi chunk")
+                        if ctag[2:4] in (b"dc", b"db"):
+                            frames.append((q, payload[q + 8 : q + 8 + csz]))
+                        q += 8 + csz + (csz & 1)
+                elif ltag in (b"hdrl", b"strl"):
+                    scan(body + 4, body + size)
+            elif tag == b"avih":
+                us, = struct.unpack("<I", payload[body : body + 4])
+                w, h = struct.unpack("<II", payload[body + 32 : body + 40])
+                geom["fps"] = 1_000_000 / us if us else 0.0
+                geom["w"], geom["h"] = w, h
+            pos = body + size + (size & 1)
+
+    scan(12, len(payload))
+    if "w" not in geom:
+        raise ValueError("AVI missing avih header")
+    if not frames:
+        raise ValueError("AVI stream contains no frames")
+    return int(geom["w"]), int(geom["h"]), geom["fps"], frames
+
+
+def decode_avi_mjpeg(payload: bytes) -> tuple[int, int, float, list[float]]:
+    """REAL compressed-container video decode: RIFF walk to the
+    '00dc' frame chunks, then the dependency-free baseline-JPEG
+    decoder (functions/jpeg.py — Huffman + IDCT) per frame. Returns
+    (width, height, fps, per-frame mean luma) — the same tuple shape
+    as :func:`decode_y4m`, so the feature extractor dispatches on the
+    container signature alone. A frame whose JPEG geometry disagrees
+    with the container header is a corrupt file → ValueError
+    (quarantined per row upstream, never a task failure)."""
+    width, height, fps, frames = _avi_walk(payload)
+    lumas = []
+    for _off, f in frames:
+        fw, fh, luma = jpeg.decode_jpeg(f)
+        if (fw, fh) != (width, height):
+            raise ValueError(
+                f"frame geometry {fw}x{fh} != container {width}x{height}"
+            )
+        lumas.append(luma)
+    return width, height, fps, lumas
+
+
+def _decode_video(payload: bytes) -> tuple[int, int, float, list[float]]:
+    """Container dispatch on the payload signature: Y4M (raw planar)
+    or MJPEG-in-AVI (compressed). Anything else — mp4/webm need
+    codecs genuinely absent from the image — raises for the caller's
+    per-row quarantine."""
+    if payload[:4] == b"RIFF" and payload[8:12] == AVI_FOURCC:
+        return decode_avi_mjpeg(payload)
+    return decode_y4m(payload)
+
+
+def text_as_avi_payload(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    frame_w: int = 16,
+    frame_h: int = 16,
+    max_frames: int = 8,
+) -> DataFrame:
+    """Render each document as a REAL MJPEG-in-AVI payload with the
+    SAME frame chunking as :func:`text_as_y4m_payload` (consecutive
+    ``frame_w*frame_h``-byte luma frames, last zero-padded) so the
+    lossless Y4M twin of the same document is per-frame ground truth
+    for the JPEG-compressed decode. Even doc_ids compress frames as
+    grayscale-with-restart-markers, odd as 4:2:0 YCbCr — both decoder
+    paths exercised, mirroring the q155 still-image fixture."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        px = frame_w * frame_h
+        for pdf in it:
+            payloads = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                data = (text or " ").encode("utf-8")[: px * max_frames]
+                n = max(1, -(-len(data) // px))
+                if int(did) % 2 == 0:
+                    enc = lambda b: jpeg.encode_jpeg_gray8(  # noqa: E731
+                        b, frame_w, frame_h, restart_interval=2
+                    )
+                else:
+                    enc = lambda b: jpeg.encode_jpeg_ycbcr420_gray(  # noqa: E731
+                        b, frame_w, frame_h
+                    )
+                frames = [
+                    enc(data[i * px : (i + 1) * px].ljust(px, b"\x00"))
+                    for i in range(n)
+                ]
+                payloads.append(encode_avi_mjpeg(frames, frame_w, frame_h))
+            yield pd.DataFrame({id_col: pdf[id_col].values, "payload": payloads})
+
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    avi = df.select(id_col, text_col).mapInPandas(batches, schema=out_schema)
+    return avi.select(
+        F.col(id_col),
+        "payload",
+        F.struct(
+            F.lit("video/x-msvideo").alias("media_type"),
+            F.length("payload").alias("n_bytes"),
+        ).alias("media_meta"),
+    )
 
 
 def payload_sizes_arrow(binary_df: DataFrame, id_col: str = "doc_id") -> DataFrame:

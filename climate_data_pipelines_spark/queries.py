@@ -4662,6 +4662,32 @@ def q167(spark, sf_dir):
 
 
 @query(
+    "q172_avi_mjpeg_frames",
+    None,
+    "COMPRESSED-container video decode (rows-only: the RIFF walk + "
+    "per-frame Huffman/IDCT is Python-side): each document renders as "
+    "a REAL MJPEG-in-AVI payload (operators/multimodal.py::"
+    "encode_avi_mjpeg — spec-shaped avih/strh/strf headers, '00dc' "
+    "frame chunks, idx1 index; even doc_ids grayscale+restart "
+    "frames, odd 4:2:0 YCbCr) and decodes back through the stdlib "
+    "RIFF chunk walk (the WAV parser's sibling) + the dependency-free "
+    "baseline-JPEG decoder, emitting one row per frame with the TRUE "
+    "'00dc' chunk byte offset and mean luma. Closes the reference's "
+    "compressed-container gap without ffmpeg (mp4/webm inter-frame "
+    "codecs stay honestly quarantined). Invariant gate: identical "
+    "(doc_id, frame_idx) set as the LOSSLESS Y4M twin of the same "
+    "chunking, per-frame luma within 3 gray levels of the twin's "
+    "exact value, and offsets strictly increasing inside each "
+    "container (tools/check_oracle.py prints the verdict).",
+)
+def q172(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.sample_video_frames(
+        multimodal.text_as_avi_payload(docs), every_n=1
+    )
+
+
+@query(
     "q165_binned_range_join",
     """WITH bands AS (SELECT o_custkey AS ck,
                         ROUND((AVG(o_totalprice) - 2000) * 100) / 100 AS lo,
@@ -4793,14 +4819,16 @@ def q165(spark, sf_dir):
 #     r3-only cohort (q01…q84 below); (e) four r4 fillers
 #     (q05/q100/q101/q103) keeping the list at exactly 50.
 #     Rows-only slots: q167/q169/q170, q161, q34, q59, q69, q84
-#     = 8 <= 9 (one slot is intentionally kept free for a
-#     late-round rows+INV addition, mirroring what cost q167 its
-#     r6 slot).
+#     = 8, plus the slot intentionally kept free at rotation time —
+#     taken mid-round by the new q172 (MJPEG-in-AVI container
+#     decode, rows+INV) = 9 <= 9; the q103_regrid filler yields its
+#     seat to keep the window at exactly 50.
 DRIVER_WINDOW: list[str] = [
     # never driver-checked (rows+INV; invariants run in every replay)
     "q167_image_neardup",
     "q169_audio_neardup",
     "q170_video_neardup",
+    "q172_avi_mjpeg_frames",
     # stale r4-only cohort scheduled by the round-6 note
     "q102_anomaly",
     "q104_time_weighted_avg",
@@ -4849,11 +4877,11 @@ DRIVER_WINDOW: list[str] = [
     "q59_approx_count_distinct",
     "q69_sample",
     "q84_stratified_sample",
-    # r4 fillers to hold the window at exactly 50
+    # r4 fillers to hold the window at exactly 50 (q103_regrid gave
+    # its seat to q172 mid-round; it stays replay-checked)
     "q05_numeric_validity",
     "q100_date_spine",
     "q101_nearest_station",
-    "q103_regrid",
 ]
 
 

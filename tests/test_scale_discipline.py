@@ -28,6 +28,8 @@ PYTHON_SURFACE = {
     "q155_jpeg_features",  # baseline-JPEG decode (mapInPandas byte codec)
     "q157_video_features",  # Y4M video decode (mapInPandas byte codec)
     "q158_frame_sample",  # Y4M frame sampling (mapInPandas byte codec)
+    "q172_avi_mjpeg_frames",  # MJPEG-in-AVI decode (mapInPandas byte
+    # codec: RIFF walk + per-frame baseline JPEG)
     "q164_bpe_tokenize_ranked",  # ranked-merge BPE kernel (Arrow,
     # broadcast pair->rank dict — the 32k-vocab path)
     "q166_semantic_decontaminate",  # one-matmul LSH signature kernel
