@@ -95,6 +95,9 @@ HEADLINE = [
     "q165_binned_range_join",
     "q166_semantic_decontaminate",
     "q167_image_neardup",
+    # round-7 addition: compressed-container video decode (RIFF walk
+    # + per-frame baseline JPEG, Arrow-batched)
+    "q172_avi_mjpeg_frames",
 ]
 
 # ANN quality: rows-only queries whose real metric is recall vs the

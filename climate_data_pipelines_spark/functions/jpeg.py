@@ -408,6 +408,17 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float]:
     reconstructed. Progressive / arithmetic / 12-bit inputs raise
     NotImplementedError.
     """
+    width, height, plane = decode_jpeg_luma(payload)
+    return width, height, float(plane.mean())
+
+
+def decode_jpeg_luma(payload: bytes) -> tuple[int, int, "np.ndarray"]:
+    """Decode baseline JPEG to (width, height, luma_plane) where
+    luma_plane is the reconstructed Y component as a float64 ndarray
+    clipped to [0, 255] — the pixel-level surface the perceptual
+    video hash needs (cross-container near-dup pools actual luma
+    windows, not just the per-frame mean). ``decode_jpeg`` is this
+    plus ``.mean()``."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -551,4 +562,4 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float]:
     cw = (width * lh + hmax - 1) // hmax
     chh = (height * lv + vmax - 1) // vmax
     valid = np.clip(img[:chh, :cw], 0.0, 255.0)
-    return width, height, float(valid.mean())
+    return width, height, valid

@@ -928,18 +928,39 @@ def decode_y4m(payload: bytes) -> tuple[int, int, float, list[float]]:
     return width, height, fps, lumas
 
 
+def _brightness_profile_bits(stream, hash_size: int = 8) -> int:
+    """Shared pooling kernel of the video perceptual hash: split a
+    luma stream into (hash_size² + 1) equal windows, one bit per
+    neighboring-window mean-brightness comparison (left < right).
+    Integer-exact: window means compared as cross-multiplied
+    (sum, count) fractions — bit-deterministic, no float anywhere.
+    ``stream`` is any sequence of integer luma values (bytes, or a
+    uint8 ndarray from a decoded compressed frame)."""
+    nwin = hash_size * hash_size + 1
+    n = len(stream)
+    sums = [0] * nwin
+    counts = [0] * nwin
+    for i, v in enumerate(stream):
+        w = i * nwin // n
+        sums[w] += int(v)
+        counts[w] += 1
+    bits = 0
+    for i in range(nwin - 1):
+        l, r = sums[i], sums[i + 1]
+        nl, nr = max(1, counts[i]), max(1, counts[i + 1])
+        bits = (bits << 1) | (1 if l * nr < r * nl else 0)
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
 def y4m_vhash(payload: bytes, hash_size: int = 8) -> int:
     """Spatio-temporal brightness-profile hash of a Y4M video — the
     video member of the perceptual near-dup family (image ``png_dhash``
     / audio ``wav_ehash``): concatenate every frame's Y plane in
-    display order, split the luma stream into (hash_size² + 1) equal
-    windows, one bit per neighboring-window mean-brightness comparison
-    (left < right). A one-byte pixel edit perturbs one window's sum
-    and can flip at most its two neighbor comparisons; re-containered
-    copies (same frames, different chroma layout) hash identically
-    because only Y planes enter the stream. Integer-exact pooling:
-    window means compared as cross-multiplied (sum, count) fractions —
-    bit-deterministic, no float anywhere.
+    display order and pool via :func:`_brightness_profile_bits`. A
+    one-byte pixel edit perturbs one window's sum and can flip at most
+    its two neighbor comparisons; re-containered copies (same frames,
+    different chroma layout) hash identically because only Y planes
+    enter the stream.
     """
     _w, _h, _fps, y_size, c_size, pos = _y4m_geometry(payload)
     planes = []
@@ -953,31 +974,52 @@ def y4m_vhash(payload: bytes, hash_size: int = 8) -> int:
         pos += y_size + c_size
     if not planes:
         raise ValueError("Y4M stream contains no frames")
-    stream = b"".join(planes)
-    nwin = hash_size * hash_size + 1
-    n = len(stream)
-    sums = [0] * nwin
-    counts = [0] * nwin
-    for i, v in enumerate(stream):
-        w = i * nwin // n
-        sums[w] += v
-        counts[w] += 1
-    bits = 0
-    for i in range(nwin - 1):
-        l, r = sums[i], sums[i + 1]
-        nl, nr = max(1, counts[i]), max(1, counts[i + 1])
-        bits = (bits << 1) | (1 if l * nr < r * nl else 0)
-    return bits - (1 << 64) if bits >= (1 << 63) else bits
+    return _brightness_profile_bits(b"".join(planes), hash_size)
+
+
+def video_vhash(payload: bytes, hash_size: int = 8) -> int:
+    """Container-generic video perceptual hash: Y4M payloads pool the
+    raw Y planes (``y4m_vhash``, bit-identical to before the AVI path
+    existed); MJPEG-in-AVI payloads pool the DECODED luma planes
+    (rounded to uint8), so a compressed corpus fingerprints with the
+    same machinery instead of quarantining to null.
+
+    Stability caveat, measured on the word-soup fixture: within ONE
+    domain the hash behaves as designed (an exact byte-duplicate AVI
+    hashes identically; a re-muxed copy of the same JPEG frames
+    hashes identically), but quantization ripple makes single-byte
+    CONTENT edits in the compressed domain flip more bits than in the
+    raw domain (last-char edit: mean Hamming ≈ 3.6, p90 ≈ 7, max 12 —
+    vs ≤ 2 for Y4M), and CROSS-domain twins (same pixels, Y4M vs AVI)
+    land at mean Hamming ≈ 7. Near-dup banding at hamming_max=3 is
+    therefore a guarantee only for raw-domain corpora; compressed or
+    mixed corpora need a wider verify budget and accept partial
+    recall of minimal edits.
+    """
+    import numpy as np
+
+    if payload[:4] == b"RIFF" and payload[8:12] == AVI_FOURCC:
+        width, height, _fps, frames = _avi_walk(payload)
+        planes = []
+        for _off, f in frames:
+            fw, fh, plane = jpeg.decode_jpeg_luma(f)
+            if (fw, fh) != (width, height):
+                raise ValueError("frame geometry disagrees with container")
+            planes.append(
+                np.clip(np.round(plane), 0, 255).astype(np.uint8).ravel()
+            )
+        return _brightness_profile_bits(np.concatenate(planes), hash_size)
+    return y4m_vhash(payload, hash_size)
 
 
 def video_vhashes(binary_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Perceptual fingerprints for video NEAR-dup detection: 64-bit
-    brightness-profile hash per Y4M payload (``y4m_vhash``) over
-    Arrow-batched mapInPandas, completing the image/audio/video
-    near-dup family on the shared Hamming-band machinery
-    (``dedup.simhash_band_candidates`` with bits=64).
+    brightness-profile hash per payload (``video_vhash`` — raw Y4M or
+    MJPEG-in-AVI) over Arrow-batched mapInPandas, completing the
+    image/audio/video near-dup family on the shared Hamming-band
+    machinery (``dedup.simhash_band_candidates`` with bits=64).
     Returns (id, vhash); undecodable → null."""
-    return _perceptual_hashes(binary_df, y4m_vhash, "vhash", id_col)
+    return _perceptual_hashes(binary_df, video_vhash, "vhash", id_col)
 
 
 def text_as_y4m_payload(

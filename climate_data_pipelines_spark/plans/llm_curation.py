@@ -85,6 +85,32 @@ def neardup_dedup(
     return df.join(keepers, id_col, "left_semi")
 
 
+def _write_dedup_index(
+    kept: DataFrame, out_dir: str, mode: str = "overwrite"
+) -> None:
+    """Persist the dedup state of the curated corpus — content digests
+    (exact-dedup keys) and MinHash signatures (near-dup LSH input) —
+    next to the shards, so day-N increments join against PRECOMPUTED
+    state instead of re-hashing the whole base text every day. Without
+    this, ``curate_increment``'s ``minhash_signatures(base)`` and
+    digest scan are O(total corpus) per increment — the exact cost an
+    incremental path exists to avoid; at 100 TB the re-hash dominates
+    the batch work. Two tables because they key differently: every
+    kept doc has a digest, but docs shorter than the shingle width
+    have NO signature row (an all-null signature would bucket every
+    short doc into one degenerate LSH band).
+
+    ``kept`` must carry (doc_id, text)."""
+    from climate_data_pipelines_spark.functions.text import normalize_text
+
+    kept.select(
+        "doc_id", F.sha2(normalize_text(F.col("text")), 256).alias("digest")
+    ).write.mode(mode).parquet(f"{out_dir}/dedup_index/digests")
+    dedup.minhash_signatures(kept, k=3, n_hashes=MINHASH_N).write.mode(
+        mode
+    ).parquet(f"{out_dir}/dedup_index/signatures")
+
+
 def curate_corpus(
     spark: SparkSession,
     sf_dir: str,
@@ -144,6 +170,13 @@ def curate_corpus(
     manifest = sinks.write_training_shards(
         out, out_dir, tokens_per_shard=tokens_per_shard
     )
+    # persist the dedup index of what actually landed (read back from
+    # the shards, same verification stance as the manifest) so day-N
+    # increments never re-hash the base corpus
+    _write_dedup_index(
+        spark.read.parquet(f"{out_dir}/shards").select("doc_id", "text"),
+        out_dir,
+    )
     unpersist_checkpoint(mixed)
     unpersist_checkpoint(unique)
     return manifest
@@ -171,13 +204,16 @@ def curate_increment(
     Stages on the new batch only:
       1. quality gate + exact dedup WITHIN the batch;
       2. exact dedup AGAINST the base: anti-join on the content
-         digest of the base corpus (read from the shard parquet —
-         32-byte keys, the base text never reshuffles);
+         digests read from the PERSISTED dedup index (written at
+         ``curate_corpus`` time; 32-byte keys, the base text is
+         never re-read or re-hashed);
       3. near-dup WITHIN the batch (``neardup_dedup``);
       4. CROSS-corpus near-dup vs the base:
-         ``minhash_lsh_candidates_cross`` — the base is never
-         self-paired, only (new × base) buckets join — then exact
-         Jaccard verify, dropping the NEW member of each pair;
+         ``minhash_lsh_candidates_cross`` over the index's
+         precomputed base signatures — the base is never re-hashed
+         or self-paired, only (new × base) buckets join — then exact
+         Jaccard verify (base text joins only for surviving
+         candidate pairs), dropping the NEW member of each pair;
       5. optional benchmark decontamination (pass the eval frame);
       6. shard assignment continuing the numbering AFTER the base's
          last shard; parquet append + a fresh read-back manifest that
@@ -213,6 +249,29 @@ def curate_increment(
             "(namespace the increment ids, e.g. day_offset + doc_id)"
         )
 
+    # the base's dedup state comes from the PERSISTED index written at
+    # curate_corpus time (digests + MinHash signatures of the kept
+    # corpus) — the increment never re-hashes base text, so its
+    # data-dependent cost is O(batch), not O(total). A missing or
+    # stale index (pre-index base dir, or a crash between the shard
+    # append and the index append) is detected by row count against
+    # the shards and rebuilt — self-healing, never silently wrong.
+    from pyspark.errors import AnalysisException
+
+    base_digests_df = None
+    sb = None
+    try:
+        dig = spark.read.parquet(f"{base_dir}/dedup_index/digests")
+        if dig.count() == base.count():
+            base_digests_df = dig
+            sb = spark.read.parquet(f"{base_dir}/dedup_index/signatures")
+    except AnalysisException:
+        pass
+    if sb is None:
+        _write_dedup_index(base.select("doc_id", "text"), base_dir)
+        base_digests_df = spark.read.parquet(f"{base_dir}/dedup_index/digests")
+        sb = spark.read.parquet(f"{base_dir}/dedup_index/signatures")
+
     passed = new_docs.filter(textops.quality_predicate("text"))
     unique = dedup.exact_dedup(passed).localCheckpoint(eager=True)
     # exact dedup vs base: digest anti-join (32-byte keys both sides).
@@ -223,14 +282,13 @@ def curate_increment(
     from climate_data_pipelines_spark.functions.text import normalize_text
 
     digest = F.sha2(normalize_text(F.col("text")), 256)
-    base_digests = base.select(digest.alias("_d")).distinct()
+    base_digests = base_digests_df.select(F.col("digest").alias("_d")).distinct()
     fresh = unique.withColumn("_d", digest).join(
         base_digests, "_d", "left_anti"
     ).drop("_d")
     batch_clean = neardup_dedup(fresh, jaccard_threshold)
 
     sn = dedup.minhash_signatures(batch_clean, k=3, n_hashes=MINHASH_N)
-    sb = dedup.minhash_signatures(base, k=3, n_hashes=MINHASH_N)
     cand = dedup.minhash_lsh_candidates_cross(
         sn, sb, n_hashes=MINHASH_N, bands=MINHASH_BANDS
     ).localCheckpoint(eager=True)
@@ -281,6 +339,10 @@ def curate_increment(
     manifest = sinks.write_training_shards(
         out, base_dir, mode="append", tokens_per_shard=int(cap)
     )
+    # keep the dedup index in lockstep with the shards so day-N+1
+    # joins against today's appends too; a crash before this append
+    # leaves a stale index the next increment detects and rebuilds
+    _write_dedup_index(out.select("doc_id", "text"), base_dir, mode="append")
     unpersist_checkpoint(survivors)
     unpersist_checkpoint(unique)
     return manifest

@@ -152,3 +152,39 @@ def test_q172_matches_lossless_y4m_twin(spark, sf_dir):
 
     ok, msg = INVARIANTS["q172_avi_mjpeg_frames"](spark, sf_dir)
     assert ok, msg
+
+
+def test_video_vhash_container_generic():
+    """The perceptual video hash accepts both containers: Y4M pools
+    raw Y planes (bit-identical to y4m_vhash), AVI pools the decoded
+    luma planes; an exact byte-duplicate and a re-muxed copy (same
+    JPEG frames, rebuilt container) hash identically."""
+    px = 16 * 16
+    data = bytes(range(256)) * 4
+    raw = [data[i * px : (i + 1) * px] for i in range(4)]
+    y4m = multimodal.encode_y4m(raw, 16, 16)
+    assert multimodal.video_vhash(y4m) == multimodal.y4m_vhash(y4m)
+    frames = [jpeg.encode_jpeg_gray8(b, 16, 16) for b in raw]
+    avi = multimodal.encode_avi_mjpeg(frames, 16, 16)
+    h = multimodal.video_vhash(avi)
+    assert h == multimodal.video_vhash(bytes(avi))  # deterministic
+    remuxed = multimodal.encode_avi_mjpeg(frames, 16, 16, fps=30)
+    assert multimodal.video_vhash(remuxed) == h  # same frames, new container
+    with pytest.raises(ValueError):
+        multimodal.video_vhash(b"\x00\x00\x00\x18ftypmp42" + bytes(64))
+
+
+def test_video_vhashes_mixed_corpus(spark):
+    """video_vhashes fingerprints a MIXED corpus in one pass: Y4M and
+    AVI payloads both hash (an AVI no longer quarantines to null);
+    an undecodable mp4 still nulls out."""
+    y = bytes(range(256))
+    y4m = multimodal.encode_y4m([y], 16, 16)
+    avi = multimodal.encode_avi_mjpeg([jpeg.encode_jpeg_gray8(y, 16, 16)], 16, 16)
+    mp4 = b"\x00\x00\x00\x18ftypmp42" + bytes(64)
+    df = spark.createDataFrame(
+        [(1, y4m), (2, avi), (3, mp4)], "doc_id long, payload binary"
+    )
+    rows = {r["doc_id"]: r["vhash"] for r in multimodal.video_vhashes(df).collect()}
+    assert rows[1] is not None and rows[2] is not None and rows[3] is None
+    assert rows[1] == multimodal.y4m_vhash(y4m)

@@ -267,3 +267,78 @@ def test_curate_increment_matches_full_rerun(spark, sf_dir, tmp_path_factory):
         "surviving equivalence classes diverge between the increment "
         "and the from-scratch run"
     )
+
+
+def test_dedup_index_lockstep_and_self_heal(spark, sf_dir, tmp_path_factory):
+    """The persisted dedup index (digests + MinHash signatures of the
+    kept corpus) must (a) be written by curate_corpus, (b) be kept in
+    lockstep by every increment's append, and (c) self-heal when
+    missing or stale — a pre-index base dir, or a crash between the
+    shard append and the index append, must be detected by row count
+    and rebuilt, never silently trusted."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from climate_data_pipelines_spark.catalog import load_table
+    from climate_data_pipelines_spark.functions.text import normalize_text
+    from climate_data_pipelines_spark.plans.llm_curation import (
+        curate_corpus,
+        curate_increment,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    day0_dir = str(tmp_path_factory.mktemp("idx_day0_src"))
+    docs.filter(F.col("doc_id") % 2 == 0).write.parquet(
+        f"{day0_dir}/documents.parquet"
+    )
+    out = str(tmp_path_factory.mktemp("idx_curated"))
+    curate_corpus(spark, day0_dir, out, tokens_per_shard=300)
+
+    def index_in_lockstep():
+        shards = spark.read.parquet(f"{out}/shards")
+        dig = spark.read.parquet(f"{out}/dedup_index/digests")
+        sig = spark.read.parquet(f"{out}/dedup_index/signatures")
+        assert dig.count() == shards.count()
+        # every digest is the exact-dedup key of its shard row
+        want = shards.select(
+            "doc_id", F.sha2(normalize_text(F.col("text")), 256).alias("digest")
+        )
+        assert dig.exceptAll(want).isEmpty() and want.exceptAll(dig).isEmpty()
+        # signatures cover exactly the docs wide enough to shingle
+        assert sig.join(dig, "doc_id", "left_anti").isEmpty()
+
+    index_in_lockstep()
+
+    # (c) self-heal: blow the index away, the increment rebuilds it
+    shutil.rmtree(f"{out}/dedup_index")
+    inc1 = docs.filter(
+        (F.col("doc_id") % 2 == 1) & (F.col("source") != "src0")
+    )
+    curate_increment(spark, inc1, out)
+    index_in_lockstep()
+
+    # (b) lockstep after a second, index-present increment with fresh
+    # content (reversed word soup = new shingles, ids namespaced)
+    inc2 = docs.filter(F.col("source") == "src1").select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.reverse(F.col("text")).alias("text"),
+        *[c for c in docs.columns if c not in ("doc_id", "text")],
+    )
+    before = spark.read.parquet(f"{out}/shards").count()
+    manifest = curate_increment(spark, inc2, out)
+    assert manifest["total_docs"] > before, "second increment added nothing"
+    index_in_lockstep()
+
+    # stale-index detection: drop half the digest rows on disk, then a
+    # further (empty-after-dedup) increment must rebuild to lockstep
+    dig = spark.read.parquet(f"{out}/dedup_index/digests")
+    half = dig.limit(max(1, dig.count() // 2)).localCheckpoint(eager=True)
+    half.write.mode("overwrite").parquet(f"{out}/dedup_index/digests")
+    rerun = docs.filter(F.col("source") == "src2").select(
+        (F.col("doc_id") + F.lit(2_000_000)).alias("doc_id"),
+        F.reverse(F.col("text")).alias("text"),
+        *[c for c in docs.columns if c not in ("doc_id", "text")],
+    )
+    curate_increment(spark, rerun, out)
+    index_in_lockstep()

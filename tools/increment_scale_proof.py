@@ -128,7 +128,13 @@ def main() -> None:
             "alpha=1.0 isolates dedup semantics (mixing is global by "
             "design). Equal survivor totals = both routes keep one "
             "representative per equivalence class (parity test: "
-            "tests/test_llm_curation.py)."
+            "tests/test_llm_curation.py). The increment reads base "
+            "dedup state from the PERSISTED index (digests + MinHash "
+            "signatures written at curate_corpus time) — its only "
+            "data-dependent work is the batch scan + index joins, "
+            "never a base-corpus re-scan/re-hash; at fixture scale "
+            "both routes are stage-overhead-bound, so the wall ratio "
+            "understates the asymptotic batch/corpus advantage."
         ),
     }
     out_path = os.path.join(
