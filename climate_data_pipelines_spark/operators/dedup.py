@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from climate_data_pipelines_spark.functions.text import normalize_text, shingles, tokens
 from climate_data_pipelines_spark.operators.scale import (
+    localcheckpoint_capped,
     spread_for_cpu,
     unpersist_checkpoint,
 )
@@ -791,10 +792,19 @@ def connected_components(
     - ``steps_per_checkpoint`` propagate+jump steps chain LAZILY
       between checkpoints. A chained step references its input twice
       (the jump self-join), so the un-checkpointed plan doubles per
-      step — 2 keeps it at ~4 copies of the propagate subplan, safely
-      under the Catalyst stats-product blowup that stacking JUMPS
-      alone hit (see the jump note below), while halving the number
-      of checkpoint jobs + convergence actions.
+      step — 2 keeps it at ~4 copies of the propagate subplan while
+      halving the number of checkpoint jobs + convergence actions.
+
+    The per-round checkpoint is ``scale.localcheckpoint_capped``, not a
+    plain ``localCheckpoint``: the jump self-join puts the previous
+    round's checkpoint on both sides of a join, and a plain checkpoint
+    captures Catalyst's multiplied join-size estimate as the next
+    round's origin stats — the estimate SQUARES per round (×4 here,
+    with two chained steps) and the BigInt arithmetic alone OOMs the
+    driver after ~15-20 rounds. Convergence in a handful of rounds
+    masked this; a deep chain graph within ``max_iter`` would have hit
+    it. The capped checkpoint re-derives sizes from the constant
+    default each round (see the helper's docstring).
 
     Raises RuntimeError if propagation has not converged after
     ``max_iter`` checkpoint rounds (each applying
@@ -836,7 +846,7 @@ def connected_components(
     # the same result the generic step would produce from identity
     # labels, minus its label join, union, and jump
     obs0 = Observation()
-    labels = (
+    labels, labels_ckpt = localcheckpoint_capped(
         sym.groupBy("src")
         .agg(F.min("dst").alias("_mn"))
         .select(
@@ -844,7 +854,6 @@ def connected_components(
             F.least(F.col("src"), F.col("_mn")).alias("component"),
         )
         .observe(obs0, _sum_metric())
-        .localCheckpoint(eager=True)
     )
     prev_sum = obs0.get["s"]
 
@@ -866,11 +875,10 @@ def connected_components(
         # only decrease, preserving the monotone-sum convergence
         # invariant. The jump joins are label-table-sized (one row
         # per node), much cheaper than the edge join. ONE jump per
-        # step: stacking more jumps either re-inlines the propagation
-        # join per referenced side (exponential lineage) or, with
-        # checkpoints in between, explodes Catalyst's size-in-bytes
-        # stats product (measured OOM) — the compounding across
-        # steps already yields exponential label reach.
+        # step: stacking more jumps re-inlines the propagation join
+        # per referenced side (the un-checkpointed plan doubles per
+        # jump), and the compounding across steps already yields
+        # exponential label reach.
         parent = propagated.select(
             F.col(node_col).alias("component"),
             F.col("component").alias("grandparent"),
@@ -884,14 +892,14 @@ def connected_components(
         for _ in range(max(1, steps_per_checkpoint)):
             stepped = _step(stepped)
         obs = Observation()
-        prev_labels = labels
-        labels = (
-            stepped.observe(obs, _sum_metric()).localCheckpoint(eager=True)
+        prev_ckpt = labels_ckpt
+        labels, labels_ckpt = localcheckpoint_capped(
+            stepped.observe(obs, _sum_metric())
         )
         # free the previous round's label checkpoint now that the new
         # one is materialized (bounds storage at 2 label tables + the
         # edge table for the whole run, ADVICE r5 pattern)
-        unpersist_checkpoint(prev_labels)
+        unpersist_checkpoint(prev_ckpt)
         cur_sum = obs.get["s"]
         if cur_sum == prev_sum:
             break

@@ -88,6 +88,52 @@ def unpersist_checkpoint(df: DataFrame) -> None:
         pass
 
 
+def localcheckpoint_capped(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """``localCheckpoint(eager=True)`` with the captured size-in-bytes
+    statistics RESET — the checkpoint primitive every ITERATED frame in
+    a checkpoint-per-round loop must use when its round plan joins two
+    branches derived from the previous round's checkpoint.
+
+    Why: Catalyst's default size estimator multiplies child sizes at
+    every join (``SizeInBytesOnlyStatsPlanVisitor.visitJoin``), and a
+    local checkpoint CAPTURES the computed ``sizeInBytes`` into the new
+    ``LogicalRDD``'s origin stats. A loop whose round plan references
+    the previous checkpoint on BOTH sides of a join (pagerank's
+    delta-vs-previous join, connected components' pointer-jump
+    self-join) therefore SQUARES the captured BigInt every round — the
+    digit count doubles per round, and ``BigInteger.multiply`` inside
+    the stats visitor takes over the driver (measured: round time
+    doubling from round ~14, java.lang.OutOfMemoryError by round ~19 on
+    a THREE-edge graph). Single-reference loops (BPE's fold-project)
+    only multiply by constants per round and never blow up.
+
+    Fix: after materializing the checkpoint, rebuild the DataFrame over
+    the same materialized RDD *without* origin stats/constraints, so
+    every round's plan re-derives sizes from the constant default
+    instead of compounding captured products. The iterated frame was
+    never a broadcast candidate anyway (node-sized, unbounded at 100
+    TB), so pessimistic default stats on it cost nothing; loop-INVARIANT
+    checkpoints (edge tables, degree tables) should keep plain
+    ``localCheckpoint`` and their real, broadcast-eligible stats.
+
+    Returns ``(clean, ckpt)``: iterate on ``clean``; pass ``ckpt`` to
+    ``unpersist_checkpoint`` once the NEXT round has materialized (the
+    clean frame reads the checkpoint's blocks — do not free them while
+    it is still live). Falls back to ``(ckpt, ckpt)`` if the rebuild's
+    internal API is unavailable.
+    """
+    ck = df.localCheckpoint(eager=True)
+    try:
+        jdf = ck._jdf
+        jspark = ck.sparkSession._jsparkSession
+        clean_jdf = jspark.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        return DataFrame(clean_jdf, ck.sparkSession), ck
+    except Exception:
+        return ck, ck
+
+
 def salted_join(
     fact: DataFrame,
     dim: DataFrame,
