@@ -1070,6 +1070,64 @@ def inv_q172(spark, sf_dir):
     )
 
 
+def inv_q173(spark, sf_dir):
+    """Trainable classifier, two gates: (1) holdout accuracy strictly
+    beats the majority-class baseline (the model actually LEARNED the
+    seed rule, it is not predicting the base rate); (2) the engine's
+    trained weights match an independent stdlib+numpy retrain — same
+    crc32 feature mapping via ``zlib.crc32``, same Adagrad trajectory,
+    zero Spark APIs — to 1e-6 relative. Float-sum ordering is the only
+    permitted divergence between the twins."""
+    from climate_data_pipelines_spark.catalog import load_table
+    from climate_data_pipelines_spark.operators import classifier
+    from climate_data_pipelines_spark.queries import REGISTRY
+
+    out = REGISTRY["q173_quality_classifier"].fn(spark, sf_dir).collect()
+    if not out:
+        return False, "empty holdout"
+    acc = sum(1 for r in out if r["predicted"] == r["label"]) / len(out)
+    pos = sum(r["label"] for r in out) / len(out)
+    majority = max(pos, 1.0 - pos)
+    if acc <= majority:
+        return False, f"accuracy {acc:.3f} <= majority baseline {majority:.3f}"
+
+    docs = load_table(spark, sf_dir, "documents")
+    texts = [
+        (r["doc_id"], r["text"])
+        for r in docs.select("doc_id", "text").collect()
+    ]
+    labels = {
+        d: (1 if "spark" in (t or "").lower().split() else 0)
+        for d, t in texts
+        if d % 5 != 0
+    }
+    w_np = classifier.numpy_twin_train(texts, labels, dim=1024)
+
+    feats = classifier.hashed_features(docs, dim=1024)
+    train_ids = docs.filter(F.col("doc_id") % 5 != 0).select("doc_id")
+    lab_df = spark.createDataFrame(
+        [(d, y) for d, y in labels.items()], "doc_id long, label int"
+    )
+    w_rows = classifier.train_quality_classifier(
+        feats.join(train_ids, "doc_id", "left_semi"), lab_df, dim=1024
+    ).collect()
+    w_spark = [0.0] * len(w_np)
+    for r in w_rows:
+        w_spark[r["feat"]] = r["weight"]
+    scale = max(max(abs(v) for v in w_np), 1e-12)
+    max_rel = max(
+        abs(a - b) for a, b in zip(w_spark, w_np)
+    ) / scale
+    if max_rel > 1e-6:
+        return False, (
+            f"weight divergence {max_rel:.2e} rel vs numpy twin (>1e-6)"
+        )
+    return True, (
+        f"holdout acc={acc:.3f} > majority {majority:.3f}; "
+        f"max weight delta {max_rel:.2e} rel vs numpy twin"
+    )
+
+
 INVARIANTS: dict[str, Callable] = {
     "q34_python_udf": inv_q34,
     "q42_simhash": inv_q42,
@@ -1101,4 +1159,5 @@ INVARIANTS: dict[str, Callable] = {
     "q169_audio_neardup": inv_q169,
     "q170_video_neardup": inv_q170,
     "q172_avi_mjpeg_frames": inv_q172,
+    "q173_quality_classifier": inv_q173,
 }

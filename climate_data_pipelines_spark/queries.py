@@ -4688,6 +4688,60 @@ def q172(spark, sf_dir):
 
 
 @query(
+    "q173_quality_classifier",
+    None,
+    "TRAINABLE quality classifier (rows-only: an iteratively trained "
+    "model is not SQL-expressible): the GPT-3-appendix-A / CCNet "
+    "classifier step as a weak-supervision demo — a seed rule labels "
+    "the corpus (document contains the token 'spark'), logistic "
+    "regression trains by full-batch Adagrad over crc32-hashed "
+    "uni+bigram presence features (dim 1024, operators/classifier.py) "
+    "on the doc_id%5!=0 split, and the %5==0 holdout comes back with "
+    "(score, predicted, label). Per epoch exactly ONE distributed job "
+    "runs — broadcast (dim+1)-row weights → per-doc margins → "
+    "residual join → per-feature gradient — and (dim+1) floats reach "
+    "the driver: BPE's vocabulary-bounded discipline, so the labeled "
+    "corpus side is unbounded. Invariant gate: holdout accuracy beats "
+    "the majority class AND the weights match an independent "
+    "stdlib+numpy retrain (zlib.crc32 feature twin, identical Adagrad "
+    "trajectory) to 1e-6 relative (tools/check_oracle.py prints the "
+    "verdict).",
+)
+def q173(spark, sf_dir):
+    from climate_data_pipelines_spark.functions.text import normalize_text, tokens
+    from climate_data_pipelines_spark.operators import classifier
+
+    docs = _t(spark, sf_dir, "documents")
+    labels = docs.select(
+        "doc_id",
+        F.array_contains(tokens(normalize_text(F.col("text"))), "spark")
+        .cast("int")
+        .alias("label"),
+    )
+    feats = classifier.hashed_features(docs, dim=1024)
+    train_ids = docs.filter(F.col("doc_id") % 5 != 0).select("doc_id")
+    weights = classifier.train_quality_classifier(
+        feats.join(train_ids, "doc_id", "left_semi"),
+        labels.join(train_ids, "doc_id", "left_semi"),
+        dim=1024,
+    )
+    scores = classifier.classifier_score(feats, weights)
+    return (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id")
+        .join(scores, "doc_id")
+        .join(labels, "doc_id")
+        .select(
+            "doc_id",
+            F.round(F.col("score"), 6).alias("score"),
+            (F.col("score") > 0.5).cast("int").alias("predicted"),
+            "label",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "q165_binned_range_join",
     """WITH bands AS (SELECT o_custkey AS ck,
                         ROUND((AVG(o_totalprice) - 2000) * 100) / 100 AS lo,
