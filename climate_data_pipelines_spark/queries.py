@@ -4742,6 +4742,38 @@ def q173(spark, sf_dir):
 
 
 @query(
+    "q174_warc_ingest",
+    "SELECT doc_id, text FROM documents",
+    "WARC ingestion roundtrip (sources/warc.py — the Common Crawl "
+    "container, ISO 28500): the documents table renders as "
+    "multi-member-gzip WARC file payloads (warcinfo lead + one "
+    "HTTP/1.1 response record per doc wrapping a realistic HTML page "
+    "with title/style/script noise; 50 docs per file via "
+    "applyInPandas, each group file-sized by construction), the "
+    "Arrow-batched stdlib kernel walks the gzip members and WARC/HTTP "
+    "headers back to records, and html_to_text (pure JVM regexp "
+    "chain, no UDF — script/style elision, tag strip, entity "
+    "unescape) recovers the visible text. Oracle: the roundtrip must "
+    "reproduce the documents table EXACTLY — SELECT doc_id, text. At "
+    "crawl scale the same kernel runs over binaryFile scans "
+    "(read_warc): one task per .warc.gz, the format's own "
+    "parallelism unit.",
+)
+def q174(spark, sf_dir):
+    from climate_data_pipelines_spark.sources import warc
+
+    docs = _t(spark, sf_dir, "documents")
+    payloads = warc.docs_as_warc_payload(docs, docs_per_file=50)
+    recs = warc.parse_warc_payloads(payloads).filter(
+        F.col("warc_type") == "response"
+    )
+    return recs.select(
+        warc.warc_doc_id(F.col("target_uri")).alias("doc_id"),
+        warc.html_to_text(F.col("body")).alias("text"),
+    )
+
+
+@query(
     "q165_binned_range_join",
     """WITH bands AS (SELECT o_custkey AS ck,
                         ROUND((AVG(o_totalprice) - 2000) * 100) / 100 AS lo,

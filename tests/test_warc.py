@@ -1,0 +1,116 @@
+"""WARC ingestion (sources/warc.py, q174): record walk, gzip member
+split, HTTP body extraction, html_to_text semantics, file-based
+read_warc, and the full encode→parse→extract roundtrip vs the source
+table."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+from pyspark.sql import functions as F
+
+from climate_data_pipelines_spark.sources import warc
+
+
+def test_encode_parse_roundtrip_pure_python():
+    recs = [
+        ("http://corpus.invalid/doc/1", "<html><body><p>alpha beta</p></body></html>"),
+        ("http://corpus.invalid/doc/2", "<html><body><p>gamma &amp; delta</p></body></html>"),
+    ]
+    payload = warc.encode_warc(recs)
+    members = list(warc._split_gzip_members(payload))
+    assert len(members) == 3  # warcinfo + 2 responses
+    parsed = [warc._parse_warc_member(m) for m in members]
+    assert parsed[0]["warc_type"] == "warcinfo"
+    assert [p["target_uri"] for p in parsed[1:]] == [u for u, _ in recs]
+    assert [p["body"] for p in parsed[1:]] == [h for _, h in recs]
+    assert all(p["http_status"] == 200 for p in parsed[1:])
+    assert all("text/html" in p["content_type"] for p in parsed[1:])
+
+
+def test_uncompressed_warc_accepted():
+    raw = warc._warc_record(
+        [("WARC-Type", "resource"), ("WARC-Target-URI", "http://x/doc/9")],
+        b"plain block",
+    )
+    got = [warc._parse_warc_member(m) for m in warc._split_gzip_members(raw)]
+    assert got[0]["warc_type"] == "resource"
+    assert got[0]["body"] == "plain block"
+
+
+def test_html_to_text_semantics(spark):
+    cases = [
+        # script/style dropped WITH contents, comments dropped, tags
+        # to spaces, entities unescaped, whitespace collapsed
+        ("<html><head><style>b{x}</style><script>var a=1;</script>"
+         "<!-- hidden --></head><body><p>a b</p><p>c</p></body></html>",
+         "a b c"),
+        ("pre &amp;lt; post", "pre &lt; post"),  # no double-unescape
+        ("<SCRIPT lang=x>nested <b>tag</b></SCRIPT>ok", "ok"),
+        ("&lt;tag&gt; &quot;q&quot; &#39;s&#39; &amp;", "<tag> \"q\" 's' &"),
+        ("  a\n\tb  ", "a b"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "html string")
+    got = [r["t"] for r in df.select(warc.html_to_text("html").alias("t")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_read_warc_files(spark, tmp_path):
+    # two files, gz and plain, picked up by one binaryFile glob
+    (tmp_path / "a.warc.gz").write_bytes(
+        warc.encode_warc([("http://corpus.invalid/doc/1", "<p>one</p>")])
+    )
+    plain = warc._warc_record(
+        [
+            ("WARC-Type", "response"),
+            ("WARC-Target-URI", "http://corpus.invalid/doc/2"),
+        ],
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<p>two</p>",
+    )
+    (tmp_path / "b.warc").write_bytes(plain)
+    out = warc.read_warc(spark, str(tmp_path)).filter(
+        F.col("warc_type") == "response"
+    )
+    rows = {r["target_uri"]: r["body"] for r in out.collect()}
+    assert rows == {
+        "http://corpus.invalid/doc/1": "<p>one</p>",
+        "http://corpus.invalid/doc/2": "<p>two</p>",
+    }
+
+
+def test_gzip_members_are_independent():
+    """Each record must be its OWN gzip member (the Common Crawl
+    layout) — a reader can stop after any record without decompressing
+    the rest."""
+    payload = warc.encode_warc(
+        [(f"http://corpus.invalid/doc/{i}", f"<p>{i}</p>") for i in range(3)]
+    )
+    # the first member alone must decompress cleanly with stdlib gzip
+    d = __import__("zlib").decompressobj(47)
+    first = d.decompress(payload)
+    assert first.startswith(b"WARC/1.0")
+    assert d.unused_data[:2] == b"\x1f\x8b"  # next member follows
+    # and gzip.decompress of the whole stream sees every member
+    assert gzip.decompress(payload).count(b"WARC/1.0") == 4
+
+
+def test_q174_roundtrip_equals_documents(spark, sf_dir):
+    from climate_data_pipelines_spark.queries import REGISTRY
+
+    got = REGISTRY["q174_warc_ingest"].fn(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    assert got.count() == docs.count()
+    assert got.exceptAll(docs).isEmpty() and docs.exceptAll(got).isEmpty()
+
+
+def test_payload_grouping(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    files = warc.docs_as_warc_payload(docs, docs_per_file=100)
+    rows = files.collect()
+    assert sum(r["n_records"] for r in rows) == docs.count()
+    assert all(r["n_records"] <= 100 for r in rows)
+    # file ids tile the doc_id space
+    assert len({r["file_id"] for r in rows}) == len(rows)
