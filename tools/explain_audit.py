@@ -128,6 +128,19 @@ AUDITS = {
     "q168_temperature_mix": [
         ("BroadcastHashJoin", True), ("SortMergeJoin", False),
     ],
+    # trainable classifier scoring: the (dim+1)-row weight table must
+    # broadcast onto the feature rows (a shuffle join of weights
+    # against a 100 TB feature table would be wrong), and the margin
+    # sum is a partial+final agg on the doc key
+    "q173_quality_classifier": [
+        ("BroadcastHashJoin", True), ("HashAggregate", True),
+    ],
+    # WARC ingest: one Arrow record-walk kernel; the HTML→text chain
+    # is expressions after it (no extra Python eval), no join anywhere
+    "q174_warc_ingest": [
+        ("ArrowEvalPython", False), ("FlatMapGroupsInPandas", True),
+        ("MapInPandas", True), ("Join", False),
+    ],
 }
 
 
