@@ -60,3 +60,52 @@ def shingles(text: Column | str, k: int = 3) -> Column:
             lambda a, b: F.concat(a, F.lit(" "), b),
         )
     return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(combined)
+
+
+def normalize_url(url: Column | str) -> Column:
+    """Canonical URL for crawl dedup (the URL-level dedup key every
+    web-scale pipeline applies before content dedup — the reference's
+    HTTP fetch step at `pipelines/precipitation_pipeline.py` trusts
+    its two fixed URLs, so this generalizes that ingest surface to
+    crawled corpora):
+
+    - scheme and host lowercased (path/query case is significant)
+    - leading ``www.`` and default ports ``:80``/``:443`` stripped
+    - fragment dropped (client-side only, never a distinct resource)
+    - tracking params dropped (``utm_*``, ``fbclid``, ``gclid``,
+      ``ref``), remaining params sorted for order-insensitivity
+    - trailing slashes collapsed (empty path → ``/``)
+
+    Pure Column expressions — stays inside whole-stage codegen, so a
+    100 TB URL column normalizes at scan speed with no Python step.
+    """
+    c = F.col(url) if isinstance(url, str) else url
+    no_frag = F.regexp_replace(F.trim(c), r"#.*$", "")
+    scheme = F.lower(
+        F.regexp_extract(no_frag, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    )
+    after = F.regexp_replace(no_frag, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    hostport = F.lower(F.regexp_extract(after, r"^([^/?]+)", 1))
+    host = F.regexp_replace(
+        F.regexp_replace(hostport, r":(443|80)$", ""), r"^www\.", ""
+    )
+    pathq = F.regexp_replace(after, r"^[^/?]+", "")
+    path = F.regexp_replace(
+        F.regexp_extract(pathq, r"^([^?]*)", 1), r"/+$", ""
+    )
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    qs = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(qs, "&"),
+            lambda p: (p != "")
+            & ~p.rlike(r"^(utm_[^=]*|fbclid|gclid|ref)="),
+        )
+    )
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))).otherwise(F.lit("")),
+    )

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from climate_data_pipelines_spark.functions.scalar import oracle_round
 from climate_data_pipelines_spark.functions.text import normalize_text, shingles, tokens
 from climate_data_pipelines_spark.operators.scale import (
     localcheckpoint_capped,
@@ -957,4 +958,123 @@ def exact_dedup_best(
         df.withColumn("content_hash", h)
         .join(keys, ["content_hash", id_col], "left_semi")
         .drop("content_hash")
+    )
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    quality_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """URL-level dedup for crawled corpora (the cheapest dedup pass a
+    web-scale pipeline runs — before any content hashing — because a
+    re-crawled page shares its canonical URL even when ads/timestamps
+    make the bytes differ). Generalizes the reference's fixed-URL
+    ingest (`pipelines/precipitation_pipeline.py:33-36`) to the
+    many-URL crawl case.
+
+    Keys on ``functions.text.normalize_url`` (expression-only) and
+    keeps the highest-``quality_col`` copy per canonical URL, ties to
+    the smallest id. One hash-partial ``max_by``/``count`` aggregate —
+    a single exchange on the canonical-URL string, no window over the
+    corpus, so 100 TB of crawl metadata dedups in one shuffle whose
+    key is a short string, never the document body.
+
+    Returns one row per canonical URL: (url_norm, keeper_id,
+    dup_count).
+    """
+    from climate_data_pipelines_spark.functions.text import normalize_url
+
+    return (
+        df.select(
+            normalize_url(F.col(url_col)).alias("url_norm"),
+            F.col(id_col),
+            F.col(quality_col),
+        )
+        .groupBy("url_norm")
+        .agg(
+            F.min_by(
+                F.col(id_col),
+                F.struct(
+                    (-F.col(quality_col)).alias("neg_q"), F.col(id_col)
+                ),
+            ).alias("keeper_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+def containment_on_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """ASYMMETRIC shingle containment for an explicit candidate pair
+    list — the verification stage for near-CONTAINMENT dedup, the case
+    symmetric Jaccard under-scores: a page re-crawled WITH its comment
+    section, a quote-with-attribution, a doc embedded in a digest
+    (Broder's containment coefficient; all-pairs similarity joins per
+    Vernica et al., SIGMOD'10).
+
+    Per unordered pair returns BOTH directions:
+    ``cont_a = |A∩B|/|A|`` (how much of A is inside B) and ``cont_b``,
+    plus the raw counts. Same verified-candidates plan shape as
+    ``jaccard_on_pairs``: endpoints semi-join → shingle only candidate
+    docs → two equi-joins → per-pair common count → sizes. Candidate
+    generation stays the banded MinHash join, so recall is floored by
+    the pair's JACCARD (a tiny doc inside a huge one has J → 0 and
+    won't be banded — the LSH-Ensemble size-partitioned refinement is
+    the known fix and is out of scope); for the re-crawl/append case
+    (B ≲ 2×A) Jaccard ≥ |A|/|B| ≥ 0.5 and the standard bands fire.
+    """
+    endpoints = pairs.select(F.col("id_a").alias(id_col)).unionByName(
+        pairs.select(F.col("id_b").alias(id_col))
+    ).distinct()
+    sh = df.join(endpoints, id_col, "left_semi").select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(text_col, k))).alias("shingle"),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    common = (
+        pairs.join(
+            sh.select(F.col(id_col).alias("id_a"), F.col("shingle")), "id_a"
+        )
+        .join(
+            sh.select(F.col(id_col).alias("id_b"), F.col("shingle")),
+            ["id_b", "shingle"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    n_common = F.coalesce(F.col("n_common"), F.lit(0))
+    n_a = F.coalesce(F.col("n_a"), F.lit(0))
+    n_b = F.coalesce(F.col("n_b"), F.lit(0))
+    return (
+        pairs.join(common, ["id_a", "id_b"], "left")
+        .join(sa, "id_a", "left")
+        .join(sb, "id_b", "left")
+        .select(
+            "id_a",
+            "id_b",
+            n_common.alias("n_common"),
+            n_a.alias("n_a"),
+            n_b.alias("n_b"),
+            F.when(
+                n_a > 0,
+                oracle_round(n_common.cast("double") / n_a.cast("double"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("cont_a"),
+            F.when(
+                n_b > 0,
+                oracle_round(n_common.cast("double") / n_b.cast("double"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("cont_b"),
+        )
     )

@@ -919,3 +919,106 @@ def weighted_sample_topk(
         .filter(F.col("_rn") <= k)
         .drop("_rn", "_aes_key")
     )
+
+
+def trigram_lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    heldout_mod: int = 5,
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Stupid-backoff trigram LM fluency score (Brants et al.,
+    EMNLP 2007 "Large Language Models in Machine Translation" — the
+    backoff scheme DESIGNED for distributed count tables: no
+    discounting pass, every score is a ratio of counts, so training is
+    exactly three hash aggregations). The CCNet-style perplexity
+    filter one order up from ``bigram_lm_score`` (q118), with a real
+    train/score split so scored docs can contain unseen n-grams:
+
+      S(w3 | w1 w2) = c3(w1w2w3)/c2(w1w2)        if c3 > 0
+                      α · c2(w2w3)/c1(w2)         elif c2(w2w3) > 0
+                      α² · c1(w3)/N               elif c1(w3) > 0
+                      α² · 0.5/N                  else (OOV floor)
+
+    Train split: ``doc_id % heldout_mod != 0``; scored split is the
+    complement. Per scored doc: trigram count and mean ln S.
+
+    Plan (everything vocab-sized after one explode):
+    counts c3/c2/c1 are three explode+agg passes over the TRAIN split;
+    the scored split explodes once to trigram occurrences, but scores
+    are computed on the DISTINCT trigram vocabulary only — a dim table
+    assembled by five vocab×vocab left joins (c3, prefix c2, backoff
+    c2, two c1 probes; AQE broadcasts while the vocab fits) — then
+    joined back to occurrences ONCE. At 100 TB the occurrence table is
+    corpus-sized but touches exactly two shuffles (dim join + doc agg);
+    every other table is vocabulary-sized.
+    """
+    from climate_data_pipelines_spark.functions.scalar import oracle_round
+    from climate_data_pipelines_spark.functions.text import shingles, tokens
+
+    train = df.filter((F.col(id_col) % heldout_mod) != 0)
+    held = df.filter((F.col(id_col) % heldout_mod) == 0).filter(
+        F.size(tokens(text_col)) >= 3
+    )
+
+    c3 = (
+        train.filter(F.size(tokens(text_col)) >= 3)
+        .select(F.explode(shingles(text_col, 3)).alias("tri"))
+        .groupBy("tri")
+        .agg(F.count("*").alias("c3"))
+    )
+    c2 = (
+        train.filter(F.size(tokens(text_col)) >= 2)
+        .select(F.explode(shingles(text_col, 2)).alias("bi"))
+        .groupBy("bi")
+        .agg(F.count("*").alias("c2"))
+    )
+    c1 = (
+        train.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c1"))
+    )
+    n_total = c1.agg(F.sum("c1").cast("double").alias("n_total"))
+
+    occ = held.select(
+        F.col(id_col), F.explode(shingles(text_col, 3)).alias("tri")
+    )
+    vocab = occ.select("tri").distinct()
+    dim = (
+        vocab.withColumn("b12", F.substring_index(F.col("tri"), " ", 2))
+        .withColumn("b23", F.substring_index(F.col("tri"), " ", -2))
+        .withColumn("w2", F.split_part(F.col("tri"), F.lit(" "), F.lit(2)))
+        .withColumn("w3", F.split_part(F.col("tri"), F.lit(" "), F.lit(3)))
+        .join(c3, "tri", "left")
+        .join(c2.select(F.col("bi").alias("b12"), F.col("c2").alias("c2_12")), "b12", "left")
+        .join(c2.select(F.col("bi").alias("b23"), F.col("c2").alias("c2_23")), "b23", "left")
+        .join(c1.select(F.col("w").alias("w2"), F.col("c1").alias("c1_w2")), "w2", "left")
+        .join(c1.select(F.col("w").alias("w3"), F.col("c1").alias("c1_w3")), "w3", "left")
+        .crossJoin(F.broadcast(n_total))
+    )
+    a = F.lit(float(alpha))
+    score = (
+        F.when(
+            F.col("c3").isNotNull(),
+            F.col("c3").cast("double") / F.col("c2_12").cast("double"),
+        )
+        .when(
+            F.col("c2_23").isNotNull(),
+            a * F.col("c2_23").cast("double") / F.col("c1_w2").cast("double"),
+        )
+        .when(
+            F.col("c1_w3").isNotNull(),
+            a * a * F.col("c1_w3").cast("double") / F.col("n_total"),
+        )
+        .otherwise(a * a * F.lit(0.5) / F.col("n_total"))
+    )
+    dim = dim.select("tri", F.log(score).alias("logscore"))
+    return (
+        occ.join(dim, "tri")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_trigrams"),
+            oracle_round(F.avg("logscore"), 4).alias("avg_logscore"),
+        )
+    )

@@ -4815,6 +4815,289 @@ def q165(spark, sf_dir):
     )
 
 
+# URL fixture shared by q175's Spark twin below — the oracle builds the
+# IDENTICAL string in SQL, so the only thing differentially tested is
+# the normalization + dedup, not the fixture. Variation axes chosen so
+# that normalization must fix every one of them before duplicates
+# collide: www-prefix vs UPPERCASE host (doc_id%3), explicit default
+# port (%4), trailing slash (%5), fragment (%6), tracking params (%7)
+# and param ORDER (%2). The surviving identity is
+# (source, doc_id%120, page=doc_id%3) — 120 ≡ 0 (mod 3), so doc_id and
+# doc_id+120 agree on the page param and real duplicate groups exist at
+# every SF.
+def _messy_url(doc_id: "F.Column", source: "F.Column") -> "F.Column":
+    host0 = F.concat(source, F.lit(".example.org"))
+    host = (
+        F.when(doc_id % 3 == 0, F.concat(F.lit("www."), host0))
+        .when(doc_id % 3 == 1, F.upper(host0))
+        .otherwise(host0)
+    )
+    port = F.when(doc_id % 4 == 0, F.lit(":443")).otherwise(F.lit(""))
+    trail = F.when(doc_id % 5 == 0, F.lit("/")).otherwise(F.lit(""))
+    page = (doc_id % 3).cast("string")
+    track = (doc_id % 7).cast("string")
+    qs = F.when(
+        doc_id % 2 == 0,
+        F.concat(F.lit("?utm_source=u"), track, F.lit("&page="), page),
+    ).otherwise(F.concat(F.lit("?page="), page, F.lit("&utm_campaign=c"), track))
+    return F.concat(
+        F.lit("https://"),
+        host,
+        port,
+        F.lit("/docs/"),
+        (doc_id % 120).cast("string"),
+        trail,
+        qs,
+        F.lit("#sec"),
+        (doc_id % 6).cast("string"),
+    )
+
+
+_URL_FIXTURE_SQL = """u AS (SELECT doc_id, n_chars,
+            'https://' ||
+            CASE doc_id % 3
+              WHEN 0 THEN 'www.' || source || '.example.org'
+              WHEN 1 THEN upper(source || '.example.org')
+              ELSE source || '.example.org' END ||
+            CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END ||
+            '/docs/' || CAST(doc_id % 120 AS VARCHAR) ||
+            CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END ||
+            CASE WHEN doc_id % 2 = 0
+                 THEN '?utm_source=u' || CAST(doc_id % 7 AS VARCHAR)
+                      || '&page=' || CAST(doc_id % 3 AS VARCHAR)
+                 ELSE '?page=' || CAST(doc_id % 3 AS VARCHAR)
+                      || '&utm_campaign=c' || CAST(doc_id % 7 AS VARCHAR) END ||
+            '#sec' || CAST(doc_id % 6 AS VARCHAR) AS url
+          FROM documents)"""
+
+
+@query(
+    "q175_url_dedup",
+    f"""WITH {_URL_FIXTURE_SQL},
+         n1 AS (SELECT doc_id, n_chars,
+                  regexp_replace(trim(url), '#.*$', '') AS no_frag
+                FROM u),
+         n2 AS (SELECT doc_id, n_chars,
+                  lower(regexp_extract(no_frag,
+                        '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                  regexp_replace(no_frag,
+                        '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS after
+                FROM n1),
+         n3 AS (SELECT doc_id, n_chars, scheme,
+                  regexp_replace(regexp_replace(
+                      lower(regexp_extract(after, '^([^/?]+)', 1)),
+                      ':(443|80)$', ''), '^www\\.', '') AS host,
+                  regexp_replace(after, '^[^/?]+', '') AS pathq
+                FROM n2),
+         n4 AS (SELECT doc_id, n_chars, scheme, host,
+                  regexp_replace(regexp_extract(pathq, '^([^?]*)', 1),
+                                 '/+$', '') AS path0,
+                  regexp_extract(pathq, '\\?(.*)$', 1) AS q
+                FROM n3),
+         n5 AS (SELECT doc_id, n_chars, scheme, host,
+                  CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+                  list_sort(list_filter(string_split(q, '&'),
+                      p -> p != '' AND NOT regexp_matches(p,
+                           '^(utm_[^=]*|fbclid|gclid|ref)='))) AS params
+                FROM n4),
+         norm AS (SELECT doc_id, n_chars,
+                    scheme || '://' || host || path ||
+                    CASE WHEN len(params) > 0
+                         THEN '?' || array_to_string(params, '&')
+                         ELSE '' END AS url_norm
+                  FROM n5),
+         ranked AS (SELECT url_norm, doc_id,
+                      COUNT(*) OVER (PARTITION BY url_norm) AS dup_count,
+                      ROW_NUMBER() OVER (PARTITION BY url_norm
+                          ORDER BY n_chars DESC, doc_id) AS rn
+                    FROM norm)
+       SELECT url_norm, doc_id AS keeper_id, dup_count
+       FROM ranked WHERE rn = 1""",
+    "URL-level crawl dedup (the cheapest dedup pass — runs before any "
+    "content hash because a re-crawl shares its canonical URL even "
+    "when ads/timestamps change the bytes; generalizes the "
+    "reference's fixed-URL ingest, pipelines/precipitation_pipeline"
+    ".py:33-36). Each doc gets a deterministically MESSY url (case/"
+    "www/port/slash/fragment/tracking-param/param-order variants — "
+    "identical construction in both twins); functions.text."
+    "normalize_url canonicalizes it with pure Column expressions "
+    "(codegen, no Python) and dedup.url_dedup keeps the highest-"
+    "n_chars copy per canonical URL in ONE max_by/count aggregate — "
+    "a single exchange keyed on a short string. The oracle normalizes "
+    "with an equivalent SQL regexp chain and picks keepers with the "
+    "naive corpus window the engine deliberately avoids.",
+)
+def q175(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    urls = docs.select(
+        F.col("doc_id"),
+        F.col("n_chars"),
+        _messy_url(F.col("doc_id"), F.col("source")).alias("url"),
+    )
+    return dedup.url_dedup(urls, url_col="url", quality_col="n_chars")
+
+
+# q176's planted-superset fixture: docs 0-24 get a twin at id+900000
+# whose text is the original PLUS the first 40 tokens of the NEXT doc
+# (≈25% growth) — the "re-crawled page with a comment section" case.
+# Containment(orig → twin) ≈ 1 while Jaccard ≈ 0.8, so the standard
+# bands still fire but symmetric-Jaccard thresholds at 0.8+ would
+# score it as barely-similar. Shared between the Spark twin and the
+# oracle CTE below.
+_CONTAIN_AUG_SQL = """aug AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT d.doc_id + 900000,
+                  d.text || ' ' || array_to_string(list_slice(
+                      list_filter(string_split(n.text, ' '), x -> x != ''),
+                      1, 40), ' ')
+           FROM documents d JOIN documents n ON n.doc_id = d.doc_id + 1
+           WHERE d.doc_id < 25)"""
+
+
+@query(
+    "q176_containment_neardup",
+    f"""WITH {_CONTAIN_AUG_SQL},
+        {_minhash_ctes().replace("FROM documents", "FROM aug")},
+         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         common AS (SELECT e.id_a, e.id_b, COUNT(*) AS n_common
+                    FROM edges e
+                    JOIN sh a ON a.doc_id = e.id_a
+                    JOIN sh b ON b.doc_id = e.id_b AND b.shingle = a.shingle
+                    GROUP BY 1, 2),
+         sc AS (SELECT e.id_a, e.id_b,
+                  COALESCE(c.n_common, 0) AS n_common,
+                  COALESCE(sa.n_sh, 0) AS n_a,
+                  COALESCE(sb.n_sh, 0) AS n_b
+                FROM edges e
+                LEFT JOIN common c ON c.id_a = e.id_a AND c.id_b = e.id_b
+                LEFT JOIN sizes sa ON sa.doc_id = e.id_a
+                LEFT JOIN sizes sb ON sb.doc_id = e.id_b),
+         scored AS (SELECT id_a, id_b, n_common, n_a, n_b,
+                      CASE WHEN n_a > 0
+                           THEN ROUND(CAST(n_common AS DOUBLE) / n_a
+                                      * 1000000) / 1000000
+                           ELSE 0.0 END AS cont_a,
+                      CASE WHEN n_b > 0
+                           THEN ROUND(CAST(n_common AS DOUBLE) / n_b
+                                      * 1000000) / 1000000
+                           ELSE 0.0 END AS cont_b
+                    FROM sc)
+       SELECT * FROM scored WHERE greatest(cont_a, cont_b) >= 0.8""",
+    "Near-CONTAINMENT detection (Broder's containment coefficient — "
+    "the asymmetric case symmetric Jaccard dedup under-scores: a page "
+    "re-crawled WITH its comment section, a quote inside a digest). "
+    "Candidates come from the SAME banded MinHash join as q90 (no new "
+    "index — at 100 TB the banding is the only pair generator that "
+    "exists), then dedup.containment_on_pairs verifies each candidate "
+    "with exact shingle-set arithmetic in BOTH directions "
+    "(|A∩B|/|A| and /|B|), per-pair cost only. Planted supersets "
+    "(+25% appended text) score cont≈1.0 where their Jaccard is only "
+    "≈0.8. Recall is floored by candidate-stage Jaccard — the "
+    "size-partitioned LSH-Ensemble refinement (Zhu et al., VLDB'16) "
+    "is the known fix for tiny-doc-in-huge-doc and out of scope. "
+    "Oracle replays signatures/banding bit-for-bit and verifies with "
+    "plain SQL set arithmetic.",
+)
+def q176(spark, sf_dir):
+    from climate_data_pipelines_spark.functions.text import tokens as _toks
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    nxt = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"),
+        F.concat_ws(" ", F.slice(_toks("text"), 1, 40)).alias("_extra"),
+    )
+    planted = (
+        docs.filter(F.col("doc_id") < 25)
+        .join(nxt, "doc_id")
+        .select(
+            (F.col("doc_id") + 900000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" "), F.col("_extra")).alias("text"),
+        )
+    )
+    corpus = docs.unionByName(planted)
+    sigs = dedup.minhash_signatures(corpus, k=3, n_hashes=MINHASH_N)
+    cand = dedup.minhash_lsh_candidates(
+        sigs, n_hashes=MINHASH_N, bands=MINHASH_BANDS
+    )
+    scored = dedup.containment_on_pairs(corpus, cand)
+    return scored.filter(F.greatest(F.col("cont_a"), F.col("cont_b")) >= 0.8)
+
+
+@query(
+    "q177_trigram_lm_score",
+    """WITH tr AS (SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x != '') AS toks
+                   FROM documents WHERE doc_id % 5 != 0),
+         he AS (SELECT doc_id, toks
+                FROM (SELECT doc_id,
+                        list_filter(string_split(text, ' '), x -> x != '') AS toks
+                      FROM documents WHERE doc_id % 5 = 0)
+                WHERE len(toks) >= 3),
+         c3 AS (SELECT tri, COUNT(*) AS c3
+                FROM (SELECT unnest([array_to_string(list_slice(toks, i, i + 2), ' ')
+                                     FOR i IN generate_series(1, len(toks) - 2)]) AS tri
+                      FROM tr WHERE len(toks) >= 3)
+                GROUP BY 1),
+         c2 AS (SELECT bi, COUNT(*) AS c2
+                FROM (SELECT unnest([array_to_string(list_slice(toks, i, i + 1), ' ')
+                                     FOR i IN generate_series(1, len(toks) - 1)]) AS bi
+                      FROM tr WHERE len(toks) >= 2)
+                GROUP BY 1),
+         c1 AS (SELECT w, COUNT(*) AS c1
+                FROM (SELECT unnest(toks) AS w FROM tr) GROUP BY 1),
+         n AS (SELECT CAST(SUM(c1) AS DOUBLE) AS n_total FROM c1),
+         occ AS (SELECT doc_id,
+                   unnest([array_to_string(list_slice(toks, i, i + 2), ' ')
+                           FOR i IN generate_series(1, len(toks) - 2)]) AS tri
+                 FROM he),
+         vocab AS (SELECT DISTINCT tri FROM occ),
+         parts AS (SELECT tri,
+                     array_to_string(list_slice(string_split(tri, ' '), 1, 2), ' ') AS b12,
+                     array_to_string(list_slice(string_split(tri, ' '), 2, 3), ' ') AS b23,
+                     split_part(tri, ' ', 2) AS w2,
+                     split_part(tri, ' ', 3) AS w3
+                   FROM vocab),
+         dim AS (SELECT p.tri,
+                   ln(CASE
+                        WHEN c3.c3 IS NOT NULL
+                          THEN CAST(c3.c3 AS DOUBLE) / CAST(c2a.c2 AS DOUBLE)
+                        WHEN c2b.c2 IS NOT NULL
+                          THEN 0.4 * CAST(c2b.c2 AS DOUBLE) / CAST(c1a.c1 AS DOUBLE)
+                        WHEN c1b.c1 IS NOT NULL
+                          THEN 0.4 * 0.4 * CAST(c1b.c1 AS DOUBLE) / n.n_total
+                        ELSE 0.4 * 0.4 * 0.5 / n.n_total
+                      END) AS logscore
+                 FROM parts p
+                 LEFT JOIN c3 ON c3.tri = p.tri
+                 LEFT JOIN c2 c2a ON c2a.bi = p.b12
+                 LEFT JOIN c2 c2b ON c2b.bi = p.b23
+                 LEFT JOIN c1 c1a ON c1a.w = p.w2
+                 LEFT JOIN c1 c1b ON c1b.w = p.w3
+                 CROSS JOIN n)
+       SELECT doc_id, COUNT(*) AS n_trigrams,
+              ROUND(AVG(logscore) * 10000) / 10000 AS avg_logscore
+       FROM occ JOIN dim USING (tri) GROUP BY doc_id""",
+    "Stupid-backoff trigram LM perplexity filter (Brants et al., "
+    "EMNLP 2007 — the backoff DESIGNED for distributed count tables: "
+    "every score is a ratio of counts, training is exactly three hash "
+    "aggregations, no discount-estimation pass). One order up from "
+    "q118's self-trained bigram MLE, and with a REAL train/score "
+    "split (doc_id%5) so scored docs exercise all four backoff tiers "
+    "including the OOV floor. Scores are computed on the DISTINCT "
+    "heldout trigram vocabulary via five vocab×vocab left joins, then "
+    "joined back to occurrences once — at 100 TB the corpus-sized "
+    "occurrence table touches exactly two shuffles.",
+)
+def q177(spark, sf_dir):
+    out = training.trigram_lm_score(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_trigrams").cast("long").alias("n_trigrams"),
+        F.col("avg_logscore"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window selection
 # ---------------------------------------------------------------------------

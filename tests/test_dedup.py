@@ -419,3 +419,62 @@ def test_jaccard_on_pairs_keeps_zero_shingle_endpoints(spark):
     assert set(out) == {(1, 2), (1, 3), (2, 3)}
     assert out[(1, 2)] == 0.0 and out[(2, 3)] == 0.0
     assert out[(1, 3)] == 1.0
+
+
+def test_normalize_url_canonicalizes_every_variant(spark):
+    from climate_data_pipelines_spark.functions.text import normalize_url
+
+    cases = [
+        # (raw, expected)
+        ("https://www.Example.org/a/b", "https://example.org/a/b"),
+        ("https://EXAMPLE.ORG:443/a/b", "https://example.org/a/b"),
+        ("http://example.org:80/a/b#frag", "http://example.org/a/b"),
+        ("https://example.org/a/b/", "https://example.org/a/b"),
+        ("https://example.org", "https://example.org/"),
+        ("https://example.org/?utm_source=x&page=2", "https://example.org/?page=2"),
+        # param order insensitivity
+        ("https://example.org/p?b=2&a=1", "https://example.org/p?a=1&b=2"),
+        ("https://example.org/p?a=1&b=2", "https://example.org/p?a=1&b=2"),
+        # path/query case is preserved
+        ("https://example.org/CaseSensitive?Q=V", "https://example.org/CaseSensitive?Q=V"),
+        ("https://example.org/p?fbclid=abc&ref=tw", "https://example.org/p"),
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in cases], "url string")
+    got = [r[0] for r in df.select(normalize_url("url")).collect()]
+    assert got == [e for _, e in cases]
+    # idempotence: normalizing a normalized URL is the identity
+    df2 = spark.createDataFrame([(e,) for _, e in cases], "url string")
+    got2 = [r[0] for r in df2.select(normalize_url("url")).collect()]
+    assert got2 == [e for _, e in cases]
+
+
+def test_url_dedup_keeps_best_quality_with_id_tiebreak(spark):
+    rows = [
+        # one canonical group, different messy spellings
+        (1, 10, "https://www.site.org/a?utm_source=x"),
+        (2, 30, "https://SITE.ORG:443/a"),   # best quality → keeper
+        (3, 30, "https://site.org/a/#f"),    # quality tie → larger id loses
+        (4, 5, "https://site.org/other"),    # separate group
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long, url string")
+    out = {r.url_norm: (r.keeper_id, r.dup_count)
+           for r in dedup.url_dedup(df).collect()}
+    assert out["https://site.org/a"] == (2, 3)
+    assert out["https://site.org/other"] == (4, 1)
+
+
+def test_containment_on_pairs_directions_and_zero_overlap(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    sup = base + " lambda mu nu xi"
+    rows = [(1, base, "a"), (2, sup, "a"), (3, "pq rs tu vw xy zz ab cd", "a")]
+    df = _docs(spark, rows)
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    out = {(r.id_a, r.id_b): r for r in
+           dedup.containment_on_pairs(df, pairs).collect()}
+    r12 = out[(1, 2)]
+    # every shingle of the base doc is inside the superset
+    assert r12.n_common == r12.n_a and r12.cont_a == 1.0
+    # but the superset is NOT fully inside the base (asymmetry)
+    assert r12.cont_b < 1.0 and r12.n_b > r12.n_a
+    r13 = out[(1, 3)]
+    assert r13.n_common == 0 and r13.cont_a == 0.0 and r13.cont_b == 0.0

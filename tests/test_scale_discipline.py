@@ -30,6 +30,9 @@ PYTHON_SURFACE = {
     "q158_frame_sample",  # Y4M frame sampling (mapInPandas byte codec)
     "q172_avi_mjpeg_frames",  # MJPEG-in-AVI decode (mapInPandas byte
     # codec: RIFF walk + per-frame baseline JPEG)
+    "q174_warc_ingest",  # WARC record walk (mapInPandas byte codec —
+    # no JVM WARC reader exists; the HTML→text chain after it is
+    # expression-only, asserted by tools/explain_audit.py)
     "q164_bpe_tokenize_ranked",  # ranked-merge BPE kernel (Arrow,
     # broadcast pair->rank dict — the 32k-vocab path)
     "q166_semantic_decontaminate",  # one-matmul LSH signature kernel

@@ -495,3 +495,49 @@ def test_weighted_sample_stratified_per_group_k(spark, sf_dir):
     # plan: per-group heap, not a global sort
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_trigram_lm_score_matches_hand_computation(spark):
+    import math
+
+    # train docs (ids 1-4), scored doc (id 5 ≡ 0 mod 5)
+    rows = [
+        (1, "a b c d"),
+        (2, "a b c e"),
+        (3, "b c d e"),
+        (4, "x y z w"),
+        (5, "a b c q d"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in training.trigram_lm_score(df).collect()}
+    assert list(out) == [5]
+    # hand-computed counts over train docs 1-4
+    c3 = {"a b c": 2, "b c d": 2, "b c e": 1, "c d e": 1, "x y z": 1, "y z w": 1}
+    c2 = {"a b": 2, "b c": 3, "c d": 2, "c e": 1, "d e": 1,
+          "x y": 1, "y z": 1, "z w": 1}
+    c1 = {"a": 2, "b": 3, "c": 3, "d": 2, "e": 2, "x": 1, "y": 1, "z": 1, "w": 1}
+    n = float(sum(c1.values()))
+    a = 0.4
+
+    def s(w1, w2, w3):
+        tri, b12, b23 = f"{w1} {w2} {w3}", f"{w1} {w2}", f"{w2} {w3}"
+        if tri in c3:
+            return c3[tri] / c2[b12]
+        if b23 in c2:
+            return a * c2[b23] / c1[w2]
+        if w3 in c1:
+            return a * a * c1[w3] / n
+        return a * a * 0.5 / n
+
+    # doc 5 trigrams: "a b c" (seen), "b c q" (backoff to OOV floor via
+    # unseen "c q" and unseen unigram "q"), "c q d" (OOV context,
+    # backs off to the unigram tier for d)
+    expected = [s("a", "b", "c"), s("b", "c", "q"), s("c", "q", "d")]
+    got = out[5]
+    assert got.n_trigrams == 3
+    want = sum(math.log(v) for v in expected) / 3
+    assert abs(got.avg_logscore - round(want, 4)) < 2e-4
+    # the three trigrams exercise three DIFFERENT backoff tiers
+    assert s("a", "b", "c") == 1.0  # c3 hit: 2/2
+    assert s("b", "c", "q") == a * a * 0.5 / n  # full OOV floor
+    assert s("c", "q", "d") == a * a * c1["d"] / n  # unigram tier

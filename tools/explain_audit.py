@@ -141,6 +141,25 @@ AUDITS = {
         ("ArrowEvalPython", False), ("FlatMapGroupsInPandas", True),
         ("MapInPandas", True), ("Join", False),
     ],
+    # URL dedup: the whole normalize chain must fold into ONE project
+    # (no Python eval), and the keep-best must be the single-exchange
+    # partial+final min_by aggregate — never the naive corpus window
+    "q175_url_dedup": [
+        ("Window", False), ("EvalPython", False),
+        ("partial_min_by", True), ("Join", False),
+    ],
+    # containment verify: candidate pairs from the banded equi-join,
+    # never an all-pairs product
+    "q176_containment_neardup": [
+        ("CartesianProduct", False), ("BroadcastNestedLoopJoin", False),
+    ],
+    # trigram LM: all five count-dim probes broadcast while the vocab
+    # fits (AQE decides), no all-pairs anywhere; the one BNLJ is the
+    # 1-row n_total broadcast cross join — cheap by construction
+    "q177_trigram_lm_score": [
+        ("BroadcastHashJoin", True), ("CartesianProduct", False),
+        ("EvalPython", False),
+    ],
 }
 
 
