@@ -95,9 +95,14 @@ HEADLINE = [
     "q165_binned_range_join",
     "q166_semantic_decontaminate",
     "q167_image_neardup",
-    # round-7 addition: compressed-container video decode (RIFF walk
-    # + per-frame baseline JPEG, Arrow-batched)
+    # round-7 additions: compressed-container video decode (RIFF walk
+    # + per-frame baseline JPEG, Arrow-batched), URL-level crawl
+    # dedup, containment verify on banded candidates, stupid-backoff
+    # trigram LM
     "q172_avi_mjpeg_frames",
+    "q175_url_dedup",
+    "q176_containment_neardup",
+    "q177_trigram_lm_score",
 ]
 
 # ANN quality: rows-only queries whose real metric is recall vs the

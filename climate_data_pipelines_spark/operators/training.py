@@ -979,6 +979,13 @@ def trigram_lm_score(
         .groupBy("w")
         .agg(F.count("*").alias("c1"))
     )
+    # NOTE: c2's two probes (b12, b23) and c1's three references (w2,
+    # w3, n_total) do NOT recompute their explode+aggregate — the
+    # count-table exchanges are identical subtrees and Spark's
+    # ReusedExchange serves every reference from one shuffle write
+    # (verified: eager localCheckpoints here made the x100 scale run
+    # ~75% SLOWER by paying materialization for reuse Spark already
+    # had). Keep the plan lazy and let exchange reuse do the sharing.
     n_total = c1.agg(F.sum("c1").cast("double").alias("n_total"))
 
     occ = held.select(

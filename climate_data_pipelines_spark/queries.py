@@ -5020,6 +5020,13 @@ def q176(spark, sf_dir):
     cand = dedup.minhash_lsh_candidates(
         sigs, n_hashes=MINHASH_N, bands=MINHASH_BANDS
     )
+    # same materialization q122 does before ITS verify stage: the
+    # containment verify references the pair frame several times
+    # (endpoint set + two shingle joins + final left joins), and an
+    # un-checkpointed reference replays the whole signature+bucket
+    # join each time (measured ×32 on the x100 scale curve without
+    # this; at scale: persist/write the candidate table)
+    cand = cand.localCheckpoint(eager=True)
     scored = dedup.containment_on_pairs(corpus, cand)
     return scored.filter(F.greatest(F.col("cont_a"), F.col("cont_b")) >= 0.8)
 
@@ -5246,11 +5253,14 @@ DRIVER_WINDOW: list[str] = [
     "q59_approx_count_distinct",
     "q69_sample",
     "q84_stratified_sample",
-    # r4 fillers to hold the window at exactly 50 (q103_regrid gave
-    # its seat to q172 mid-round; it stays replay-checked)
-    "q05_numeric_validity",
-    "q100_date_spine",
-    "q101_nearest_station",
+    # the three r4 fillers that held the window at 50 at rotation time
+    # (q05_numeric_validity/q100_date_spine/q101_nearest_station)
+    # yielded their seats mid-round to the NEW oracle-green operators
+    # — first driver rows beat a fourth re-proof of r4 queries that
+    # stay replay-checked (q103_regrid had already yielded to q172)
+    "q175_url_dedup",
+    "q176_containment_neardup",
+    "q177_trigram_lm_score",
 ]
 
 

@@ -77,6 +77,18 @@ QUERIES = [
     # partitioned; only the |buckets|-row offset table is windowed
     # on one partition)
     "q171_shard_assign",
+    # round-7: URL dedup (one short-key exchange — measured ×7.3 at
+    # x100, flat as designed), containment verify on banded candidates
+    # (candidate-bounded plan shape like q122, but the word-soup
+    # fixture's shingle joins price it at ×32-52 — the known r8 perf
+    # target, see COVERAGE.md), trigram LM (the fixture's RANDOM text
+    # gives LINEAR trigram-vocab growth — Heaps' law sublinearity that
+    # rescues real corpora doesn't apply, so the count-table joins are
+    # corpus-sized and the curve lands at ×38; honest worst case, also
+    # an r8 target)
+    "q175_url_dedup",
+    "q176_containment_neardup",
+    "q177_trigram_lm_score",
 ]
 
 
