@@ -84,7 +84,7 @@ QUERIES = [
     # target, see COVERAGE.md), trigram LM (the fixture's RANDOM text
     # gives LINEAR trigram-vocab growth — Heaps' law sublinearity that
     # rescues real corpora doesn't apply, so the count-table joins are
-    # corpus-sized and the curve lands at ×38; honest worst case, also
+    # corpus-sized and the curve lands at ×28; honest worst case, also
     # an r8 target)
     "q175_url_dedup",
     "q176_containment_neardup",
