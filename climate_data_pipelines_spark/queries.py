@@ -4737,7 +4737,6 @@ def q173(spark, sf_dir):
             (F.col("score") > 0.5).cast("int").alias("predicted"),
             "label",
         )
-        .orderBy("doc_id")
     )
 
 
@@ -5199,8 +5198,81 @@ def q177(spark, sf_dir):
 #     taken mid-round by the new q172 (MJPEG-in-AVI container
 #     decode, rows+INV) = 9 <= 9; the q103_regrid filler yields its
 #     seat to keep the window at exactly 50.
+#   round 8 (this list): (a) lead with q173/q174 — after r7 they are
+#     the ONLY registry queries never driver-checked (both judge-replay
+#     green in the r7 verdict: q173 rows+INV holdout acc 0.810, q174
+#     full oracle PASS); q173's output orderBy was dropped first so the
+#     scale-discipline suite is green before the window ships; (b) the
+#     complete 36-query r4-only cohort — the stalest driver rows left
+#     (4 rounds old), including the q05/q100/q101/q103 fillers that
+#     yielded their r7 seats; (c) re-proofs of every plan round 8
+#     changes — q176 (containment verify join salted/bucketed), q177
+#     (trigram scoring semi-joined + broadcast backoff), q126
+#     (semantic-dedup regression fix), q124 (per-band simhash
+#     candidate cap), q136 (candidate-join follow-up), q166 (isolated
+#     re-measure / possible bisect); (d) six oldest r5-only oracle
+#     queries (q37/q40/q123/q127/q129/q132). Rows-only slots: q173,
+#     q131, q54, q72, q88, q89, q91, q126 = 8 <= 9.
 DRIVER_WINDOW: list[str] = [
-    # never driver-checked (rows+INV; invariants run in every replay)
+    # never driver-checked — the round-7 verdict's top item
+    "q173_quality_classifier",
+    "q174_warc_ingest",
+    # full r4-only cohort (stalest driver rows in any CORRECTNESS file)
+    "q05_numeric_validity",
+    "q100_date_spine",
+    "q101_nearest_station",
+    "q103_regrid",
+    "q10_left_outer_join",
+    "q114_corpus_curation",
+    "q11_left_semi_join",
+    "q12_left_anti_join",
+    "q131_compression_ratio",
+    "q14_distinct",
+    "q16_value_per_key",
+    "q18_count_distinct",
+    "q19_rollup",
+    "q20_filtered_agg",
+    "q22_neighbor_diff",
+    "q23_topk_per_group",
+    "q24_rolling_window",
+    "q25_union",
+    "q26_intersect",
+    "q27_except_all",
+    "q28_date_parts",
+    "q29_coord_arithmetic",
+    "q30_string_codec",
+    "q31_polygon_corners",
+    "q33_json_access",
+    "q35_tumbling_window",
+    "q44_quality_score",
+    "q54_image_features",
+    "q72_minhash_lsh_ml",
+    "q85_merge_upsert",
+    "q86_latest_per_key",
+    "q87_variant_json",
+    "q88_hll_sketch_merge",
+    "q89_udtf_sentences",
+    "q91_cogrouped_asof",
+    "q96_stats_suite",
+    # changed this round — must re-prove (scale-cliff fixes, candidate
+    # caps, semantic-dedup regression work)
+    "q176_containment_neardup",
+    "q177_trigram_lm_score",
+    "q126_semantic_dedup",
+    "q124_simhash_candidates",
+    "q136_edit_distance_verify",
+    "q166_semantic_decontaminate",
+    # oldest r5-only oracle queries
+    "q37_minhash_lsh_candidates",
+    "q40_ngram_jaccard",
+    "q123_simhash_fingerprints",
+    "q127_repeated_ngrams",
+    "q129_minhash64_candidates",
+    "q132_repeated_spans",
+]
+
+_ROUND7_WINDOW: list[str] = [
+    # retained for the rotation record (served as DRIVER_WINDOW in r7)
     "q167_image_neardup",
     "q169_audio_neardup",
     "q170_video_neardup",
