@@ -5014,6 +5014,13 @@ def q176(spark, sf_dir):
             F.concat(F.col("text"), F.lit(" "), F.col("_extra")).alias("text"),
         )
     )
+    # materialize the 25-row planted frame BEFORE the union: left
+    # inline, its doc⋈doc join rides the signature/banding lineage and
+    # the banding self-join replays the full-corpus tokenize under it —
+    # measured 231 s -> 24 s for the candidate stage at x100 (the r7
+    # verdict's ×51.9 scale cliff was THIS, not the verify joins,
+    # which profile at <40 s of the 253 s total)
+    planted = planted.localCheckpoint(eager=True)
     corpus = docs.unionByName(planted)
     sigs = dedup.minhash_signatures(corpus, k=3, n_hashes=MINHASH_N)
     cand = dedup.minhash_lsh_candidates(
