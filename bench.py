@@ -114,6 +114,56 @@ REPEATS = 3
 EXTRA_REPEATS_UNDER = 1.5
 
 
+def isolate(names: list[str], repeats: int = 7) -> None:
+    """``python bench.py --isolate qNN [qMM ...] [N]`` — re-measure the
+    named queries in a FRESH session, N runs each (default 7), free of
+    suite-position contention. Rounds 6 and 7 both burned a cycle
+    triaging phantom-vs-real regressions from 3-sample suite medians;
+    this answers it in one command. Medians/mins merge into
+    BENCH_DETAIL.json under ``isolated`` so the artifact carries the
+    verdict next to the suite numbers."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    from climate_data_pipelines_spark import get_spark
+    from climate_data_pipelines_spark.queries import REGISTRY
+
+    spark = get_spark(app_name="bench-isolate")
+
+    def run(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    run(REGISTRY["q17_agg_suite"].fn(spark, sf_dir))  # warmup, not timed
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    detail_path = os.path.join(here, "BENCH_DETAIL.json")
+    detail = {}
+    if os.path.exists(detail_path):
+        with open(detail_path) as fh:
+            detail = json.load(fh)
+    iso = detail.setdefault("isolated", {})
+    for name in names:
+        spec = REGISTRY.get(name)
+        if spec is None:
+            print(json.dumps({"record": "isolate", "query": name,
+                              "error": "unknown query"}))
+            continue
+        samples = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            run(spec.fn(spark, sf_dir))
+            samples.append(time.perf_counter() - t0)
+        rec = {
+            "median": round(statistics.median(samples), 3),
+            "min": round(min(samples), 3),
+            "n": len(samples),
+        }
+        iso[name] = rec
+        print(json.dumps({"record": "isolate", "query": name, **rec,
+                          "samples": [round(s, 3) for s in samples]}))
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -270,4 +320,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--isolate":
+        rest = sys.argv[2:]
+        reps = int(rest.pop()) if rest and rest[-1].isdigit() else 7
+        isolate(rest, reps)
+    else:
+        main()

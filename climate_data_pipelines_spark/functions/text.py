@@ -102,10 +102,21 @@ def normalize_url(url: Column | str) -> Column:
             & ~p.rlike(r"^(utm_[^=]*|fbclid|gclid|ref)="),
         )
     )
-    return F.concat(
-        scheme,
-        F.lit("://"),
-        host,
-        path,
-        F.when(F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))).otherwise(F.lit("")),
+    # Non-absolute input guard (r7 advice): a scheme-less/relative/
+    # malformed URL ('example.org/a', '/a/b', 'not a url') used to
+    # emit '://…' keys, collapsing DISTINCT junk inputs into shared
+    # canonical-URL dedup groups. Such inputs never canonicalize —
+    # pass the (trimmed, de-fragmented) original through unchanged so
+    # each stays its own key and can never collide with a real URL.
+    return F.when(
+        scheme == "",
+        no_frag,
+    ).otherwise(
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            path,
+            F.when(F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))).otherwise(F.lit("")),
+        )
     )

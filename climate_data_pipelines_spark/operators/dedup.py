@@ -359,8 +359,11 @@ def jaccard_on_pairs(
     endpoints = pairs.select(F.col("id_a").alias(id_col)).unionByName(
         pairs.select(F.col("id_b").alias(id_col))
     ).distinct()
+    # spread_for_cpu: the endpoint semi-join broadcasts (endpoints are
+    # tiny), so the shingle explode inherits the SCAN's split count —
+    # a single-file corpus shingles every endpoint doc on one core
     sh = (
-        df.join(endpoints, id_col, "left_semi")
+        spread_for_cpu(df.join(endpoints, id_col, "left_semi"))
         .select(
             F.col(id_col),
             F.explode(F.array_distinct(shingles(text_col, k))).alias("shingle"),
@@ -500,13 +503,27 @@ def levenshtein_on_pairs(
         dist_expr = F.expr("levenshtein(_ta, _tb, _thr)")
     else:
         dist_expr = F.levenshtein("_ta", "_tb")
+    # The DP is the inverse of AQE's cost model: tiny BYTES (id pairs +
+    # two texts), huge CPU (O(max_len·k) cells per pair) — byte-based
+    # partition coalescing collapses the joined frame to ONE partition,
+    # and predicate pushdown inlines the DP into the final join's
+    # condition, evaluating it TWICE (condition + projection) on that
+    # single thread (measured: 42 s for 26k pairs at the x100 fixture).
+    # Round-robin the pair table across cores, then cut optimizer
+    # lineage with a LAZY localCheckpoint on the DP projection so the
+    # similarity filter below cannot be pushed back into the join: the
+    # DP runs exactly once per pair, fully parallel (42 s -> ~2 s).
+    # Storage is the per-pair OUTPUT rows (ids + 3 ints), never texts.
+    joined = joined.repartition(
+        joined.sparkSession.sparkContext.defaultParallelism
+    )
     out = joined.select(
         "id_a",
         "id_b",
         "len_a",
         "len_b",
         dist_expr.alias("edit_distance"),
-    ).withColumn(
+    ).localCheckpoint(eager=False).withColumn(
         # greatest(·, 1) guards the both-empty pair (0/0 → engine-
         # dependent NaN/NULL); empty-vs-empty then scores 1.0 exactly
         "edit_similarity",
@@ -1033,7 +1050,10 @@ def containment_on_pairs(
     endpoints = pairs.select(F.col("id_a").alias(id_col)).unionByName(
         pairs.select(F.col("id_b").alias(id_col))
     ).distinct()
-    sh = df.join(endpoints, id_col, "left_semi").select(
+    # spread_for_cpu: same rationale as jaccard_on_pairs — the
+    # broadcast semi-join keeps the scan's split count, so shingling
+    # must not inherit a one-split file layout
+    sh = spread_for_cpu(df.join(endpoints, id_col, "left_semi")).select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(text_col, k))).alias("shingle"),
     )

@@ -957,9 +957,19 @@ def trigram_lm_score(
     from climate_data_pipelines_spark.functions.scalar import oracle_round
     from climate_data_pipelines_spark.functions.text import shingles, tokens
 
-    train = df.filter((F.col(id_col) % heldout_mod) != 0)
-    held = df.filter((F.col(id_col) % heldout_mod) == 0).filter(
-        F.size(tokens(text_col)) >= 3
+    # spread_for_cpu: the three count passes explode every train
+    # trigram/bigram/token and the scored side explodes once more —
+    # all pure per-row CPU downstream of a parquet scan whose split
+    # count is whatever the file layout gives (a 58 MB single-file
+    # corpus scans as ONE task and the whole LM trains on one core;
+    # measured 160 s -> ~25 s at the x100 fixture). The repartition
+    # exchange is identical across c3/c2/c1, so ReusedExchange serves
+    # all three from one shuffle write; at 100 TB the guard no-ops.
+    train = spread_for_cpu(df.filter((F.col(id_col) % heldout_mod) != 0))
+    held = spread_for_cpu(
+        df.filter((F.col(id_col) % heldout_mod) == 0).filter(
+            F.size(tokens(text_col)) >= 3
+        )
     )
 
     c3 = (

@@ -100,15 +100,24 @@ def _write_dedup_index(
     have NO signature row (an all-null signature would bucket every
     short doc into one degenerate LSH band).
 
-    ``kept`` must carry (doc_id, text)."""
+    ``kept`` must carry (doc_id, text).
+
+    WRITE ORDER IS LOAD-BEARING: signatures first, digests second.
+    ``curate_increment``'s staleness probe validates the index by
+    digest row count alone, so digests must be the COMMIT RECORD — a
+    crash between the two writes then leaves digests missing/stale and
+    the probe rebuilds both tables. The previous order (digests first)
+    let a crash strand a stale signatures table behind a valid-looking
+    digest count, silently missing near-dups of the latest increment
+    (r7 advice, medium)."""
     from climate_data_pipelines_spark.functions.text import normalize_text
 
-    kept.select(
-        "doc_id", F.sha2(normalize_text(F.col("text")), 256).alias("digest")
-    ).write.mode(mode).parquet(f"{out_dir}/dedup_index/digests")
     dedup.minhash_signatures(kept, k=3, n_hashes=MINHASH_N).write.mode(
         mode
     ).parquet(f"{out_dir}/dedup_index/signatures")
+    kept.select(
+        "doc_id", F.sha2(normalize_text(F.col("text")), 256).alias("digest")
+    ).write.mode(mode).parquet(f"{out_dir}/dedup_index/digests")
 
 
 def curate_corpus(

@@ -3594,6 +3594,12 @@ def q136(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     sigs = dedup.minhash_signatures(docs, k=3, n_hashes=MINHASH_N)
     cand = dedup.minhash_lsh_candidates(sigs, n_hashes=MINHASH_N, bands=MINHASH_BANDS)
+    # materialize candidates once (the q122/q176 pattern): the verify
+    # references the pair frame three times — length prefilter joins +
+    # the endpoint set — and an un-checkpointed reference replays the
+    # whole signature+bucket join per reference (the two-round ×12.6
+    # "curve debt" was mostly THIS; at scale: persist the pair table)
+    cand = cand.localCheckpoint(eager=True)
     out = dedup.levenshtein_on_pairs(docs, cand, min_similarity=0.4)
     return out.select(
         "id_a", "id_b", "len_a", "len_b", "edit_distance",

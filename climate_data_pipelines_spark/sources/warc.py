@@ -124,13 +124,44 @@ def _split_gzip_members(payload: bytes) -> Iterator[bytes]:
         rest = d.unused_data
 
 
+def _walk_warc_records(raw: bytes) -> Iterator[dict]:
+    """Every WARC record in a raw buffer. A gzip member usually holds
+    exactly one record, but an UNCOMPRESSED ``.warc`` file arrives as
+    ONE buffer holding all of them — parse a record, then continue at
+    ``head_end + 4 + Content-Length`` (skipping the ``\\r\\n\\r\\n``
+    record separator) until the buffer is exhausted. Previously only
+    the first record of an uncompressed multi-record file was parsed
+    and the rest were silently dropped (r7 advice)."""
+    pos = 0
+    n = len(raw)
+    while pos < n:
+        # tolerate separator / padding drift: scan to the next version
+        # line instead of requiring it exactly at the cursor
+        nxt = raw.find(b"WARC/", pos)
+        if nxt < 0:
+            return
+        rec, consumed = _parse_warc_member_at(raw, nxt)
+        if rec is None or consumed <= 0:
+            return
+        yield rec
+        pos = nxt + consumed
+
+
 def _parse_warc_member(raw: bytes) -> dict | None:
     """One WARC record → header dict + block; None for non-records."""
+    rec, _ = _parse_warc_member_at(raw, 0)
+    return rec
+
+
+def _parse_warc_member_at(raw: bytes, start: int) -> tuple[dict | None, int]:
+    """Parse the record at ``start``; returns (record, bytes consumed
+    from ``start`` including the trailing separator), or (None, 0)."""
+    raw = raw[start:] if start else raw
     if not raw.startswith(b"WARC/"):
-        return None
+        return None, 0
     head_end = raw.find(b"\r\n\r\n")
     if head_end < 0:
-        return None
+        return None, 0
     headers: dict[str, str] = {}
     for line in raw[raw.find(b"\r\n") + 2 : head_end].split(b"\r\n"):
         k, _, v = line.partition(b":")
@@ -141,9 +172,9 @@ def _parse_warc_member(raw: bytes) -> dict | None:
     try:
         length = int(headers.get("content-length", "-1"))
     except ValueError:
-        return None
+        return None, 0
     if length < 0:
-        return None
+        return None, 0
     block = raw[head_end + 4 : head_end + 4 + length]
     status, ctype, body = None, headers.get("content-type"), block
     if headers.get("warc-type") == "response" and block[:5] == b"HTTP/":
@@ -164,7 +195,7 @@ def _parse_warc_member(raw: bytes) -> dict | None:
         "http_status": status,
         "content_type": ctype,
         "body": body.decode("utf-8", "replace"),
-    }
+    }, head_end + 4 + length + 4  # block + \r\n\r\n record separator
 
 
 def _records_kernel(payload_col: str):
@@ -174,10 +205,15 @@ def _records_kernel(payload_col: str):
             for payload in pdf[payload_col]:
                 if payload is None:
                     continue
-                for member in _split_gzip_members(bytes(payload)):
-                    rec = _parse_warc_member(member)
-                    if rec is not None:
-                        rows.append(rec)
+                # per-payload quarantine (r7 advice): one corrupt gzip
+                # member must skip ITS payload, not fail the Spark task
+                # — matching the multimodal kernels' per-row contract.
+                # Records parsed before the corruption are kept.
+                try:
+                    for member in _split_gzip_members(bytes(payload)):
+                        rows.extend(_walk_warc_records(member))
+                except (zlib.error, ValueError):
+                    continue
             yield pd.DataFrame(
                 rows, columns=[f.name for f in RECORD_SCHEMA.fields]
             )

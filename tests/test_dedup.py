@@ -448,6 +448,26 @@ def test_normalize_url_canonicalizes_every_variant(spark):
     assert got2 == [e for _, e in cases]
 
 
+def test_normalize_url_passes_non_absolute_inputs_through(spark):
+    """Scheme-less / relative / malformed inputs must NOT canonicalize
+    (r7 advice: they all collapsed into '://…' keys, so distinct junk
+    inputs became one dedup group). Each passes through unchanged —
+    distinct inputs stay distinct keys."""
+    from climate_data_pipelines_spark.functions.text import normalize_url
+
+    cases = [
+        ("example.org/a", "example.org/a"),
+        ("/relative/path", "/relative/path"),
+        ("not a url at all", "not a url at all"),
+        ("www.example.org/b", "www.example.org/b"),
+        ("ftp.example.org:21/x#frag", "ftp.example.org:21/x"),  # frag still dropped
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in cases], "url string")
+    got = [r[0] for r in df.select(normalize_url("url")).collect()]
+    assert got == [e for _, e in cases]
+    assert len(set(got)) == len(cases)  # no collisions into one key
+
+
 def test_url_dedup_keeps_best_quality_with_id_tiebreak(spark):
     rows = [
         # one canonical group, different messy spellings

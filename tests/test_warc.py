@@ -39,6 +39,46 @@ def test_uncompressed_warc_accepted():
     assert got[0]["body"] == "plain block"
 
 
+def test_uncompressed_multi_record_warc_keeps_every_record():
+    """An uncompressed .warc file is ONE buffer holding ALL records —
+    the walk must continue past each record's Content-Length +
+    separator instead of stopping after the first (r7 advice: records
+    2..n were silently dropped)."""
+    recs = [
+        (f"http://corpus.invalid/doc/{i}", f"<html><body><p>row {i}</p></body></html>")
+        for i in range(5)
+    ]
+    raw = gzip.decompress(warc.encode_warc(recs))  # uncompressed .warc
+    assert raw.count(b"WARC/1.0") == 6  # warcinfo + 5 responses
+    got = list(warc._walk_warc_records(raw))
+    assert [r["warc_type"] for r in got] == ["warcinfo"] + ["response"] * 5
+    assert [r["target_uri"] for r in got][1:] == [u for u, _ in recs]
+    assert [r["body"] for r in got][1:] == [h for _, h in recs]
+
+
+def test_uncompressed_multi_record_through_spark_kernel(spark):
+    recs = [
+        (f"http://corpus.invalid/doc/{i}", f"<p>k{i}</p>") for i in range(4)
+    ]
+    raw = gzip.decompress(warc.encode_warc(recs))
+    df = spark.createDataFrame([(raw,)], "payload binary")
+    out = warc.parse_warc_payloads(df)
+    assert out.filter(F.col("warc_type") == "response").count() == 4
+
+
+def test_corrupt_gzip_member_quarantines_payload_not_task(spark):
+    """A corrupt member must skip its payload (per-row quarantine, the
+    multimodal-kernel contract) — not raise zlib.error and fail the
+    whole Spark task. Healthy payloads in the same batch still parse."""
+    good = warc.encode_warc([("http://corpus.invalid/doc/1", "<p>ok</p>")])
+    # valid gzip magic, garbage stream — zlib.error on decompress
+    corrupt = b"\x1f\x8b\x08\x00" + b"\xde\xad\xbe\xef" * 8
+    df = spark.createDataFrame([(corrupt,), (good,)], "payload binary")
+    out = warc.parse_warc_payloads(df).collect()
+    assert [r["warc_type"] for r in out] == ["warcinfo", "response"]
+    assert out[1]["target_uri"] == "http://corpus.invalid/doc/1"
+
+
 def test_html_to_text_semantics(spark):
     cases = [
         # script/style dropped WITH contents, comments dropped, tags
