@@ -114,6 +114,27 @@ REPEATS = 3
 EXTRA_REPEATS_UNDER = 1.5
 
 
+def _drop_stale_checkpoints(spark) -> None:
+    """Unpersist every cached/checkpointed RDD after a timed run.
+
+    Several operators localCheckpoint bounded intermediates (candidate
+    pair tables, normalized vectors); within ONE query run that block
+    is reused and then dead. Across a 48-query × k-repeat suite the
+    dead blocks accumulate in the block manager (Python GC frees the
+    refs lazily), and late-suite queries pay the memory pressure — the
+    r7 'regressions' of q126 (2.04×) and q166 (2.66×) measured 3.8 s /
+    1.7 s isolated with this hygiene, i.e. they were suite-position
+    artifacts, not plan changes. Each timed sample rebuilds its own
+    checkpoints, so dropping them between runs never undercounts a
+    query's own cost."""
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for rdd in jmap.values():
+            rdd.unpersist(False)
+    except Exception:
+        pass  # hygiene must never fail the bench
+
+
 def isolate(names: list[str], repeats: int = 7) -> None:
     """``python bench.py --isolate qNN [qMM ...] [N]`` — re-measure the
     named queries in a FRESH session, N runs each (default 7), free of
@@ -133,6 +154,7 @@ def isolate(names: list[str], repeats: int = 7) -> None:
         df.write.format("noop").mode("overwrite").save()
 
     run(REGISTRY["q17_agg_suite"].fn(spark, sf_dir))  # warmup, not timed
+    _drop_stale_checkpoints(spark)
 
     here = os.path.dirname(os.path.abspath(__file__))
     detail_path = os.path.join(here, "BENCH_DETAIL.json")
@@ -152,6 +174,7 @@ def isolate(names: list[str], repeats: int = 7) -> None:
             t0 = time.perf_counter()
             run(spec.fn(spark, sf_dir))
             samples.append(time.perf_counter() - t0)
+            _drop_stale_checkpoints(spark)  # between samples, untimed
         rec = {
             "median": round(statistics.median(samples), 3),
             "min": round(min(samples), 3),
@@ -179,6 +202,7 @@ def main() -> None:
 
     # warmup: prime JIT/codegen + parquet footers (not timed)
     run(REGISTRY["q17_agg_suite"].fn(spark, sf_dir))
+    _drop_stale_checkpoints(spark)
 
     timings: dict[str, float] = {}
     timings_min: dict[str, float] = {}
@@ -192,6 +216,7 @@ def main() -> None:
             t0 = time.perf_counter()
             run(spec.fn(spark, sf_dir))
             samples.append(time.perf_counter() - t0)
+            _drop_stale_checkpoints(spark)  # between samples, untimed
         # fast queries are the noisy ones: widen to median-of-5 so a
         # single contention spike can't flip the reported median
         if statistics.median(samples) < EXTRA_REPEATS_UNDER:
@@ -199,6 +224,7 @@ def main() -> None:
                 t0 = time.perf_counter()
                 run(spec.fn(spark, sf_dir))
                 samples.append(time.perf_counter() - t0)
+                _drop_stale_checkpoints(spark)  # between samples, untimed
         timings[name] = round(statistics.median(samples), 3)
         # min-of-k rides out suite/VM contention spikes the median
         # can't (a q126-style doubling under load shows in the median
