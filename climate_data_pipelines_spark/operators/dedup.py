@@ -668,7 +668,29 @@ def simhash_band_candidates(
             F.when(
                 F.count("*").over(wspec) > bucket_cap,
                 F.pmod(
-                    F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+                    # BAND-keyed salt (the semantic_dedup table-keyed
+                    # lesson): salting by id alone splits every band
+                    # identically, so two EXACT duplicates — identical
+                    # fingerprints, hot in all 4 bands — land in
+                    # different salt groups in every band at once and
+                    # the pair is unrecoverable. Keying the hash by
+                    # (band, id) makes the splits independent: a pair
+                    # salted apart in one band meets in another.
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    ":",
+                                    F.col("band").cast("string"),
+                                    F.col(id_col).cast("string"),
+                                )
+                            ),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    )
                     .cast("long"),
                     # ceil, not floor: width 500 at cap 256 must split
                     # into 2 salt groups (floor gave 1 = no split at

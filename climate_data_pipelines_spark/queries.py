@@ -3150,6 +3150,10 @@ def q121(spark, sf_dir):
 
 SIMHASH_BITS = 60
 SIMHASH_BANDS = 4
+# q178's hot-bucket salt cap: small enough to ENGAGE at the sf0.01
+# oracle scale (max band-bucket width there is ~27), so the driver
+# hash actually certifies the salted plan, not the no-op branch
+SIMHASH_CAP = 8
 
 
 def _simhash_ctes(bits: int = SIMHASH_BITS) -> str:
@@ -5117,6 +5121,60 @@ def q177(spark, sf_dir):
     )
 
 
+@query(
+    "q178_simhash_capped_candidates",
+    f"""WITH{_simhash_ctes()},
+         bands AS (SELECT doc_id, simhash, g.band,
+                     (simhash >> (g.band * {SIMHASH_BITS // SIMHASH_BANDS}))
+                       & {(1 << (SIMHASH_BITS // SIMHASH_BANDS)) - 1} AS bv
+                   FROM fp,
+                        (SELECT unnest(generate_series(0, {SIMHASH_BANDS - 1})) AS band) g),
+         widths AS (SELECT *, COUNT(*) OVER (PARTITION BY band, bv) AS w
+                    FROM bands),
+         salted AS (SELECT doc_id, simhash, band, bv,
+                      CASE WHEN w > {SIMHASH_CAP} THEN
+                        CAST(('0x' || substring(md5(CAST(band AS VARCHAR) || ':'
+                               || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                          % GREATEST(CAST(CEIL(w / {SIMHASH_CAP}.0) AS BIGINT),
+                                     CAST(1 AS BIGINT))
+                      ELSE 0 END AS salt
+                    FROM widths)
+       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       FROM salted a JOIN salted b
+         ON a.band = b.band AND a.bv = b.bv AND a.salt = b.salt
+            AND a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_BANDS - 1}""",
+    "SALT-CAPPED SimHash band candidates — q124's scale armor (the r7 "
+    "watch item: q124's verified pairs grew ×6819 at ×100 data on the "
+    "word-soup fixture because nothing bounds a hot band value's "
+    "width² join). A band bucket wider than the cap splits into "
+    "⌈width/cap⌉ deterministic md5 salt groups, so a degenerate value "
+    "emits at most ~width·cap pairs. The salt is keyed by (band, id) "
+    "— id-only salting splits every band IDENTICALLY, making a pair "
+    "of exact-duplicate fingerprints (hot in all bands at once) "
+    "unrecoverable; band-keyed splits are independent, so a pair "
+    "salted apart in one band meets in another (the semantic_dedup "
+    "table-keyed lesson). The oracle replays fingerprints, widths, "
+    "salts, and the Hamming verify bit-for-bit in SQL — the cap is "
+    "deterministic, not sampling. Trade-off, measured: on the "
+    "HOMOGENEOUS word-soup fixture (where x100 true pairs are 3.0M "
+    "because everything near-dups everything) the cap keeps ~linear "
+    "candidate growth (rows x82 vs q124's x6819 at x100; wall x2.2) "
+    "at the cost of pair recall inside the degenerate buckets — so "
+    "the cap is q124's armor for adversarial/boilerplate band values, "
+    "NOT the default: exact-contract queries leave bucket_cap=None.",
+)
+def q178(spark, sf_dir):
+    fp = dedup.simhash_md5(_t(spark, sf_dir, "documents"), bits=SIMHASH_BITS)
+    return dedup.simhash_band_candidates(
+        fp,
+        bits=SIMHASH_BITS,
+        bands=SIMHASH_BANDS,
+        hamming_max=SIMHASH_BANDS - 1,
+        bucket_cap=SIMHASH_CAP,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window selection
 # ---------------------------------------------------------------------------
@@ -5275,13 +5333,16 @@ DRIVER_WINDOW: list[str] = [
     "q124_simhash_candidates",
     "q136_edit_distance_verify",
     "q166_semantic_decontaminate",
-    # oldest r5-only oracle queries
+    # oldest r5-only oracle queries (q132_repeated_spans yielded its
+    # seat mid-round to the NEW oracle-green q178 — first driver rows
+    # beat a 4th re-proof of an r5 query that stays replay-checked)
     "q37_minhash_lsh_candidates",
     "q40_ngram_jaccard",
     "q123_simhash_fingerprints",
     "q127_repeated_ngrams",
     "q129_minhash64_candidates",
-    "q132_repeated_spans",
+    # mid-round addition: salt-capped simhash candidates (first check)
+    "q178_simhash_capped_candidates",
 ]
 
 _ROUND7_WINDOW: list[str] = [

@@ -298,6 +298,56 @@ def test_simhash_band_candidates_verified_and_capped(spark):
     assert 0 < capped < uncapped
 
 
+def test_simhash_capped_salt_is_band_keyed(spark):
+    """The salt hash must key on (band, id): id-only salting splits
+    every band IDENTICALLY, so exact-duplicate fingerprints (hot in
+    all bands at once) get salted apart everywhere and their pair is
+    unrecoverable. With band-keyed salts the splits are independent —
+    on a hot clique the capped recall must beat the single-band
+    ceiling, and every emitted pair must be a true candidate."""
+    n, cap = 60, 8
+    many = spark.createDataFrame(
+        [(i, 99999) for i in range(n)], "doc_id long, simhash long"
+    )
+    capped = {
+        (r.id_a, r.id_b)
+        for r in dedup.simhash_band_candidates(
+            many, bits=60, bands=4, bucket_cap=cap
+        ).collect()
+    }
+    total = n * (n - 1) // 2
+    # subset of true pairs, and the width² join is provably avoided:
+    # k = ceil(60/8) = 8 salt groups/band, 4 bands → pair survives iff
+    # some band co-salts it. Expected recall ≈ 1-(1-1/8)^4 ≈ 0.41;
+    # a single shared split (id-keyed bug) caps recall at ~1/8.
+    assert capped and len(capped) < total
+    assert len(capped) / total > 0.25  # > the ~0.125 id-keyed ceiling
+    # determinism: same inputs, same salt, same pairs
+    again = {
+        (r.id_a, r.id_b)
+        for r in dedup.simhash_band_candidates(
+            many, bits=60, bands=4, bucket_cap=cap
+        ).collect()
+    }
+    assert again == capped
+
+
+def test_simhash_capped_bounds_hot_bucket_join(spark):
+    """One degenerate hot band value must emit ~width·cap pairs per
+    band, never width² — the scale contract behind q178."""
+    n, cap = 200, 8
+    many = spark.createDataFrame(
+        [(i, 424242) for i in range(n)], "doc_id long, simhash long"
+    )
+    capped = dedup.simhash_band_candidates(
+        many, bits=60, bands=4, bucket_cap=cap
+    ).count()
+    # 4 bands × k=25 salt groups of ~8 members ≈ 4·25·C(8,2) ≈ 2800
+    # distinct-able pairs; width² would be 19900 per band
+    assert capped < 4 * (n // cap + 1) * (cap * (cap + 1) // 2)
+    assert capped < n * (n - 1) // 2 * 0.5
+
+
 def test_simhash_band_candidates_rejects_uneven_split(spark):
     import pytest
 

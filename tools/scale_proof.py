@@ -89,6 +89,11 @@ QUERIES = [
     "q175_url_dedup",
     "q176_containment_neardup",
     "q177_trigram_lm_score",
+    # round-8: salt-capped simhash candidates — the answer to q124's
+    # x100 candidate blow-up (rows x6819): same banding, hot buckets
+    # split into (band,id)-keyed md5 salt groups, join bounded at
+    # ~width*cap per value
+    "q178_simhash_capped_candidates",
 ]
 
 
