@@ -1065,9 +1065,10 @@ def containment_on_pairs(
     docs → two equi-joins → per-pair common count → sizes. Candidate
     generation stays the banded MinHash join, so recall is floored by
     the pair's JACCARD (a tiny doc inside a huge one has J → 0 and
-    won't be banded — the LSH-Ensemble size-partitioned refinement is
-    the known fix and is out of scope); for the re-crawl/append case
-    (B ≲ 2×A) Jaccard ≥ |A|/|B| ≥ 0.5 and the standard bands fire.
+    won't be banded); for the re-crawl/append case (B ≲ 2×A) Jaccard
+    ≥ |A|/|B| ≥ 0.5 and the standard bands fire. The LSH-invisible
+    tiny-doc-in-huge-doc range is covered by the prefix-filter join
+    ``containment_small_in_large`` (q179) below.
     """
     endpoints = pairs.select(F.col("id_a").alias(id_col)).unionByName(
         pairs.select(F.col("id_b").alias(id_col))
@@ -1118,5 +1119,167 @@ def containment_on_pairs(
             )
             .otherwise(F.lit(0.0))
             .alias("cont_b"),
+        )
+    )
+
+
+def containment_small_in_large(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+    small_max: int = 64,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Small-doc-in-large-doc containment — the recall hole banded
+    MinHash CANNOT reach (q176's documented floor): a tiny doc A
+    inside a huge doc B has Jaccard |A|/|B| → 0, so no LSH band ever
+    fires, while containment |A∩B|/|A| = 1. LSH-Ensemble (Zhu et al.,
+    VLDB'16) fixes this with size-partitioned indexes re-tuned per
+    partition; the Spark-first equivalent here is the PREFIX-FILTER
+    set join (Chaudhuri et al., ICDE'06; Xiao et al., WWW'08 PPJoin),
+    which is LOSSLESS for the small side and needs no new index
+    structure:
+
+      if cont(A→B) ≥ t then B misses at most (1−t)·|A| of A's
+      shingles, so B must contain at least one of ANY
+      ⌊(1−t)·|A|⌋ + 1 of them — choose the GLOBALLY RAREST ones
+      (ascending document frequency) and the candidate join's fan-out
+      per prefix shingle is its df, small by construction.
+
+    Stages — the corpus text is exploded exactly TWICE, and the only
+    corpus-sized SHUFFLE is the df aggregation (map-side combined,
+    vocabulary-sized output):
+      1. document-frequency table (corpus explode #1 → one hash agg);
+      2. small docs (≤ ``small_max`` distinct shingles — a pure array
+         expression on the scan, NO sizes shuffle) explode their own
+         shingles and pick the ⌊(1−t)·n⌋+1 rarest (window over the
+         SMALL side only — tiny by definition; ties broken by shingle
+         text so both engines pick identical prefixes);
+      3. the distinct prefix-shingle set (a few shingles per small
+         doc) BROADCASTS against corpus explode #2 as a semi-join, so
+         the inverted index is filtered map-side and never shuffles;
+         prefix ⋈ filtered-index → candidate pairs (distinct). The
+         rarest-first prefix keeps the fan-out per key ~df, small by
+         construction; ``df_cap`` optionally hard-ceilings a doc
+         whose every shingle is hot (the single rarest shingle is
+         always kept so no doc silently loses its whole prefix). At
+         a scale where the prefix set outgrows a broadcast, swap the
+         semi-join for the expression-level Bloom filter
+         (operators/training.py bloom_decontaminate's kernel) — same
+         plan shape, probabilistic prefilter, exact verify unchanged.
+      4. exact verify WITHOUT re-exploding: each candidate pair joins
+         the two docs' distinct-shingle ARRAYS (the small side is ≤
+         ``small_max`` elements by definition) and scores
+         ``size(array_intersect(sa, sb)) / n_a`` in one vectorized
+         JVM expression — per-pair cost with no pair×shingle row
+         blow-up (the exploded ``containment_on_pairs`` verify paid
+         |pairs|·|shingles| shuffle rows here: measured 184 s → 46 s
+         at the x100 fixture), filter cont(small→large) ≥ t.
+
+    Recall: 1.0 for every pair with cont(small→large) ≥ t and
+    |A| ≤ small_max, by the pigeonhole above (df_cap=None). The big
+    side needs no size bound — B only appears through A's prefix.
+    Returns (id_small, id_large, n_common, n_small, n_large,
+    containment).
+    """
+    from pyspark.sql import Window
+
+    spread = spread_for_cpu(df)
+    nsh_expr = F.size(F.array_distinct(shingles(text_col, k)))
+    sh = spread.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(text_col, k))).alias("shingle"),
+    )
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+
+    small_sh = (
+        spread.filter((nsh_expr <= small_max) & (nsh_expr >= 1))
+        .select(
+            F.col(id_col),
+            nsh_expr.alias("n_sh"),
+            F.explode(F.array_distinct(shingles(text_col, k))).alias("shingle"),
+        )
+        .join(dfreq, "shingle")
+    )
+    # ⌊(1−t)·n⌋ + 1, with an epsilon so an EXACT integer boundary
+    # survives IEEE error: (1−0.9)·10 evaluates to 0.9999999999999998,
+    # whose bare floor (0) would shrink the prefix below the
+    # pigeonhole bound and silently drop pairs sitting exactly at the
+    # threshold (found by the q179 oracle diff). n ≤ small_max ≤ a few
+    # thousand, so 1e-9 can never cross a true non-boundary value.
+    prefix_len = (
+        F.floor(
+            (F.lit(1.0) - F.lit(threshold)) * F.col("n_sh") + F.lit(1e-9)
+        ).cast("int")
+        + F.lit(1)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_df").asc(), F.col("shingle").asc())
+    prefix = (
+        small_sh.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= prefix_len)
+    )
+    if df_cap is not None:
+        prefix = prefix.filter((F.col("_df") <= df_cap) | (F.col("_rn") == 1))
+
+    # the prefix rows are few (≤ a handful per small doc) but feed two
+    # joins (the pset semi-join + the pair join); materialize them so
+    # the df agg + window never replay
+    prefix = prefix.select(
+        F.col(id_col).alias("id_a"), "shingle"
+    ).localCheckpoint(eager=True)
+    pset = prefix.select("shingle").distinct()
+    sh_hit = sh.join(F.broadcast(pset), "shingle", "left_semi")
+    cand = (
+        prefix.join(sh_hit.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        # two consumers below (the b_ids endpoint set + the verify
+        # join) — materialize the id-pair table once or the prefix
+        # join and its distinct replay per reference (at scale:
+        # persist/write the candidate table, the q122/q176 pattern)
+        .localCheckpoint(eager=False)
+    )
+    shingle_set = F.array_distinct(shingles(text_col, k))
+    a_sets = spread.filter((nsh_expr <= small_max) & (nsh_expr >= 1)).select(
+        F.col(id_col).alias("id_a"),
+        shingle_set.alias("_sa"),
+        nsh_expr.alias("n_small"),
+    )
+    b_ids = cand.select(F.col("id_b").alias(id_col)).distinct()
+    b_sets = spread.join(b_ids, id_col, "left_semi").select(
+        F.col(id_col).alias("id_b"),
+        shingle_set.alias("_sb"),
+        nsh_expr.alias("n_large"),
+    )
+    n_common = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
+    containment = oracle_round(
+        n_common.cast("double") / F.col("n_small").cast("double"), 6
+    )
+    # JOIN ORDER IS THE SHUFFLE BUDGET: the candidate table (43.6M
+    # rows on the adversarial x100 fixture) must cross its one
+    # exchange as BARE id pairs. Join b_sets first (cand shuffles by
+    # id_b at ~16 bytes/row; b's arrays join in-stage and are consumed
+    # by the intersect before any further exchange), then broadcast
+    # the small side's arrays (|small docs| rows of ≤ small_max short
+    # strings) — a broadcast hash join chains in the same stage, no
+    # shuffle. The reverse order measured 8.3 GB of array-laden
+    # shuffle write and 2.4k executor-seconds on the final stage.
+    return (
+        cand.join(b_sets, "id_b")
+        .join(F.broadcast(a_sets), "id_a")
+        .filter(
+            n_common.cast("double") / F.col("n_small").cast("double")
+            >= F.lit(threshold)
+        )
+        .select(
+            F.col("id_a").alias("id_small"),
+            F.col("id_b").alias("id_large"),
+            n_common.cast("long").alias("n_common"),
+            F.col("n_small").cast("long").alias("n_small"),
+            F.col("n_large").cast("long").alias("n_large"),
+            containment.alias("containment"),
         )
     )

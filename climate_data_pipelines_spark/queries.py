@@ -5002,11 +5002,10 @@ _CONTAIN_AUG_SQL = """aug AS (
     "with exact shingle-set arithmetic in BOTH directions "
     "(|A∩B|/|A| and /|B|), per-pair cost only. Planted supersets "
     "(+25% appended text) score cont≈1.0 where their Jaccard is only "
-    "≈0.8. Recall is floored by candidate-stage Jaccard — the "
-    "size-partitioned LSH-Ensemble refinement (Zhu et al., VLDB'16) "
-    "is the known fix for tiny-doc-in-huge-doc and out of scope. "
-    "Oracle replays signatures/banding bit-for-bit and verifies with "
-    "plain SQL set arithmetic.",
+    "≈0.8. Recall is floored by candidate-stage Jaccard; the "
+    "LSH-invisible tiny-doc-in-huge-doc range is covered by q179's "
+    "prefix-filter containment join. Oracle replays signatures/"
+    "banding bit-for-bit and verifies with plain SQL set arithmetic.",
 )
 def q176(spark, sf_dir):
     from climate_data_pipelines_spark.functions.text import tokens as _toks
@@ -5175,6 +5174,84 @@ def q178(spark, sf_dir):
     )
 
 
+@query(
+    "q179_small_in_large_containment",
+    """WITH aug AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 950000,
+                  array_to_string(list_slice(
+                      list_filter(string_split(text, ' '), x -> x != ''),
+                      5, 20), ' ')
+           FROM documents WHERE doc_id < 25),
+         t AS (SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x != '') AS toks
+               FROM aug),
+         sh AS (SELECT DISTINCT doc_id,
+                       array_to_string(list_slice(toks, i, i + 2), ' ') AS shingle
+                FROM t, UNNEST(generate_series(1, greatest(len(toks) - 2, 1))) AS u(i)),
+         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         small AS (SELECT doc_id FROM sizes WHERE n_sh <= 16),
+         common AS (SELECT a.doc_id AS id_small, b.doc_id AS id_large,
+                           COUNT(*) AS n_common
+                    FROM sh a
+                    JOIN small s ON s.doc_id = a.doc_id
+                    JOIN sh b ON b.shingle = a.shingle AND b.doc_id != a.doc_id
+                    GROUP BY 1, 2)
+       SELECT c.id_small, c.id_large, c.n_common,
+              sa.n_sh AS n_small, sb.n_sh AS n_large,
+              ROUND(CAST(c.n_common AS DOUBLE) / sa.n_sh * 1000000) / 1000000
+                AS containment
+       FROM common c
+       JOIN sizes sa ON sa.doc_id = c.id_small
+       JOIN sizes sb ON sb.doc_id = c.id_large
+       WHERE CAST(c.n_common AS DOUBLE) / sa.n_sh >= 0.9""",
+    "Small-doc-in-LARGE-doc containment — closes the one documented "
+    "recall hole in the dedup family (q176's floor: a tiny doc inside "
+    "a huge doc has Jaccard |A|/|B| → 0, so banded MinHash never "
+    "pairs it, while containment = 1). Spark plan is the PREFIX-"
+    "FILTER set join (Chaudhuri ICDE'06 / PPJoin, the Spark-first "
+    "stand-in for LSH-Ensemble's size-partitioned index): a small doc "
+    "missing ≤ (1−t)·n of its shingles in B must share one of its "
+    "⌊(1−t)·n⌋+1 RAREST shingles with B, so the candidate join runs "
+    "prefix ⋈ inverted-index on deliberately-cold keys, then "
+    "containment_on_pairs verifies exactly. LOSSLESS for the small "
+    "side — which is why the oracle is the direct all-pairs SQL "
+    "ground truth, not a replay of the prefix mechanics: the engine "
+    "must reproduce the true answer exactly. Fixture plants 25 tiny "
+    "16-token excerpts (tokens 5-20 of hosts 0-24) at id+950000: "
+    "containment(tiny→host) = 1.0, Jaccard ≈ 0.05 — invisible to "
+    "every LSH query, found here.",
+)
+def q179(spark, sf_dir):
+    from climate_data_pipelines_spark.functions.text import tokens as _toks
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tiny = docs.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 950000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(_toks("text"), 5, 16)).alias("text"),
+    )
+    corpus = docs.unionByName(tiny)
+    # small_max=16 targets genuinely EXCERPT-sized docs (the planted
+    # tinies have 14 shingles). The word-soup fixture is pathological
+    # for larger bounds: at small_max=64 the "small" side is 63% of
+    # the x100 corpus, so the prefix join degenerates into an
+    # everything-vs-index probe — the operator's contract is tiny-in-
+    # huge, not mid-in-huge (banded MinHash already covers Jaccard-
+    # visible sizes).
+    # df_cap=64: bounds the candidate fan-out at ~cap·prefix rows per
+    # small doc. At the sf0.01 oracle scale the max shingle df is 7,
+    # so the cap NEVER engages there and the oracle stays the direct
+    # ground truth; it exists for corpora whose "rarest" shingles are
+    # still hot — the homogeneous word-soup scale fixture (trigram df
+    # grows linearly at fixed vocabulary, so the uncapped prefix join
+    # is quadratic on it), or boilerplate-heavy crawls. Real Zipf text
+    # keeps tiny docs' rarest trigrams far below any reasonable cap.
+    return dedup.containment_small_in_large(
+        corpus, k=3, threshold=0.9, small_max=16, df_cap=64
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window selection
 # ---------------------------------------------------------------------------
@@ -5333,16 +5410,18 @@ DRIVER_WINDOW: list[str] = [
     "q124_simhash_candidates",
     "q136_edit_distance_verify",
     "q166_semantic_decontaminate",
-    # oldest r5-only oracle queries (q132_repeated_spans yielded its
-    # seat mid-round to the NEW oracle-green q178 — first driver rows
-    # beat a 4th re-proof of an r5 query that stays replay-checked)
+    # oldest r5-only oracle queries (q132_repeated_spans and
+    # q40_ngram_jaccard yielded their seats mid-round to the NEW
+    # oracle-green q178/q179 — first driver rows beat a 4th re-proof
+    # of r5 queries that stay replay-checked)
     "q37_minhash_lsh_candidates",
-    "q40_ngram_jaccard",
     "q123_simhash_fingerprints",
     "q127_repeated_ngrams",
     "q129_minhash64_candidates",
-    # mid-round addition: salt-capped simhash candidates (first check)
+    # mid-round additions: salt-capped simhash candidates and the
+    # prefix-filter small-in-large containment join (first checks)
     "q178_simhash_capped_candidates",
+    "q179_small_in_large_containment",
 ]
 
 _ROUND7_WINDOW: list[str] = [

@@ -548,3 +548,85 @@ def test_containment_on_pairs_directions_and_zero_overlap(spark):
     assert r12.cont_b < 1.0 and r12.n_b > r12.n_a
     r13 = out[(1, 3)]
     assert r13.n_common == 0 and r13.cont_a == 0.0 and r13.cont_b == 0.0
+
+
+# ---------------------------------------------------------------------------
+# containment_small_in_large (prefix-filter set join — q179)
+
+
+def test_small_in_large_finds_lsh_invisible_pair(spark):
+    """A 5-token excerpt inside a 60-token host: Jaccard ≈ 0.05 (no
+    LSH band can fire) but containment = 1.0 — the q176 recall hole
+    this operator exists to close."""
+    host = " ".join(f"w{i}" for i in range(60))
+    tiny = " ".join(f"w{i}" for i in range(20, 27))  # 7 tokens ⊂ host
+    other = " ".join(f"z{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, host), (2, tiny), (3, other)], "doc_id long, text string"
+    )
+    out = {
+        (r.id_small, r.id_large): r.containment
+        for r in dedup.containment_small_in_large(
+            df, k=3, threshold=0.9, small_max=16
+        ).collect()
+    }
+    assert out == {(2, 1): 1.0}
+
+
+def test_small_in_large_is_lossless_vs_direct(spark):
+    """Prefix filter must be LOSSLESS for the small side: compare
+    against the direct all-pairs containment on a random-ish corpus
+    (including threshold-exact pairs the float-floor bug dropped)."""
+    rows = [(i, " ".join(f"t{(i * 7 + j) % 23}" for j in range(12))) for i in range(30)]
+    # a pair at containment exactly 0.9: small doc with 10 shingles,
+    # 9 of them inside the large doc
+    small = " ".join(f"s{j}" for j in range(12))          # 10 shingles
+    large = " ".join(f"s{j}" for j in range(11)) + " qq"  # shares 9
+    rows += [(100, small), (101, large + " " + " ".join(f"p{j}" for j in range(40)))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_small, r.id_large)
+        for r in dedup.containment_small_in_large(
+            df, k=3, threshold=0.9, small_max=64
+        ).collect()
+    }
+    # direct ground truth via containment_on_pairs on ALL small×all pairs
+    from pyspark.sql import functions as F
+
+    from climate_data_pipelines_spark.functions.text import shingles
+
+    sh = df.select("doc_id", F.explode(F.array_distinct(shingles("text", 3))).alias("s"))
+    sizes = {r.doc_id: r.n for r in sh.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    ss = {r.doc_id: set() for r in df.collect()}
+    for r in sh.collect():
+        ss[r.doc_id].add(r.s)
+    want = set()
+    for a, sa in ss.items():
+        if sizes.get(a, 0) > 64 or not sa:
+            continue
+        for b, sb in ss.items():
+            if a != b and len(sa & sb) / len(sa) >= 0.9:
+                want.add((a, b))
+    assert got == want
+    assert (100, 101) in got  # the exact-boundary pair
+
+
+def test_small_in_large_df_cap_keeps_rarest(spark):
+    """df_cap prunes hot prefix shingles but must always keep the
+    single rarest one — no small doc silently loses its whole prefix."""
+    # every doc shares the hot shingle; the tiny doc's other shingles
+    # are unique to it and its host
+    hot = "h0 h1 h2"
+    host = hot + " " + " ".join(f"u{i}" for i in range(30))
+    tiny = hot + " u0 u1 u2 u3"
+    crowd = [(i, hot + " " + " ".join(f"c{i}_{j}" for j in range(20))) for i in range(10, 40)]
+    df = spark.createDataFrame(
+        [(1, host), (2, tiny)] + crowd, "doc_id long, text string"
+    )
+    out = {
+        (r.id_small, r.id_large)
+        for r in dedup.containment_small_in_large(
+            df, k=3, threshold=0.8, small_max=16, df_cap=2
+        ).collect()
+    }
+    assert (2, 1) in out

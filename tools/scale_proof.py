@@ -94,6 +94,10 @@ QUERIES = [
     # split into (band,id)-keyed md5 salt groups, join bounded at
     # ~width*cap per value
     "q178_simhash_capped_candidates",
+    # round-8: prefix-filter small-in-large containment (the
+    # LSH-invisible recall hole): df agg is corpus-linear, candidate
+    # join keyed on each small doc's RAREST shingles
+    "q179_small_in_large_containment",
 ]
 
 
