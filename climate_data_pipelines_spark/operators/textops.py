@@ -10,6 +10,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from climate_data_pipelines_spark.functions.scalar import oracle_round
 from climate_data_pipelines_spark.functions.text import (
     WORD_RE,
     normalize_text,
@@ -980,4 +981,56 @@ def bpe_encode_ranked(
     return (
         df.select(F.col(id_col), tok(F.col(text_col)).alias("bpe_tokens"))
         .withColumn("n_bpe_tokens", F.size("bpe_tokens"))
+    )
+
+
+def corpus_datasheet(
+    df: DataFrame,
+    text_col: str = "text",
+    by: str = "source",
+    lang_col: str = "lang",
+    chars_col: str = "n_chars",
+) -> DataFrame:
+    """Per-slice corpus DATASHEET — the summary table every
+    training-data release publishes ("Datasheets for Datasets",
+    Gebru et al., CACM'21; the reference's closest surface is the
+    per-pipeline summary print at
+    `/root/reference/pipelines/precipitation_pipeline.py` final
+    logging): doc/token/char volumes, language spread, exact-dup rate
+    and quality pass-rate per ``by`` slice, in ONE aggregation pass.
+
+    Everything reduces in a single groupBy(``by``) hash aggregate
+    (map-side combined): token counts are array expressions on the
+    scan, the dup rate is COUNT(DISTINCT normalized text) over the
+    same exchange, and the quality flag reuses the engine-wide
+    ``quality_predicate`` (NULL-safe: an unscorable doc counts as
+    failing, matching the SQL CASE..ELSE 0 twin). No window, no join,
+    no second scan — at 100 TB this is exactly one shuffle whose
+    output is |slices| rows.
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    ok = F.when(quality_predicate(text_col), F.lit(1)).otherwise(F.lit(0))
+    norm = normalize_text(F.col(text_col))
+    base = df.select(
+        F.col(by),
+        F.col(lang_col),
+        F.col(chars_col),
+        n.alias("_n_tok"),
+        norm.alias("_norm"),
+        ok.alias("_ok"),
+    )
+    n_docs = F.count("*")
+    n_unique = F.countDistinct("_norm")
+    return base.groupBy(by).agg(
+        n_docs.alias("n_docs"),
+        F.sum("_n_tok").cast("long").alias("total_tokens"),
+        oracle_round(F.avg("_n_tok"), 6).alias("avg_tokens"),
+        F.sum(chars_col).cast("long").alias("total_chars"),
+        F.countDistinct(lang_col).alias("n_langs"),
+        n_unique.alias("n_unique_docs"),
+        oracle_round(
+            F.lit(1.0) - n_unique.cast("double") / n_docs.cast("double"), 6
+        ).alias("dup_rate"),
+        oracle_round(F.avg("_ok"), 6).alias("quality_pass_rate"),
     )

@@ -5252,6 +5252,48 @@ def q179(spark, sf_dir):
     )
 
 
+@query(
+    "q180_corpus_datasheet",
+    """WITH t AS (SELECT source, lang, n_chars,
+                    list_filter(string_split(text, ' '), x -> x != '') AS toks,
+                    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+                  FROM documents),
+         s AS (SELECT source, lang, n_chars, norm,
+                 len(toks) AS n_tok,
+                 CASE WHEN len(toks) >= 10
+                       AND list_sum(list_transform(toks,
+                             x -> CAST(length(x) AS DOUBLE))) / len(toks)
+                           BETWEEN 2.0 AND 12.0
+                       AND len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)
+                           >= 0.1
+                      THEN 1 ELSE 0 END AS ok
+               FROM t)
+       SELECT source,
+              COUNT(*) AS n_docs,
+              CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+              ROUND(AVG(n_tok) * 1000000) / 1000000 AS avg_tokens,
+              CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+              COUNT(DISTINCT lang) AS n_langs,
+              COUNT(DISTINCT norm) AS n_unique_docs,
+              ROUND((1.0 - COUNT(DISTINCT norm) / CAST(COUNT(*) AS DOUBLE))
+                    * 1000000) / 1000000 AS dup_rate,
+              ROUND(AVG(ok) * 1000000) / 1000000 AS quality_pass_rate
+       FROM s GROUP BY source""",
+    "Corpus DATASHEET per source slice ('Datasheets for Datasets', "
+    "Gebru et al. CACM'21 — the release summary every training-data "
+    "pipeline publishes): doc/token/char volumes, language spread, "
+    "exact-dup rate (1 − distinct normalized texts / docs) and "
+    "quality pass-rate (the engine-wide quality_predicate, NULL-safe "
+    "via WHEN..OTHERWISE 0 = the SQL CASE..ELSE 0). ONE hash "
+    "aggregation pass: token counts are array expressions on the "
+    "scan, dup rate rides the same exchange as COUNT(DISTINCT norm), "
+    "no window/join/second scan — at 100 TB exactly one shuffle "
+    "whose output is |sources| rows.",
+)
+def q180(spark, sf_dir):
+    return textops.corpus_datasheet(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window selection
 # ---------------------------------------------------------------------------
@@ -5410,18 +5452,20 @@ DRIVER_WINDOW: list[str] = [
     "q124_simhash_candidates",
     "q136_edit_distance_verify",
     "q166_semantic_decontaminate",
-    # oldest r5-only oracle queries (q132_repeated_spans and
-    # q40_ngram_jaccard yielded their seats mid-round to the NEW
-    # oracle-green q178/q179 — first driver rows beat a 4th re-proof
-    # of r5 queries that stay replay-checked)
+    # oldest r5-only oracle queries (q132_repeated_spans, q40_ngram_
+    # jaccard and q123_simhash_fingerprints yielded their seats
+    # mid-round to the NEW oracle-green q178/q179/q180 — first driver
+    # rows beat a 4th re-proof of r5 queries that stay replay-checked;
+    # q123's fingerprint chain is covered bit-for-bit by q178 anyway)
     "q37_minhash_lsh_candidates",
-    "q123_simhash_fingerprints",
     "q127_repeated_ngrams",
     "q129_minhash64_candidates",
-    # mid-round additions: salt-capped simhash candidates and the
-    # prefix-filter small-in-large containment join (first checks)
+    # mid-round additions: salt-capped simhash candidates, the
+    # prefix-filter small-in-large containment join, and the
+    # per-source corpus datasheet (first checks)
     "q178_simhash_capped_candidates",
     "q179_small_in_large_containment",
+    "q180_corpus_datasheet",
 ]
 
 _ROUND7_WINDOW: list[str] = [

@@ -528,3 +528,43 @@ def test_bpe_encode_empty_merges_is_char_split(spark):
     df = spark.createDataFrame([(0, "ab c")], "doc_id long, text string")
     row = textops.bpe_encode(df, []).collect()[0]
     assert row["bpe_tokens"] == ["a", "b", "</w>", "c", "</w>"]
+
+
+def test_corpus_datasheet_single_pass_semantics(spark):
+    """Dup rate counts NORMALIZED duplicates; quality NULL-safety: a
+    doc too short to score counts as failing (CASE..ELSE 0 twin); all
+    metrics land in one row per source."""
+    from climate_data_pipelines_spark.operators import textops
+
+    good = "the quick brown fox jumps over the lazy dog again today"
+    rows = [
+        (1, good, "en", "srcA", len(good)),
+        (2, good.upper(), "en", "srcA", len(good)),   # normalized dup of 1
+        (3, "tiny", "en", "srcA", 4),                  # fails quality (short)
+        (4, good + " more words here", "de", "srcB", 10),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r.source: r for r in textops.corpus_datasheet(df).collect()}
+    a = out["srcA"]
+    assert a.n_docs == 3 and a.n_unique_docs == 2
+    assert abs(a.dup_rate - (1 - 2 / 3)) < 1e-6
+    assert abs(a.quality_pass_rate - (2 / 3)) < 1e-6  # doc 3 fails
+    assert a.n_langs == 1 and a.total_tokens == 23
+    b = out["srcB"]
+    assert b.n_docs == 1 and b.dup_rate == 0.0 and b.quality_pass_rate == 1.0
+
+
+def test_corpus_datasheet_is_one_shuffle(spark):
+    """The datasheet's 100 TB contract: exactly one exchange (the
+    groupBy(source) hash aggregate), no window, no join."""
+    from climate_data_pipelines_spark.operators import textops
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j", "en", "s", 10)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    plan = textops.corpus_datasheet(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2  # distinct-agg expands to 2 max
+    assert "Window" not in plan and "Join" not in plan

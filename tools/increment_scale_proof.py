@@ -145,7 +145,14 @@ def main() -> None:
     if os.path.exists(out_path):
         with open(out_path) as fh:
             data = json.load(fh)
-    data["curate_increment"] = row
+    # key by batch size so the O(batch) claim accumulates POINTS
+    # (r7 verdict item 9: a single x10-on-x100 row can't distinguish
+    # O(batch) from O(total·const)); the legacy unsuffixed key keeps
+    # naming continuity for the x10 batch
+    key = "curate_increment"
+    if os.path.basename(batch_dir.rstrip("/")) != "x10":
+        key = f"curate_increment_{os.path.basename(batch_dir.rstrip('/'))}"
+    data[key] = row
     with open(out_path, "w") as fh:
         json.dump(data, fh, indent=1)
     print(json.dumps(row, indent=1))

@@ -98,6 +98,12 @@ QUERIES = [
     # LSH-invisible recall hole): df agg is corpus-linear, candidate
     # join keyed on each small doc's RAREST shingles
     "q179_small_in_large_containment",
+    # round-8 (r7 verdict item 9): the two late-registered operators
+    # join the permanent sweep — classifier training is one
+    # distributed job per epoch with a (dim+1)-float collect, WARC
+    # render+parse is applyInPandas groups + an Arrow member walk
+    "q173_quality_classifier",
+    "q174_warc_ingest",
 ]
 
 
