@@ -160,6 +160,30 @@ AUDITS = {
         ("BroadcastHashJoin", True), ("CartesianProduct", False),
         ("EvalPython", False),
     ],
+    # capped simhash: the salted band join stays a hash equi-join —
+    # the salt/width window runs over (band,bv) keys, and no product
+    # node may appear even on degenerate hot values
+    "q178_simhash_capped_candidates": [
+        ("Window", True), ("CartesianProduct", False),
+        ("BroadcastNestedLoopJoin", False), ("EvalPython", False),
+    ],
+    # small-in-large containment: the visible (post-checkpoint) plan
+    # is the verify — the b_ids endpoint semi-join is CORRECTLY a
+    # sort-merge (the endpoint set is candidate-derived, unbounded by
+    # design, never broadcast), the array verify is pure expressions,
+    # and no product node may appear. The broadcast prefix-set
+    # semi-join lives inside the checkpointed candidate stage (hint
+    # verified separately; it cannot show in this plan).
+    "q179_small_in_large_containment": [
+        ("SortMergeJoin LeftSemi", True), ("CartesianProduct", False),
+        ("BroadcastNestedLoopJoin", False), ("EvalPython", False),
+    ],
+    # corpus datasheet: one partial+final aggregate pass — no window,
+    # no join, no Python
+    "q180_corpus_datasheet": [
+        ("HashAggregate", True), ("Window", False), ("Join", False),
+        ("EvalPython", False),
+    ],
 }
 
 
