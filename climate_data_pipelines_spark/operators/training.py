@@ -927,6 +927,7 @@ def trigram_lm_score(
     id_col: str = "doc_id",
     heldout_mod: int = 5,
     alpha: float = 0.4,
+    score_all: bool = False,
 ) -> DataFrame:
     """Stupid-backoff trigram LM fluency score (Brants et al.,
     EMNLP 2007 "Large Language Models in Machine Translation" — the
@@ -966,11 +967,13 @@ def trigram_lm_score(
     # exchange is identical across c3/c2/c1, so ReusedExchange serves
     # all three from one shuffle write; at 100 TB the guard no-ops.
     train = spread_for_cpu(df.filter((F.col(id_col) % heldout_mod) != 0))
-    held = spread_for_cpu(
-        df.filter((F.col(id_col) % heldout_mod) == 0).filter(
-            F.size(tokens(text_col)) >= 3
-        )
+    # score_all (the CCNet deployment shape): the LM still trains on
+    # the %heldout_mod reference split, but EVERY scoreable doc gets a
+    # fluency score — perplexity_bucket_mix ranks the whole corpus
+    held_src = df if score_all else df.filter(
+        (F.col(id_col) % heldout_mod) == 0
     )
+    held = spread_for_cpu(held_src.filter(F.size(tokens(text_col)) >= 3))
 
     c3 = (
         train.filter(F.size(tokens(text_col)) >= 3)
@@ -1038,4 +1041,75 @@ def trigram_lm_score(
             F.count("*").alias("n_trigrams"),
             oracle_round(F.avg("logscore"), 4).alias("avg_logscore"),
         )
+    )
+
+
+def perplexity_bucket_mix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    heldout_mod: int = 5,
+    rates: tuple[float, float, float] = (1.0, 0.5, 0.1),
+    salt: str = "ppl-v1",
+) -> DataFrame:
+    """CCNet-style perplexity-bucket mixing (Wenzek et al., LREC 2020
+    — the curation stage LLaMA's data recipe popularized): score every
+    document with the self-trained trigram LM, rank WITHIN its
+    language, cut the ranking into head / middle / tail thirds, and
+    keep each bucket at its own rate (head kept whole, tail thinned).
+    Per-language ranking is the q143 calibration lesson: one absolute
+    fluency threshold penalizes whole languages, because an LM scores
+    morphologically rich languages systematically lower.
+
+    Determinism end-to-end: the LM is counts-only (trigram_lm_score),
+    ranking uses percent_rank over the ROUNDED score (tie-stable, no
+    tiebreak column needed), and the keep decision is the engine-wide
+    salted-md5 rule (q138's stratified sampler) — reproducible across
+    engines, retries, and corpus growth, never partition-order RNG.
+
+    Scale shape: trigram_lm_score's two corpus-sized shuffles, plus
+    ONE lang-keyed exchange for the ranking window (the window sorts
+    (id, score) pairs, never document bodies), plus a stateless keep
+    predicate. Docs too short to score (< 3 tokens) are excluded —
+    same contract as the scorer.
+
+    Returns kept docs: (doc_id, lang, bucket, avg_logscore).
+    """
+    from pyspark.sql import Window
+
+    scores = trigram_lm_score(
+        df, text_col=text_col, id_col=id_col,
+        heldout_mod=heldout_mod, score_all=True,
+    )
+    scored = df.select(F.col(id_col), F.col(lang_col)).join(scores, id_col)
+    w = Window.partitionBy(lang_col).orderBy(F.col("avg_logscore").asc())
+    pr = F.percent_rank().over(w)
+    bucket = (
+        F.when(pr >= F.lit(2.0 / 3.0), F.lit("head"))
+        .when(pr >= F.lit(1.0 / 3.0), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    head_r, mid_r, tail_r = rates
+    rate = (
+        F.when(F.col("bucket") == "head", F.lit(int(head_r * 10000)))
+        .when(F.col("bucket") == "middle", F.lit(int(mid_r * 10000)))
+        .otherwise(F.lit(int(tail_r * 10000)))
+    )
+    u = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(10000),
+    )
+    return (
+        scored.withColumn("bucket", bucket)
+        .filter(u < rate)
+        .select(id_col, lang_col, "bucket", "avg_logscore")
     )

@@ -5294,6 +5294,92 @@ def q180(spark, sf_dir):
     return textops.corpus_datasheet(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "q181_perplexity_bucket_mix",
+    """WITH tr AS (SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x != '') AS toks
+                   FROM documents WHERE doc_id % 5 != 0),
+         he AS (SELECT doc_id, toks
+                FROM (SELECT doc_id,
+                        list_filter(string_split(text, ' '), x -> x != '') AS toks
+                      FROM documents)
+                WHERE len(toks) >= 3),
+         c3 AS (SELECT tri, COUNT(*) AS c3
+                FROM (SELECT unnest([array_to_string(list_slice(toks, i, i + 2), ' ')
+                                     FOR i IN generate_series(1, len(toks) - 2)]) AS tri
+                      FROM tr WHERE len(toks) >= 3)
+                GROUP BY 1),
+         c2 AS (SELECT bi, COUNT(*) AS c2
+                FROM (SELECT unnest([array_to_string(list_slice(toks, i, i + 1), ' ')
+                                     FOR i IN generate_series(1, len(toks) - 1)]) AS bi
+                      FROM tr WHERE len(toks) >= 2)
+                GROUP BY 1),
+         c1 AS (SELECT w, COUNT(*) AS c1
+                FROM (SELECT unnest(toks) AS w FROM tr) GROUP BY 1),
+         n AS (SELECT CAST(SUM(c1) AS DOUBLE) AS n_total FROM c1),
+         occ AS (SELECT doc_id,
+                   unnest([array_to_string(list_slice(toks, i, i + 2), ' ')
+                           FOR i IN generate_series(1, len(toks) - 2)]) AS tri
+                 FROM he),
+         vocab AS (SELECT DISTINCT tri FROM occ),
+         parts AS (SELECT tri,
+                     array_to_string(list_slice(string_split(tri, ' '), 1, 2), ' ') AS b12,
+                     array_to_string(list_slice(string_split(tri, ' '), 2, 3), ' ') AS b23,
+                     split_part(tri, ' ', 2) AS w2,
+                     split_part(tri, ' ', 3) AS w3
+                   FROM vocab),
+         dim AS (SELECT p.tri,
+                   ln(CASE
+                        WHEN c3.c3 IS NOT NULL
+                          THEN CAST(c3.c3 AS DOUBLE) / CAST(c2a.c2 AS DOUBLE)
+                        WHEN c2b.c2 IS NOT NULL
+                          THEN 0.4 * CAST(c2b.c2 AS DOUBLE) / CAST(c1a.c1 AS DOUBLE)
+                        WHEN c1b.c1 IS NOT NULL
+                          THEN 0.4 * 0.4 * CAST(c1b.c1 AS DOUBLE) / n.n_total
+                        ELSE 0.4 * 0.4 * 0.5 / n.n_total
+                      END) AS logscore
+                 FROM parts p
+                 LEFT JOIN c3 ON c3.tri = p.tri
+                 LEFT JOIN c2 c2a ON c2a.bi = p.b12
+                 LEFT JOIN c2 c2b ON c2b.bi = p.b23
+                 LEFT JOIN c1 c1a ON c1a.w = p.w2
+                 LEFT JOIN c1 c1b ON c1b.w = p.w3
+                 CROSS JOIN n),
+         scores AS (SELECT doc_id,
+                      ROUND(AVG(logscore) * 10000) / 10000 AS avg_logscore
+                    FROM occ JOIN dim USING (tri) GROUP BY doc_id),
+         ranked AS (SELECT s.doc_id, d.lang, s.avg_logscore,
+                      percent_rank() OVER (PARTITION BY d.lang
+                                           ORDER BY s.avg_logscore ASC) AS pr
+                    FROM scores s JOIN documents d USING (doc_id)),
+         bucketed AS (SELECT doc_id, lang, avg_logscore,
+                        CASE WHEN pr >= 2.0/3.0 THEN 'head'
+                             WHEN pr >= 1.0/3.0 THEN 'middle'
+                             ELSE 'tail' END AS bucket
+                      FROM ranked)
+       SELECT doc_id, lang, bucket, avg_logscore
+       FROM bucketed
+       WHERE CAST('0x' || substring(md5('ppl-v1' || CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) % 10000 <
+             CASE bucket WHEN 'head' THEN 10000
+                         WHEN 'middle' THEN 5000 ELSE 1000 END""",
+    "CCNet-style perplexity-bucket mixing (Wenzek et al., LREC 2020 — "
+    "the curation stage LLaMA's recipe popularized): every scoreable "
+    "doc gets the self-trained stupid-backoff trigram fluency score "
+    "(q177's LM, score_all), is percent_rank'd WITHIN its language "
+    "(the q143 calibration lesson — one absolute threshold penalizes "
+    "whole languages), cut into head/middle/tail thirds, and kept at "
+    "1.0/0.5/0.1 via the engine-wide salted-md5 rule (q138's "
+    "deterministic sampler — no partition-order RNG anywhere). "
+    "Ranking runs on the ROUNDED score so tie groups pin across "
+    "engines. Scale: the LM's two corpus-sized shuffles + ONE "
+    "lang-keyed window over (id, score) pairs + a stateless keep "
+    "predicate.",
+)
+def q181(spark, sf_dir):
+    return training.perplexity_bucket_mix(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window selection
 # ---------------------------------------------------------------------------
@@ -5459,13 +5545,15 @@ DRIVER_WINDOW: list[str] = [
     # q123's fingerprint chain is covered bit-for-bit by q178 anyway)
     "q37_minhash_lsh_candidates",
     "q127_repeated_ngrams",
-    "q129_minhash64_candidates",
     # mid-round additions: salt-capped simhash candidates, the
-    # prefix-filter small-in-large containment join, and the
-    # per-source corpus datasheet (first checks)
+    # prefix-filter small-in-large containment join, the per-source
+    # corpus datasheet, and CCNet perplexity-bucket mixing (first
+    # checks — q129_minhash64_candidates yielded the fourth seat;
+    # its plan is unchanged and judge-replay green every round)
     "q178_simhash_capped_candidates",
     "q179_small_in_large_containment",
     "q180_corpus_datasheet",
+    "q181_perplexity_bucket_mix",
 ]
 
 _ROUND7_WINDOW: list[str] = [

@@ -541,3 +541,37 @@ def test_trigram_lm_score_matches_hand_computation(spark):
     assert s("a", "b", "c") == 1.0  # c3 hit: 2/2
     assert s("b", "c", "q") == a * a * 0.5 / n  # full OOV floor
     assert s("c", "q", "d") == a * a * c1["d"] / n  # unigram tier
+
+
+def test_perplexity_bucket_mix_buckets_and_determinism(spark):
+    """Per-lang thirds on the rounded LM score; head kept whole,
+    tail thinned by the salted-md5 rule; repeat run identical."""
+    from climate_data_pipelines_spark.operators import training
+
+    # 30 scoreable docs per lang: ids 1..60; text fluency varies by a
+    # repeated-token gradient so scores spread deterministically
+    rows = []
+    for i in range(1, 61):
+        lang = "en" if i <= 30 else "de"
+        toks = ["alpha", "beta", "gamma", "delta"] * 3 + ["x%d" % (i % 7)] * (i % 9)
+        rows.append((i, " ".join(toks), lang))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = training.perplexity_bucket_mix(df).collect()
+    again = training.perplexity_bucket_mix(df).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))  # deterministic
+    by = {}
+    for r in out:
+        by.setdefault((r.lang, r.bucket), []).append(r)
+    # every kept head doc scores >= every kept tail doc within a lang
+    for lang in ("en", "de"):
+        heads = [r.avg_logscore for r in by.get((lang, "head"), [])]
+        tails = [r.avg_logscore for r in by.get((lang, "tail"), [])]
+        if heads and tails:
+            assert min(heads) >= max(tails)
+    # head keep-rate 1.0: every head-bucket doc present (10 per lang
+    # from 30 scoreable docs -> percent_rank >= 2/3)
+    n_head = sum(1 for r in out if r.bucket == "head")
+    assert n_head == 2 * 10
+    # tail thinned: strictly fewer tail rows than the 10-per-lang cut
+    n_tail = sum(1 for r in out if r.bucket == "tail")
+    assert 0 <= n_tail < 20

@@ -104,6 +104,9 @@ QUERIES = [
     # render+parse is applyInPandas groups + an Arrow member walk
     "q173_quality_classifier",
     "q174_warc_ingest",
+    # round-8: CCNet perplexity-bucket mix — q177's LM + one
+    # lang-keyed ranking window + stateless md5 keep
+    "q181_perplexity_bucket_mix",
 ]
 
 
