@@ -103,6 +103,13 @@ HEADLINE = [
     "q175_url_dedup",
     "q176_containment_neardup",
     "q177_trigram_lm_score",
+    # round-8 additions: salt-capped simhash candidates, prefix-filter
+    # small-in-large containment, one-pass corpus datasheet, CCNet
+    # perplexity-bucket mixing
+    "q178_simhash_capped_candidates",
+    "q179_small_in_large_containment",
+    "q180_corpus_datasheet",
+    "q181_perplexity_bucket_mix",
 ]
 
 # ANN quality: rows-only queries whose real metric is recall vs the
