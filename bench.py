@@ -323,7 +323,19 @@ def main() -> None:
         "prev_round": prev_round,
         "sf": sf,
     }
-    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
+    # read-merge: a suite run must not erase isolate()'s verdicts —
+    # the sidecar's contract is that isolated medians live NEXT TO the
+    # suite numbers (a fresh dict silently dropped them; r8 review)
+    detail_path = os.path.join(here, "BENCH_DETAIL.json")
+    try:
+        if os.path.exists(detail_path):
+            with open(detail_path) as fh:
+                prev_sidecar = json.load(fh)
+            if "isolated" in prev_sidecar:
+                detail["isolated"] = prev_sidecar["isolated"]
+    except Exception:
+        pass  # a malformed sidecar must not fail the bench
+    with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
     print(json.dumps(detail))
 

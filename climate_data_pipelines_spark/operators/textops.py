@@ -999,19 +999,23 @@ def corpus_datasheet(
     logging): doc/token/char volumes, language spread, exact-dup rate
     and quality pass-rate per ``by`` slice, in ONE aggregation pass.
 
-    Everything reduces in a single groupBy(``by``) hash aggregate
-    (map-side combined): token counts are array expressions on the
-    scan, the dup rate is COUNT(DISTINCT normalized text) over the
-    same exchange, and the quality flag reuses the engine-wide
-    ``quality_predicate`` (NULL-safe: an unscorable doc counts as
-    failing, matching the SQL CASE..ELSE 0 twin). No window, no join,
-    no second scan — at 100 TB this is exactly one shuffle whose
-    output is |slices| rows.
+    One aggregation PASS (no window, join, or second scan); shuffle
+    shape, stated honestly: the two COUNT(DISTINCT …) columns make
+    Spark plan an Expand + two exchanges, and the first exchange is
+    keyed on the distinct values — which is why the dup-rate distinct
+    counts a sha2-256 DIGEST of the normalized text, not the text
+    itself (the exact_dedup key discipline): the corpus-sized exchange
+    carries 32-byte keys, never document bodies. Token counts are
+    array expressions on the scan and the quality flag reuses the
+    engine-wide ``quality_predicate`` (NULL-safe: an unscorable doc
+    counts as failing, matching the SQL CASE..ELSE 0 twin). The SQL
+    oracle counts DISTINCT raw normalized text — equal by sha2
+    injectivity, the same equivalence exact_dedup (q36) stands on.
     """
     toks = tokens(text_col)
     n = F.size(toks)
     ok = F.when(quality_predicate(text_col), F.lit(1)).otherwise(F.lit(0))
-    norm = normalize_text(F.col(text_col))
+    norm = F.sha2(normalize_text(F.col(text_col)), 256)
     base = df.select(
         F.col(by),
         F.col(lang_col),

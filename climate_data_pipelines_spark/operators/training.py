@@ -1091,23 +1091,18 @@ def perplexity_bucket_mix(
         .otherwise(F.lit("tail"))
     )
     head_r, mid_r, tail_r = rates
+    # int(round(...)): bare int() truncates the float product —
+    # int(0.57 * 10000) == 5699 — silently shifting the keep threshold
+    # (stratified_sample learned this first; r8 review finding)
     rate = (
-        F.when(F.col("bucket") == "head", F.lit(int(head_r * 10000)))
-        .when(F.col("bucket") == "middle", F.lit(int(mid_r * 10000)))
-        .otherwise(F.lit(int(tail_r * 10000)))
+        F.when(F.col("bucket") == "head", F.lit(int(round(head_r * 10000))))
+        .when(F.col("bucket") == "middle", F.lit(int(round(mid_r * 10000))))
+        .otherwise(F.lit(int(round(tail_r * 10000))))
     )
-    u = F.pmod(
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long"),
-        F.lit(10000),
-    )
+    # the one engine-wide salted-md5 keep rule (shared with
+    # stratified_sample/hash_split) — a second inline copy is where
+    # the truncation bug above crept in
+    u = _md5_bucket(F.col(id_col), salt, 10000)
     return (
         scored.withColumn("bucket", bucket)
         .filter(u < rate)

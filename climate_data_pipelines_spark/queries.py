@@ -5284,11 +5284,14 @@ def q179(spark, sf_dir):
     "pipeline publishes): doc/token/char volumes, language spread, "
     "exact-dup rate (1 − distinct normalized texts / docs) and "
     "quality pass-rate (the engine-wide quality_predicate, NULL-safe "
-    "via WHEN..OTHERWISE 0 = the SQL CASE..ELSE 0). ONE hash "
-    "aggregation pass: token counts are array expressions on the "
-    "scan, dup rate rides the same exchange as COUNT(DISTINCT norm), "
-    "no window/join/second scan — at 100 TB exactly one shuffle "
-    "whose output is |sources| rows.",
+    "via WHEN..OTHERWISE 0 = the SQL CASE..ELSE 0). ONE aggregation "
+    "pass, honest shuffle shape: the two distinct-counts plan an "
+    "Expand + two exchanges, so the Spark side counts DISTINCT "
+    "sha2-256 digests of the normalized text (the exact_dedup key "
+    "discipline) — the corpus-sized exchange carries 32-byte keys, "
+    "never bodies; the oracle counts the raw normalized strings, "
+    "equal by digest injectivity (q36's own equivalence). No "
+    "window/join/second scan.",
 )
 def q180(spark, sf_dir):
     return textops.corpus_datasheet(_t(spark, sf_dir, "documents"))

@@ -131,7 +131,13 @@ def _walk_warc_records(raw: bytes) -> Iterator[dict]:
     ``head_end + 4 + Content-Length`` (skipping the ``\\r\\n\\r\\n``
     record separator) until the buffer is exhausted. Previously only
     the first record of an uncompressed multi-record file was parsed
-    and the rest were silently dropped (r7 advice)."""
+    and the rest were silently dropped (r7 advice).
+
+    A record that fails to parse (corrupted Content-Length, truncated
+    header) RESYNCS to the next ``WARC/`` version line instead of
+    abandoning the rest of the buffer — dropping the tail after one
+    bit-rotted record would be the same silent-loss class the
+    multi-record walk exists to close."""
     pos = 0
     n = len(raw)
     while pos < n:
@@ -142,7 +148,8 @@ def _walk_warc_records(raw: bytes) -> Iterator[dict]:
             return
         rec, consumed = _parse_warc_member_at(raw, nxt)
         if rec is None or consumed <= 0:
-            return
+            pos = nxt + 5  # resync past the bad version line
+            continue
         yield rec
         pos = nxt + consumed
 
@@ -155,15 +162,21 @@ def _parse_warc_member(raw: bytes) -> dict | None:
 
 def _parse_warc_member_at(raw: bytes, start: int) -> tuple[dict | None, int]:
     """Parse the record at ``start``; returns (record, bytes consumed
-    from ``start`` including the trailing separator), or (None, 0)."""
-    raw = raw[start:] if start else raw
-    if not raw.startswith(b"WARC/"):
+    from ``start`` including the trailing separator), or (None, 0).
+
+    Works at OFFSETS into ``raw`` — only the header region and the
+    Content-Length-sized block are ever sliced. The earlier
+    ``raw[start:]`` copy made the multi-record walk O(records × file
+    size): a 1 GB uncompressed crawl file with 100k records would
+    memcpy ~10^14 bytes (r8 review finding)."""
+    if raw[start : start + 5] != b"WARC/":
         return None, 0
-    head_end = raw.find(b"\r\n\r\n")
+    head_end = raw.find(b"\r\n\r\n", start)
     if head_end < 0:
         return None, 0
+    first_eol = raw.find(b"\r\n", start)
     headers: dict[str, str] = {}
-    for line in raw[raw.find(b"\r\n") + 2 : head_end].split(b"\r\n"):
+    for line in raw[first_eol + 2 : head_end].split(b"\r\n"):
         k, _, v = line.partition(b":")
         if _:
             headers[k.strip().decode("utf-8", "replace").lower()] = v.strip().decode(
@@ -195,7 +208,8 @@ def _parse_warc_member_at(raw: bytes, start: int) -> tuple[dict | None, int]:
         "http_status": status,
         "content_type": ctype,
         "body": body.decode("utf-8", "replace"),
-    }, head_end + 4 + length + 4  # block + \r\n\r\n record separator
+        # consumed is relative to ``start``: header + block + \r\n\r\n
+    }, (head_end - start) + 4 + length + 4
 
 
 def _records_kernel(payload_col: str):

@@ -66,6 +66,35 @@ def test_uncompressed_multi_record_through_spark_kernel(spark):
     assert out.filter(F.col("warc_type") == "response").count() == 4
 
 
+def test_walk_resyncs_past_corrupt_record():
+    """A bit-rotted record mid-file (bad Content-Length) must not drop
+    the tail: the walker resyncs to the next WARC/ version line."""
+    recs = [
+        (f"http://corpus.invalid/doc/{i}", f"<p>r{i}</p>") for i in range(6)
+    ]
+    raw = gzip.decompress(warc.encode_warc(recs))
+    # corrupt record 3's Content-Length header (non-numeric)
+    parts = raw.split(b"WARC/1.0")
+    assert len(parts) == 8  # leading empty + warcinfo + 6 responses
+    parts[4] = parts[4].replace(b"Content-Length: ", b"Content-Length: x", 1)
+    broken = b"WARC/1.0".join(parts)
+    got = list(warc._walk_warc_records(broken))
+    uris = [r["target_uri"] for r in got if r["warc_type"] == "response"]
+    # record 3 lost (corrupt), every other record recovered
+    assert f"{warc._URI_PREFIX}2" not in uris
+    assert len(uris) == 5
+
+
+def test_walk_is_linear_in_file_size():
+    """20k records in one uncompressed buffer: the offset-based walk
+    must recover all of them (the earlier per-record full-buffer copy
+    made this O(records x file size))."""
+    recs = [(f"http://corpus.invalid/doc/{i}", f"<p>{i}</p>") for i in range(20000)]
+    raw = gzip.decompress(warc.encode_warc(recs))
+    got = sum(1 for r in warc._walk_warc_records(raw) if r["warc_type"] == "response")
+    assert got == 20000
+
+
 def test_corrupt_gzip_member_quarantines_payload_not_task(spark):
     """A corrupt member must skip its payload (per-row quarantine, the
     multimodal-kernel contract) — not raise zlib.error and fail the
