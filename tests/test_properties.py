@@ -403,3 +403,72 @@ def test_shard_assign_matches_naive_prefix_sum(spark, toks, cap, bucket):
         want[i] = (n, excl // cap)
         excl += n
     assert got == want
+
+
+_word = st.text(alphabet="abcdefgh", min_size=1, max_size=3)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(_word, min_size=0, max_size=24), min_size=2, max_size=14
+    ),
+    threshold=st.sampled_from([0.7, 0.8, 0.9, 1.0]),
+)
+def test_small_in_large_containment_lossless_property(spark, docs, threshold):
+    """q179's pigeonhole claim under adversarial random corpora: every
+    (small, any) pair with cont(small→large) ≥ t must be found —
+    including threshold-exact and duplicate-text pairs — and nothing
+    below t may appear."""
+    from climate_data_pipelines_spark.functions.text import shingles
+    from climate_data_pipelines_spark.operators import dedup
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    small_max = 16
+    got = {
+        (r.id_small, r.id_large)
+        for r in dedup.containment_small_in_large(
+            df, k=3, threshold=threshold, small_max=small_max
+        ).collect()
+    }
+    # brute-force ground truth with the ENGINE's shingle definition
+    sh_rows = df.select(
+        "doc_id", F.array_distinct(shingles("text", 3)).alias("s")
+    ).collect()
+    sets = {r.doc_id: set(r.s) for r in sh_rows}
+    want = set()
+    for a, sa in sets.items():
+        if not (1 <= len(sa) <= small_max):
+            continue
+        for b, sb in sets.items():
+            if a != b and len(sa & sb) / len(sa) >= threshold:
+                want.add((a, b))
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(_word, min_size=3, max_size=20), min_size=6, max_size=16
+    ),
+)
+def test_trigram_lm_score_all_superset_of_heldout(spark, docs):
+    """score_all must reproduce the heldout split's scores EXACTLY (it
+    widens the scored set, never changes the LM) — the q181 scorer and
+    the q177 scorer may not drift apart."""
+    from climate_data_pipelines_spark.operators import training
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    held = {
+        r.doc_id: (r.n_trigrams, r.avg_logscore)
+        for r in training.trigram_lm_score(df).collect()
+    }
+    full = {
+        r.doc_id: (r.n_trigrams, r.avg_logscore)
+        for r in training.trigram_lm_score(df, score_all=True).collect()
+    }
+    assert set(held) <= set(full)
+    for k, v in held.items():
+        assert full[k] == v
