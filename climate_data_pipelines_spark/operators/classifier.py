@@ -165,6 +165,13 @@ def train_quality_classifier(
                 "_r"
             ),
         )
+        # Measured negative result (r8): an explicit broadcast hint on
+        # resid (n rows, ~6 MB at the 500k-doc fixture) made the x1
+        # run 2× SLOWER and x100 no faster — AQE already converts this
+        # join to a broadcast at runtime from the shuffle's actual
+        # size, and the hint only added an extra per-epoch
+        # materialization job to build the broadcast eagerly. Leave
+        # the plan lazy; AQE picks the right side at every scale.
         grad_rows = (
             fl.join(resid, id_col)
             .groupBy("feat")
