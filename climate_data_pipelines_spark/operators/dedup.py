@@ -514,8 +514,21 @@ def levenshtein_on_pairs(
     # similarity filter below cannot be pushed back into the join: the
     # DP runs exactly once per pair, fully parallel (42 s -> ~2 s).
     # Storage is the per-pair OUTPUT rows (ids + 3 ints), never texts.
+    # Target max(defaultParallelism, shuffle.partitions), not bare
+    # defaultParallelism (round-8 advice): on a cluster where the
+    # joined pair table is already wider than defaultParallelism,
+    # forcing it DOWN would both add a shuffle and reduce DP
+    # parallelism. AQE's post-shuffle coalescing never widens beyond
+    # spark.sql.shuffle.partitions (its initialPartitionNum default),
+    # so this ceiling keeps at least the width any upstream exchange
+    # produced without probing the physical plan (a ``df.rdd`` probe
+    # on a post-join frame would force AQE query-stage execution).
+    sess = joined.sparkSession
     joined = joined.repartition(
-        joined.sparkSession.sparkContext.defaultParallelism
+        max(
+            sess.sparkContext.defaultParallelism,
+            int(sess.conf.get("spark.sql.shuffle.partitions", "200")),
+        )
     )
     out = joined.select(
         "id_a",
@@ -1220,8 +1233,24 @@ def containment_small_in_large(
         small_sh.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= prefix_len)
     )
+    cap_obs = None
     if df_cap is not None:
-        prefix = prefix.filter((F.col("_df") <= df_cap) | (F.col("_rn") == 1))
+        # The cap TRADES recall for a bounded fan-out, and the loss
+        # must be VISIBLE, not an opaque oracle hash mismatch three
+        # fixtures later (round-8 advice): observe the pruned-row
+        # count on the pre-filter frame — the eager localCheckpoint
+        # below is the first action on this subtree, so the metric is
+        # populated before this function returns and a non-zero prune
+        # raises a Python warning naming the trade-off.
+        from pyspark.sql import Observation
+
+        keep = (F.col("_df") <= df_cap) | (F.col("_rn") == 1)
+        cap_obs = Observation("containment_df_cap")
+        prefix = prefix.observe(
+            cap_obs,
+            F.sum((~keep).cast("long")).alias("pruned_prefix_rows"),
+            F.count(F.lit(1)).alias("prefix_rows"),
+        ).filter(keep)
 
     # the prefix rows are few (≤ a handful per small doc) but feed two
     # joins (the pset semi-join + the pair join); materialize them so
@@ -1229,6 +1258,19 @@ def containment_small_in_large(
     prefix = prefix.select(
         F.col(id_col).alias("id_a"), "shingle"
     ).localCheckpoint(eager=True)
+    if cap_obs is not None:
+        pruned = int(cap_obs.get.get("pruned_prefix_rows") or 0)
+        if pruned > 0:
+            import warnings
+
+            warnings.warn(
+                f"containment_small_in_large: df_cap={df_cap} pruned "
+                f"{pruned}/{cap_obs.get['prefix_rows']} prefix rows — "
+                "recall is no longer lossless for docs whose rarest "
+                "shingles exceed the cap (raise df_cap or pass None "
+                "for the exact contract)",
+                stacklevel=2,
+            )
     pset = prefix.select("shingle").distinct()
     sh_hit = sh.join(F.broadcast(pset), "shingle", "left_semi")
     cand = (
@@ -1267,7 +1309,7 @@ def containment_small_in_large(
     # strings) — a broadcast hash join chains in the same stage, no
     # shuffle. The reverse order measured 8.3 GB of array-laden
     # shuffle write and 2.4k executor-seconds on the final stage.
-    return (
+    out = (
         cand.join(b_sets, "id_b")
         .join(F.broadcast(a_sets), "id_a")
         .filter(
@@ -1283,3 +1325,11 @@ def containment_small_in_large(
             containment.alias("containment"),
         )
     )
+    # measured prune count for tests/scale_proof (0 ⇒ the cap never
+    # engaged ⇒ the run was exactly the lossless df_cap=None plan)
+    out._df_cap_pruned = (
+        int(cap_obs.get.get("pruned_prefix_rows") or 0)
+        if cap_obs is not None
+        else 0
+    )
+    return out

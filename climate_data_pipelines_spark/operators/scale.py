@@ -290,11 +290,16 @@ def compact_parquet(spark, path: str, out_path: str, target_file_mb: int = 128) 
     return n_files
 
 
-def spread_for_cpu(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+def spread_for_cpu(
+    df: DataFrame,
+    min_parts: int | None = None,
+    chunk_bytes: int = 1 << 20,
+) -> DataFrame:
     """Round-robin repartition IFF the input has fewer partitions than
-    the cluster has cores — the guard for CPU-bound per-row stages
-    (hashing, shingling, signature kernels) downstream of a scan that
-    produced few splits.
+    the cluster has cores AND the input is big enough that each extra
+    core gets ≥ ``chunk_bytes`` of scan input — the guard for
+    CPU-bound per-row stages (hashing, shingling, signature kernels)
+    downstream of a scan that produced few splits.
 
     A parquet scan's parallelism is whatever the file/row-group layout
     gives it: one small file (or one giant row group) = one task, and a
@@ -325,6 +330,27 @@ def spread_for_cpu(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     single-split scan joined against a broadcast dim still needs the
     spread (round-6 advice; the earlier substring match on "Join "
     skipped it, and could false-positive on literals/aliases).
+
+    SIZE GATE (round-9): the repartition target is capped at one
+    partition per ``chunk_bytes`` of the Catalyst size estimate
+    (``optimizedPlan().stats().sizeInBytes`` — driver-side, free, and
+    exact for file scans: it is the sum of the scanned file lengths).
+    Measured at sf0.1 (584 KB documents scan), the exchange itself —
+    not the partition probe — cost ~1 s per adopter query
+    (q177 2.86→0.9 s, q178 2.85→1.1 s, q181 2.85→1.4 s isolated)
+    while buying nothing: the per-core CPU of even the heaviest
+    kernel (trigram LM, ~1 s/MB single-thread) clears a sub-MiB input
+    in under a second on one core, and a 32-task shuffle stage costs
+    more than that in scheduling + shuffle I/O alone. One MiB per
+    engaged core clears the ~50-100 ms stage/task overhead by >10×.
+    When the capped target is ≤1 the function returns without even
+    the ``df.rdd`` partition probe (itself ~0.15 s of plan→RDD
+    conversion). At the ×100 fixture (57 MB) the cap is ≥57 ≥
+    defaultParallelism, so the spread behaves exactly as before and
+    the measured ×100 curves are unchanged; at 100 TB the estimate is
+    huge, the cap never binds, and the split-count guard no-ops the
+    call as always. Estimate failures fall back to an uncapped
+    target (the pre-round-9 behavior), never to skipping the spread.
     """
     try:
         # executedPlan, not sparkPlan: exchanges are only inserted by
@@ -340,6 +366,17 @@ def spread_for_cpu(df: DataFrame, min_parts: int | None = None) -> DataFrame:
         pass  # internal-API probe failed: fall through to the rdd path
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism
+    try:
+        # Statistics.sizeInBytes is a Scala BigInt; py4j hands it back
+        # as a Python int (int(str(..)) guards a raw Java object)
+        size = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        if not isinstance(size, int):
+            size = int(str(size))
+        target = min(target, max(1, -(-size // chunk_bytes)))
+    except Exception:
+        pass  # estimate unavailable: keep the uncapped target
+    if target <= 1:
+        return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

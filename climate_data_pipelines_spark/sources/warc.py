@@ -30,6 +30,7 @@ documents` (q174).
 
 from __future__ import annotations
 
+import re
 import zlib
 from collections.abc import Iterator
 
@@ -137,7 +138,19 @@ def _walk_warc_records(raw: bytes) -> Iterator[dict]:
     header) RESYNCS to the next ``WARC/`` version line instead of
     abandoning the rest of the buffer — dropping the tail after one
     bit-rotted record would be the same silent-loss class the
-    multi-record walk exists to close."""
+    multi-record walk exists to close.
+
+    A resync candidate is SANITY-CHECKED before it is trusted
+    (round-8 advice): a corrupt record whose block BODY contains the
+    literal ``WARC/`` (a crawled page quoting a WARC header is common
+    in documentation and mirror pages) must not be re-parsed from
+    mid-body into a fabricated record. Accepted starts must (a) look
+    like a real version line (``WARC/<d>.<d>\\r\\n``), (b) sit at the
+    buffer start or directly after a CRLF (real records are separated
+    by ``\\r\\n\\r\\n``; a quoted header mid-sentence is not), and
+    (c) parse with a ``WARC-Type`` header present (mandatory per the
+    WARC spec, ISO 28500 §5.5). Candidates failing any gate are
+    skipped and the scan continues."""
     pos = 0
     n = len(raw)
     while pos < n:
@@ -146,12 +159,26 @@ def _walk_warc_records(raw: bytes) -> Iterator[dict]:
         nxt = raw.find(b"WARC/", pos)
         if nxt < 0:
             return
+        if not _plausible_record_start(raw, nxt):
+            pos = nxt + 5
+            continue
         rec, consumed = _parse_warc_member_at(raw, nxt)
-        if rec is None or consumed <= 0:
+        if rec is None or consumed <= 0 or rec.get("warc_type") is None:
             pos = nxt + 5  # resync past the bad version line
             continue
         yield rec
         pos = nxt + consumed
+
+
+_VERSION_RE = re.compile(rb"^WARC/\d+\.\d+\r\n")
+
+
+def _plausible_record_start(raw: bytes, at: int) -> bool:
+    """True iff ``at`` can plausibly begin a real WARC record: a
+    well-formed version line preceded by buffer start or a CRLF."""
+    if at > 0 and raw[at - 2 : at] != b"\r\n":
+        return False
+    return _VERSION_RE.match(raw[at : at + 16]) is not None
 
 
 def _parse_warc_member(raw: bytes) -> dict | None:

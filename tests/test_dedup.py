@@ -614,19 +614,49 @@ def test_small_in_large_is_lossless_vs_direct(spark):
 def test_small_in_large_df_cap_keeps_rarest(spark):
     """df_cap prunes hot prefix shingles but must always keep the
     single rarest one — no small doc silently loses its whole prefix."""
-    # every doc shares the hot shingle; the tiny doc's other shingles
-    # are unique to it and its host
-    hot = "h0 h1 h2"
-    host = hot + " " + " ".join(f"u{i}" for i in range(30))
-    tiny = hot + " u0 u1 u2 u3"
-    crowd = [(i, hot + " " + " ".join(f"c{i}_{j}" for j in range(20))) for i in range(10, 40)]
+    # five identical hosts all contain the tiny doc, so EVERY shingle
+    # of the tiny doc has df=6 > cap — the cap prunes all prefix rows
+    # past rn=1, but rn=1 (the single rarest) must survive
+    host = " ".join(f"u{i}" for i in range(30))
+    tiny = " ".join(f"u{i}" for i in range(7))
     df = spark.createDataFrame(
-        [(1, host), (2, tiny)] + crowd, "doc_id long, text string"
+        [(i, host) for i in range(1, 6)] + [(9, tiny)],
+        "doc_id long, text string",
     )
-    out = {
-        (r.id_small, r.id_large)
-        for r in dedup.containment_small_in_large(
+    import warnings as _w
+
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        res = dedup.containment_small_in_large(
             df, k=3, threshold=0.8, small_max=16, df_cap=2
-        ).collect()
-    }
-    assert (2, 1) in out
+        )
+        out = {(r.id_small, r.id_large) for r in res.collect()}
+    assert {(9, i) for i in range(1, 6)} <= out
+    # the cap DID prune here (hot h-shingles, df >> 2): the loss must
+    # be flagged, not silent (round-8 advice) — a warning fires and
+    # the measured prune count is exposed on the frame
+    assert res._df_cap_pruned > 0
+    assert any("df_cap" in str(w.message) for w in caught)
+
+
+def test_small_in_large_df_cap_prune_metric_zero_when_cold(spark):
+    """When every prefix shingle is colder than the cap, the observed
+    prune count is 0 and NO warning fires — proving the capped run was
+    exactly the lossless df_cap=None plan (the q179 oracle contract:
+    at sf0.01 max shingle df is 7 < 64, so the cap never engages)."""
+    import warnings as _w
+
+    host = " ".join(f"w{i}" for i in range(60))
+    tiny = " ".join(f"w{i}" for i in range(20, 27))
+    df = spark.createDataFrame(
+        [(1, host), (2, tiny)], "doc_id long, text string"
+    )
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        res = dedup.containment_small_in_large(
+            df, k=3, threshold=0.9, small_max=16, df_cap=64
+        )
+        got = {(r.id_small, r.id_large) for r in res.collect()}
+    assert got == {(2, 1)}
+    assert res._df_cap_pruned == 0
+    assert not any("df_cap" in str(w.message) for w in caught)

@@ -145,11 +145,11 @@ def test_spread_for_cpu_guard(spark):
     # already-parallel input passes through UNCHANGED (no added
     # shuffle at production parallelism)
     one = spark.range(100).coalesce(1)
-    spread = scale.spread_for_cpu(one, min_parts=4)
+    spread = scale.spread_for_cpu(one, min_parts=4, chunk_bytes=1)
     assert spread.rdd.getNumPartitions() == 4
     assert spread.count() == 100
     wide = spark.range(100).repartition(8)
-    same = scale.spread_for_cpu(wide, min_parts=4)
+    same = scale.spread_for_cpu(wide, min_parts=4, chunk_bytes=1)
     assert same is wide  # identity, not a new plan
 
 
@@ -163,7 +163,7 @@ def test_spread_for_cpu_broadcast_join_still_spreads(spark):
     joined = fact.join(
         F.broadcast(dim), fact.id == dim.id2, "left"
     ).drop("id2")
-    spread = scale.spread_for_cpu(joined, min_parts=4)
+    spread = scale.spread_for_cpu(joined, min_parts=4, chunk_bytes=1)
     assert spread.rdd.getNumPartitions() == 4
     assert spread.count() == 100
 
@@ -175,8 +175,38 @@ def test_spread_for_cpu_shuffle_join_passthrough(spark):
     a = spark.range(100)
     b = spark.range(100).withColumnRenamed("id", "id2")
     joined = a.hint("merge").join(b, a.id == b.id2).drop("id2")
-    same = scale.spread_for_cpu(joined, min_parts=4)
+    same = scale.spread_for_cpu(joined, min_parts=4, chunk_bytes=1)
     assert same is joined
+
+
+def test_spread_for_cpu_size_gate_skips_tiny_input(spark, tmp_path):
+    """A sub-chunk_bytes scan must NOT be spread (round-9): the
+    exchange + 32-task stage costs ~1 s at sf0.1 while even the
+    heaviest kernel clears a sub-MiB input on one core in well under
+    that. The skip happens without the df.rdd partition probe."""
+    src = str(tmp_path / "tiny")
+    spark.range(1000).selectExpr("id", "repeat('x', 10) AS text").coalesce(
+        1
+    ).write.parquet(src)
+    df = spark.read.parquet(src)
+    same = scale.spread_for_cpu(df, min_parts=8)  # default 1 MiB chunk
+    assert same is df  # identity: no repartition node added
+
+
+def test_spread_for_cpu_size_gate_caps_target(spark, tmp_path):
+    """A mid-size scan spreads to ceil(size/chunk) partitions, not all
+    the way to min_parts — each engaged core gets >= chunk_bytes."""
+    src = str(tmp_path / "mid")
+    spark.range(5000).selectExpr(
+        "id", "repeat('y', 200) AS text"
+    ).coalesce(1).write.parquet(src)
+    df = spark.read.parquet(src)
+    est = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    chunk = max(1, int(est) // 4)  # force a target of ~4-5
+    spread = scale.spread_for_cpu(df, min_parts=32, chunk_bytes=chunk)
+    got = spread.rdd.getNumPartitions()
+    assert 2 <= got <= 8
+    assert spread.count() == 5000
 
 
 def test_spread_for_cpu_aggregate_passthrough(spark):
@@ -186,5 +216,5 @@ def test_spread_for_cpu_aggregate_passthrough(spark):
         .groupBy((F.col("id") % 7).alias("k"))
         .count()
     )
-    same = scale.spread_for_cpu(grouped, min_parts=4)
+    same = scale.spread_for_cpu(grouped, min_parts=4, chunk_bytes=1)
     assert same is grouped

@@ -85,6 +85,40 @@ def test_walk_resyncs_past_corrupt_record():
     assert len(uris) == 5
 
 
+def test_resync_rejects_warc_literal_inside_block_body():
+    """A corrupt record whose BLOCK quotes a WARC header (a crawled
+    page documenting the WARC format) must not be re-parsed from
+    mid-body into a fabricated record (round-8 advice): the resync
+    sanity check requires a CRLF-preceded version line and a
+    WARC-Type header before trusting a candidate start."""
+    quoted = (
+        "<p>The WARC format begins: WARC/1.0 followed by headers like "
+        "Content-Length: 99999 and WARC-Target-URI: http://evil.invalid/fake "
+        "and WARC-Type: response as documented.</p>"
+    )
+    recs = [
+        ("http://corpus.invalid/doc/0", quoted),
+        ("http://corpus.invalid/doc/1", "<p>clean</p>"),
+    ]
+    raw = gzip.decompress(warc.encode_warc(recs))
+    # corrupt record 0's Content-Length so the walker must resync —
+    # the only WARC/ literals between the corruption and record 1 are
+    # inside the quoted body text
+    parts = raw.split(b"WARC/1.0")
+    # leading empty + warcinfo + response0 (split again at the QUOTED
+    # literal inside its body) + response1
+    assert len(parts) == 5
+    parts[2] = parts[2].replace(b"Content-Length: ", b"Content-Length: x", 1)
+    broken = b"WARC/1.0".join(parts)
+    got = list(warc._walk_warc_records(broken))
+    uris = [r["target_uri"] for r in got if r["warc_type"] == "response"]
+    # no fabricated record from the quoted header text, tail recovered
+    assert uris == ["http://corpus.invalid/doc/1"]
+    assert not any(
+        r["target_uri"] == "http://evil.invalid/fake" for r in got
+    )
+
+
 def test_walk_is_linear_in_file_size():
     """20k records in one uncompressed buffer: the offset-based walk
     must recover all of them (the earlier per-record full-buffer copy
