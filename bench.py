@@ -310,6 +310,39 @@ def main() -> None:
     except Exception:
         pass  # a malformed prior artifact must not fail the bench
 
+    # cumulative per-query history (VERDICT r8 item 10): medians from
+    # every recorded round plus this run, so suite-position contention
+    # (the r7 phantom regressions) is visible as a sparkline in ONE
+    # artifact instead of requiring an 8-file diff. null = query not
+    # benched that round.
+    history: dict[str, list] = {}
+    history_rounds: list[str] = []
+    try:
+        import glob as _glob
+
+        round_meds: list[dict[str, float]] = []
+        for path in sorted(_glob.glob(os.path.join(here, "BENCH_r*.json"))):
+            with open(path) as fh:
+                rec = json.load(fh)
+            q = (rec.get("parsed") or {}).get("queries", {}) or {}
+            if not q:  # r6-style parsed:null — recover from the tail
+                q = {
+                    m.group(1): float(m.group(2))
+                    for m in re.finditer(
+                        r'"(q\w+)":\s*([0-9.]+)', rec.get("tail", "")
+                    )
+                }
+            history_rounds.append(
+                os.path.basename(path).replace("BENCH_", "").replace(".json", "")
+            )
+            round_meds.append(q)
+        history_rounds.append("current")
+        round_meds.append(timings)
+        for name in timings:
+            history[name] = [m.get(name) for m in round_meds]
+    except Exception:
+        pass  # a malformed prior artifact must not fail the bench
+
     # full detail: sidecar file + a PRECEDING stdout line (the driver
     # keeps only the last ~2000 chars of output, so the final line
     # below must stay compact — round 6's single giant line lost the
@@ -321,6 +354,8 @@ def main() -> None:
         "n_samples": n_samples,
         "delta_vs_prev": deltas,
         "prev_round": prev_round,
+        "history": history,
+        "history_rounds": history_rounds,
         "sf": sf,
     }
     # read-merge: a suite run must not erase isolate()'s verdicts —

@@ -1144,6 +1144,7 @@ def containment_small_in_large(
     threshold: float = 0.8,
     small_max: int = 64,
     df_cap: int | None = None,
+    candidates_only: bool = False,
 ) -> DataFrame:
     """Small-doc-in-large-doc containment — the recall hole banded
     MinHash CANNOT reach (q176's documented floor): a tiny doc A
@@ -1284,6 +1285,12 @@ def containment_small_in_large(
         # persist/write the candidate table, the q122/q176 pattern)
         .localCheckpoint(eager=False)
     )
+    if candidates_only:
+        # measurement hook (tools/scale_proof.py): the candidate-pair
+        # table before the exact verify — its growth rate IS the
+        # operator's scaling claim (O(df) per prefix shingle; ~linear
+        # on Zipf text, ~quadratic on the fixed-vocab soup)
+        return cand
     shingle_set = F.array_distinct(shingles(text_col, k))
     a_sets = spread.filter((nsh_expr <= small_max) & (nsh_expr >= 1)).select(
         F.col(id_col).alias("id_a"),
@@ -1333,3 +1340,122 @@ def containment_small_in_large(
         else 0
     )
     return out
+
+
+def shingle_sets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """(doc_id, shingles ARRAY, n_sh) per doc — the persisted-index
+    row shape for containment dedup: `plans/llm_curation` writes this
+    for the kept corpus so day-N increments probe PRECOMPUTED sets
+    instead of re-tokenizing base text (the same O(batch) contract as
+    the digest/signature index)."""
+    arr = F.array_distinct(shingles(text_col, k))
+    return spread_for_cpu(df).select(
+        F.col(id_col).alias("doc_id"),
+        arr.alias("shingles"),
+        F.size(arr).alias("n_sh"),
+    )
+
+
+def containment_vs_index(
+    small_sets: DataFrame,
+    index_sets: DataFrame,
+    dfreq: DataFrame,
+    threshold: float = 0.8,
+    small_max: int = 64,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """:func:`containment_small_in_large`'s INCREMENTAL twin: the same
+    pigeonhole prefix-filter join (rarest ⌊(1−t)·n⌋+1 shingles, exact
+    ``array_intersect`` verify, identical epsilon/tie-break rules so
+    the two paths pick identical prefixes), but over PREBUILT
+    distinct-shingle set frames (:func:`shingle_sets` rows) and a
+    SUPPLIED document-frequency table — the shapes a persisted dedup
+    index provides. The batch path cannot reuse the batch operator
+    directly because that plan derives everything from one corpus
+    scan; here the small side (the new batch), the probe side (base ∪
+    batch sets) and the df table (persisted base df outer-summed with
+    the batch's own counts, vocabulary-sized) arrive separately, and
+    the base side must never be re-tokenized.
+
+    Plan: the small side's prefix picks against ``dfreq``; the
+    distinct prefix-shingle set broadcast-semi-filters the EXPLODED
+    index sets map-side (no index shuffle — at 100 TB the persisted
+    inverted index is bucketed by shingle so this probe prunes file
+    groups instead of scanning); candidates cross as bare id pairs;
+    verify joins the two sides' arrays. Returns the
+    :func:`containment_small_in_large` schema.
+    """
+    from pyspark.sql import Window
+
+    dfreq = dfreq.select("shingle", F.col("_df").cast("long").alias("_df"))
+    small_sh = (
+        small_sets.filter(
+            (F.col("n_sh") <= small_max) & (F.col("n_sh") >= 1)
+        )
+        .select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
+        .join(dfreq, "shingle")
+    )
+    prefix_len = (
+        F.floor(
+            (F.lit(1.0) - F.lit(threshold)) * F.col("n_sh") + F.lit(1e-9)
+        ).cast("int")
+        + F.lit(1)
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("_df").asc(), F.col("shingle").asc()
+    )
+    prefix = (
+        small_sh.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= prefix_len)
+    )
+    if df_cap is not None:
+        prefix = prefix.filter((F.col("_df") <= df_cap) | (F.col("_rn") == 1))
+    prefix = prefix.select(
+        F.col("doc_id").alias("id_a"), "shingle"
+    ).localCheckpoint(eager=True)
+    pset = prefix.select("shingle").distinct()
+    idx = index_sets.select(
+        F.col("doc_id").alias("id_b"), F.explode("shingles").alias("shingle")
+    ).join(F.broadcast(pset), "shingle", "left_semi")
+    cand = (
+        prefix.join(idx, "shingle")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    a_sets = small_sets.filter(
+        (F.col("n_sh") <= small_max) & (F.col("n_sh") >= 1)
+    ).select(
+        F.col("doc_id").alias("id_a"),
+        F.col("shingles").alias("_sa"),
+        F.col("n_sh").alias("n_small"),
+    )
+    b_ids = cand.select(F.col("id_b").alias("doc_id")).distinct()
+    b_sets = index_sets.join(b_ids, "doc_id", "left_semi").select(
+        F.col("doc_id").alias("id_b"),
+        F.col("shingles").alias("_sb"),
+        F.col("n_sh").alias("n_large"),
+    )
+    n_common = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
+    containment = oracle_round(
+        n_common.cast("double") / F.col("n_small").cast("double"), 6
+    )
+    return (
+        cand.join(b_sets, "id_b")
+        .join(F.broadcast(a_sets), "id_a")
+        .filter(
+            n_common.cast("double") / F.col("n_small").cast("double")
+            >= F.lit(threshold)
+        )
+        .select(
+            F.col("id_a").alias("id_small"),
+            F.col("id_b").alias("id_large"),
+            n_common.cast("long").alias("n_common"),
+            F.col("n_small").cast("long").alias("n_small"),
+            F.col("n_large").cast("long").alias("n_large"),
+            containment.alias("containment"),
+        )
+    )

@@ -85,8 +85,87 @@ def neardup_dedup(
     return df.join(keepers, id_col, "left_semi")
 
 
+def url_dedup_keep(
+    df: DataFrame,
+    url_col: str = "url",
+    quality_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Stage-0 URL dedup as a document filter: keep the best copy per
+    canonical URL (``dedup.url_dedup``'s keeper, highest quality then
+    smallest id) and every row whose URL is NULL/blank — a null
+    canonical URL means "no URL known", and collapsing all of those
+    into one group would silently drop almost the whole corpus. One
+    short-string-keyed exchange (the q175 plan), before any content
+    hashing — the cheapest dedup pass a crawl pipeline runs."""
+    from climate_data_pipelines_spark.functions.text import normalize_url
+
+    with_url = df.filter(
+        F.col(url_col).isNotNull() & (normalize_url(F.col(url_col)) != "")
+    )
+    keepers = dedup.url_dedup(
+        with_url, url_col=url_col, quality_col=quality_col, id_col=id_col
+    ).select(F.col("keeper_id").alias(id_col))
+    return df.filter(
+        F.col(url_col).isNull() | (normalize_url(F.col(url_col)) == "")
+    ).unionByName(with_url.join(keepers, id_col, "left_semi"))
+
+
+def containment_dedup(
+    df: DataFrame,
+    threshold: float = 0.9,
+    small_max: int = 16,
+    df_cap: int | None = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Small-in-large containment as a document filter (the q179
+    operator packaged as a curation stage): drop every SMALL doc whose
+    shingles are ≥ ``threshold`` contained in some other kept doc —
+    the tiny excerpt adds no training signal its host doesn't already
+    carry, and banded MinHash can never pair it (Jaccard → 0).
+
+    Mutual-containment tie-break: if A ⊂ B and B ⊂ A both fire (two
+    small near-identical docs the near-dup stage's Jaccard threshold
+    happened to spare), dropping both would lose the content entirely
+    — the smaller id survives, mirroring the exact/near-dup keeper
+    rule. The pair table is candidate-bounded, so these are id-only
+    joins on a small frame."""
+    pairs = dedup.containment_small_in_large(
+        df, text_col=text_col, id_col=id_col, k=3,
+        threshold=threshold, small_max=small_max, df_cap=df_cap,
+    )
+    drop = _containment_drop_ids(pairs, id_col)
+    return df.join(F.broadcast(drop), id_col, "left_anti")
+
+
+def _containment_drop_ids(pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """The ids to drop from a containment pair table: every id_small,
+    except the smaller id of a MUTUAL pair (A ⊂ B and B ⊂ A — dropping
+    both would lose the content entirely; the smaller id survives,
+    mirroring the exact/near-dup keeper rule)."""
+    p = pairs.select("id_small", "id_large").localCheckpoint(eager=True)
+    rev = p.select(
+        F.col("id_small").alias("id_large"), F.col("id_large").alias("id_small")
+    )
+    mutual = p.join(rev, ["id_small", "id_large"], "left_semi")
+    return (
+        p.join(
+            mutual.filter(F.col("id_small") < F.col("id_large")),
+            ["id_small", "id_large"],
+            "left_anti",
+        )
+        .select(F.col("id_small").alias(id_col))
+        .distinct()
+    )
+
+
 def _write_dedup_index(
-    kept: DataFrame, out_dir: str, mode: str = "overwrite"
+    kept: DataFrame,
+    out_dir: str,
+    mode: str = "overwrite",
+    url_col: str | None = None,
+    containment: bool = False,
 ) -> None:
     """Persist the dedup state of the curated corpus — content digests
     (exact-dedup keys) and MinHash signatures (near-dup LSH input) —
@@ -102,19 +181,56 @@ def _write_dedup_index(
 
     ``kept`` must carry (doc_id, text).
 
-    WRITE ORDER IS LOAD-BEARING: signatures first, digests second.
-    ``curate_increment``'s staleness probe validates the index by
-    digest row count alone, so digests must be the COMMIT RECORD — a
-    crash between the two writes then leaves digests missing/stale and
-    the probe rebuilds both tables. The previous order (digests first)
-    let a crash strand a stale signatures table behind a valid-looking
-    digest count, silently missing near-dups of the latest increment
-    (r7 advice, medium)."""
-    from climate_data_pipelines_spark.functions.text import normalize_text
+    WRITE ORDER IS LOAD-BEARING: signatures (and the optional url /
+    containment tables) first, digests LAST. ``curate_increment``'s
+    staleness probe validates the index by digest row count alone, so
+    digests must be the COMMIT RECORD — a crash between the writes
+    then leaves digests missing/stale and the probe rebuilds every
+    table. The previous order (digests first) let a crash strand a
+    stale signatures table behind a valid-looking digest count,
+    silently missing near-dups of the latest increment (r7 advice,
+    medium).
+
+    r9 optional tables (written only when the corresponding stage is
+    configured, so the default pipeline's index cost is unchanged):
+      - ``urls``: (doc_id, url_norm) of kept docs — increments
+        anti-join new canonical URLs against this instead of re-
+        normalizing base metadata;
+      - ``shingle_sets``: (doc_id, shingles, n_sh) and
+        ``shingle_df``: (shingle, _df) — the containment stage's
+        probe side and document-frequency table; increments never
+        re-tokenize base text. At 100 TB shingle_sets is written
+        bucketed by shingle-hash range so the prefix probe prunes
+        file groups. ``shingle_df`` appends PARTIAL counts per
+        increment; readers aggregate (groupBy sum — vocabulary-sized)
+        so the append path never rewrites the table."""
+    from climate_data_pipelines_spark.functions.text import (
+        normalize_text,
+        normalize_url,
+    )
 
     dedup.minhash_signatures(kept, k=3, n_hashes=MINHASH_N).write.mode(
         mode
     ).parquet(f"{out_dir}/dedup_index/signatures")
+    if url_col is not None:
+        kept.select(
+            "doc_id", normalize_url(F.col(url_col)).alias("url_norm")
+        ).write.mode(mode).parquet(f"{out_dir}/dedup_index/urls")
+    if containment:
+        sets = dedup.shingle_sets(kept).localCheckpoint(eager=True)
+        sets.write.mode(mode).parquet(f"{out_dir}/dedup_index/shingle_sets")
+        (
+            sets.select(F.explode("shingles").alias("shingle"))
+            .groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .write.mode(mode)
+            .parquet(f"{out_dir}/dedup_index/shingle_df")
+        )
+        from climate_data_pipelines_spark.operators.scale import (
+            unpersist_checkpoint,
+        )
+
+        unpersist_checkpoint(sets)
     kept.select(
         "doc_id", F.sha2(normalize_text(F.col("text")), 256).alias("digest")
     ).write.mode(mode).parquet(f"{out_dir}/dedup_index/digests")
@@ -129,6 +245,11 @@ def curate_corpus(
     jaccard_threshold: float = 0.5,
     benchmark_source: str = "src0",
     bench_stride: int = 1,
+    url_col: str | None = None,
+    containment: bool = False,
+    containment_threshold: float = 0.9,
+    containment_small_max: int = 16,
+    containment_df_cap: int | None = 64,
 ) -> dict:
     """Run the full curation chain on the ``documents`` table and
     write trainer shards + manifest to ``out_dir``. The documents
@@ -140,7 +261,20 @@ def curate_corpus(
     grow with the train corpus; on the word-soup scale fixtures an
     unpinned benchmark saturates the 3-shingle space and
     decontaminates the entire corpus, docs/SCALEPROOF.md Finding 4).
-    Returns the manifest dict (per-shard doc/token counts)."""
+
+    r9 optional stages (off by default — existing callers, bench and
+    scale runs are unchanged):
+      - ``url_col``: STAGE 0, URL-level keep-best dedup before any
+        content hashing (crawl corpora arrive with URLs — the
+        reference's own ingest is URL-keyed,
+        pipelines/precipitation_pipeline.py:33-36);
+      - ``containment``: small-in-large containment dedup (q179)
+        after the symmetric near-dup stage, closing the
+        LSH-invisible tiny-excerpt-inside-host hole.
+    Both stage configs land in the manifest (``stages``) and both
+    persist their index tables so ``curate_increment`` stays
+    O(batch). Returns the manifest dict (per-shard doc/token
+    counts)."""
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.filter(
         (F.col("source") == benchmark_source)
@@ -150,6 +284,8 @@ def curate_corpus(
 
     from climate_data_pipelines_spark.operators.scale import unpersist_checkpoint
 
+    if url_col is not None:
+        train = url_dedup_keep(train, url_col=url_col)
     passed = train.filter(textops.quality_predicate("text"))
     # materialize the quality+exact-dedup output ONCE: the near-dup
     # stage references it four ways (signatures, Jaccard endpoint
@@ -162,6 +298,19 @@ def curate_corpus(
     clean = training.bloom_decontaminate(
         neardup_free, bench, k=3, expected_items=20_000, fpp=0.01
     )
+    if containment:
+        # AFTER decontamination, not before: a tiny doc whose only
+        # host was decon-dropped is clean, unique content and must
+        # survive — only containment in a KEPT host makes it
+        # redundant. (Also the order under which the day-N increment
+        # — whose containment index is the kept base corpus — is
+        # exactly parity with this full run.)
+        clean = containment_dedup(
+            clean,
+            threshold=containment_threshold,
+            small_max=containment_small_max,
+            df_cap=containment_df_cap,
+        )
     # materialize the curated corpus ONCE: the shard join below
     # references it on both sides (payload + shard_assign), so an
     # unmaterialized plan would evaluate the whole expensive chain
@@ -176,15 +325,31 @@ def curate_corpus(
         mixed.drop("n_tok")
         .join(sharded.select("doc_id", "n_tok", "shard"), "doc_id")
     )
+    stages = {
+        "url_dedup": {"url_col": url_col} if url_col is not None else None,
+        "containment": {
+            "threshold": containment_threshold,
+            "small_max": containment_small_max,
+            "df_cap": containment_df_cap,
+        }
+        if containment
+        else None,
+        "jaccard_threshold": jaccard_threshold,
+        "alpha": alpha,
+        "benchmark_source": benchmark_source,
+    }
     manifest = sinks.write_training_shards(
-        out, out_dir, tokens_per_shard=tokens_per_shard
+        out, out_dir, tokens_per_shard=tokens_per_shard, stages=stages
     )
     # persist the dedup index of what actually landed (read back from
     # the shards, same verification stance as the manifest) so day-N
     # increments never re-hash the base corpus
+    index_cols = ["doc_id", "text"] + ([url_col] if url_col else [])
     _write_dedup_index(
-        spark.read.parquet(f"{out_dir}/shards").select("doc_id", "text"),
+        spark.read.parquet(f"{out_dir}/shards").select(*index_cols),
         out_dir,
+        url_col=url_col,
+        containment=containment,
     )
     unpersist_checkpoint(mixed)
     unpersist_checkpoint(unique)
@@ -228,10 +393,29 @@ def curate_increment(
          last shard; parquet append + a fresh read-back manifest that
          covers base + increment together.
 
-    Temperature mixing is deliberately NOT re-run per increment — mix
-    ratios are a global property of the corpus; rebalance by running
-    the full job when the recipe changes. Returns the combined
-    manifest.
+    r9: the base manifest's ``stages`` record drives two further
+    stages automatically — the increment applies the SAME recipe the
+    base was curated with, read from the artifact, never from caller
+    arguments:
+      - URL dedup (stage 0): keep-best within the batch, then an
+        anti-join of the batch's canonical URLs against the persisted
+        ``dedup_index/urls`` (short-string keys, O(batch));
+      - small-in-large containment (after the cross-corpus near-dup
+        AND decontamination — only containment in a KEPT host drops):
+        the batch's shingle sets (computed fresh, O(batch)) probe the
+        persisted ``shingle_sets``/aggregated ``shingle_df`` via
+        :func:`dedup.containment_vs_index` — base text is never
+        re-tokenized. New docs contained in base-or-batch hosts are
+        dropped; mutual batch-batch pairs keep the smaller id.
+
+    APPEND-ONLY ASYMMETRY (same contract as the near-dup stage's
+    drop-the-NEW-member rule): an increment never removes base docs,
+    so a base doc contained in a NEW larger host — or a base URL
+    whose recrawl is better — stays; reconciling those is a full-run
+    event. Temperature mixing is deliberately NOT re-run per
+    increment — mix ratios are a global property of the corpus;
+    rebalance by running the full job when the recipe changes.
+    Returns the combined manifest.
     """
     import pyspark.sql.functions as F
 
@@ -241,6 +425,17 @@ def curate_increment(
     base_max_shard = (
         base.agg(F.coalesce(F.max("shard"), F.lit(-1)).alias("m")).collect()[0]["m"]
     )
+
+    # the base manifest is read FIRST: it carries both the shard cap
+    # and (r9) the stage recipe the base was curated with — the
+    # increment applies the same stages, from the artifact
+    import json as _json
+
+    with open(f"{base_dir}/manifest.json") as fh:
+        base_manifest = _json.load(fh)
+    stages = base_manifest.get("stages") or {}
+    url_conf = stages.get("url_dedup")
+    cont_conf = stages.get("containment")
 
     # PRECONDITION: doc_ids are globally unique across the batch and
     # the base corpus. A crawl that restarts its id sequence per day
@@ -277,9 +472,39 @@ def curate_increment(
     except AnalysisException:
         pass
     if sb is None:
-        _write_dedup_index(base.select("doc_id", "text"), base_dir)
+        rebuild_cols = ["doc_id", "text"] + (
+            [url_conf["url_col"]] if url_conf else []
+        )
+        _write_dedup_index(
+            base.select(*rebuild_cols),
+            base_dir,
+            url_col=url_conf["url_col"] if url_conf else None,
+            containment=bool(cont_conf),
+        )
         base_digests_df = spark.read.parquet(f"{base_dir}/dedup_index/digests")
         sb = spark.read.parquet(f"{base_dir}/dedup_index/signatures")
+
+    if url_conf:
+        # STAGE 0 (manifest-driven): keep-best per canonical URL
+        # within the batch, then drop batch docs whose canonical URL
+        # the base already kept — short-string keys both sides, the
+        # base metadata is read from the persisted urls table, never
+        # re-normalized from base rows
+        from climate_data_pipelines_spark.functions.text import normalize_url
+
+        uc = url_conf["url_col"]
+        new_docs = url_dedup_keep(new_docs, url_col=uc)
+        base_urls = (
+            spark.read.parquet(f"{base_dir}/dedup_index/urls")
+            .select(F.col("url_norm").alias("_u"))
+            .filter(F.col("_u").isNotNull() & (F.col("_u") != ""))
+            .distinct()
+        )
+        new_docs = (
+            new_docs.withColumn("_u", normalize_url(F.col(uc)))
+            .join(base_urls, "_u", "left_anti")
+            .drop("_u")
+        )
 
     passed = new_docs.filter(textops.quality_predicate("text"))
     unique = dedup.exact_dedup(passed).localCheckpoint(eager=True)
@@ -313,6 +538,40 @@ def curate_increment(
         survivors = training.bloom_decontaminate(
             survivors, benchmark, k=3, expected_items=20_000, fpp=0.01
         )
+    if cont_conf:
+        # small-in-large containment vs base ∪ batch (manifest-driven,
+        # mirrors curate_corpus's stage order: after near-dup AND
+        # decontamination, so only containment in a KEPT host drops a
+        # doc). Batch sets are computed fresh (O(batch)); the base
+        # side is the persisted shingle_sets/shingle_df — shingle_df
+        # holds PARTIAL counts per append, aggregated here
+        # (vocabulary-sized agg, never a base-text re-tokenize).
+        batch_sets = dedup.shingle_sets(survivors).localCheckpoint(
+            eager=True
+        )
+        base_sets = spark.read.parquet(f"{base_dir}/dedup_index/shingle_sets")
+        base_df = spark.read.parquet(f"{base_dir}/dedup_index/shingle_df")
+        batch_df = (
+            batch_sets.select(F.explode("shingles").alias("shingle"))
+            .groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+        )
+        dfreq = (
+            base_df.unionByName(batch_df)
+            .groupBy("shingle")
+            .agg(F.sum("_df").alias("_df"))
+        )
+        pairs = dedup.containment_vs_index(
+            batch_sets,
+            base_sets.unionByName(batch_sets),
+            dfreq,
+            threshold=cont_conf["threshold"],
+            small_max=cont_conf["small_max"],
+            df_cap=cont_conf["df_cap"],
+        )
+        contained = _containment_drop_ids(pairs)
+        survivors = survivors.join(F.broadcast(contained), "doc_id", "left_anti")
+        unpersist_checkpoint(batch_sets)
     survivors = survivors.localCheckpoint(eager=True)
     # cand is only safe to free AFTER survivors has materialized — the
     # lazy verify stage reads its blocks (unlike neardup_dedup, where
@@ -320,16 +579,12 @@ def curate_increment(
     # earlier raised checkpointRDDBlockIdNotFound in the e2e test)
     unpersist_checkpoint(cand)
 
-    # shard cap: read the CONFIGURED tokens_per_shard the base run
-    # recorded in its manifest. Inferring it from max(observed tokens)
-    # ratchets upward across successive increments, because shards
-    # overshoot the cap at document boundaries and each append rewrites
-    # the manifest from the ever-larger union (round-6 advice). The
-    # observed-max fallback only covers pre-r7 manifests.
-    import json as _json
-
-    with open(f"{base_dir}/manifest.json") as fh:
-        base_manifest = _json.load(fh)
+    # shard cap: the CONFIGURED tokens_per_shard from the base
+    # manifest (read once above). Inferring it from max(observed
+    # tokens) ratchets upward across successive increments, because
+    # shards overshoot the cap at document boundaries and each append
+    # rewrites the manifest from the ever-larger union (round-6
+    # advice). The observed-max fallback only covers pre-r7 manifests.
     cap = base_manifest.get("tokens_per_shard") or max(
         (s["tokens"] for s in base_manifest["shards"]), default=20_000
     )
@@ -344,14 +599,23 @@ def curate_increment(
         .withColumn("keep_rate", F.lit(1.0))
     )
     out = out.select(*spark.read.parquet(f"{base_dir}/shards").columns)
-    # re-record the configured cap so day-N+1 reads the same value
+    # re-record the configured cap AND the stage recipe so day-N+1
+    # reads the same values (the append rewrites manifest.json)
     manifest = sinks.write_training_shards(
-        out, base_dir, mode="append", tokens_per_shard=int(cap)
+        out, base_dir, mode="append", tokens_per_shard=int(cap),
+        stages=stages or None,
     )
     # keep the dedup index in lockstep with the shards so day-N+1
     # joins against today's appends too; a crash before this append
     # leaves a stale index the next increment detects and rebuilds
-    _write_dedup_index(out.select("doc_id", "text"), base_dir, mode="append")
+    index_cols = ["doc_id", "text"] + ([url_conf["url_col"]] if url_conf else [])
+    _write_dedup_index(
+        out.select(*index_cols),
+        base_dir,
+        mode="append",
+        url_col=url_conf["url_col"] if url_conf else None,
+        containment=bool(cont_conf),
+    )
     unpersist_checkpoint(survivors)
     unpersist_checkpoint(unique)
     return manifest

@@ -471,6 +471,7 @@ def write_training_shards(
     out_dir: str,
     mode: str = "overwrite",
     tokens_per_shard: int | None = None,
+    stages: dict | None = None,
 ) -> dict:
     """Trainer-facing shard sink: parquet partitioned by ``shard``
     (one directory per shard — the unit a dataloader maps to one
@@ -517,6 +518,11 @@ def write_training_shards(
     }
     if tokens_per_shard is not None:
         manifest["tokens_per_shard"] = int(tokens_per_shard)
+    if stages is not None:
+        # the curation-stage configuration that produced these shards
+        # (r9: url dedup / containment knobs) — recorded so increments
+        # and audits read the recipe from the artifact, not the code
+        manifest["stages"] = stages
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "manifest.json"), "w") as fh:
         json.dump(manifest, fh, indent=1)

@@ -269,6 +269,184 @@ def test_curate_increment_matches_full_rerun(spark, sf_dir, tmp_path_factory):
     )
 
 
+def test_curate_increment_parity_with_url_and_containment_stages(
+    spark, sf_dir, tmp_path_factory
+):
+    """r9 stages end-to-end: URL dedup (stage 0) + small-in-large
+    containment, on in BOTH the base run and — driven by the base
+    manifest's ``stages`` record, not caller args — the increment.
+    Parity contract: day-0 + day-1 increment == from-scratch run over
+    the union, at the surviving-doc level, with planted URL-dups and
+    planted tiny-in-host excerpts dropped by both paths.
+
+    Universe: sf docs + a ``url`` column (messy but unique per doc).
+    Planted day-1 cases: (a) 3 docs re-crawl day-0 URLs with SHORTER
+    text (the base copy is the keep-best winner, so increment-drops-
+    the-new == full-keeps-the-base — the append-only asymmetry's happy
+    direction); (b) 3 tiny 12-token excerpts of long day-0 hosts
+    (containment = 1.0, Jaccard ~ 0 — LSH-invisible)."""
+    import pyspark.sql.functions as F
+
+    from climate_data_pipelines_spark.catalog import load_table
+    from climate_data_pipelines_spark.functions.text import tokens as _toks
+    from climate_data_pipelines_spark.plans.llm_curation import (
+        curate_corpus,
+        curate_increment,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # messy-but-canonical-unique URL per doc (q175's convention)
+    url = F.concat(
+        F.lit("HTTPS://Example.COM:443/corpus/"),
+        F.col("doc_id").cast("string"),
+        F.lit("/?utm_source=t"),
+    )
+    day0 = docs.filter(F.col("doc_id") % 2 == 0).withColumn("url", url)
+    day1_nat = (
+        docs.filter((F.col("doc_id") % 2 == 1) & (F.col("source") != "src0"))
+        .withColumn("url", url)
+    )
+
+    day0_dir = str(tmp_path_factory.mktemp("r9_day0"))
+    univ_dir = str(tmp_path_factory.mktemp("r9_univ"))
+    day0.write.parquet(f"{day0_dir}/documents.parquet")
+
+    inc_out = str(tmp_path_factory.mktemp("r9_inc"))
+    full_out = str(tmp_path_factory.mktemp("r9_full"))
+    stage_kwargs = dict(
+        alpha=1.0,
+        tokens_per_shard=300,
+        url_col="url",
+        containment=True,
+        containment_threshold=0.9,
+        containment_small_max=16,
+        containment_df_cap=None,  # lossless contract for parity
+    )
+    base_manifest = curate_corpus(spark, day0_dir, inc_out, **stage_kwargs)
+
+    # plant against docs the base run KEPT (a host dropped by
+    # quality/near-dup/decon can't drop its excerpt in either path —
+    # the planted assertions would be vacuous)
+    hosts = (
+        spark.read.parquet(f"{inc_out}/shards")
+        .filter(F.size(_toks("text")) >= 40)
+        .orderBy("doc_id")
+        .limit(6)
+        .collect()
+    )
+    assert len(hosts) == 6, "fixture needs 6 long KEPT day-0 hosts"
+    # planted (a): day-1 re-crawls of kept day-0 URLs, shorter text
+    # (loses keep-best); short unique tokens so quality passes and
+    # only the URL links them to the host
+    recrawls = spark.createDataFrame(
+        [
+            (
+                900_001 + i,
+                " ".join(f"rc{i}t{j}" for j in range(12)),
+                h["lang"],
+                h["source"],
+                12 * 7,
+                # same canonical URL as the day-0 host, messier
+                f"https://example.com/corpus/{h['doc_id']}?utm_source=z",
+            )
+            for i, h in enumerate(hosts[:3])
+        ],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long, url string",
+    )
+    # planted (b): tiny excerpts (tokens 3..14) of kept hosts, own URL
+    tinies = spark.createDataFrame(
+        [
+            (
+                910_001 + i,
+                " ".join(h["text"].split()[3:15]),
+                h["lang"],
+                h["source"],
+                len(" ".join(h["text"].split()[3:15])),
+                f"https://example.com/tiny/{910_001 + i}",
+            )
+            for i, h in enumerate(hosts[3:])
+        ],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long, url string",
+    )
+    day1 = day1_nat.unionByName(recrawls).unionByName(tinies)
+    day0.unionByName(day1).write.parquet(f"{univ_dir}/documents.parquet")
+    # the manifest records the stage recipe
+    assert base_manifest["stages"]["url_dedup"] == {"url_col": "url"}
+    assert base_manifest["stages"]["containment"]["threshold"] == 0.9
+    # the persisted index gained the stage tables
+    assert spark.read.parquet(f"{inc_out}/dedup_index/urls").count() > 0
+    assert spark.read.parquet(f"{inc_out}/dedup_index/shingle_sets").count() > 0
+
+    bench = day0.filter(F.col("source") == "src0")
+    combined = curate_increment(spark, day1, inc_out, benchmark=bench)
+    curate_corpus(spark, univ_dir, full_out, **stage_kwargs)
+
+    inc = spark.read.parquet(f"{inc_out}/shards")
+    full = spark.read.parquet(f"{full_out}/shards")
+
+    # planted drops: no recrawl or tiny-excerpt doc survives either path
+    planted = {r["doc_id"] for r in recrawls.collect()} | {
+        r["doc_id"] for r in tinies.collect()
+    }
+    for frame, label in ((inc, "increment"), (full, "full run")):
+        kept = {
+            r["doc_id"]
+            for r in frame.filter(F.col("doc_id") >= 900_000).collect()
+        }
+        assert not kept, f"{label} kept planted dup/contained docs {kept}"
+
+    # parity at the equivalence-class level (the level the two paths
+    # are DEFINED to agree at — doc-id choice inside a near-dup class
+    # is policy: full keeps the global min id, the increment keeps the
+    # base member; see test_curate_increment_matches_full_rerun).
+    # Planted recrawls/tinies have unique text, so each is its own
+    # class: their classes must be absent from BOTH paths (asserted
+    # above), and every other class must survive in both or neither.
+    from climate_data_pipelines_spark.functions.text import normalize_text
+    from climate_data_pipelines_spark.operators import dedup, textops
+    from climate_data_pipelines_spark.queries import MINHASH_BANDS, MINHASH_N
+
+    assert inc.count() == full.count(), "survivor counts diverge"
+    train = day0.unionByName(day1).filter(F.col("source") != "src0")
+    uniq = dedup.exact_dedup(
+        train.filter(textops.quality_predicate("text"))
+    ).localCheckpoint(eager=True)
+    sigs = dedup.minhash_signatures(uniq, k=3, n_hashes=MINHASH_N)
+    cand = dedup.minhash_lsh_candidates(
+        sigs, n_hashes=MINHASH_N, bands=MINHASH_BANDS
+    )
+    ver = dedup.jaccard_on_pairs(uniq, cand, k=3).filter(
+        F.col("jaccard") >= 0.5
+    ).select("id_a", "id_b")
+    comps = dedup.connected_components(
+        ver, nodes=uniq.select("doc_id"), node_col="doc_id"
+    )
+    digest = F.sha2(normalize_text(F.col("text")), 256).alias("_d")
+    d2c = (
+        uniq.select("doc_id", digest)
+        .join(comps, "doc_id")
+        .select("_d", "component")
+    )
+    ic = inc.select(digest).join(d2c, "_d").select("component").distinct()
+    fc = full.select(digest).join(d2c, "_d").select("component").distinct()
+    diff = ic.unionByName(fc).groupBy("component").count().filter(
+        F.col("count") != 2
+    )
+    assert diff.isEmpty(), (
+        "surviving equivalence classes diverge between the increment "
+        "and the from-scratch run (url+containment stages on)"
+    )
+    # increment rewrote the manifest with the stage recipe intact
+    assert combined["stages"]["url_dedup"] == {"url_col": "url"}
+    # index lockstep: urls/shingle_sets cover the whole union now
+    assert (
+        spark.read.parquet(f"{inc_out}/dedup_index/shingle_sets").count()
+        == inc.count()
+    )
+
+
 def test_dedup_index_lockstep_and_self_heal(spark, sf_dir, tmp_path_factory):
     """The persisted dedup index (digests + MinHash signatures of the
     kept corpus) must (a) be written by curate_corpus, (b) be kept in

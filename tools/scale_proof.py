@@ -158,14 +158,69 @@ def _fixed_bench_semantic_decontaminate(spark, sf_dir):
     )
 
 
+def _q179_corpus(spark, sf_dir):
+    """q179's corpus construction (queries.py q179): the scan plus 25
+    planted 16-token excerpts of hosts 0-24 at id+950000 — replicated
+    here so the candidate/recovery probes measure exactly the corpus
+    the registry query runs on."""
+    from pyspark.sql import functions as F
+
+    from climate_data_pipelines_spark.catalog import load_table
+    from climate_data_pipelines_spark.functions.text import tokens as _toks
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tiny = docs.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 950000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(_toks("text"), 5, 16)).alias("text"),
+    )
+    return docs.unionByName(tiny)
+
+
+def _q179_candidates(spark, sf_dir):
+    """The candidate-pair table BEFORE the exact verify — its growth
+    rate is q179's scaling claim: each prefix shingle fans out by its
+    document frequency, so candidates grow ~linearly when prefix df is
+    O(1) (Zipf text) and ~quadratically when df grows with the corpus
+    (the fixed-30-type soup, dammed only by df_cap)."""
+    from climate_data_pipelines_spark.operators import dedup
+
+    return dedup.containment_small_in_large(
+        _q179_corpus(spark, sf_dir), k=3, threshold=0.9, small_max=16,
+        df_cap=64, candidates_only=True,
+    )
+
+
+def _q179_planted_recovery(spark, sf_dir):
+    """Recall floor at every scale: the 25 planted excerpts must come
+    back as (tiny → its own host) pairs — rows == 25 or the prefix
+    join lost a pigeonhole-guaranteed pair."""
+    from pyspark.sql import functions as F
+
+    from climate_data_pipelines_spark.queries import REGISTRY
+
+    out = REGISTRY["q179_small_in_large_containment"].fn(spark, sf_dir)
+    return out.filter(
+        (F.col("id_small") >= 950000)
+        & (F.col("id_large") == F.col("id_small") - 950000)
+    )
+
+
 CUSTOM = {
     "q139_fixed_bench_decontaminate": _fixed_bench_decontaminate,
     "q166_fixed_bench_semantic_decon": _fixed_bench_semantic_decontaminate,
+    "q179_candidates": _q179_candidates,
+    "q179_planted_recovery": _q179_planted_recovery,
 }
 
 
 def main() -> None:
-    dirs = sys.argv[1:] or ["scaledata/x1", "scaledata/x10"]
+    argv = list(sys.argv[1:])
+    section = "queries"
+    if "--section" in argv:
+        i = argv.index("--section")
+        section = argv[i + 1]
+        del argv[i : i + 2]
+    dirs = argv or ["scaledata/x1", "scaledata/x10"]
 
     from climate_data_pipelines_spark import get_spark
     from climate_data_pipelines_spark.catalog import load_table, table_rows
@@ -185,7 +240,21 @@ def main() -> None:
 
     base = dirs[0]
     out: dict = {"dirs": dirs, "repeats": REPEATS, "queries": {}}
-    if only and os.path.exists(out_path):
+    if section != "queries":
+        # named section (e.g. --section zipf, --section x1000): results
+        # land under out[section] = {dirs, repeats, queries}, merging
+        # with the existing file so the default x-family is untouched
+        out = {}
+        if os.path.exists(out_path):
+            with open(out_path) as fh:
+                out = json.load(fh)
+        sec = out.get(section)
+        if not (isinstance(sec, dict) and sec.get("dirs") == dirs):
+            sec = {"dirs": dirs, "repeats": REPEATS, "queries": {}}
+        sec["repeats"] = REPEATS
+        out[section] = sec
+        results = sec["queries"]
+    elif only and os.path.exists(out_path):
         with open(out_path) as fh:
             prev = json.load(fh)
         if prev.get("dirs") == dirs:  # merge only across same-dir runs
@@ -198,6 +267,8 @@ def main() -> None:
                 "DISCARDED on write (re-run prior chunks with these "
                 "dirs, or align the dir arguments to merge)"
             )
+    if section == "queries":
+        results = out["queries"]
     fns = {name: REGISTRY[name].fn for name in QUERIES} | CUSTOM
     for name, fn in fns.items():
         if only and not any(s in name for s in only):
@@ -224,14 +295,16 @@ def main() -> None:
             res[f"rows_ratio_x{mult}"] = round(
                 res[d]["rows"] / max(r1["rows"], 1), 2
             )
-        out["queries"][name] = res
+        results[name] = res
         print(f"{name}: " + "  ".join(
             f"{d.rsplit('/', 1)[-1]} {res[d]['sec']}s/{res[d]['rows']}r"
             for d in dirs
         ))
 
     # ANN: candidate counts + recall@10 vs exact at every scale
-    if only and not any("ann" in s for s in only):
+    # (default section only — the zipf/x1000 families are document
+    # corpora; their embeddings are the copied base tables)
+    if section != "queries" or (only and not any("ann" in s for s in only)):
         with open(out_path, "w") as fh:
             json.dump(out, fh, indent=1)
         print("wrote SCALEPROOF.json (chunk)")
