@@ -45,7 +45,6 @@ import math
 from pyspark.sql import DataFrame, functions as F
 
 from climate_data_pipelines_spark.functions.text import normalize_text, tokens
-from climate_data_pipelines_spark.operators.scale import unpersist_checkpoint
 
 # margins are clamped to ±MARGIN_CLIP before the sigmoid in BOTH the
 # engine and the numpy twin, so near-separable fits stay finite and
@@ -111,6 +110,7 @@ def train_quality_classifier(
     l2: float = 1e-6,
     id_col: str = "doc_id",
     label_col: str = "label",
+    grad_tol: float = 1e-3,
 ) -> DataFrame:
     """Full-batch logistic regression with Adagrad over hashed
     features.
@@ -121,13 +121,20 @@ def train_quality_classifier(
     ``classifier_score``.
 
     Loop shape (the 100 TB contract): the labeled feature table is
-    materialized ONCE (loop-invariant checkpoint, real stats — the
-    per-epoch weight join broadcasts the WEIGHTS, never this table).
-    Each epoch is one lazy plan ending in a (dim+1)-row collect:
+    repartitioned BY DOC and persisted once (r9 — ``persist``, not
+    ``localCheckpoint``: a checkpoint's LogicalRDD drops the
+    outputPartitioning metadata, a cached plan keeps it), so the
+    per-epoch margin aggregate reuses the cached co-location and
+    every epoch's only LIVE exchange is the (dim+1)-row feature
+    gradient (plus the broadcast of the weights/residuals). Before
+    this, each epoch re-shuffled the corpus-sized feature table by
+    doc — at the ×100 fixture that was ~13M combined rows × 12
+    epochs of pure re-exchange. Each epoch is one lazy plan ending
+    in a (dim+1)-row collect:
 
-        fl ⋈_bcast weights → Σ per doc (margin)            [shuffle 1]
-          → clamp ±30 → sigmoid residual → ⋈ fl on id      [shuffle 2]
-          → Σ per feat (gradient) → collect dim+1 rows     [shuffle 3]
+        fl(cached, hash(doc)) ⋈_bcast weights → Σ per doc  [no exch]
+          → clamp ±30 → sigmoid residual → ⋈ fl on id      [bcast]
+          → Σ per feat (gradient) → collect dim+1 rows     [dim-sized]
 
     Weights and the Adagrad accumulator update on the driver (plain
     floats): the model is vocabulary-bounded like BPE's merge table,
@@ -135,14 +142,34 @@ def train_quality_classifier(
     unordered float adds, so retrained weights match the in-memory
     twin to ~1e-9 relative, not bit-exactly — the invariant uses a
     tolerance.
+
+    EARLY STOPPING (r9): training stops after the epoch whose
+    regularized gradient RMS (sqrt(mean(g_i²)) over dim+1 entries)
+    falls below ``grad_tol`` — the PageRank convergence pattern, at
+    zero extra cost because the full gradient already reaches the
+    driver each epoch. The rule is mirrored VERBATIM in
+    :func:`numpy_twin_train` so the parity invariant replays the
+    same trajectory; both twins compare the same quantity, and the
+    measured fixture trajectory (rms ~1.2e-2 at epoch 12, ~1.3e-3 at
+    epoch 29) sits orders of magnitude from the default tol, so the
+    float-ordering divergence (~1e-12) cannot flip the stop epoch.
+    Well-separated corpora (residuals → 0 exponentially) stop in a
+    handful of epochs; the default fixture runs all 12.
     """
     spark = features.sparkSession
-    fl = features.join(
-        labels.select(F.col(id_col), F.col(label_col).cast("double").alias("_y")),
-        id_col,
-    ).localCheckpoint(eager=True)
+    fl = (
+        features.join(
+            labels.select(
+                F.col(id_col), F.col(label_col).cast("double").alias("_y")
+            ),
+            id_col,
+        )
+        .repartition(F.col(id_col))
+        .persist()
+    )
     n = fl.select(id_col).distinct().count()
     if n == 0:
+        fl.unpersist()
         raise ValueError("train_quality_classifier: no labeled documents")
 
     w = [0.0] * (dim + 1)
@@ -179,11 +206,15 @@ def train_quality_classifier(
             .collect()
         )
         grad = {r["feat"]: r["g"] for r in grad_rows}
+        sq = 0.0
         for i in range(dim + 1):
             g = grad.get(i, 0.0) / n + l2 * w[i]
+            sq += g * g
             acc[i] += g * g
             w[i] -= lr * g / math.sqrt(acc[i] + 1e-8)
-    unpersist_checkpoint(fl)
+        if math.sqrt(sq / (dim + 1)) < grad_tol:
+            break  # converged — mirrored in numpy_twin_train
+    fl.unpersist()
     return spark.createDataFrame(
         [(i, wi) for i, wi in enumerate(w)], "feat int, weight double"
     )
@@ -219,6 +250,7 @@ def numpy_twin_train(
     lr: float = 0.5,
     l2: float = 1e-6,
     bigrams: bool = True,
+    grad_tol: float = 1e-3,
 ) -> list[float]:
     """In-memory reference trainer for the replay invariant: identical
     feature extraction (lowercase/collapse-whitespace → whitespace
@@ -249,6 +281,10 @@ def numpy_twin_train(
         g = X.T @ r / n + l2 * w
         acc += g * g
         w = w - lr * g / np.sqrt(acc + 1e-8)
+        # early stop mirrored from train_quality_classifier: same
+        # post-update gradient-RMS rule, same default tol
+        if float(np.sqrt(np.mean(g * g))) < grad_tol:
+            break
     return [float(v) for v in w]
 
 

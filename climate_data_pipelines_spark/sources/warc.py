@@ -355,3 +355,40 @@ def warc_doc_id(uri_col: Column | str) -> Column:
     """doc_id back out of the fixture's WARC-Target-URI."""
     c = F.col(uri_col) if isinstance(uri_col, str) else uri_col
     return F.regexp_extract(c, r"/doc/(\d+)$", 1).cast("long")
+
+
+def warc_records_to_documents(records: DataFrame) -> DataFrame:
+    """WARC response records → ``documents``-shaped rows, the shared
+    ingest projection for BOTH the batch path (``read_warc`` →
+    this → ``plans.llm_curation.curate_increment``) and the streaming
+    path (``streaming.jobs.warc_ingest_increment``'s foreachBatch) —
+    one definition, two execution modes, so file-arrival ingestion is
+    provably the same transform as the batch increment.
+
+    Column derivations (pure expressions, no UDF):
+      - ``doc_id``: the fixture's ``/doc/<n>`` suffix when present,
+        else a 63-bit xxhash64 of the target URI (crawl pages carry
+        no numeric id; the hash is stable across engines/retries and
+        non-negative so it cannot collide with fixture id space);
+      - ``text``: ``html_to_text`` of the response body;
+      - ``url``: the raw target URI (feeds the URL-dedup stage 0);
+      - ``source``: the URI's host; ``lang``: 'und' (a crawl ingest
+        runs language-ID downstream, q47); ``n_chars``: text length.
+    """
+    uri = F.col("target_uri")
+    text = html_to_text(F.col("body"))
+    return records.filter(F.col("warc_type") == "response").select(
+        F.coalesce(
+            F.nullif(F.regexp_extract(uri, r"/doc/(\d+)$", 1), F.lit(""))
+            .cast("long"),
+            F.pmod(F.xxhash64(uri), F.lit(1 << 62)),
+        ).alias("doc_id"),
+        text.alias("text"),
+        F.lit("und").alias("lang"),
+        F.coalesce(
+            F.nullif(F.regexp_extract(uri, r"^[a-z][a-z0-9+.-]*://([^/]+)", 1), F.lit("")),
+            F.lit("unknown"),
+        ).alias("source"),
+        F.length(text).cast("long").alias("n_chars"),
+        uri.alias("url"),
+    )

@@ -429,3 +429,82 @@ def decontaminate_stream(
         )
         .drop("_bench_shingles")
     )
+
+
+def read_warc_stream(
+    spark: SparkSession, warc_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-arrival stream over a directory of ``.warc`` /
+    ``.warc.gz`` crawl files — ``sources.warc.read_warc``'s streaming
+    twin (r8 verdict item 8): a crawl's day-N increment ARRIVES as new
+    WARC files, and ``readStream.format("binaryFile")`` turns each
+    arrival into micro-batch rows without any new source code — the
+    same Arrow-batched record walk (``parse_warc_payloads``) runs on
+    the stream because ``mapInPandas`` is stateless. One task per
+    file, the format's own parallelism unit (gzip members are not
+    seekable)."""
+    from climate_data_pipelines_spark.sources import warc as warc_src
+
+    ensure_session_confs(spark)
+    # streaming file sources require an explicit schema; binaryFile's
+    # is FIXED by the format (path/modificationTime/length/content) —
+    # declared verbatim, never inferred
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("pathGlobFilter", "*.warc*")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    binary = reader.load(warc_dir)
+    return warc_src.parse_warc_payloads(
+        binary.select(F.col("content").alias("payload"))
+    )
+
+
+def warc_ingest_increment(
+    spark: SparkSession,
+    warc_dir: str,
+    base_dir: str,
+    checkpoint_dir: str,
+    benchmark: DataFrame | None = None,
+) -> None:
+    """Streaming crawl ingestion → incremental curation: every
+    micro-batch of newly-arrived WARC files is parsed, projected to
+    ``documents`` rows (``warc_records_to_documents`` — the SAME
+    projection the batch path uses) and appended to the curated base
+    corpus through ``plans.llm_curation.curate_increment``, which
+    carries all dedup state in its persisted index (digests,
+    signatures, and the manifest-driven url/containment tables).
+
+    ``foreachBatch`` is the right harness here — the increment is a
+    multi-stage batch job (anti-joins against the persisted index, CC
+    over candidate pairs, shard append) that Structured Streaming's
+    incremental operators cannot express, while the SOURCE side
+    (which files are new, exactly-once tracking across restarts) is
+    exactly what the file source + checkpoint already solve. An empty
+    micro-batch (rebalance tick) is skipped. Runs with
+    ``Trigger.AvailableNow`` so a cron-shaped caller drains what has
+    arrived and exits; a long-running deployment would use
+    ``processingTime`` instead."""
+    from climate_data_pipelines_spark.plans.llm_curation import curate_increment
+    from climate_data_pipelines_spark.sources import warc as warc_src
+
+    stream = read_warc_stream(spark, warc_dir)
+
+    def _ingest(batch_df: DataFrame, _batch_id: int) -> None:
+        docs = warc_src.warc_records_to_documents(batch_df)
+        if docs.isEmpty():
+            return
+        curate_increment(spark, docs, base_dir, benchmark=benchmark)
+
+    (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -124,3 +124,39 @@ def test_weight_broadcast_in_score_plan(spark, toy):
     w = classifier.train_quality_classifier(feats, labels, dim=dim, epochs=1)
     plan = classifier.classifier_score(feats, w)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_early_stop_fires_on_separable_toy_and_twins_agree(spark, toy):
+    """Gradient-RMS early stopping (r9): on the cleanly separable toy
+    the margins race outward, residuals decay exponentially and the
+    rms gradient crosses a loose tol well before the epoch budget —
+    BOTH twins must stop at the same epoch and still match weights
+    (the stop rule is part of the trajectory the parity invariant
+    replays). A tol of 0 must reproduce the old fixed-epoch run."""
+    dim = 64
+    feats = classifier.hashed_features(toy, dim=dim)
+    labels = toy.select(
+        "doc_id", (F.col("doc_id") % 2 == 0).cast("int").alias("label")
+    )
+    texts = [(r["doc_id"], r["text"]) for r in toy.collect()]
+    lab = {d: 1 if d % 2 == 0 else 0 for d, _ in texts}
+
+    # generous tol so the stop fires mid-budget on the toy
+    w_stop = classifier.train_quality_classifier(
+        feats, labels, dim=dim, epochs=50, grad_tol=5e-3
+    ).collect()
+    w_np_stop = classifier.numpy_twin_train(
+        texts, lab, dim=dim, epochs=50, grad_tol=5e-3
+    )
+    w_np_full = classifier.numpy_twin_train(
+        texts, lab, dim=dim, epochs=50, grad_tol=0.0
+    )
+    # the twin stopped early: its weights differ from the full run
+    assert max(
+        abs(a - b) for a, b in zip(w_np_stop, w_np_full)
+    ) > 1e-9, "tol=5e-3 did not fire within 50 epochs on the toy"
+    got = [0.0] * (dim + 1)
+    for r in w_stop:
+        got[r["feat"]] = r["weight"]
+    scale = max(max(abs(v) for v in w_np_stop), 1e-12)
+    assert max(abs(a - b) for a, b in zip(got, w_np_stop)) / scale < 1e-6
