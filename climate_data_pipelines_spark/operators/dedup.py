@@ -1162,15 +1162,25 @@ def containment_small_in_large(
       (ascending document frequency) and the candidate join's fan-out
       per prefix shingle is its df, small by construction.
 
-    Stages — the corpus text is exploded exactly TWICE, and the only
-    corpus-sized SHUFFLE is the df aggregation (map-side combined,
-    vocabulary-sized output):
-      1. document-frequency table (corpus explode #1 → one hash agg);
-      2. small docs (≤ ``small_max`` distinct shingles — a pure array
-         expression on the scan, NO sizes shuffle) explode their own
-         shingles and pick the ⌊(1−t)·n⌋+1 rarest (window over the
-         SMALL side only — tiny by definition; ties broken by shingle
-         text so both engines pick identical prefixes);
+    Stages — the corpus's shingle ARRAYS are computed exactly ONCE
+    (r9: ``shingle_sets`` materialized via localCheckpoint; the
+    previous plan recomputed the tokenize→shingle expression — an
+    interpreted higher-order function, the single most expensive
+    per-row kernel in the text family — in FOUR subtrees: dfreq,
+    small-side explode, the semi-filtered index, and the verify
+    arrays. On the 50k-type Zipf ×100 fixture one pass costs ~46 s,
+    so collapsing 4 passes to 1 + a ~200 MB checkpoint cut the z100
+    wall roughly in half). The only corpus-sized SHUFFLE is the df
+    aggregation (map-side combined, vocabulary-sized output); at
+    100 TB the materialized set table is not a throwaway — it IS the
+    ``dedup_index/shingle_sets`` table the incremental path persists,
+    written once and probed by every day-N batch:
+      1. document-frequency table (sets explode → one hash agg);
+      2. small docs (≤ ``small_max`` distinct shingles — an array
+         length filter on the set table, NO sizes shuffle) explode
+         their own shingles and pick the ⌊(1−t)·n⌋+1 rarest (window
+         over the SMALL side only — tiny by definition; ties broken
+         by shingle text so both engines pick identical prefixes);
       3. the distinct prefix-shingle set (a few shingles per small
          doc) BROADCASTS against corpus explode #2 as a semi-join, so
          the inverted index is filtered map-side and never shuffles;
@@ -1198,24 +1208,117 @@ def containment_small_in_large(
     Returns (id_small, id_large, n_common, n_small, n_large,
     containment).
     """
+    sets = shingle_sets(df, text_col=text_col, id_col=id_col, k=k).localCheckpoint(
+        eager=True
+    )
+    # df is only consulted to rank the SMALL docs' own shingles —
+    # counting the rest of the vocabulary is pure waste (r9: the full
+    # 23.8M-group agg on the Zipf ×100 fixture cost 28 s; semi-
+    # filtered to the ~600k small-side hashes the agg is broadcast-
+    # joined map-side and its output is small-side-sized, so NO
+    # vocabulary-sized shuffle remains anywhere in the operator). If
+    # the small side ever outgrows a broadcast (billions of tiny
+    # docs), fall back to the full aggregation or a Bloom prefilter —
+    # recall is unaffected either way, df values for small-doc
+    # shingles are exact in both plans.
+    small_hashes = (
+        sets.filter((F.col("n_sh") <= small_max) & (F.col("n_sh") >= 1))
+        .select(F.explode(_hashed_shingles()).alias("shingle_hash"))
+        .distinct()
+    )
+    dfreq = (
+        sets.select(F.explode(_hashed_shingles()).alias("shingle_hash"))
+        .join(F.broadcast(small_hashes), "shingle_hash", "left_semi")
+        .groupBy("shingle_hash")
+        .agg(F.count("*").alias("_df"))
+    )
+    return containment_vs_index(
+        sets,
+        sets,
+        dfreq,
+        threshold=threshold,
+        small_max=small_max,
+        df_cap=df_cap,
+        candidates_only=candidates_only,
+    )
+
+
+def _hashed_shingles(col: str = "shingles"):
+    """xxhash64 of each shingle — the candidate machinery's join/agg
+    key (r9): 8-byte longs instead of ~18-byte strings keep the df
+    aggregation's hashmap resident (the string-keyed agg at the Zipf
+    ×100 fixture — 23.8M distinct trigrams — fell back to sort+spill
+    and cost 42 s of the 87 s wall; hashed it combines in place).
+    LOSSLESS: the pigeonhole guarantee holds for ANY ⌊(1−t)n⌋+1
+    distinct shingles of the small doc, so a collision-perturbed df
+    ordering still yields a valid prefix, and a collision in the
+    candidate join can only ADD a pair — the string-array
+    ``array_intersect`` verify is exact and kills it. At ~24M keys
+    the 64-bit birthday term is ~1e-5 expected collisions."""
+    return F.transform(F.col(col), lambda s: F.xxhash64(s))
+
+
+def shingle_sets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """(doc_id, shingles ARRAY, n_sh) per doc — the persisted-index
+    row shape for containment dedup: `plans/llm_curation` writes this
+    for the kept corpus so day-N increments probe PRECOMPUTED sets
+    instead of re-tokenizing base text (the same O(batch) contract as
+    the digest/signature index)."""
+    arr = F.array_distinct(shingles(text_col, k))
+    return spread_for_cpu(df).select(
+        F.col(id_col).alias("doc_id"),
+        arr.alias("shingles"),
+        F.size(arr).alias("n_sh"),
+    )
+
+
+def containment_vs_index(
+    small_sets: DataFrame,
+    index_sets: DataFrame,
+    dfreq: DataFrame,
+    threshold: float = 0.8,
+    small_max: int = 64,
+    df_cap: int | None = None,
+    candidates_only: bool = False,
+) -> DataFrame:
+    """The pigeonhole prefix-filter containment join over PREBUILT
+    distinct-shingle set frames (:func:`shingle_sets` rows) and a
+    SUPPLIED document-frequency table — the shared core of BOTH
+    containment paths (r9): :func:`containment_small_in_large` calls
+    it with one materialized set table on both sides (the batch
+    case), and ``plans.llm_curation.curate_increment`` calls it with
+    the batch's fresh sets against the persisted index (base ∪ batch)
+    plus the merged df table — the base side is never re-tokenized.
+
+    Plan: the small side's prefix picks against ``dfreq`` — keyed on
+    ``shingle_hash`` (xxhash64; see :func:`_hashed_shingles` for why
+    hashing is lossless here) — rarest ⌊(1−t)·n⌋+1 shingles;
+    epsilon'd floor so exact threshold boundaries survive IEEE error;
+    ties broken by shingle hash, deterministically; the distinct
+    prefix-shingle set broadcast-semi-filters the EXPLODED index sets
+    map-side (no index shuffle — at 100 TB the persisted inverted
+    index is bucketed by shingle so this probe prunes file groups
+    instead of scanning); candidates cross as bare id pairs; verify
+    joins the two sides' arrays with ``array_intersect`` (no
+    pair×shingle row blow-up). Returns the (id_small, id_large,
+    n_common, n_small, n_large, containment) schema.
+    """
     from pyspark.sql import Window
 
-    spread = spread_for_cpu(df)
-    nsh_expr = F.size(F.array_distinct(shingles(text_col, k)))
-    sh = spread.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(shingles(text_col, k))).alias("shingle"),
+    dfreq = dfreq.select(
+        "shingle_hash", F.col("_df").cast("long").alias("_df")
     )
-    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
-
     small_sh = (
-        spread.filter((nsh_expr <= small_max) & (nsh_expr >= 1))
-        .select(
-            F.col(id_col),
-            nsh_expr.alias("n_sh"),
-            F.explode(F.array_distinct(shingles(text_col, k))).alias("shingle"),
+        small_sets.filter(
+            (F.col("n_sh") <= small_max) & (F.col("n_sh") >= 1)
         )
-        .join(dfreq, "shingle")
+        .select(
+            "doc_id", "n_sh",
+            F.explode(_hashed_shingles()).alias("shingle_hash"),
+        )
+        .join(dfreq, "shingle_hash")
     )
     # ⌊(1−t)·n⌋ + 1, with an epsilon so an EXACT integer boundary
     # survives IEEE error: (1−0.9)·10 evaluates to 0.9999999999999998,
@@ -1229,7 +1332,9 @@ def containment_small_in_large(
         ).cast("int")
         + F.lit(1)
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("_df").asc(), F.col("shingle").asc())
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("_df").asc(), F.col("shingle_hash").asc()
+    )
     prefix = (
         small_sh.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= prefix_len)
@@ -1252,12 +1357,11 @@ def containment_small_in_large(
             F.sum((~keep).cast("long")).alias("pruned_prefix_rows"),
             F.count(F.lit(1)).alias("prefix_rows"),
         ).filter(keep)
-
     # the prefix rows are few (≤ a handful per small doc) but feed two
     # joins (the pset semi-join + the pair join); materialize them so
     # the df agg + window never replay
     prefix = prefix.select(
-        F.col(id_col).alias("id_a"), "shingle"
+        F.col("doc_id").alias("id_a"), "shingle_hash"
     ).localCheckpoint(eager=True)
     if cap_obs is not None:
         pruned = int(cap_obs.get.get("pruned_prefix_rows") or 0)
@@ -1265,17 +1369,20 @@ def containment_small_in_large(
             import warnings
 
             warnings.warn(
-                f"containment_small_in_large: df_cap={df_cap} pruned "
+                f"containment df_cap={df_cap} pruned "
                 f"{pruned}/{cap_obs.get['prefix_rows']} prefix rows — "
                 "recall is no longer lossless for docs whose rarest "
                 "shingles exceed the cap (raise df_cap or pass None "
                 "for the exact contract)",
                 stacklevel=2,
             )
-    pset = prefix.select("shingle").distinct()
-    sh_hit = sh.join(F.broadcast(pset), "shingle", "left_semi")
+    pset = prefix.select("shingle_hash").distinct()
+    idx = index_sets.select(
+        F.col("doc_id").alias("id_b"),
+        F.explode(_hashed_shingles()).alias("shingle_hash"),
+    ).join(F.broadcast(pset), "shingle_hash", "left_semi")
     cand = (
-        prefix.join(sh_hit.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
+        prefix.join(idx, "shingle_hash")
         .filter(F.col("id_a") != F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
@@ -1291,17 +1398,18 @@ def containment_small_in_large(
         # operator's scaling claim (O(df) per prefix shingle; ~linear
         # on Zipf text, ~quadratic on the fixed-vocab soup)
         return cand
-    shingle_set = F.array_distinct(shingles(text_col, k))
-    a_sets = spread.filter((nsh_expr <= small_max) & (nsh_expr >= 1)).select(
-        F.col(id_col).alias("id_a"),
-        shingle_set.alias("_sa"),
-        nsh_expr.alias("n_small"),
+    a_sets = small_sets.filter(
+        (F.col("n_sh") <= small_max) & (F.col("n_sh") >= 1)
+    ).select(
+        F.col("doc_id").alias("id_a"),
+        F.col("shingles").alias("_sa"),
+        F.col("n_sh").alias("n_small"),
     )
-    b_ids = cand.select(F.col("id_b").alias(id_col)).distinct()
-    b_sets = spread.join(b_ids, id_col, "left_semi").select(
-        F.col(id_col).alias("id_b"),
-        shingle_set.alias("_sb"),
-        nsh_expr.alias("n_large"),
+    b_ids = cand.select(F.col("id_b").alias("doc_id")).distinct()
+    b_sets = index_sets.join(b_ids, "doc_id", "left_semi").select(
+        F.col("doc_id").alias("id_b"),
+        F.col("shingles").alias("_sb"),
+        F.col("n_sh").alias("n_large"),
     )
     n_common = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
     containment = oracle_round(
@@ -1340,122 +1448,3 @@ def containment_small_in_large(
         else 0
     )
     return out
-
-
-def shingle_sets(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
-) -> DataFrame:
-    """(doc_id, shingles ARRAY, n_sh) per doc — the persisted-index
-    row shape for containment dedup: `plans/llm_curation` writes this
-    for the kept corpus so day-N increments probe PRECOMPUTED sets
-    instead of re-tokenizing base text (the same O(batch) contract as
-    the digest/signature index)."""
-    arr = F.array_distinct(shingles(text_col, k))
-    return spread_for_cpu(df).select(
-        F.col(id_col).alias("doc_id"),
-        arr.alias("shingles"),
-        F.size(arr).alias("n_sh"),
-    )
-
-
-def containment_vs_index(
-    small_sets: DataFrame,
-    index_sets: DataFrame,
-    dfreq: DataFrame,
-    threshold: float = 0.8,
-    small_max: int = 64,
-    df_cap: int | None = None,
-) -> DataFrame:
-    """:func:`containment_small_in_large`'s INCREMENTAL twin: the same
-    pigeonhole prefix-filter join (rarest ⌊(1−t)·n⌋+1 shingles, exact
-    ``array_intersect`` verify, identical epsilon/tie-break rules so
-    the two paths pick identical prefixes), but over PREBUILT
-    distinct-shingle set frames (:func:`shingle_sets` rows) and a
-    SUPPLIED document-frequency table — the shapes a persisted dedup
-    index provides. The batch path cannot reuse the batch operator
-    directly because that plan derives everything from one corpus
-    scan; here the small side (the new batch), the probe side (base ∪
-    batch sets) and the df table (persisted base df outer-summed with
-    the batch's own counts, vocabulary-sized) arrive separately, and
-    the base side must never be re-tokenized.
-
-    Plan: the small side's prefix picks against ``dfreq``; the
-    distinct prefix-shingle set broadcast-semi-filters the EXPLODED
-    index sets map-side (no index shuffle — at 100 TB the persisted
-    inverted index is bucketed by shingle so this probe prunes file
-    groups instead of scanning); candidates cross as bare id pairs;
-    verify joins the two sides' arrays. Returns the
-    :func:`containment_small_in_large` schema.
-    """
-    from pyspark.sql import Window
-
-    dfreq = dfreq.select("shingle", F.col("_df").cast("long").alias("_df"))
-    small_sh = (
-        small_sets.filter(
-            (F.col("n_sh") <= small_max) & (F.col("n_sh") >= 1)
-        )
-        .select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
-        .join(dfreq, "shingle")
-    )
-    prefix_len = (
-        F.floor(
-            (F.lit(1.0) - F.lit(threshold)) * F.col("n_sh") + F.lit(1e-9)
-        ).cast("int")
-        + F.lit(1)
-    )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.col("_df").asc(), F.col("shingle").asc()
-    )
-    prefix = (
-        small_sh.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= prefix_len)
-    )
-    if df_cap is not None:
-        prefix = prefix.filter((F.col("_df") <= df_cap) | (F.col("_rn") == 1))
-    prefix = prefix.select(
-        F.col("doc_id").alias("id_a"), "shingle"
-    ).localCheckpoint(eager=True)
-    pset = prefix.select("shingle").distinct()
-    idx = index_sets.select(
-        F.col("doc_id").alias("id_b"), F.explode("shingles").alias("shingle")
-    ).join(F.broadcast(pset), "shingle", "left_semi")
-    cand = (
-        prefix.join(idx, "shingle")
-        .filter(F.col("id_a") != F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    a_sets = small_sets.filter(
-        (F.col("n_sh") <= small_max) & (F.col("n_sh") >= 1)
-    ).select(
-        F.col("doc_id").alias("id_a"),
-        F.col("shingles").alias("_sa"),
-        F.col("n_sh").alias("n_small"),
-    )
-    b_ids = cand.select(F.col("id_b").alias("doc_id")).distinct()
-    b_sets = index_sets.join(b_ids, "doc_id", "left_semi").select(
-        F.col("doc_id").alias("id_b"),
-        F.col("shingles").alias("_sb"),
-        F.col("n_sh").alias("n_large"),
-    )
-    n_common = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
-    containment = oracle_round(
-        n_common.cast("double") / F.col("n_small").cast("double"), 6
-    )
-    return (
-        cand.join(b_sets, "id_b")
-        .join(F.broadcast(a_sets), "id_a")
-        .filter(
-            n_common.cast("double") / F.col("n_small").cast("double")
-            >= F.lit(threshold)
-        )
-        .select(
-            F.col("id_a").alias("id_small"),
-            F.col("id_b").alias("id_large"),
-            n_common.cast("long").alias("n_common"),
-            F.col("n_small").cast("long").alias("n_small"),
-            F.col("n_large").cast("long").alias("n_large"),
-            containment.alias("containment"),
-        )
-    )

@@ -550,15 +550,22 @@ def curate_increment(
             eager=True
         )
         base_sets = spark.read.parquet(f"{base_dir}/dedup_index/shingle_sets")
-        base_df = spark.read.parquet(f"{base_dir}/dedup_index/shingle_df")
+        # the persisted df table keys on the shingle STRING (stable,
+        # auditable format); the candidate core keys on xxhash64 —
+        # hash at read and re-aggregate (vocabulary-sized, long keys)
+        base_df = spark.read.parquet(
+            f"{base_dir}/dedup_index/shingle_df"
+        ).select(F.xxhash64("shingle").alias("shingle_hash"), "_df")
         batch_df = (
-            batch_sets.select(F.explode("shingles").alias("shingle"))
-            .groupBy("shingle")
+            batch_sets.select(
+                F.explode(dedup._hashed_shingles()).alias("shingle_hash")
+            )
+            .groupBy("shingle_hash")
             .agg(F.count("*").alias("_df"))
         )
         dfreq = (
             base_df.unionByName(batch_df)
-            .groupBy("shingle")
+            .groupBy("shingle_hash")
             .agg(F.sum("_df").alias("_df"))
         )
         pairs = dedup.containment_vs_index(

@@ -5492,8 +5492,79 @@ def q181(spark, sf_dir):
 #     re-measure / possible bisect); (d) six oldest r5-only oracle
 #     queries (q37/q40/q123/q127/q129/q132). Rows-only slots: q173,
 #     q131, q54, q72, q88, q89, q91, q126 = 8 <= 9.
+#   round 9 (this list): (a) the COMPLETE 40-query r5-only stale
+#     cohort — after this round no registry query's driver row is
+#     older than round 6 (the r8 verdict's item 5, the whole list:
+#     q40-q47 subset, q58-q66, q92, q123, q129, q132, q134/q135,
+#     q137-q139, q142-q160 subset); (b) re-proofs of every plan
+#     round 9 touches — the spread_for_cpu size gate's adopters with
+#     new small-scale plans (q177/q178/q181), the df_cap-observed
+#     prefix join (q179), the LUT-rewritten JPEG entropy decoder
+#     (q172, rows+INV), the levenshtein repartition-target change
+#     (q136), the WARC resync sanity gates (q174), the classifier's
+#     co-partitioned persist + early stopping (q173, rows+INV);
+#     (c) the two pipeline-composition neighbors (q175 URL dedup now
+#     feeding curation stage 0, q176 the containment family peer).
+#     Rows-only slots: q134, q135, q144, q155, q157, q158, q42,
+#     q172, q173 = 9 <= 9 (exactly at the cap).
 DRIVER_WINDOW: list[str] = [
-    # never driver-checked — the round-7 verdict's top item
+    # (b) re-proofs of round-9-touched plans lead
+    "q177_trigram_lm_score",
+    "q178_simhash_capped_candidates",
+    "q181_perplexity_bucket_mix",
+    "q179_small_in_large_containment",
+    "q172_avi_mjpeg_frames",
+    "q136_edit_distance_verify",
+    "q174_warc_ingest",
+    "q173_quality_classifier",
+    # (c) pipeline-composition neighbors
+    "q175_url_dedup",
+    "q176_containment_neardup",
+    # (a) the complete r5-only stale cohort, oldest driver rows left
+    "q123_simhash_fingerprints",
+    "q129_minhash64_candidates",
+    "q132_repeated_spans",
+    "q134_strip_spans",
+    "q135_mvt_tiles",
+    "q137_sessionize",
+    "q138_stratified_sample",
+    "q139_bloom_decontaminate",
+    "q142_domain_cap",
+    "q143_quality_calibrate",
+    "q144_audio_features",
+    "q145_funnel",
+    "q146_retention",
+    "q147_gap_fill",
+    "q148_event_paths",
+    "q149_value_outliers",
+    "q150_bm25_topk",
+    "q152_gap_interpolate",
+    "q153_robust_outliers",
+    "q154_scd2_intervals",
+    "q155_jpeg_features",
+    "q157_video_features",
+    "q158_frame_sample",
+    "q159_weighted_sample",
+    "q160_heavy_hitters",
+    "q40_ngram_jaccard",
+    "q41_minhash_signatures",
+    "q42_simhash",
+    "q45_token_count",
+    "q46_fingerprint",
+    "q47_lang_id",
+    "q58_cube_grouping",
+    "q60_percentiles",
+    "q61_unpivot",
+    "q62_pivot",
+    "q63_string_suite",
+    "q64_math_suite",
+    "q65_conditional_suite",
+    "q66_array_suite",
+    "q92_land_mask_grid",
+]
+
+_ROUND8_WINDOW: list[str] = [
+    # retained for the rotation record (served as DRIVER_WINDOW in r8)
     "q173_quality_classifier",
     "q174_warc_ingest",
     # full r4-only cohort (stalest driver rows in any CORRECTNESS file)
