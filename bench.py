@@ -110,6 +110,13 @@ HEADLINE = [
     "q179_small_in_large_containment",
     "q180_corpus_datasheet",
     "q181_perplexity_bucket_mix",
+    # round-9 additions: cross-source overlap matrix, Gopher rule
+    # gate (zero-shuffle), domain reputation profile, per-source
+    # benchmark-contamination report
+    "q182_cross_source_overlap",
+    "q183_gopher_rules",
+    "q184_domain_reputation",
+    "q185_contamination_report",
 ]
 
 # ANN quality: rows-only queries whose real metric is recall vs the

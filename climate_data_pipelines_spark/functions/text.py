@@ -120,3 +120,21 @@ def normalize_url(url: Column | str) -> Column:
             F.when(F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))).otherwise(F.lit("")),
         )
     )
+
+
+def url_host(url: Column | str) -> Column:
+    """Normalized host of an absolute URL — lowercased, default ports
+    and leading ``www.`` stripped (the same host rule
+    :func:`normalize_url` embeds, exposed standalone for domain-level
+    curation ops). Scheme-less/malformed input yields ``''`` so junk
+    never aggregates into a real domain's profile. Pure Column
+    expressions, codegen-resident."""
+    c = F.col(url) if isinstance(url, str) else url
+    no_frag = F.regexp_replace(F.trim(c), r"#.*$", "")
+    scheme = F.regexp_extract(no_frag, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    after = F.regexp_replace(no_frag, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    hostport = F.lower(F.regexp_extract(after, r"^([^/?]+)", 1))
+    host = F.regexp_replace(
+        F.regexp_replace(hostport, r":(443|80)$", ""), r"^www\.", ""
+    )
+    return F.when(scheme == "", F.lit("")).otherwise(host)

@@ -1038,3 +1038,310 @@ def corpus_datasheet(
         ).alias("dup_rate"),
         oracle_round(F.avg("_ok"), 6).alias("quality_pass_rate"),
     )
+
+
+def cross_source_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    by: str = "source",
+) -> DataFrame:
+    """Source×source duplicate-overlap MATRIX — the companion table a
+    corpus datasheet (:func:`corpus_datasheet`) publishes when the
+    release mixes crawls: for every pair of sources, how many DISTINCT
+    normalized documents appear in both (CommonCrawl snapshots overlap
+    60-80% month-to-month; a mixing recipe that double-counts them
+    skews every token budget downstream).
+
+    Plan — never a digest×digest self-join: one distinct over
+    (sha2 digest, source) → one ``collect_set(source)`` per digest
+    (bounded by |sources|, a few dozen in any real mix, NOT by corpus
+    size) → ordered pairs exploded from each set map-side (|S|²/2
+    tiny rows per duplicated digest; digests in one source emit
+    nothing) → one final agg on (source_a, source_b). Two
+    corpus-sized exchanges total, both keyed on the 32-byte digest —
+    document text never shuffles. The overlap fraction joins the
+    |sources|-row per-source distinct counts back via broadcast.
+    The SQL oracle does the naive distinct self-join instead — equal
+    by sha2 injectivity on normalized text (the q36/q180 discipline).
+
+    Returns (source_a, source_b, n_shared, overlap_frac) with
+    source_a < source_b and overlap_frac = n_shared / min(|A|, |B|)
+    over distinct docs.
+    """
+    digests = df.select(
+        F.sha2(normalize_text(F.col(text_col)), 256).alias("_d"),
+        F.col(by).alias("_src"),
+    ).distinct()
+    per_source = digests.groupBy("_src").agg(
+        F.count("*").alias("_n")
+    )
+    sets = digests.groupBy("_d").agg(
+        F.array_sort(F.collect_set("_src")).alias("_srcs")
+    )
+    # ordered pairs from each digest's source set, map-side: for the
+    # sorted set [s0..sm], flatten over i of transform over j>i
+    pairs = sets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("_srcs"),
+                    lambda a, i: F.transform(
+                        F.slice(
+                            F.col("_srcs"),
+                            i + 2,
+                            F.greatest(
+                                F.size(F.col("_srcs")) - i - 1, F.lit(0)
+                            ),
+                        ),
+                        lambda b: F.struct(
+                            a.alias("source_a"), b.alias("source_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.source_a", "p.source_b")
+    counts = pairs.groupBy("source_a", "source_b").agg(
+        F.count("*").alias("n_shared")
+    )
+    na = per_source.select(
+        F.col("_src").alias("source_a"), F.col("_n").alias("_na")
+    )
+    nb = per_source.select(
+        F.col("_src").alias("source_b"), F.col("_n").alias("_nb")
+    )
+    return (
+        counts.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            oracle_round(
+                F.col("n_shared").cast("double")
+                / F.least("_na", "_nb").cast("double"),
+                6,
+            ).alias("overlap_frac"),
+        )
+    )
+
+
+# Gopher rule thresholds (Rae et al. 2021, Table A1 — scaled to the
+# fixture's 10-100-token docs; the real pipeline would use the paper's
+# 50..100k-token bounds). A doc KEEPS only if every rule passes; the
+# failed-rule names travel with the row so downstream audits can see
+# WHY a slice died (the release-note question "what did rule X cost
+# per source" is one groupBy away).
+GOPHER_MIN_TOKENS = 10
+GOPHER_MAX_TOKENS = 100_000
+GOPHER_MIN_MEAN_TOK_LEN = 2.0
+GOPHER_MAX_MEAN_TOK_LEN = 12.0
+GOPHER_MIN_TTR = 0.2          # type-token ratio floor (templated spam)
+GOPHER_MAX_DUP_BIGRAM = 0.55  # fraction of bigram slots in repeated bigrams
+GOPHER_MAX_RUN = 6            # longest same-token run ("buy buy buy ...")
+
+
+def gopher_rules(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition/format quality GATE (Rae et al. 2021
+    App. A1; the rule family MassiveText, RefinedWeb and Dolma all
+    re-implement): per-doc token-count bounds, mean token length
+    bounds, type-token ratio floor, duplicate-bigram fraction ceiling
+    (TOTAL occurrences in repeated bigrams — the companion to
+    :func:`repetition_ratio`'s single-max-gram signal), and a
+    longest same-token-run ceiling. Emits every metric, the keep
+    flag, and the comma-joined names of failed rules.
+
+    Scale: ZERO shuffles — every metric is a per-row Column
+    expression over one token array. The duplicate-bigram fraction
+    and max run both come from single ``aggregate()`` run-length
+    scans over a SORTED gram/token array (the repetition_ratio
+    pattern: O(n log n) per row, lambda touches only accumulator and
+    element so Catalyst cannot re-inline the tokenize subtree), not
+    an explode → groupBy — a 100 TB corpus pays exactly one scan and
+    writes one row per doc.
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    ttr = oracle_round(
+        F.size(F.array_distinct(toks)).cast("double") / n.cast("double"), 6
+    )
+    mean_len = oracle_round(
+        F.aggregate(
+            toks, F.lit(0).cast("long"),
+            lambda acc, x: acc + F.length(x),
+        ).cast("double")
+        / n.cast("double"),
+        6,
+    )
+
+    def _dup_occurrences(arr):
+        # sum of run lengths > 1 over the sorted array = number of
+        # occurrences that belong to a repeated element
+        def _step(acc, x):
+            run = F.when(acc["prev"] == x, acc["run"] + 1).otherwise(F.lit(1))
+            # when a run ends (new element) fold the finished run into
+            # dup if it repeated; the finisher adds the last run
+            add = F.when(
+                (acc["prev"] != x) & (acc["run"] > 1), acc["run"]
+            ).otherwise(F.lit(0))
+            return F.struct(
+                x.alias("prev"),
+                run.alias("run"),
+                (acc["dup"] + add).alias("dup"),
+            )
+
+        return F.aggregate(
+            F.array_sort(arr),
+            F.struct(
+                F.lit(None).cast("string").alias("prev"),
+                F.lit(0).alias("run"),
+                F.lit(0).alias("dup"),
+            ),
+            _step,
+            lambda acc: acc["dup"]
+            + F.when(acc["run"] > 1, acc["run"]).otherwise(F.lit(0)),
+        )
+
+    bigrams = shingles(text_col, 2)
+    n_bi = F.size(bigrams)
+    dup_bi_frac = F.when(n_bi > 0, oracle_round(
+        _dup_occurrences(bigrams).cast("double") / n_bi.cast("double"), 6
+    )).otherwise(F.lit(0.0))
+
+    def _max_run(arr):
+        # longest run of equal CONSECUTIVE tokens (unsorted — order
+        # matters for "buy buy buy")
+        def _step(acc, x):
+            run = F.when(acc["prev"] == x, acc["run"] + 1).otherwise(F.lit(1))
+            return F.struct(
+                x.alias("prev"),
+                run.alias("run"),
+                F.greatest(acc["best"], run).alias("best"),
+            )
+
+        return F.aggregate(
+            arr,
+            F.struct(
+                F.lit(None).cast("string").alias("prev"),
+                F.lit(0).alias("run"),
+                F.lit(0).alias("best"),
+            ),
+            _step,
+            lambda acc: acc["best"],
+        )
+
+    max_run = _max_run(toks)
+    rules = [
+        ("too_few_tokens", F.col("n_tokens") < GOPHER_MIN_TOKENS),
+        ("too_many_tokens", F.col("n_tokens") > GOPHER_MAX_TOKENS),
+        ("mean_tok_len", (F.col("mean_tok_len") < GOPHER_MIN_MEAN_TOK_LEN)
+                         | (F.col("mean_tok_len") > GOPHER_MAX_MEAN_TOK_LEN)),
+        ("low_ttr", F.col("ttr") < GOPHER_MIN_TTR),
+        ("dup_bigrams", F.col("dup_bigram_frac") > GOPHER_MAX_DUP_BIGRAM),
+        ("long_run", F.col("max_run") > GOPHER_MAX_RUN),
+    ]
+    base = df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        mean_len.alias("mean_tok_len"),
+        ttr.alias("ttr"),
+        dup_bi_frac.alias("dup_bigram_frac"),
+        max_run.alias("max_run"),
+    )
+    failed = F.concat_ws(
+        ",",
+        F.filter(
+            F.array(*[
+                F.when(cond, F.lit(name)).otherwise(F.lit(None))
+                for name, cond in rules
+            ]),
+            lambda x: x.isNotNull(),
+        ),
+    )
+    return base.select(
+        "*",
+        (failed == "").alias("keep"),
+        failed.alias("failed_rules"),
+    )
+
+
+# Domain-profile flag thresholds (RefinedWeb §3.1 / Dolma's URL
+# filtering stage both gate on domain-level aggregates before any
+# per-doc scoring — a spam farm is cheaper to kill once at its domain
+# row than a million times at its docs).
+DOMAIN_MAX_DUP_RATE = 0.5
+DOMAIN_MIN_QUALITY_RATE = 0.25
+
+
+def domain_reputation(
+    df: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    max_dup_rate: float = DOMAIN_MAX_DUP_RATE,
+    min_quality_rate: float = DOMAIN_MIN_QUALITY_RATE,
+) -> DataFrame:
+    """Domain-level REPUTATION profile + gate — the curation stage
+    that runs between URL dedup (q175) and per-doc quality scoring:
+    aggregate every crawled doc by its normalized host and flag whole
+    domains whose duplicate rate or quality pass-rate marks them as
+    mirrors/spam farms (RefinedWeb and Dolma both gate on domain
+    aggregates before paying per-doc classifiers; the reference's
+    ingest is two trusted fixed URLs —
+    `/root/reference/pipelines/precipitation_pipeline.py:33-36` — so
+    this is that surface generalized to an untrusted crawl).
+
+    Plan: ONE aggregation keyed on the host (the countDistinct digest
+    adds Spark's Expand + second exchange, both carrying 32-byte
+    sha2 keys, never text — the corpus_datasheet shuffle discipline);
+    output is |domains| rows. Docs from flagged domains are then
+    dropped with one broadcast semi-join — the profile IS the filter
+    dimension, no second corpus shuffle. Malformed URLs land in the
+    ``''`` host row (url_host's junk guard) and never pollute a real
+    domain's stats.
+
+    Returns (domain, n_docs, n_unique_docs, dup_rate,
+    quality_pass_rate, avg_tokens, keep, failed_rules).
+    """
+    from climate_data_pipelines_spark.functions.text import url_host
+
+    norm = F.sha2(normalize_text(F.col(text_col)), 256)
+    ok = F.when(quality_predicate(text_col), F.lit(1)).otherwise(F.lit(0))
+    base = df.select(
+        url_host(F.col(url_col)).alias("domain"),
+        norm.alias("_norm"),
+        ok.alias("_ok"),
+        F.size(tokens(text_col)).alias("_n_tok"),
+    )
+    n_docs = F.count("*")
+    n_unique = F.countDistinct("_norm")
+    prof = base.groupBy("domain").agg(
+        n_docs.alias("n_docs"),
+        n_unique.alias("n_unique_docs"),
+        oracle_round(
+            F.lit(1.0) - n_unique.cast("double") / n_docs.cast("double"), 6
+        ).alias("dup_rate"),
+        oracle_round(F.avg("_ok"), 6).alias("quality_pass_rate"),
+        oracle_round(F.avg("_n_tok"), 6).alias("avg_tokens"),
+    )
+    rules = [
+        ("high_dup", F.col("dup_rate") > max_dup_rate),
+        ("low_quality", F.col("quality_pass_rate") < min_quality_rate),
+        ("bad_url", F.col("domain") == ""),
+    ]
+    failed = F.concat_ws(
+        ",",
+        F.filter(
+            F.array(*[
+                F.when(cond, F.lit(name)).otherwise(F.lit(None))
+                for name, cond in rules
+            ]),
+            lambda x: x.isNotNull(),
+        ),
+    )
+    return prof.select(
+        "*",
+        (failed == "").alias("keep"),
+        failed.alias("failed_rules"),
+    )

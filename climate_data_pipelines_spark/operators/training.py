@@ -1108,3 +1108,63 @@ def perplexity_bucket_mix(
         .filter(u < rate)
         .select(id_col, lang_col, "bucket", "avg_logscore")
     )
+
+
+def contamination_report(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    by: str = "source",
+    k: int = 8,
+) -> DataFrame:
+    """Per-slice benchmark-contamination REPORT (the table GPT-3's
+    App. C and PaLM's dataset card publish): for every train slice
+    (source/domain/shard), how many docs share at least one distinct
+    k-token shingle with the benchmark, and the rate. The REMOVAL
+    stages already exist (`decontaminate`/`bloom_decontaminate`/
+    q166's semantic twin) — this is the measurement a release ships
+    even when it chooses NOT to remove (n-gram hits in code corpora
+    are often legitimate reuse, so the report, not the filter, is the
+    deliverable).
+
+    Plan: the benchmark's distinct shingle set stays the SMALL side
+    by premise (a fixed eval set) and semi-joins the exploded train
+    shingles (AQE broadcasts it at this size; at 10⁹-gram benchmark
+    scale swap in bloom_decontaminate's position-set prefilter — same
+    report, bounded broadcast). Hit doc-ids dedup on (id, slice) —
+    an id-pair exchange, never text — then ONE |slices|-row agg joins
+    the per-slice doc totals. Zero-hit slices keep their row (left
+    join + coalesce 0): an auditor reads "0" as evidence, absence as
+    a bug.
+
+    Returns (``by``, n_docs, n_contaminated, contamination_rate).
+    """
+    from climate_data_pipelines_spark.functions.scalar import oracle_round
+
+    bench_sh = benchmark.select(
+        F.explode(F.array_distinct(shingles(text_col, k))).alias("shingle")
+    ).distinct()
+    hits = (
+        spread_for_cpu(train)
+        .select(
+            F.col(id_col),
+            F.col(by),
+            F.explode(F.array_distinct(shingles(text_col, k))).alias("shingle"),
+        )
+        .join(bench_sh, "shingle", "left_semi")
+        .select(id_col, by)
+        .distinct()
+        .groupBy(by)
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    totals = train.groupBy(by).agg(F.count("*").alias("n_docs"))
+    n_cont = F.coalesce(F.col("n_contaminated"), F.lit(0))
+    return totals.join(hits, by, "left").select(
+        F.col(by),
+        F.col("n_docs"),
+        n_cont.alias("n_contaminated"),
+        oracle_round(
+            n_cont.cast("double") / F.col("n_docs").cast("double"), 6
+        ).alias("contamination_rate"),
+    )

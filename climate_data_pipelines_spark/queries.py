@@ -5383,6 +5383,339 @@ def q181(spark, sf_dir):
     return training.perplexity_bucket_mix(_t(spark, sf_dir, "documents"))
 
 
+# q182's planted recrawl fixture: docs 0-49 re-appear under three
+# synthetic "recrawl_k" sources (text unchanged — the CommonCrawl
+# month-to-month snapshot overlap case). The natural corpus has zero
+# cross-source exact dups at oracle scale, so the matrix is entirely
+# the planted, deterministic overlap — shared verbatim by both twins.
+@query(
+    "q182_cross_source_overlap",
+    """WITH corpus AS (
+           SELECT text, source FROM documents
+           UNION ALL
+           SELECT text, 'recrawl_' || CAST(doc_id % 3 AS VARCHAR)
+           FROM documents WHERE doc_id < 50),
+         ds AS (SELECT DISTINCT
+                  trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm,
+                  source
+                FROM corpus),
+         per AS (SELECT source, COUNT(*) AS n FROM ds GROUP BY 1),
+         pr AS (SELECT a.source AS source_a, b.source AS source_b,
+                  COUNT(*) AS n_shared
+                FROM ds a
+                JOIN ds b ON a.norm = b.norm AND a.source < b.source
+                GROUP BY 1, 2)
+       SELECT source_a, source_b, n_shared,
+              ROUND(CAST(n_shared AS DOUBLE) / least(pa.n, pb.n)
+                    * 1000000) / 1000000 AS overlap_frac
+       FROM pr
+       JOIN per pa ON pa.source = pr.source_a
+       JOIN per pb ON pb.source = pr.source_b""",
+    "Source×source duplicate-overlap MATRIX (textops."
+    "cross_source_overlap) — the datasheet companion q180 publishes "
+    "when a release mixes crawls: distinct normalized docs appearing "
+    "in BOTH sources of every pair, plus the overlap fraction vs the "
+    "smaller side. The engine never self-joins digests: one distinct "
+    "over (sha2, source), one collect_set per digest (bounded by "
+    "|sources|, not corpus size), pairs exploded map-side from each "
+    "set, one tiny final agg — two corpus exchanges total, both on "
+    "32-byte keys. The oracle does the naive distinct self-join on "
+    "the raw normalized text, equal by sha2 injectivity (q36/q180's "
+    "equivalence).",
+)
+def q182(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.filter(F.col("doc_id") < 50).select(
+        F.col("text"),
+        F.concat(
+            F.lit("recrawl_"), (F.col("doc_id") % 3).cast("string")
+        ).alias("source"),
+    )
+    corpus = docs.select("text", "source").unionByName(planted)
+    return textops.cross_source_overlap(corpus)
+
+
+# q183's planted degenerate docs: ids 0-9 get a twin at id+940000
+# whose text is their FIRST token repeated 30 times — ttr 1/30,
+# dup-bigram fraction 1.0, max run 30: the spam shape every
+# repetition rule exists to kill. Identical construction both twins.
+@query(
+    "q183_gopher_rules",
+    """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 940000,
+                  trim(repeat((list_filter(string_split(text, ' '),
+                                x -> x != ''))[1] || ' ', 30))
+           FROM documents WHERE doc_id < 10),
+         t AS (SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x != '') AS toks
+               FROM corpus),
+         m AS (SELECT doc_id, toks, len(toks) AS n_tokens,
+                 ROUND(list_sum(list_transform(toks,
+                       x -> CAST(length(x) AS DOUBLE))) / len(toks)
+                       * 1000000) / 1000000 AS mean_tok_len,
+                 ROUND(len(list_distinct(toks))
+                       / CAST(len(toks) AS DOUBLE)
+                       * 1000000) / 1000000 AS ttr
+               FROM t),
+         bi AS (SELECT doc_id,
+                  unnest([array_to_string(list_slice(toks, i, i + 1), ' ')
+                          FOR i IN generate_series(1, len(toks) - 1)]) AS bg
+                FROM t WHERE len(toks) >= 2),
+         bic AS (SELECT doc_id, bg, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+         dupbi AS (SELECT doc_id, SUM(c) AS n_bi,
+                     SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS n_dup
+                   FROM bic GROUP BY 1),
+         pos AS (SELECT doc_id,
+                   unnest([{'p': i, 'tok': toks[i]}
+                           FOR i IN generate_series(1, len(toks))],
+                          recursive := true)
+                 FROM t),
+         isl AS (SELECT doc_id, p, tok,
+                   p - ROW_NUMBER() OVER (PARTITION BY doc_id, tok
+                                          ORDER BY p) AS grp
+                 FROM pos),
+         runs AS (SELECT doc_id, MAX(cnt) AS max_run
+                  FROM (SELECT doc_id, tok, grp, COUNT(*) AS cnt
+                        FROM isl GROUP BY 1, 2, 3)
+                  GROUP BY 1),
+         j AS (SELECT m.doc_id, m.n_tokens, m.mean_tok_len, m.ttr,
+                 COALESCE(ROUND(d.n_dup / CAST(d.n_bi AS DOUBLE)
+                                * 1000000) / 1000000, 0.0)
+                   AS dup_bigram_frac,
+                 CAST(r.max_run AS INT) AS max_run
+               FROM m
+               LEFT JOIN dupbi d USING (doc_id)
+               JOIN runs r USING (doc_id)),
+         f AS (SELECT *,
+                 concat_ws(',',
+                   CASE WHEN n_tokens < 10 THEN 'too_few_tokens' END,
+                   CASE WHEN n_tokens > 100000 THEN 'too_many_tokens' END,
+                   CASE WHEN mean_tok_len < 2.0 OR mean_tok_len > 12.0
+                        THEN 'mean_tok_len' END,
+                   CASE WHEN ttr < 0.2 THEN 'low_ttr' END,
+                   CASE WHEN dup_bigram_frac > 0.55 THEN 'dup_bigrams' END,
+                   CASE WHEN max_run > 6 THEN 'long_run' END)
+                   AS failed_rules
+               FROM j)
+       SELECT doc_id, n_tokens, mean_tok_len, ttr, dup_bigram_frac,
+              max_run, failed_rules = '' AS keep, failed_rules
+       FROM f""",
+    "Gopher-style repetition/format quality GATE (Rae et al. 2021 "
+    "App. A1 — the rule family MassiveText/RefinedWeb/Dolma all "
+    "re-implement; textops.gopher_rules): token-count bounds, mean "
+    "token length bounds, type-token-ratio floor, duplicate-bigram "
+    "occurrence-fraction ceiling, longest same-token-run ceiling — "
+    "every metric, the keep flag, and the NAMES of failed rules per "
+    "doc. The engine computes all five metrics with ZERO shuffles: "
+    "run-length aggregate() scans over sorted gram/token arrays "
+    "(the repetition_ratio pattern — O(n log n)/row, nothing "
+    "re-inlines), where the oracle pays explode+groupBy and a "
+    "gaps-and-islands window. Planted single-token-repeat docs fail "
+    "low_ttr+dup_bigrams+long_run together.",
+)
+def q183(spark, sf_dir):
+    from climate_data_pipelines_spark.functions.text import tokens as _toks
+
+    docs = _t(spark, sf_dir, "documents")
+    first = F.element_at(_toks("text"), 1)
+    planted = docs.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 940000).alias("doc_id"),
+        F.trim(F.repeat(F.concat(first, F.lit(" ")), 30)).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(planted)
+    return textops.gopher_rules(corpus)
+
+
+# q184's planted domains: docs 0-29 re-appear under ONE mirror-farm
+# host (messy case/www/port variants of the same domain) with texts
+# drawn from just 5 originals (within-domain dup_rate 25/30), and
+# docs 30-39 under junk scheme-less URLs (the '' domain row). The
+# natural 20 src hosts profile clean and keep.
+@query(
+    "q184_domain_reputation",
+    f"""WITH {_URL_FIXTURE_SQL},
+         corpus AS (
+           SELECT u.url, d.text FROM u JOIN documents d USING (doc_id)
+           UNION ALL
+           SELECT 'https://www.MirrorFarm.example.net:443/p/'
+                    || CAST(d.doc_id % 5 AS VARCHAR),
+                  d2.text
+           FROM documents d JOIN documents d2 ON d2.doc_id = d.doc_id % 5
+           WHERE d.doc_id < 30
+           UNION ALL
+           SELECT 'junkurl-' || CAST(doc_id AS VARCHAR), text
+           FROM documents WHERE doc_id >= 30 AND doc_id < 40),
+         n1 AS (SELECT text,
+                  regexp_replace(trim(url), '#.*$', '') AS no_frag
+                FROM corpus),
+         n2 AS (SELECT text,
+                  regexp_extract(no_frag,
+                      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) AS scheme,
+                  regexp_replace(no_frag,
+                      '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS after
+                FROM n1),
+         n3 AS (SELECT text,
+                  CASE WHEN scheme = '' THEN ''
+                       ELSE regexp_replace(regexp_replace(
+                              lower(regexp_extract(after, '^([^/?]+)', 1)),
+                              ':(443|80)$', ''), '^www\\.', '') END AS domain
+                FROM n2),
+         s AS (SELECT domain,
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm,
+                 list_filter(string_split(text, ' '), x -> x != '') AS toks
+               FROM n3),
+         s2 AS (SELECT domain, norm, len(toks) AS n_tok,
+                  CASE WHEN len(toks) >= 10
+                        AND list_sum(list_transform(toks,
+                              x -> CAST(length(x) AS DOUBLE))) / len(toks)
+                            BETWEEN 2.0 AND 12.0
+                        AND len(list_distinct(toks))
+                            / CAST(len(toks) AS DOUBLE) >= 0.1
+                       THEN 1 ELSE 0 END AS ok
+                FROM s),
+         prof AS (SELECT domain, COUNT(*) AS n_docs,
+                    COUNT(DISTINCT norm) AS n_unique_docs,
+                    ROUND((1.0 - COUNT(DISTINCT norm)
+                           / CAST(COUNT(*) AS DOUBLE))
+                          * 1000000) / 1000000 AS dup_rate,
+                    ROUND(AVG(ok) * 1000000) / 1000000
+                      AS quality_pass_rate,
+                    ROUND(AVG(n_tok) * 1000000) / 1000000 AS avg_tokens
+                  FROM s2 GROUP BY 1),
+         f AS (SELECT *,
+                 concat_ws(',',
+                   CASE WHEN dup_rate > 0.5 THEN 'high_dup' END,
+                   CASE WHEN quality_pass_rate < 0.25
+                        THEN 'low_quality' END,
+                   CASE WHEN domain = '' THEN 'bad_url' END)
+                   AS failed_rules
+               FROM prof)
+       SELECT domain, n_docs, n_unique_docs, dup_rate,
+              quality_pass_rate, avg_tokens,
+              failed_rules = '' AS keep, failed_rules
+       FROM f""",
+    "Domain-level REPUTATION profile + gate (textops."
+    "domain_reputation — the RefinedWeb/Dolma stage between URL dedup "
+    "q175 and per-doc scoring: a spam farm dies once at its domain "
+    "row, not a million times at its docs): per normalized host — "
+    "url_host's codegen parse, junk URLs quarantined in the '' row — "
+    "doc count, distinct-digest count, dup rate, quality pass-rate "
+    "(the engine-wide quality_predicate), avg tokens, keep flag and "
+    "failed-rule names. ONE aggregation keyed on the host (the "
+    "distinct-count Expand carries 32-byte sha2 keys, never text); "
+    "docs from flagged domains drop via one broadcast semi-join "
+    "downstream. Planted mirror-farm (dup_rate 0.833) and junk-URL "
+    "rows flag; the 20 natural src hosts keep.",
+)
+def q184(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    natural = docs.select(
+        _messy_url(F.col("doc_id"), F.col("source")).alias("url"),
+        F.col("text"),
+    )
+    d5 = docs.select(
+        F.col("doc_id").alias("_k"), F.col("text").alias("_t5")
+    ).filter(F.col("_k") < 5)
+    mirror = (
+        docs.filter(F.col("doc_id") < 30)
+        .join(F.broadcast(d5), F.col("doc_id") % 5 == F.col("_k"))
+        .select(
+            F.concat(
+                F.lit("https://www.MirrorFarm.example.net:443/p/"),
+                (F.col("doc_id") % 5).cast("string"),
+            ).alias("url"),
+            F.col("_t5").alias("text"),
+        )
+    )
+    junk = docs.filter(
+        (F.col("doc_id") >= 30) & (F.col("doc_id") < 40)
+    ).select(
+        F.concat(F.lit("junkurl-"), F.col("doc_id").cast("string")).alias(
+            "url"
+        ),
+        F.col("text"),
+    )
+    corpus = natural.unionByName(mirror).unionByName(junk)
+    return textops.domain_reputation(corpus)
+
+
+# q185's planted contamination: every benchmark doc with id < 100
+# re-appears VERBATIM in the train corpus under source
+# 'crawl_contam' (the eval-set-leaked-into-the-crawl case). The
+# report must show that source at rate 1.0 and the natural sources
+# at (deterministically) ~0.
+@query(
+    "q185_contamination_report",
+    """WITH bench AS (SELECT doc_id, text FROM documents
+                      WHERE source = 'src0' AND doc_id % 5 = 0),
+         train AS (SELECT doc_id, text, source FROM documents
+                   WHERE source != 'src0'
+                   UNION ALL
+                   SELECT doc_id + 980000, text, 'crawl_contam'
+                   FROM bench WHERE doc_id < 100),
+         bt AS (SELECT list_filter(string_split(text, ' '),
+                                   x -> x != '') AS toks
+                FROM bench),
+         bsh AS (SELECT DISTINCT unnest(
+                   CASE WHEN len(toks) >= 8
+                        THEN [array_to_string(list_slice(toks, i, i + 7), ' ')
+                              FOR i IN generate_series(1, len(toks) - 7)]
+                        ELSE [array_to_string(toks, ' ')] END) AS shingle
+                 FROM bt),
+         tt AS (SELECT doc_id, source,
+                  list_filter(string_split(text, ' '), x -> x != '') AS toks
+                FROM train),
+         tsh AS (SELECT doc_id, source, unnest(list_distinct(
+                   CASE WHEN len(toks) >= 8
+                        THEN [array_to_string(list_slice(toks, i, i + 7), ' ')
+                              FOR i IN generate_series(1, len(toks) - 7)]
+                        ELSE [array_to_string(toks, ' ')] END)) AS shingle
+                 FROM tt),
+         hitdocs AS (SELECT DISTINCT t.doc_id, t.source
+                     FROM tsh t JOIN bsh b USING (shingle)),
+         hits AS (SELECT source, COUNT(*) AS n_contaminated
+                  FROM hitdocs GROUP BY 1),
+         tot AS (SELECT source, COUNT(*) AS n_docs FROM train GROUP BY 1)
+       SELECT tot.source, n_docs,
+              COALESCE(n_contaminated, 0) AS n_contaminated,
+              ROUND(COALESCE(n_contaminated, 0)
+                    / CAST(n_docs AS DOUBLE) * 1000000) / 1000000
+                AS contamination_rate
+       FROM tot LEFT JOIN hits USING (source)""",
+    "Per-source benchmark-CONTAMINATION report (GPT-3 App. C / "
+    "PaLM-card style; training.contamination_report): for every train "
+    "source, docs sharing >= 1 distinct 8-token shingle with the "
+    "benchmark (src0's fixed stride slice), count and rate — the "
+    "measurement a release ships even when it chooses NOT to remove "
+    "(the removal stages are q139/q166). Benchmark shingles stay the "
+    "small side (fixed eval set) and semi-join the exploded train "
+    "shingles (AQE broadcasts; at 10^9-gram benchmarks swap in "
+    "q139's Bloom position-set prefilter — same report, bounded "
+    "broadcast); hit ids dedup as (id, source) pairs — never text — "
+    "then ONE |sources|-row agg. Zero-hit sources keep their row: an "
+    "auditor reads 0 as evidence, absence as a bug. Planted verbatim "
+    "leaks report at rate 1.0.",
+)
+def q185(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(
+        (F.col("source") == "src0") & (F.col("doc_id") % 5 == 0)
+    ).select("doc_id", "text")
+    planted = bench.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 980000).alias("doc_id"),
+        F.col("text"),
+        F.lit("crawl_contam").alias("source"),
+    )
+    train = (
+        docs.filter(F.col("source") != "src0")
+        .select("doc_id", "text", "source")
+        .unionByName(planted)
+    )
+    return training.contamination_report(train, bench, k=8)
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window selection
 # ---------------------------------------------------------------------------
@@ -5507,7 +5840,19 @@ def q181(spark, sf_dir):
 #     feeding curation stage 0, q176 the containment family peer).
 #     Rows-only slots: q134, q135, q144, q155, q157, q158, q42,
 #     q172, q173 = 9 <= 9 (exactly at the cap).
+#     Mid-round amendment: the four round-9 additions q182-q185
+#     (cross-source overlap matrix, Gopher rule gate, domain
+#     reputation, contamination report — all full-oracle) take the
+#     lead as never-driver-checked; the four pure-function suites
+#     q63/q64/q65/q66 yield their seats to the round-10 leftover
+#     list (lowest-risk members of the stale cohort: expression-only
+#     plans untouched since r2, judge-replay green every round since).
 DRIVER_WINDOW: list[str] = [
+    # mid-round additions, never driver-checked, full oracle
+    "q182_cross_source_overlap",
+    "q183_gopher_rules",
+    "q184_domain_reputation",
+    "q185_contamination_report",
     # (b) re-proofs of round-9-touched plans lead
     "q177_trigram_lm_score",
     "q178_simhash_capped_candidates",
@@ -5556,11 +5901,10 @@ DRIVER_WINDOW: list[str] = [
     "q60_percentiles",
     "q61_unpivot",
     "q62_pivot",
-    "q63_string_suite",
-    "q64_math_suite",
-    "q65_conditional_suite",
-    "q66_array_suite",
     "q92_land_mask_grid",
+    # round-10 leftover (yielded their r9 seats to q182-q185):
+    # q63_string_suite, q64_math_suite, q65_conditional_suite,
+    # q66_array_suite
 ]
 
 _ROUND8_WINDOW: list[str] = [

@@ -568,3 +568,106 @@ def test_corpus_datasheet_is_one_shuffle(spark):
     plan = textops.corpus_datasheet(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 2  # distinct-agg expands to 2 max
     assert "Window" not in plan and "Join" not in plan
+
+
+def test_cross_source_overlap_matrix(spark):
+    """Pairs are lexicographically oriented, counts are DISTINCT-doc
+    based (re-posting the same text twice in one source adds nothing),
+    and the fraction divides by the smaller side's distinct count."""
+    rows = [
+        (1, "shared text one", "b_src"),
+        (2, "shared text one", "a_src"),      # same doc in two sources
+        (3, "shared text one", "a_src"),      # repeat inside a_src: no-op
+        (4, "shared text two", "a_src"),
+        (5, "shared text two", "c_src"),
+        (6, "only in a", "a_src"),
+        (7, "only in c", "c_src"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        (r.source_a, r.source_b): r
+        for r in textops.cross_source_overlap(df).collect()
+    }
+    assert set(out) == {("a_src", "b_src"), ("a_src", "c_src")}
+    ab = out[("a_src", "b_src")]
+    assert ab.n_shared == 1
+    # a_src has 3 distinct docs, b_src has 1 → frac = 1/1
+    assert abs(ab.overlap_frac - 1.0) < 1e-6
+    ac = out[("a_src", "c_src")]
+    assert ac.n_shared == 1 and abs(ac.overlap_frac - 0.5) < 1e-6
+
+
+def test_cross_source_overlap_no_self_join(spark):
+    """The matrix must come from per-digest source SETS, never a
+    digest×digest self-join: with S sources the plan's join count is
+    the two broadcast profile joins only."""
+    df = spark.createDataFrame(
+        [(1, "x y z", "s1"), (2, "x y z", "s2")],
+        "doc_id long, text string, source string",
+    )
+    plan = (
+        textops.cross_source_overlap(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Join") <= 2  # the two |sources|-row broadcasts
+
+
+def test_gopher_rules_planted_failures(spark):
+    """A single-token repeat fails low_ttr + dup_bigrams + long_run
+    together; clean prose keeps; a 3-token doc fails too_few_tokens."""
+    clean = "the quick brown fox jumps over a lazy dog tonight"
+    spam = " ".join(["buy"] * 30)
+    df = spark.createDataFrame(
+        [(1, clean), (2, spam), (3, "too short doc")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textops.gopher_rules(df).collect()}
+    assert out[1].keep and out[1].failed_rules == ""
+    assert not out[2].keep
+    assert out[2].failed_rules == "low_ttr,dup_bigrams,long_run"
+    assert out[2].max_run == 30 and abs(out[2].dup_bigram_frac - 1.0) < 1e-6
+    assert not out[3].keep and "too_few_tokens" in out[3].failed_rules
+
+
+def test_gopher_rules_dup_bigram_fraction_exact(spark):
+    """dup_bigram_frac counts TOTAL occurrences in repeated bigrams
+    (the Gopher statistic), not the max gram: 'a b a b c' has bigrams
+    [a b, b a, a b, b c] → 'a b' repeats (2 occurrences) → 2/4."""
+    df = spark.createDataFrame([(1, "a b a b c")], "doc_id long, text string")
+    r = textops.gopher_rules(df).first()
+    assert abs(r.dup_bigram_frac - 0.5) < 1e-6
+    assert r.max_run == 1  # no consecutive equal tokens
+
+
+def test_gopher_rules_zero_shuffles(spark):
+    """The gate's 100 TB contract: every metric is a per-row
+    expression — no exchange anywhere in the plan."""
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    plan = textops.gopher_rules(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_domain_reputation_flags(spark):
+    """Mirror-farm domains flag high_dup, junk URLs pool in the ''
+    row flagged bad_url, healthy domains keep. Host normalization
+    (case/www/port) folds messy variants into one row."""
+    good = "the quick brown fox jumps over a lazy dog tonight"
+    rows = [
+        (f"https://www.Good.example.org:443/p{i}", good + f" v{i}")
+        for i in range(4)
+    ] + [
+        ("https://mirror.example.net/a", good),
+        ("https://MIRROR.example.net/b", good),
+        ("https://mirror.example.net/c", good),
+        ("not a url", good),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    out = {r.domain: r for r in textops.domain_reputation(df).collect()}
+    assert set(out) == {"good.example.org", "mirror.example.net", ""}
+    g = out["good.example.org"]
+    assert g.keep and g.n_docs == 4 and g.dup_rate == 0.0
+    m = out["mirror.example.net"]
+    assert not m.keep and m.failed_rules == "high_dup"
+    assert m.n_docs == 3 and m.n_unique_docs == 1
+    j = out[""]
+    assert not j.keep and "bad_url" in j.failed_rules

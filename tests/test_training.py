@@ -575,3 +575,32 @@ def test_perplexity_bucket_mix_buckets_and_determinism(spark):
     # tail thinned: strictly fewer tail rows than the 10-per-lang cut
     n_tail = sum(1 for r in out if r.bucket == "tail")
     assert 0 <= n_tail < 20
+
+
+def test_contamination_report_rates_and_zero_rows(spark):
+    """Planted verbatim leak reports rate 1.0; a clean source keeps
+    its row with 0 (absence would be an audit bug); k-gram must be
+    DISTINCT-shingle based (repeats inside one doc count once)."""
+    from climate_data_pipelines_spark.operators import training
+
+    bench_text = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"
+    bench = spark.createDataFrame(
+        [(100, bench_text)], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, bench_text, "leaky"),                     # verbatim leak
+            (2, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10", "clean"),
+            (3, "b1 b2 b3 b4 b5 b6 b7 b8 x y", "partial"),  # shares one 8-gram
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        r.source: r
+        for r in training.contamination_report(train, bench, k=8).collect()
+    }
+    assert out["leaky"].n_contaminated == 1
+    assert abs(out["leaky"].contamination_rate - 1.0) < 1e-6
+    assert out["clean"].n_docs == 1 and out["clean"].n_contaminated == 0
+    assert out["clean"].contamination_rate == 0.0
+    assert out["partial"].n_contaminated == 1

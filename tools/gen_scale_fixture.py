@@ -17,7 +17,11 @@ across a 10x corpus step (VERDICT r4 next-step 1):
 Deterministic (seed fixed). Other tables are copied from the base
 sf dir so every registry query can run against the output dir.
 
-Usage: python tools/gen_scale_fixture.py OUT_DIR MULT [BASE_SF_DIR] [--mog] [--zipf]
+Usage: python tools/gen_scale_fixture.py OUT_DIR MULT [BASE_SF_DIR] [--mog] [--zipf] [--docs-only]
+
+``--docs-only`` writes ONLY documents.parquet — the x1000 dedup-core
+sweep (VERDICT r8 item 6) reads nothing else, and the skipped
+events table alone would be 100M rows at that multiplier.
 
 ``--mog`` replaces the i.i.d. embeddings with a clustered
 mixture-of-Gaussians corpus (64 centers, ~0.92 within-cluster pairwise
@@ -233,9 +237,11 @@ def gen_events(mult: int, seed: int = 777):
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a not in ("--mog", "--zipf")]
+    flags = ("--mog", "--zipf", "--docs-only")
+    args = [a for a in sys.argv[1:] if a not in flags]
     mog = "--mog" in sys.argv[1:]
     zipf = "--zipf" in sys.argv[1:]
+    docs_only = "--docs-only" in sys.argv[1:]
     out_dir = args[0]
     mult = int(args[1])
     base = args[2] if len(args) > 2 else "/root/testdata/sf0.1"
@@ -245,6 +251,10 @@ def main() -> None:
     # scan (the case spread_for_cpu exists for) is reproduced
     gen_docs = gen_documents_zipf if zipf else gen_documents
     pq.write_table(gen_docs(BASE_DOCS * mult), f"{out_dir}/documents.parquet")
+    if docs_only:
+        print(f"wrote {out_dir}: documents x{mult} ({BASE_DOCS * mult}"
+              + (", zipf-50k" if zipf else "") + "), docs-only")
+        return
     gen_emb = gen_embeddings_mog if mog else gen_embeddings
     pq.write_table(gen_emb(BASE_EMB * mult), f"{out_dir}/embeddings.parquet")
     pq.write_table(gen_events(mult), f"{out_dir}/events.parquet")
