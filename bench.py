@@ -117,6 +117,7 @@ HEADLINE = [
     "q183_gopher_rules",
     "q184_domain_reputation",
     "q185_contamination_report",
+    "q186_c4_line_filter",
 ]
 
 # ANN quality: rows-only queries whose real metric is recall vs the

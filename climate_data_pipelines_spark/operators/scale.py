@@ -365,7 +365,19 @@ def spread_for_cpu(
     except Exception:
         pass  # internal-API probe failed: fall through to the rdd path
     sc = df.sparkSession.sparkContext
-    target = min_parts or sc.defaultParallelism
+    # 2× cores, not 1× (round-9 x1000 finding): a scan's SPLIT COUNT
+    # can lie about usable parallelism — Spark sizes byte-range splits
+    # at totalBytes/defaultParallelism, but a parquet row group is
+    # read whole by the single split holding its midpoint, so a
+    # 586 MB file with five 1M-row groups scanned as THIRTY-TWO
+    # ~18 MB splits ran 27 of them EMPTY and the whole minhash kernel
+    # on 5 cores (q129 at x1000: 881 s). With the target above the
+    # split count, the <-comparison below fires and the round-robin
+    # exchange redistributes the 5 fat splits across every core
+    # (measured: 881 s → 205 s). At 100 TB scans produce ≫ 2×cores
+    # splits and this stays a no-op; the size cap keeps sub-MiB
+    # inputs exchange-free exactly as before.
+    target = min_parts or 2 * sc.defaultParallelism
     try:
         # Statistics.sizeInBytes is a Scala BigInt; py4j hands it back
         # as a Python int (int(str(..)) guards a raw Java object)

@@ -1345,3 +1345,56 @@ def domain_reputation(
         (failed == "").alias("keep"),
         failed.alias("failed_rules"),
     )
+
+
+# C4 line-cleaning rules (Raffel et al., JMLR 2020 §2.2): the
+# line-level scrub every web-text pipeline applies BEFORE any
+# doc-level scoring. Thresholds are C4's own.
+C4_MIN_LINE_WORDS = 5
+C4_MIN_KEPT_LINES = 3
+C4_TERMINAL_RE = r'[.!?"]$'
+C4_BLOCKLIST = ("lorem ipsum", "javascript", "{")
+
+
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_words: int = C4_MIN_LINE_WORDS,
+    min_kept_lines: int = C4_MIN_KEPT_LINES,
+) -> DataFrame:
+    """C4-style LINE cleaning (Raffel et al. 2020 §2.2 — the scrub
+    T5's corpus and every successor applies): keep only lines that
+    end in terminal punctuation, hold >= ``min_line_words`` words,
+    and contain none of the blocklist markers ('lorem ipsum',
+    'javascript', '{'); then drop DOCUMENTS left with fewer than
+    ``min_kept_lines`` kept lines. Emits the cleaned text (kept
+    lines re-joined), per-doc line counts, and the keep flag.
+
+    Scale: ZERO shuffles — split on newline, one ``filter()`` lambda
+    over the line array (word count / terminal-punct rlike /
+    blocklist contains are all per-element JVM expressions), one
+    ``array_join`` back. A 100 TB crawl pays exactly one scan; the
+    doc-level gate is a column, not a second pass. The SQL oracle
+    replays the same lambda with DuckDB list_filter.
+    """
+    lines = F.split(F.col(text_col), r"\n")
+    lower = F.lower
+
+    def _line_ok(ln):
+        words = F.size(F.filter(F.split(ln, r"\s+"), lambda t: t != ""))
+        has_terminal = ln.rlike(C4_TERMINAL_RE)
+        blocked = F.lit(False)
+        for marker in C4_BLOCKLIST:
+            blocked = blocked | lower(ln).contains(marker)
+        return (words >= min_line_words) & has_terminal & ~blocked
+
+    kept = F.filter(lines, _line_ok)
+    n_kept = F.size(kept)
+    return df.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        n_kept.alias("n_kept_lines"),
+        F.array_join(kept, "\n").alias("text_clean"),
+        (n_kept >= min_kept_lines).alias("keep"),
+    )

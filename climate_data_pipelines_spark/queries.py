@@ -5716,6 +5716,95 @@ def q185(spark, sf_dir):
     return training.contamination_report(train, bench, k=8)
 
 
+# q186's synthetic multi-line fixture (the parquet corpus is
+# single-line word soup): tokens chunk into 7-word lines; every line
+# whose (doc_id + chunk_index) % 3 != 0 gets terminal punctuation; a
+# 'lorem ipsum…' line is prepended when doc_id%7==0 and a
+# '{ javascript }' line appended when doc_id%11==0 — so every C4 rule
+# (word count, terminal punct, blocklist) fires somewhere
+# deterministically. Identical construction in both twins.
+@query(
+    "q186_c4_line_filter",
+    """WITH tk AS (SELECT doc_id,
+                     list_filter(string_split(text, ' '),
+                                 x -> x != '') AS toks
+                   FROM documents),
+         corpus AS (SELECT doc_id,
+                      concat_ws(chr(10),
+                        CASE WHEN doc_id % 7 = 0
+                             THEN 'lorem ipsum dolor sit amet consectetur.'
+                             END,
+                        array_to_string(
+                          [array_to_string(list_slice(toks, i, i + 6), ' ')
+                             || CASE WHEN (doc_id + (i - 1) // 7) % 3 != 0
+                                     THEN '.' ELSE '' END
+                           FOR i IN generate_series(1, len(toks), 7)],
+                          chr(10)),
+                        CASE WHEN doc_id % 11 = 0
+                             THEN 'function foo() { javascript payload. }'
+                             END) AS text
+                    FROM tk),
+         lns AS (SELECT doc_id, string_split(text, chr(10)) AS ls
+                 FROM corpus),
+         f AS (SELECT doc_id, len(ls) AS n_lines,
+                 list_filter(ls, l ->
+                   len(list_filter(string_split_regex(l, '\\s+'),
+                                   w -> w != '')) >= 5
+                   AND regexp_matches(l, '[.!?"]$')
+                   AND NOT contains(lower(l), 'lorem ipsum')
+                   AND NOT contains(lower(l), 'javascript')
+                   AND NOT contains(lower(l), '{')) AS kept
+               FROM lns)
+       SELECT doc_id, n_lines,
+              len(kept) AS n_kept_lines,
+              array_to_string(kept, chr(10)) AS text_clean,
+              len(kept) >= 3 AS keep
+       FROM f""",
+    "C4-style LINE cleaning (Raffel et al. 2020 §2.2; textops."
+    "c4_line_filter — the scrub T5's corpus and every successor "
+    "applies before doc-level scoring): keep lines ending in terminal "
+    "punctuation with >= 5 words and no blocklist marker "
+    "('lorem ipsum'/'javascript'/'{'), then drop docs left with < 3 "
+    "kept lines; emits cleaned text + line counts + keep. ZERO "
+    "shuffles — split on newline, ONE filter() lambda over the line "
+    "array, array_join back; a 100 TB crawl pays one scan. The "
+    "fixture synthesizes deterministic multi-line text (7-word "
+    "chunks, punctuation by (doc_id+chunk)%3, planted lorem/js "
+    "lines) so all three rules fire; the oracle replays the chunking "
+    "and the lambda in DuckDB list_filter.",
+)
+def q186(spark, sf_dir):
+    from climate_data_pipelines_spark.functions.text import tokens as _toks
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    toks = _toks("text")
+    body = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks), F.lit(7)),
+            lambda s, j: F.concat(
+                F.concat_ws(" ", F.slice(toks, s, 7)),
+                F.when((did + j) % 3 != 0, F.lit(".")).otherwise(F.lit("")),
+            ),
+        ),
+        "\n",
+    )
+    multi = F.concat_ws(
+        "\n",
+        F.when(
+            did % 7 == 0,
+            F.lit("lorem ipsum dolor sit amet consectetur."),
+        ),
+        body,
+        F.when(
+            did % 11 == 0,
+            F.lit("function foo() { javascript payload. }"),
+        ),
+    )
+    corpus = docs.select(did, multi.alias("text"))
+    return textops.c4_line_filter(corpus)
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window selection
 # ---------------------------------------------------------------------------
@@ -5847,6 +5936,9 @@ def q185(spark, sf_dir):
 #     q63/q64/q65/q66 yield their seats to the round-10 leftover
 #     list (lowest-risk members of the stale cohort: expression-only
 #     plans untouched since r2, judge-replay green every round since).
+#     q186 (C4 line filter) registered after these seats were spent —
+#     it waits for the r10 window like q167/q172 did, replay-checked
+#     meanwhile.
 DRIVER_WINDOW: list[str] = [
     # mid-round additions, never driver-checked, full oracle
     "q182_cross_source_overlap",

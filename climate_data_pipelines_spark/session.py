@@ -50,6 +50,24 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # --- shuffle sizing ---------------------------------------------
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Fixed reducer counts do NOT survive a scale-up: at the x1000
+        # fixture (5M docs) the minhash shingle exchange handed each of
+        # 32 reducers ~0.5 GB of agg state and fell into sort+spill —
+        # q129 measured 881 s (x100→x1000 wall ratio ×44 for ×10 data,
+        # the curve-bend the r8 verdict's item 6 existed to catch).
+        # The 100 TB-correct shape is AQE's: START wide (every reducer's
+        # input fits in memory at any corpus size) and let runtime
+        # coalescing merge small partitions back down, so small-scale
+        # plans keep their former reducer counts and costs. 256 initial
+        # partitions × 64 MB advisory target ≈ 16 GB/stage before any
+        # coalesce — rescan the env knob upward for bigger rigs.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            os.environ.get(
+                "SPARK_GRAFT_INITIAL_PARTITIONS",
+                str(max(256, shuffle_partitions)),
+            ),
+        )
         # --- heap: local mode runs ALL task slots in the driver JVM, so
         # the 1g default means 32 concurrent tasks share 1 GB (OOMs the
         # 64-wide minhash agg at a 50k-doc corpus). Only effective when

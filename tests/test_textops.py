@@ -671,3 +671,31 @@ def test_domain_reputation_flags(spark):
     assert m.n_docs == 3 and m.n_unique_docs == 1
     j = out[""]
     assert not j.keep and "bad_url" in j.failed_rules
+
+
+def test_c4_line_filter_rules(spark):
+    """Line keep = terminal punct AND >=5 words AND no blocklist
+    marker; doc keep = >=3 kept lines; cleaned text re-joins only
+    kept lines in order."""
+    good = "one two three four five words here."
+    doc1 = "\n".join([good, "short line.", "no terminal punct here at all",
+                      "lorem ipsum dolor sit amet today.", good, good])
+    doc2 = "\n".join([good, "function x() { a b c d e. }", good])
+    df = spark.createDataFrame(
+        [(1, doc1), (2, doc2)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in textops.c4_line_filter(df).collect()}
+    r1 = out[1]
+    assert r1.n_lines == 6 and r1.n_kept_lines == 3 and r1.keep
+    assert r1.text_clean == "\n".join([good, good, good])
+    r2 = out[2]
+    assert r2.n_kept_lines == 2 and not r2.keep  # '{' line blocked
+
+
+def test_c4_line_filter_zero_shuffles(spark):
+    df = spark.createDataFrame([(1, "a.\nb.")], "doc_id long, text string")
+    plan = (
+        textops.c4_line_filter(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
