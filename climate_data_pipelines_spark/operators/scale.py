@@ -290,10 +290,25 @@ def compact_parquet(spark, path: str, out_path: str, target_file_mb: int = 128) 
     return n_files
 
 
+# Default scan bytes per engaged core for spread_for_cpu's size gate.
+# Module-level so a measurement harness can sweep it. 64 KB, MEASURED
+# (r9): the original 1 MiB assumed ~1 CPU-s/MB kernels, but the
+# 64-hash minhash family costs 5-10 CPU-s/MB — gating it single-
+# threaded at sf0.1 regressed q129 2.1→5.3 s, q127 1.8→4.3 s, q41
+# 1.3→3.0 s, q136 2.0→4.4 s. A four-point sweep (1 MiB/256 KB/64 KB/
+# 32 KB over 8 adopter queries, /tmp-matrix recorded in the r9 commit
+# message) put 64 KB at-or-under every query's best: the hash family
+# recovers fully (q129 2.13, q127 1.21, q41 0.98) while the light
+# kernels keep their skip-won constants (q177 1.48, q181 1.60) — the
+# few-task exchange a 64 KB chunk buys on a ~600 KB scan costs less
+# than the measurement noise. 32 KB gains nothing further.
+SPREAD_CHUNK_BYTES = 1 << 16
+
+
 def spread_for_cpu(
     df: DataFrame,
     min_parts: int | None = None,
-    chunk_bytes: int = 1 << 20,
+    chunk_bytes: int | None = None,
 ) -> DataFrame:
     """Round-robin repartition IFF the input has fewer partitions than
     the cluster has cores AND the input is big enough that each extra
@@ -335,22 +350,23 @@ def spread_for_cpu(
     partition per ``chunk_bytes`` of the Catalyst size estimate
     (``optimizedPlan().stats().sizeInBytes`` — driver-side, free, and
     exact for file scans: it is the sum of the scanned file lengths).
-    Measured at sf0.1 (584 KB documents scan), the exchange itself —
-    not the partition probe — cost ~1 s per adopter query
-    (q177 2.86→0.9 s, q178 2.85→1.1 s, q181 2.85→1.4 s isolated)
-    while buying nothing: the per-core CPU of even the heaviest
-    kernel (trigram LM, ~1 s/MB single-thread) clears a sub-MiB input
-    in under a second on one core, and a 32-task shuffle stage costs
-    more than that in scheduling + shuffle I/O alone. One MiB per
-    engaged core clears the ~50-100 ms stage/task overhead by >10×.
     When the capped target is ≤1 the function returns without even
     the ``df.rdd`` partition probe (itself ~0.15 s of plan→RDD
-    conversion). At the ×100 fixture (57 MB) the cap is ≥57 ≥
-    defaultParallelism, so the spread behaves exactly as before and
-    the measured ×100 curves are unchanged; at 100 TB the estimate is
-    huge, the cap never binds, and the split-count guard no-ops the
-    call as always. Estimate failures fall back to an uncapped
-    target (the pre-round-9 behavior), never to skipping the spread.
+    conversion). The chunk default is 64 KB/core — MEASURED, twice:
+    the gate first shipped at 1 MiB on the assumption that the
+    heaviest kernel runs ~1 CPU-s/MB, which held for the trigram LM
+    (q177 2.86→0.9 s isolated from skipping the exchange) but not
+    for the 64-hash minhash family (5-10 CPU-s/MB): the 1 MiB gate
+    ran those kernels single-threaded at sf0.1 and regressed q129
+    2.1→5.3 s, q127 1.8→4.3 s, q41 1.3→3.0 s, q136 2.0→4.4 s in the
+    same bench that the skip had just improved. The four-point sweep
+    behind the 64 KB choice lives at ``SPREAD_CHUNK_BYTES`` above.
+    At the ×100 fixture (57 MB) any chunk ≤1 MiB leaves the cap above
+    defaultParallelism, so the measured ×100 curves are unchanged; at
+    100 TB the estimate is huge, the cap never binds, and the
+    split-count guard no-ops the call as always. Estimate failures
+    fall back to an uncapped target (the pre-round-9 behavior), never
+    to skipping the spread.
     """
     try:
         # executedPlan, not sparkPlan: exchanges are only inserted by
@@ -375,9 +391,11 @@ def spread_for_cpu(
     # split count, the <-comparison below fires and the round-robin
     # exchange redistributes the 5 fat splits across every core
     # (measured: 881 s → 205 s). At 100 TB scans produce ≫ 2×cores
-    # splits and this stays a no-op; the size cap keeps sub-MiB
-    # inputs exchange-free exactly as before.
+    # splits and this stays a no-op; the size cap keeps tiny inputs
+    # (< SPREAD_CHUNK_BYTES) exchange-free exactly as before.
     target = min_parts or 2 * sc.defaultParallelism
+    if chunk_bytes is None:
+        chunk_bytes = SPREAD_CHUNK_BYTES
     try:
         # Statistics.sizeInBytes is a Scala BigInt; py4j hands it back
         # as a Python int (int(str(..)) guards a raw Java object)
