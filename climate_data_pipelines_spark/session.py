@@ -50,22 +50,23 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # --- shuffle sizing ---------------------------------------------
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        # Fixed reducer counts do NOT survive a scale-up: at the x1000
-        # fixture (5M docs) the minhash shingle exchange handed each of
-        # 32 reducers ~0.5 GB of agg state and fell into sort+spill —
-        # q129 measured 881 s (x100→x1000 wall ratio ×44 for ×10 data,
-        # the curve-bend the r8 verdict's item 6 existed to catch).
-        # The 100 TB-correct shape is AQE's: START wide (every reducer's
-        # input fits in memory at any corpus size) and let runtime
-        # coalescing merge small partitions back down, so small-scale
-        # plans keep their former reducer counts and costs. 256 initial
-        # partitions × 64 MB advisory target ≈ 16 GB/stage before any
-        # coalesce — rescan the env knob upward for bigger rigs.
+        # AQE initial partition count. Default = shuffle_partitions
+        # (Spark's own default wiring); a cluster deploy raises the env
+        # knob so corpus-sized exchanges start wide and AQE coalesces
+        # down. Two r9 measurements pinned this default: (a) 256 was
+        # NOT the x1000 q129 fix (881 s was row-group scan skew —
+        # operators/scale.py spread_for_cpu — and 256 changed nothing);
+        # (b) 256 measurably HURT the one place it plausibly helped —
+        # q181's z100 corpus went 55.7 s (32) → 61.6 s (64) → ~90 s
+        # (256), monotonic in the knob: on a 32-core single JVM the
+        # extra map-output buckets + 256-partition eager
+        # localCheckpoints are pure overhead at any corpus the box can
+        # hold. On a real cluster the knob belongs high; locally the
+        # honest setting is the measured one.
         .config(
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
             os.environ.get(
-                "SPARK_GRAFT_INITIAL_PARTITIONS",
-                str(max(256, shuffle_partitions)),
+                "SPARK_GRAFT_INITIAL_PARTITIONS", str(shuffle_partitions)
             ),
         )
         # --- heap: local mode runs ALL task slots in the driver JVM, so
