@@ -85,9 +85,20 @@ def normalize_url(url: Column | str) -> Column:
         F.regexp_extract(no_frag, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
     )
     after = F.regexp_replace(no_frag, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
-    hostport = F.lower(F.regexp_extract(after, r"^([^/?]+)", 1))
+    # userinfo ('user@host') is credentials, never part of the dedup
+    # key; only the SCHEME'S OWN default port folds away (http://h:443
+    # is a distinct origin from http://h — RFC 3986 §6.2.3).
+    hostport = F.lower(
+        F.regexp_replace(
+            F.regexp_extract(after, r"^([^/?]+)", 1), r"^[^@]*@", ""
+        )
+    )
     host = F.regexp_replace(
-        F.regexp_replace(hostport, r":(443|80)$", ""), r"^www\.", ""
+        F.when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
+        .otherwise(hostport),
+        r"^www\.",
+        "",
     )
     pathq = F.regexp_replace(after, r"^[^/?]+", "")
     path = F.regexp_replace(
@@ -131,10 +142,22 @@ def url_host(url: Column | str) -> Column:
     expressions, codegen-resident."""
     c = F.col(url) if isinstance(url, str) else url
     no_frag = F.regexp_replace(F.trim(c), r"#.*$", "")
-    scheme = F.regexp_extract(no_frag, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    scheme = F.lower(
+        F.regexp_extract(no_frag, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    )
     after = F.regexp_replace(no_frag, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
-    hostport = F.lower(F.regexp_extract(after, r"^([^/?]+)", 1))
+    # same authority rule as normalize_url: drop userinfo, fold only
+    # the scheme's own default port (http→:80, https→:443).
+    hostport = F.lower(
+        F.regexp_replace(
+            F.regexp_extract(after, r"^([^/?]+)", 1), r"^[^@]*@", ""
+        )
+    )
     host = F.regexp_replace(
-        F.regexp_replace(hostport, r":(443|80)$", ""), r"^www\.", ""
+        F.when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
+        .otherwise(hostport),
+        r"^www\.",
+        "",
     )
     return F.when(scheme == "", F.lit("")).otherwise(host)

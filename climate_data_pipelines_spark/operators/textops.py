@@ -1164,17 +1164,20 @@ def gopher_rules(
     """
     toks = tokens(text_col)
     n = F.size(toks)
-    ttr = oracle_round(
+    # n == 0 guard: ANSI mode makes 0/0 throw; a zero-token doc gets
+    # NULL mean/ttr (matching DuckDB's NULL-on-empty list_sum/0) and
+    # fails only too_few_tokens.
+    ttr = F.when(n > 0, oracle_round(
         F.size(F.array_distinct(toks)).cast("double") / n.cast("double"), 6
-    )
-    mean_len = oracle_round(
+    ))
+    mean_len = F.when(n > 0, oracle_round(
         F.aggregate(
             toks, F.lit(0).cast("long"),
             lambda acc, x: acc + F.length(x),
         ).cast("double")
         / n.cast("double"),
         6,
-    )
+    ))
 
     def _dup_occurrences(arr):
         # sum of run lengths > 1 over the sorted array = number of

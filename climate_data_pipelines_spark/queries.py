@@ -4892,12 +4892,21 @@ _URL_FIXTURE_SQL = """u AS (SELECT doc_id, n_chars,
                   regexp_replace(no_frag,
                         '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS after
                 FROM n1),
+         n2b AS (SELECT *,
+                   lower(regexp_replace(
+                       regexp_extract(after, '^([^/?]+)', 1),
+                       '^[^@]*@', '')) AS hostport
+                 FROM n2),
          n3 AS (SELECT doc_id, n_chars, scheme,
-                  regexp_replace(regexp_replace(
-                      lower(regexp_extract(after, '^([^/?]+)', 1)),
-                      ':(443|80)$', ''), '^www\\.', '') AS host,
+                  regexp_replace(
+                      CASE WHEN scheme = 'http'
+                             THEN regexp_replace(hostport, ':80$', '')
+                           WHEN scheme = 'https'
+                             THEN regexp_replace(hostport, ':443$', '')
+                           ELSE hostport END,
+                      '^www\\.', '') AS host,
                   regexp_replace(after, '^[^/?]+', '') AS pathq
-                FROM n2),
+                FROM n2b),
          n4 AS (SELECT doc_id, n_chars, scheme, host,
                   regexp_replace(regexp_extract(pathq, '^([^?]*)', 1),
                                  '/+$', '') AS path0,
@@ -5484,10 +5493,10 @@ def q182(spark, sf_dir):
                  COALESCE(ROUND(d.n_dup / CAST(d.n_bi AS DOUBLE)
                                 * 1000000) / 1000000, 0.0)
                    AS dup_bigram_frac,
-                 CAST(r.max_run AS INT) AS max_run
+                 CAST(COALESCE(r.max_run, 0) AS INT) AS max_run
                FROM m
                LEFT JOIN dupbi d USING (doc_id)
-               JOIN runs r USING (doc_id)),
+               LEFT JOIN runs r USING (doc_id)),
          f AS (SELECT *,
                  concat_ws(',',
                    CASE WHEN n_tokens < 10 THEN 'too_few_tokens' END,
@@ -5556,12 +5565,23 @@ def q183(spark, sf_dir):
                   regexp_replace(no_frag,
                       '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS after
                 FROM n1),
+         n2b AS (SELECT *,
+                   lower(regexp_replace(
+                       regexp_extract(after, '^([^/?]+)', 1),
+                       '^[^@]*@', '')) AS hostport
+                 FROM n2),
          n3 AS (SELECT text,
                   CASE WHEN scheme = '' THEN ''
-                       ELSE regexp_replace(regexp_replace(
-                              lower(regexp_extract(after, '^([^/?]+)', 1)),
-                              ':(443|80)$', ''), '^www\\.', '') END AS domain
-                FROM n2),
+                       ELSE regexp_replace(
+                              CASE WHEN lower(scheme) = 'http'
+                                     THEN regexp_replace(hostport,
+                                                         ':80$', '')
+                                   WHEN lower(scheme) = 'https'
+                                     THEN regexp_replace(hostport,
+                                                         ':443$', '')
+                                   ELSE hostport END,
+                              '^www\\.', '') END AS domain
+                FROM n2b),
          s AS (SELECT domain,
                  trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm,
                  list_filter(string_split(text, ' '), x -> x != '') AS toks
@@ -5757,7 +5777,7 @@ def q185(spark, sf_dir):
                FROM lns)
        SELECT doc_id, n_lines,
               len(kept) AS n_kept_lines,
-              array_to_string(kept, chr(10)) AS text_clean,
+              coalesce(array_to_string(kept, chr(10)), '') AS text_clean,
               len(kept) >= 3 AS keep
        FROM f""",
     "C4-style LINE cleaning (Raffel et al. 2020 §2.2; textops."

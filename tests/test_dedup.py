@@ -488,6 +488,14 @@ def test_normalize_url_canonicalizes_every_variant(spark):
         # path/query case is preserved
         ("https://example.org/CaseSensitive?Q=V", "https://example.org/CaseSensitive?Q=V"),
         ("https://example.org/p?fbclid=abc&ref=tw", "https://example.org/p"),
+        # r9 advice: only the SCHEME'S OWN default port folds away —
+        # http://h:443 / https://h:8080 are distinct origins
+        ("http://example.org:443/a", "http://example.org:443/a"),
+        ("https://example.org:8080/a", "https://example.org:8080/a"),
+        ("https://example.org:80/a", "https://example.org:80/a"),
+        # userinfo is credentials, never part of the key
+        ("https://user:pw@example.org/a", "https://example.org/a"),
+        ("https://alice@www.Example.org:443/a", "https://example.org/a"),
     ]
     df = spark.createDataFrame([(r,) for r, _ in cases], "url string")
     got = [r[0] for r in df.select(normalize_url("url")).collect()]

@@ -639,6 +639,25 @@ def test_gopher_rules_dup_bigram_fraction_exact(spark):
     assert r.max_run == 1  # no consecutive equal tokens
 
 
+def test_gopher_rules_zero_token_doc(spark):
+    """A zero-token doc must not divide by zero (ANSI mode throws on
+    0/0): NULL mean/ttr, dup_bigram_frac 0.0, max_run 0, and ONLY
+    too_few_tokens fails — the same degenerate row DuckDB's
+    NULL-on-empty list_sum semantics produce, so the q183 twins agree
+    if one ever enters a fixture."""
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "ok doc with five words here.")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textops.gopher_rules(df).collect()}
+    for i in (1, 2):
+        r = out[i]
+        assert r.n_tokens == 0
+        assert r.mean_tok_len is None and r.ttr is None
+        assert r.dup_bigram_frac == 0.0 and r.max_run == 0
+        assert r.failed_rules == "too_few_tokens" and not r.keep
+
+
 def test_gopher_rules_zero_shuffles(spark):
     """The gate's 100 TB contract: every metric is a per-row
     expression — no exchange anywhere in the plan."""
@@ -671,6 +690,25 @@ def test_domain_reputation_flags(spark):
     assert m.n_docs == 3 and m.n_unique_docs == 1
     j = out[""]
     assert not j.keep and "bad_url" in j.failed_rules
+
+
+def test_url_host_userinfo_and_scheme_port(spark):
+    """r9 advice: userinfo never enters the host key, and only the
+    scheme's OWN default port folds (http://h:443 is a distinct
+    origin; https://h:8080 keeps its port)."""
+    from climate_data_pipelines_spark.functions.text import url_host
+
+    cases = [
+        ("https://user:pw@www.Example.org:443/a", "example.org"),
+        ("http://alice@example.org:80/b", "example.org"),
+        ("http://example.org:443/a", "example.org:443"),
+        ("https://example.org:8080/a", "example.org:8080"),
+        ("HTTPS://EXAMPLE.ORG:443/a", "example.org"),
+        ("not a url", ""),
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in cases], "url string")
+    got = [r[0] for r in df.select(url_host("url")).collect()]
+    assert got == [e for _, e in cases]
 
 
 def test_c4_line_filter_rules(spark):
