@@ -1141,27 +1141,11 @@ GOPHER_MAX_DUP_BIGRAM = 0.55  # fraction of bigram slots in repeated bigrams
 GOPHER_MAX_RUN = 6            # longest same-token run ("buy buy buy ...")
 
 
-def gopher_rules(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """Gopher-style repetition/format quality GATE (Rae et al. 2021
-    App. A1; the rule family MassiveText, RefinedWeb and Dolma all
-    re-implement): per-doc token-count bounds, mean token length
-    bounds, type-token ratio floor, duplicate-bigram fraction ceiling
-    (TOTAL occurrences in repeated bigrams — the companion to
-    :func:`repetition_ratio`'s single-max-gram signal), and a
-    longest same-token-run ceiling. Emits every metric, the keep
-    flag, and the comma-joined names of failed rules.
-
-    Scale: ZERO shuffles — every metric is a per-row Column
-    expression over one token array. The duplicate-bigram fraction
-    and max run both come from single ``aggregate()`` run-length
-    scans over a SORTED gram/token array (the repetition_ratio
-    pattern: O(n log n) per row, lambda touches only accumulator and
-    element so Catalyst cannot re-inline the tokenize subtree), not
-    an explode → groupBy — a 100 TB corpus pays exactly one scan and
-    writes one row per doc.
-    """
+def _gopher_metrics(text_col: str) -> dict:
+    """The five Gopher metrics as pure Column expressions over one
+    token array — shared by :func:`gopher_rules` (the reporting
+    operator) and :func:`gopher_keep` (the curation-stage predicate)
+    so the rule math can never drift between the two."""
     toks = tokens(text_col)
     n = F.size(toks)
     # n == 0 guard: ANSI mode makes 0/0 throw; a zero-token doc gets
@@ -1184,8 +1168,6 @@ def gopher_rules(
         # occurrences that belong to a repeated element
         def _step(acc, x):
             run = F.when(acc["prev"] == x, acc["run"] + 1).otherwise(F.lit(1))
-            # when a run ends (new element) fold the finished run into
-            # dup if it repeated; the finisher adds the last run
             add = F.when(
                 (acc["prev"] != x) & (acc["run"] > 1), acc["run"]
             ).otherwise(F.lit(0))
@@ -1235,24 +1217,77 @@ def gopher_rules(
             lambda acc: acc["best"],
         )
 
-    max_run = _max_run(toks)
-    rules = [
-        ("too_few_tokens", F.col("n_tokens") < GOPHER_MIN_TOKENS),
-        ("too_many_tokens", F.col("n_tokens") > GOPHER_MAX_TOKENS),
-        ("mean_tok_len", (F.col("mean_tok_len") < GOPHER_MIN_MEAN_TOK_LEN)
-                         | (F.col("mean_tok_len") > GOPHER_MAX_MEAN_TOK_LEN)),
-        ("low_ttr", F.col("ttr") < GOPHER_MIN_TTR),
-        ("dup_bigrams", F.col("dup_bigram_frac") > GOPHER_MAX_DUP_BIGRAM),
-        ("long_run", F.col("max_run") > GOPHER_MAX_RUN),
+    return {
+        "n_tokens": n,
+        "mean_tok_len": mean_len,
+        "ttr": ttr,
+        "dup_bigram_frac": dup_bi_frac,
+        "max_run": _max_run(toks),
+    }
+
+
+def _gopher_rule_conds(m: dict) -> list:
+    """(name, failure condition) pairs over a metrics mapping — pass
+    ``F.col``-based refs (gopher_rules, metrics already projected) or
+    the raw expressions from :func:`_gopher_metrics` (gopher_keep)."""
+    return [
+        ("too_few_tokens", m["n_tokens"] < GOPHER_MIN_TOKENS),
+        ("too_many_tokens", m["n_tokens"] > GOPHER_MAX_TOKENS),
+        ("mean_tok_len", (m["mean_tok_len"] < GOPHER_MIN_MEAN_TOK_LEN)
+                         | (m["mean_tok_len"] > GOPHER_MAX_MEAN_TOK_LEN)),
+        ("low_ttr", m["ttr"] < GOPHER_MIN_TTR),
+        ("dup_bigrams", m["dup_bigram_frac"] > GOPHER_MAX_DUP_BIGRAM),
+        ("long_run", m["max_run"] > GOPHER_MAX_RUN),
     ]
+
+
+def gopher_keep(text_col: str = "text"):
+    """The Gopher gate as ONE boolean Column — the curation-pipeline
+    form of :func:`gopher_rules` (same metrics, same thresholds,
+    shared code), usable as a plain ``df.filter(...)`` with zero
+    shuffles and no join-back. NULL metrics (zero-token docs) fail
+    only the token-count rule, matching the reporting operator."""
+    conds = [
+        F.coalesce(cond, F.lit(False))
+        for _name, cond in _gopher_rule_conds(_gopher_metrics(text_col))
+    ]
+    out = F.lit(True)
+    for c in conds:
+        out = out & ~c
+    return out
+
+
+def gopher_rules(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition/format quality GATE (Rae et al. 2021
+    App. A1; the rule family MassiveText, RefinedWeb and Dolma all
+    re-implement): per-doc token-count bounds, mean token length
+    bounds, type-token ratio floor, duplicate-bigram fraction ceiling
+    (TOTAL occurrences in repeated bigrams — the companion to
+    :func:`repetition_ratio`'s single-max-gram signal), and a
+    longest same-token-run ceiling. Emits every metric, the keep
+    flag, and the comma-joined names of failed rules.
+
+    Scale: ZERO shuffles — every metric is a per-row Column
+    expression over one token array. The duplicate-bigram fraction
+    and max run both come from single ``aggregate()`` run-length
+    scans over a SORTED gram/token array (the repetition_ratio
+    pattern: O(n log n) per row, lambda touches only accumulator and
+    element so Catalyst cannot re-inline the tokenize subtree), not
+    an explode → groupBy — a 100 TB corpus pays exactly one scan and
+    writes one row per doc.
+    """
+    m = _gopher_metrics(text_col)
     base = df.select(
         F.col(id_col),
-        n.alias("n_tokens"),
-        mean_len.alias("mean_tok_len"),
-        ttr.alias("ttr"),
-        dup_bi_frac.alias("dup_bigram_frac"),
-        max_run.alias("max_run"),
+        m["n_tokens"].alias("n_tokens"),
+        m["mean_tok_len"].alias("mean_tok_len"),
+        m["ttr"].alias("ttr"),
+        m["dup_bigram_frac"].alias("dup_bigram_frac"),
+        m["max_run"].alias("max_run"),
     )
+    rules = _gopher_rule_conds({k: F.col(k) for k in base.columns if k != id_col})
     failed = F.concat_ws(
         ",",
         F.filter(
@@ -1278,6 +1313,71 @@ DOMAIN_MAX_DUP_RATE = 0.5
 DOMAIN_MIN_QUALITY_RATE = 0.25
 
 
+def domain_stats(
+    df: DataFrame, url_col: str = "url", text_col: str = "text"
+) -> DataFrame:
+    """MERGEABLE sufficient statistics for the domain-reputation
+    profile, keyed (domain, _norm): occurrence count, quality-pass
+    sum, token sum. Two properties make this the increment-safe form:
+
+    - the full profile (:func:`domain_profile_from_stats`) needs only
+      these rows — countDistinct(norm) becomes a row count;
+    - two stats tables UNION + re-aggregate to exactly the stats of
+      the combined corpus, so a day-N increment merges its batch
+      stats with the base corpus's PERSISTED stats instead of
+      re-reading base text (the shingle_df partial-counts pattern,
+      plans/llm_curation.py).
+
+    One (domain, 32-byte digest)-keyed exchange; text never shuffles.
+    """
+    from climate_data_pipelines_spark.functions.text import url_host
+
+    norm = F.sha2(normalize_text(F.col(text_col)), 256)
+    ok = F.when(quality_predicate(text_col), F.lit(1)).otherwise(F.lit(0))
+    return (
+        df.select(
+            url_host(F.col(url_col)).alias("domain"),
+            norm.alias("_norm"),
+            ok.alias("_ok"),
+            F.size(tokens(text_col)).alias("_n_tok"),
+        )
+        .groupBy("domain", "_norm")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("_ok").alias("ok_sum"),
+            F.sum("_n_tok").alias("tok_sum"),
+        )
+    )
+
+
+def domain_profile_from_stats(stats: DataFrame) -> DataFrame:
+    """Fold (domain, _norm)-keyed sufficient stats into the per-domain
+    reputation profile (one |domains|-bounded agg). ``stats`` may
+    contain PARTIAL rows for the same (domain, _norm) — appended
+    increments — which are re-merged here before the profile math, so
+    a re-crawled duplicate never double-counts as unique."""
+    merged = stats.groupBy("domain", "_norm").agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("ok_sum").alias("ok_sum"),
+        F.sum("tok_sum").alias("tok_sum"),
+    )
+    n_docs = F.sum("cnt")
+    n_unique = F.count("*")
+    return merged.groupBy("domain").agg(
+        n_docs.alias("n_docs"),
+        n_unique.alias("n_unique_docs"),
+        oracle_round(
+            F.lit(1.0) - n_unique.cast("double") / n_docs.cast("double"), 6
+        ).alias("dup_rate"),
+        oracle_round(
+            F.sum("ok_sum").cast("double") / n_docs.cast("double"), 6
+        ).alias("quality_pass_rate"),
+        oracle_round(
+            F.sum("tok_sum").cast("double") / n_docs.cast("double"), 6
+        ).alias("avg_tokens"),
+    )
+
+
 def domain_reputation(
     df: DataFrame,
     url_col: str = "url",
@@ -1295,10 +1395,12 @@ def domain_reputation(
     `/root/reference/pipelines/precipitation_pipeline.py:33-36` — so
     this is that surface generalized to an untrusted crawl).
 
-    Plan: ONE aggregation keyed on the host (the countDistinct digest
-    adds Spark's Expand + second exchange, both carrying 32-byte
-    sha2 keys, never text — the corpus_datasheet shuffle discipline);
-    output is |domains| rows. Docs from flagged domains are then
+    Plan: two host-keyed aggregations via the MERGEABLE sufficient
+    stats (:func:`domain_stats` → :func:`domain_profile_from_stats`,
+    the increment-safe split): one (domain, digest) exchange, one
+    |domains|-bounded fold — both carrying 32-byte sha2 keys, never
+    text (the corpus_datasheet shuffle discipline); output is
+    |domains| rows. Docs from flagged domains are then
     dropped with one broadcast semi-join — the profile IS the filter
     dimension, no second corpus shuffle. Malformed URLs land in the
     ``''`` host row (url_host's junk guard) and never pollute a real
@@ -1307,27 +1409,21 @@ def domain_reputation(
     Returns (domain, n_docs, n_unique_docs, dup_rate,
     quality_pass_rate, avg_tokens, keep, failed_rules).
     """
-    from climate_data_pipelines_spark.functions.text import url_host
+    return domain_flags(
+        domain_profile_from_stats(domain_stats(df, url_col, text_col)),
+        max_dup_rate=max_dup_rate,
+        min_quality_rate=min_quality_rate,
+    )
 
-    norm = F.sha2(normalize_text(F.col(text_col)), 256)
-    ok = F.when(quality_predicate(text_col), F.lit(1)).otherwise(F.lit(0))
-    base = df.select(
-        url_host(F.col(url_col)).alias("domain"),
-        norm.alias("_norm"),
-        ok.alias("_ok"),
-        F.size(tokens(text_col)).alias("_n_tok"),
-    )
-    n_docs = F.count("*")
-    n_unique = F.countDistinct("_norm")
-    prof = base.groupBy("domain").agg(
-        n_docs.alias("n_docs"),
-        n_unique.alias("n_unique_docs"),
-        oracle_round(
-            F.lit(1.0) - n_unique.cast("double") / n_docs.cast("double"), 6
-        ).alias("dup_rate"),
-        oracle_round(F.avg("_ok"), 6).alias("quality_pass_rate"),
-        oracle_round(F.avg("_n_tok"), 6).alias("avg_tokens"),
-    )
+
+def domain_flags(
+    prof: DataFrame,
+    max_dup_rate: float = DOMAIN_MAX_DUP_RATE,
+    min_quality_rate: float = DOMAIN_MIN_QUALITY_RATE,
+) -> DataFrame:
+    """Apply the reputation rules to a domain profile frame — split
+    out so the curation pipeline can gate on a profile folded from
+    PERSISTED increment stats with the exact same rule math."""
     rules = [
         ("high_dup", F.col("dup_rate") > max_dup_rate),
         ("low_quality", F.col("quality_pass_rate") < min_quality_rate),
@@ -1382,17 +1478,7 @@ def c4_line_filter(
     replays the same lambda with DuckDB list_filter.
     """
     lines = F.split(F.col(text_col), r"\n")
-    lower = F.lower
-
-    def _line_ok(ln):
-        words = F.size(F.filter(F.split(ln, r"\s+"), lambda t: t != ""))
-        has_terminal = ln.rlike(C4_TERMINAL_RE)
-        blocked = F.lit(False)
-        for marker in C4_BLOCKLIST:
-            blocked = blocked | lower(ln).contains(marker)
-        return (words >= min_line_words) & has_terminal & ~blocked
-
-    kept = F.filter(lines, _line_ok)
+    kept = c4_kept_lines(text_col, min_line_words)
     n_kept = F.size(kept)
     return df.select(
         F.col(id_col),
@@ -1401,3 +1487,23 @@ def c4_line_filter(
         F.array_join(kept, "\n").alias("text_clean"),
         (n_kept >= min_kept_lines).alias("keep"),
     )
+
+
+def c4_kept_lines(
+    text_col: str = "text", min_line_words: int = C4_MIN_LINE_WORDS
+) -> Column:
+    """The kept-lines array of the C4 scrub as a standalone Column —
+    shared by :func:`c4_line_filter` (the reporting operator) and the
+    curation pipeline's pre-quality scrub stage so the line rules can
+    never drift between the two. Pure per-element JVM expressions."""
+    lines = F.split(F.col(text_col), r"\n")
+
+    def _line_ok(ln):
+        words = F.size(F.filter(F.split(ln, r"\s+"), lambda t: t != ""))
+        has_terminal = ln.rlike(C4_TERMINAL_RE)
+        blocked = F.lit(False)
+        for marker in C4_BLOCKLIST:
+            blocked = blocked | F.lower(ln).contains(marker)
+        return (words >= min_line_words) & has_terminal & ~blocked
+
+    return F.filter(lines, _line_ok)

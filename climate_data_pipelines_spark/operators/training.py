@@ -945,15 +945,32 @@ def trigram_lm_score(
     Train split: ``doc_id % heldout_mod != 0``; scored split is the
     complement. Per scored doc: trigram count and mean ln S.
 
-    Plan (everything vocab-sized after one explode):
-    counts c3/c2/c1 are three explode+agg passes over the TRAIN split;
-    the scored split explodes once to trigram occurrences, but scores
-    are computed on the DISTINCT trigram vocabulary only — a dim table
-    assembled by five vocab×vocab left joins (c3, prefix c2, backoff
-    c2, two c1 probes; AQE broadcasts while the vocab fits) — then
-    joined back to occurrences ONCE. At 100 TB the occurrence table is
-    corpus-sized but touches exactly two shuffles (dim join + doc agg);
-    every other table is vocabulary-sized.
+    Plan — NO n-gram string ever shuffles (r10 rewrite; the r9 z100
+    profile showed the old five string-keyed vocab×vocab dim joins
+    were the whole q181 wall, because on Zipf-realistic text the
+    trigram vocabulary is ~90% of occurrences — "vocab-sized" IS
+    corpus-sized, and every exchange carried ~40-byte gram strings):
+
+    - counts c3/c2/c1 aggregate on ``xxhash64`` of the gram, with the
+      backoff probe key (prefix-bigram hash for c3, first-word hash
+      for c2) carried THROUGH the agg — 16-byte shuffle rows;
+    - per-TRAIN-type score tables are precomputed once:
+      ``score3 = c3 ⋈ c2`` on the prefix hash (S3 = c3/c2(w1w2)),
+      ``score2 = c2 ⋈ c1`` on the first-word hash (S2 = α·c2/c1(w2)),
+      ``score1 = α²·c1/N`` — all train-vocab-sized, hash-keyed;
+    - the scored split explodes once; every probe hash (trigram,
+      backoff bigram, last word) is derived map-side BEFORE the
+      distinct, so the vocab groupBy and the three backoff left joins
+      shuffle three longs per row and the final occurrence join-back
+      carries (id, hash) only. Backoff precedence is a coalesce.
+
+    64-bit hash keys merge colliding gram types (counts and scores).
+    Over a 24M-type vocabulary P(any collision) ≈ 1.5e-5 and a
+    collision perturbs one trigram's fluency score, never a keep/drop
+    rule directly — the same bound q179's xxhash64-keyed df agg
+    documents. At 100 TB the occurrence table is corpus-sized but
+    touches exactly two shuffles (dim join + doc agg); every other
+    exchange is hash-keyed and vocabulary-sized.
     """
     from climate_data_pipelines_spark.functions.scalar import oracle_round
     from climate_data_pipelines_spark.functions.text import shingles, tokens
@@ -975,67 +992,115 @@ def trigram_lm_score(
     )
     held = spread_for_cpu(held_src.filter(F.size(tokens(text_col)) >= 3))
 
+    # count tables aggregate on xxhash64 of the gram; the backoff
+    # probe hash (functionally dependent on the gram) rides through
+    # the agg as a second grouping key, so no string reaches any
+    # exchange and the score-table joins below need no re-derivation.
+    # (A single tagged-union explode feeding one (kind, h, hp) agg was
+    # tried and measured 1.5-3x SLOWER at z100 — building 3n struct
+    # arrays per doc plus one 44M-group hash agg costs more than the
+    # two extra tokenize passes it saves. Three separate aggs stay.)
+    tri_raw = train.filter(F.size(tokens(text_col)) >= 3).select(
+        F.explode(shingles(text_col, 3)).alias("tri")
+    )
     c3 = (
-        train.filter(F.size(tokens(text_col)) >= 3)
-        .select(F.explode(shingles(text_col, 3)).alias("tri"))
-        .groupBy("tri")
+        tri_raw.select(
+            F.xxhash64("tri").alias("h3"),
+            F.xxhash64(F.substring_index(F.col("tri"), " ", 2)).alias("hb12"),
+        )
+        .groupBy("h3", "hb12")
         .agg(F.count("*").alias("c3"))
     )
+    bi_raw = train.filter(F.size(tokens(text_col)) >= 2).select(
+        F.explode(shingles(text_col, 2)).alias("bi")
+    )
     c2 = (
-        train.filter(F.size(tokens(text_col)) >= 2)
-        .select(F.explode(shingles(text_col, 2)).alias("bi"))
-        .groupBy("bi")
+        bi_raw.select(
+            F.xxhash64("bi").alias("h2"),
+            F.xxhash64(
+                F.split_part(F.col("bi"), F.lit(" "), F.lit(1))
+            ).alias("hw1"),
+        )
+        .groupBy("h2", "hw1")
         .agg(F.count("*").alias("c2"))
     )
     c1 = (
         train.select(F.explode(tokens(text_col)).alias("w"))
-        .groupBy("w")
+        .select(F.xxhash64("w").alias("hw"))
+        .groupBy("hw")
         .agg(F.count("*").alias("c1"))
     )
-    # NOTE: c2's two probes (b12, b23) and c1's three references (w2,
-    # w3, n_total) do NOT recompute their explode+aggregate — the
-    # count-table exchanges are identical subtrees and Spark's
-    # ReusedExchange serves every reference from one shuffle write
-    # (verified: eager localCheckpoints here made the x100 scale run
-    # ~75% SLOWER by paying materialization for reuse Spark already
-    # had). Keep the plan lazy and let exchange reuse do the sharing.
+    # NOTE: c2's two references (score3's prefix probe and score2's
+    # own build) and c1's references do NOT recompute their
+    # explode+aggregate — the count-table exchanges are identical
+    # subtrees and Spark's ReusedExchange serves every reference from
+    # one shuffle write (verified: eager localCheckpoints here made
+    # the x100 scale run ~75% SLOWER by paying materialization for
+    # reuse Spark already had). Keep the plan lazy.
     n_total = c1.agg(F.sum("c1").cast("double").alias("n_total"))
 
-    occ = held.select(
-        F.col(id_col), F.explode(shingles(text_col, 3)).alias("tri")
+    a = F.lit(float(alpha))
+    # per-TRAIN-type score tables (hash-keyed, train-vocab-sized):
+    # every train trigram's prefix bigram is a train bigram and every
+    # train bigram's first word is a train word, so the inner joins
+    # are exact
+    score3 = c3.join(
+        c2.select(F.col("h2").alias("hb12"), F.col("c2").alias("c2_12")),
+        "hb12",
+    ).select(
+        "h3",
+        (F.col("c3").cast("double") / F.col("c2_12").cast("double")).alias(
+            "s3"
+        ),
     )
-    vocab = occ.select("tri").distinct()
-    dim = (
-        vocab.withColumn("b12", F.substring_index(F.col("tri"), " ", 2))
-        .withColumn("b23", F.substring_index(F.col("tri"), " ", -2))
-        .withColumn("w2", F.split_part(F.col("tri"), F.lit(" "), F.lit(2)))
-        .withColumn("w3", F.split_part(F.col("tri"), F.lit(" "), F.lit(3)))
-        .join(c3, "tri", "left")
-        .join(c2.select(F.col("bi").alias("b12"), F.col("c2").alias("c2_12")), "b12", "left")
-        .join(c2.select(F.col("bi").alias("b23"), F.col("c2").alias("c2_23")), "b23", "left")
-        .join(c1.select(F.col("w").alias("w2"), F.col("c1").alias("c1_w2")), "w2", "left")
-        .join(c1.select(F.col("w").alias("w3"), F.col("c1").alias("c1_w3")), "w3", "left")
+    score2 = c2.join(
+        c1.select(F.col("hw").alias("hw1"), F.col("c1").alias("c1_w1")),
+        "hw1",
+    ).select(
+        F.col("h2").alias("hb23"),
+        (a * F.col("c2").cast("double") / F.col("c1_w1").cast("double")).alias(
+            "s2"
+        ),
+    )
+    score1 = c1.crossJoin(F.broadcast(n_total)).select(
+        F.col("hw").alias("hw3"),
+        (a * a * F.col("c1").cast("double") / F.col("n_total")).alias("s1"),
+    )
+
+    # scored split: every probe hash is derived MAP-SIDE at explode
+    # time (never a gram string past this projection), and the score
+    # joins happen at the OCCURRENCE level — no distinct-vocab dim, no
+    # join-back, no second explode pass. On realistic (Zipf) text the
+    # trigram vocabulary is ~90% of occurrences, so a dim table saves
+    # nothing and costs one groupBy + one extra corpus join + a full
+    # explode recompute (the r9 z100 profile's missing ~25 s); on
+    # low-entropy corpora the score tables are tiny and AQE broadcasts
+    # them, so the occurrence stream never shuffles before the doc agg
+    # either way.
+    exploded = held.select(
+        F.col(id_col), F.explode(shingles(text_col, 3)).alias("tri")
+    ).select(
+        F.col(id_col),
+        F.xxhash64("tri").alias("h3"),
+        F.xxhash64(F.substring_index(F.col("tri"), " ", -2)).alias("hb23"),
+        F.xxhash64(
+            F.split_part(F.col("tri"), F.lit(" "), F.lit(3))
+        ).alias("hw3"),
+    )
+    scored = (
+        exploded.join(score3, "h3", "left")
+        .join(score2, "hb23", "left")
+        .join(score1, "hw3", "left")
         .crossJoin(F.broadcast(n_total))
     )
-    a = F.lit(float(alpha))
-    score = (
-        F.when(
-            F.col("c3").isNotNull(),
-            F.col("c3").cast("double") / F.col("c2_12").cast("double"),
-        )
-        .when(
-            F.col("c2_23").isNotNull(),
-            a * F.col("c2_23").cast("double") / F.col("c1_w2").cast("double"),
-        )
-        .when(
-            F.col("c1_w3").isNotNull(),
-            a * a * F.col("c1_w3").cast("double") / F.col("n_total"),
-        )
-        .otherwise(a * a * F.lit(0.5) / F.col("n_total"))
+    score = F.coalesce(
+        F.col("s3"),
+        F.col("s2"),
+        F.col("s1"),
+        a * a * F.lit(0.5) / F.col("n_total"),
     )
-    dim = dim.select("tri", F.log(score).alias("logscore"))
     return (
-        occ.join(dim, "tri")
+        scored.select(F.col(id_col), F.log(score).alias("logscore"))
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_trigrams"),

@@ -111,6 +111,46 @@ def url_dedup_keep(
     ).unionByName(with_url.join(keepers, id_col, "left_semi"))
 
 
+def c4_scrub_stage(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The C4 line scrub (q186, textops.c4_line_filter) as a curation
+    stage: replace each doc's text with its kept lines and drop docs
+    left with fewer than C4_MIN_KEPT_LINES — the pre-quality scrub
+    T5's pipeline runs before any doc-level scoring. Zero shuffles
+    (one filter() lambda over the line array); every downstream
+    stage (quality, dedup digests, LM scoring) sees the CLEANED text,
+    which is the point — boilerplate lines must not defeat exact
+    dedup or pollute fluency scores."""
+    kept = textops.c4_kept_lines(text_col)
+    return (
+        df.withColumn("_c4_kept", kept)
+        .filter(F.size("_c4_kept") >= textops.C4_MIN_KEPT_LINES)
+        .withColumn(text_col, F.array_join("_c4_kept", "\n"))
+        .drop("_c4_kept")
+    )
+
+
+def domain_gate_drop(df: DataFrame, profile, url_col: str) -> DataFrame:
+    """Drop docs whose domain the reputation profile flags (q184) —
+    one broadcast anti-join against the |domains|-row flagged set.
+    Docs with no parseable URL (host '') are EXEMPT here: the ''
+    profile row always fails bad_url by construction, but a missing
+    URL is absence of evidence, and the URL-dedup stage already chose
+    to keep such docs (url_dedup_keep's null passthrough) — the gate
+    drops on bad reputation, not on missing metadata."""
+    from climate_data_pipelines_spark.functions.text import url_host
+
+    bad = (
+        textops.domain_flags(profile)
+        .filter(~F.col("keep") & (F.col("domain") != ""))
+        .select("domain")
+    )
+    return (
+        df.withColumn("_dom", url_host(F.col(url_col)))
+        .join(F.broadcast(bad), F.col("_dom") == F.col("domain"), "left_anti")
+        .drop("_dom")
+    )
+
+
 def containment_dedup(
     df: DataFrame,
     threshold: float = 0.9,
@@ -166,6 +206,7 @@ def _write_dedup_index(
     mode: str = "overwrite",
     url_col: str | None = None,
     containment: bool = False,
+    domain_url_col: str | None = None,
 ) -> None:
     """Persist the dedup state of the curated corpus — content digests
     (exact-dedup keys) and MinHash signatures (near-dup LSH input) —
@@ -209,6 +250,16 @@ def _write_dedup_index(
         normalize_url,
     )
 
+    if domain_url_col is not None:
+        # REBUILD fallback only (the normal path writes exact
+        # gate-INPUT stats inside curate_corpus/curate_increment):
+        # survivor-based stats under-count duplicates the pipeline
+        # already dropped, so a rebuilt profile skews dup_rate low —
+        # self-healing, never silently wrong, but lossier than the
+        # gate-time record. Documented in the increment docstring.
+        textops.domain_stats(kept, url_col=domain_url_col).write.mode(
+            mode
+        ).parquet(f"{out_dir}/dedup_index/domain_stats")
     dedup.minhash_signatures(kept, k=3, n_hashes=MINHASH_N).write.mode(
         mode
     ).parquet(f"{out_dir}/dedup_index/signatures")
@@ -250,6 +301,9 @@ def curate_corpus(
     containment_threshold: float = 0.9,
     containment_small_max: int = 16,
     containment_df_cap: int | None = 64,
+    domain_gate: bool = False,
+    c4: bool = False,
+    gopher: bool = False,
 ) -> dict:
     """Run the full curation chain on the ``documents`` table and
     write trainer shards + manifest to ``out_dir``. The documents
@@ -271,8 +325,26 @@ def curate_corpus(
       - ``containment``: small-in-large containment dedup (q179)
         after the symmetric near-dup stage, closing the
         LSH-invisible tiny-excerpt-inside-host hole.
-    Both stage configs land in the manifest (``stages``) and both
-    persist their index tables so ``curate_increment`` stays
+
+    r10 optional stages (the q183/q184/q186 gates composed, in the
+    order their docstrings claim):
+      - ``domain_gate`` (requires ``url_col``): domain-reputation
+        gate (q184) between URL dedup and any per-doc scoring — a
+        spam farm is killed once at its domain row, not a million
+        times at its docs. The gate's MERGEABLE input stats
+        (textops.domain_stats over the gate INPUT, i.e. post-URL-
+        dedup docs, kept or not) persist to
+        ``dedup_index/domain_stats`` so the day-N increment gates on
+        the base ∪ batch profile exactly (never a batch-only profile,
+        never a base-text re-read);
+      - ``c4``: C4 line scrub (q186) as the pre-quality stage —
+        replaces text with its kept lines, drops docs under
+        C4_MIN_KEPT_LINES; every later stage sees cleaned text;
+      - ``gopher``: Gopher repetition/format rules (q183) as an
+        additional quality gate next to ``quality_predicate`` — a
+        pure Column predicate, zero shuffles.
+    All stage configs land in the manifest (``stages``) and persist
+    whatever index tables they need so ``curate_increment`` stays
     O(batch). Returns the manifest dict (per-shard doc/token
     counts)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -284,9 +356,31 @@ def curate_corpus(
 
     from climate_data_pipelines_spark.operators.scale import unpersist_checkpoint
 
+    if domain_gate and url_col is None:
+        raise ValueError("domain_gate requires url_col (the gate keys on "
+                         "the normalized host of each doc's URL)")
     if url_col is not None:
         train = url_dedup_keep(train, url_col=url_col)
+    gate_ckpt = None
+    if domain_gate:
+        # gate-INPUT stats persist now (not survivor stats at the end):
+        # the increment's parity contract folds base stats ∪ batch
+        # stats into exactly the profile a from-scratch run over the
+        # union would compute. Checkpoint the gate input once — the
+        # stats write and the downstream chain both reference it.
+        train = gate_ckpt = train.localCheckpoint(eager=True)
+        textops.domain_stats(train, url_col=url_col).write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/dedup_index/domain_stats")
+        profile = textops.domain_profile_from_stats(
+            spark.read.parquet(f"{out_dir}/dedup_index/domain_stats")
+        )
+        train = domain_gate_drop(train, profile, url_col)
+    if c4:
+        train = c4_scrub_stage(train)
     passed = train.filter(textops.quality_predicate("text"))
+    if gopher:
+        passed = passed.filter(textops.gopher_keep("text"))
     # materialize the quality+exact-dedup output ONCE: the near-dup
     # stage references it four ways (signatures, Jaccard endpoint
     # joins, the CC node set, the final keeper semi-join) and the mix
@@ -334,6 +428,20 @@ def curate_corpus(
         }
         if containment
         else None,
+        "domain_gate": {
+            "url_col": url_col,
+            "max_dup_rate": textops.DOMAIN_MAX_DUP_RATE,
+            "min_quality_rate": textops.DOMAIN_MIN_QUALITY_RATE,
+        }
+        if domain_gate
+        else None,
+        "c4": {
+            "min_line_words": textops.C4_MIN_LINE_WORDS,
+            "min_kept_lines": textops.C4_MIN_KEPT_LINES,
+        }
+        if c4
+        else None,
+        "gopher": True if gopher else None,
         "jaccard_threshold": jaccard_threshold,
         "alpha": alpha,
         "benchmark_source": benchmark_source,
@@ -353,6 +461,8 @@ def curate_corpus(
     )
     unpersist_checkpoint(mixed)
     unpersist_checkpoint(unique)
+    if gate_ckpt is not None:
+        unpersist_checkpoint(gate_ckpt)
     return manifest
 
 
@@ -436,6 +546,9 @@ def curate_increment(
     stages = base_manifest.get("stages") or {}
     url_conf = stages.get("url_dedup")
     cont_conf = stages.get("containment")
+    dg_conf = stages.get("domain_gate")
+    c4_conf = stages.get("c4")
+    gopher_conf = stages.get("gopher")
 
     # PRECONDITION: doc_ids are globally unique across the batch and
     # the base corpus. A crawl that restarts its id sequence per day
@@ -480,6 +593,7 @@ def curate_increment(
             base_dir,
             url_col=url_conf["url_col"] if url_conf else None,
             containment=bool(cont_conf),
+            domain_url_col=dg_conf["url_col"] if dg_conf else None,
         )
         base_digests_df = spark.read.parquet(f"{base_dir}/dedup_index/digests")
         sb = spark.read.parquet(f"{base_dir}/dedup_index/signatures")
@@ -506,7 +620,36 @@ def curate_increment(
             .drop("_u")
         )
 
+    gate_ckpt = None
+    if dg_conf:
+        # domain gate (manifest-driven, mirrors curate_corpus's stage
+        # order): the profile folds the PERSISTED base gate-input
+        # stats with this batch's stats, so the batch is gated on
+        # exactly the profile a from-scratch run over base ∪ batch
+        # would compute — a batch-only profile would mis-judge any
+        # domain that straddles days. The batch stats append so
+        # day-N+1 folds them too. Base docs already gated stay
+        # (append-only asymmetry, same as the URL/containment rules).
+        uc = dg_conf["url_col"]
+        new_docs = gate_ckpt = new_docs.localCheckpoint(eager=True)
+        batch_stats = textops.domain_stats(new_docs, url_col=uc)
+        base_stats = spark.read.parquet(f"{base_dir}/dedup_index/domain_stats")
+        # |domains|-row frame, materialized EAGERLY: the append below
+        # lands in the same parquet dir base_stats lazily lists, so an
+        # unmaterialized profile would double-count the batch at
+        # action time
+        profile = textops.domain_profile_from_stats(
+            base_stats.unionByName(batch_stats)
+        ).localCheckpoint(eager=True)
+        new_docs = domain_gate_drop(new_docs, profile, uc)
+        batch_stats.write.mode("append").parquet(
+            f"{base_dir}/dedup_index/domain_stats"
+        )
+    if c4_conf:
+        new_docs = c4_scrub_stage(new_docs)
     passed = new_docs.filter(textops.quality_predicate("text"))
+    if gopher_conf:
+        passed = passed.filter(textops.gopher_keep("text"))
     unique = dedup.exact_dedup(passed).localCheckpoint(eager=True)
     # exact dedup vs base: digest anti-join (32-byte keys both sides).
     # The digest MUST be the same key exact_dedup groups on — sha256 of
@@ -585,6 +728,8 @@ def curate_increment(
     # connected_components checkpoints everything first; freeing it
     # earlier raised checkpointRDDBlockIdNotFound in the e2e test)
     unpersist_checkpoint(cand)
+    if gate_ckpt is not None:
+        unpersist_checkpoint(gate_ckpt)
 
     # shard cap: the CONFIGURED tokens_per_shard from the base
     # manifest (read once above). Inferring it from max(observed
@@ -641,6 +786,22 @@ def build_parser() -> argparse.ArgumentParser:
         help="keep every Nth benchmark doc (fixed-eval-set convention "
         "for scale runs; SCALEPROOF uses stride == corpus multiplier)",
     )
+    p.add_argument(
+        "--url-col", default=None,
+        help="enable URL-dedup stage 0 on this column",
+    )
+    p.add_argument(
+        "--domain-gate", action="store_true",
+        help="enable the domain-reputation gate (requires --url-col)",
+    )
+    p.add_argument(
+        "--c4", action="store_true",
+        help="enable the C4 line scrub as the pre-quality stage",
+    )
+    p.add_argument(
+        "--gopher", action="store_true",
+        help="enable the Gopher rule gate next to the quality predicate",
+    )
     return p
 
 
@@ -658,6 +819,10 @@ def main() -> None:
         jaccard_threshold=args.jaccard,
         benchmark_source=args.benchmark_source,
         bench_stride=args.bench_stride,
+        url_col=args.url_col,
+        domain_gate=args.domain_gate,
+        c4=args.c4,
+        gopher=args.gopher,
     )
     print(
         f"wrote {manifest['n_shards']} shards / {manifest['total_docs']} docs "

@@ -447,6 +447,137 @@ def test_curate_increment_parity_with_url_and_containment_stages(
     )
 
 
+def test_curate_increment_parity_with_r10_gates(spark, tmp_path_factory):
+    """r10 stages end-to-end: domain-reputation gate + C4 line scrub
+    + Gopher rules, on in BOTH the base run and — driven by the base
+    manifest's ``stages`` record — the increment. Three planted day-1
+    cases, each killable ONLY by its stage:
+
+    (a) two GOOD fresh docs on the day-0 spam-farm domain: the farm's
+        quality pass-rate over base ∪ batch is 2/10 = 0.2 < 0.25, so
+        the MERGED profile flags it — a batch-only profile (rate 1.0)
+        would keep them, so this pins the persisted-domain_stats fold;
+    (b) a C4 twin: identical to a kept day-0 doc after the line scrub
+        (only its planted 'lorem ipsum'/javascript junk lines differ)
+        — exact dedup must catch it POST-scrub via the base digests;
+    (c) Gopher bait: alternating two-token spam that PASSES the
+        plain quality predicate (distinct ratio 0.2) but fails the
+        dup-bigram ceiling.
+    Everything else is unique, so survivor parity holds at the doc-id
+    level between day0+increment and the from-scratch union run."""
+    import pyspark.sql.functions as F
+
+    from climate_data_pipelines_spark.plans.llm_curation import (
+        curate_corpus,
+        curate_increment,
+    )
+
+    def lines_doc(i, n_lines=4):
+        return "\n".join(
+            f"w{i}a{j} w{i}b{j} w{i}c{j} w{i}d{j} w{i}e{j}."
+            for j in range(n_lines)
+        )
+
+    spam_line = " ".join(["spam"] * 29) + " spam."  # distinct 2/30 < 0.1
+    farm_doc = "\n".join([spam_line] * 3)
+    gopher_bait = "\n".join(["alpha beta alpha beta alpha."] * 3)
+
+    def rows(ids, mk_text, host):
+        return [
+            (
+                i,
+                mk_text(i),
+                "en",
+                "srcA",
+                len(mk_text(i)),
+                f"https://{host}/p/{i}",
+            )
+            for i in ids
+        ]
+
+    schema = (
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long, url string"
+    )
+    day0_rows = (
+        rows(range(100, 120), lines_doc, "good.example.org")
+        + rows(range(200, 208), lambda _i: farm_doc, "farm.example.net")
+    )
+    d0_clean = lines_doc(100)
+    c4_twin = (
+        "lorem ipsum dolor sit amet boilerplate\n"
+        + d0_clean
+        + "\nfunction x() { junk }"
+    )
+    day1_rows = (
+        rows(range(300, 310), lines_doc, "good.example.org")
+        + rows(range(400, 402), lines_doc, "farm.example.net")   # (a)
+        + rows([500], lambda _i: c4_twin, "good.example.org")    # (b)
+        + rows([600], lambda _i: gopher_bait, "good.example.org")  # (c)
+    )
+    day0 = spark.createDataFrame(day0_rows, schema)
+    day1 = spark.createDataFrame(day1_rows, schema)
+
+    day0_dir = str(tmp_path_factory.mktemp("r10_day0"))
+    univ_dir = str(tmp_path_factory.mktemp("r10_univ"))
+    inc_out = str(tmp_path_factory.mktemp("r10_inc"))
+    full_out = str(tmp_path_factory.mktemp("r10_full"))
+    day0.write.parquet(f"{day0_dir}/documents.parquet")
+    day0.unionByName(day1).write.parquet(f"{univ_dir}/documents.parquet")
+
+    kwargs = dict(
+        alpha=1.0,
+        tokens_per_shard=300,
+        url_col="url",
+        domain_gate=True,
+        c4=True,
+        gopher=True,
+    )
+    base_manifest = curate_corpus(spark, day0_dir, inc_out, **kwargs)
+    assert base_manifest["stages"]["domain_gate"]["url_col"] == "url"
+    assert base_manifest["stages"]["c4"]["min_kept_lines"] == 3
+    assert base_manifest["stages"]["gopher"] is True
+    assert spark.read.parquet(f"{inc_out}/dedup_index/domain_stats").count() > 0
+    base_ids = {
+        r["doc_id"] for r in spark.read.parquet(f"{inc_out}/shards").collect()
+    }
+    assert base_ids == set(range(100, 120)), (
+        "base run must keep exactly the good day-0 docs "
+        f"(farm gated): {sorted(base_ids)}"
+    )
+
+    combined = curate_increment(spark, day1, inc_out)
+    curate_corpus(spark, univ_dir, full_out, **kwargs)
+
+    inc_ids = {
+        r["doc_id"] for r in spark.read.parquet(f"{inc_out}/shards").collect()
+    }
+    full_ids = {
+        r["doc_id"] for r in spark.read.parquet(f"{full_out}/shards").collect()
+    }
+    # planted kills, both paths
+    for ids, label in ((inc_ids, "increment"), (full_ids, "full run")):
+        assert not ids & {400, 401}, f"{label} kept farm-domain docs (a)"
+        assert 500 not in ids, f"{label} kept the post-scrub C4 twin (b)"
+        assert 600 not in ids, f"{label} kept the Gopher bait (c)"
+    # doc-id-level parity (all survivors unique text — no class policy)
+    assert inc_ids == full_ids, (
+        f"survivors diverge: inc-only={sorted(inc_ids - full_ids)} "
+        f"full-only={sorted(full_ids - inc_ids)}"
+    )
+    # the C4 scrub actually ran: kept text is the cleaned form
+    kept100 = (
+        spark.read.parquet(f"{inc_out}/shards")
+        .filter(F.col("doc_id") == 100)
+        .first()["text"]
+    )
+    assert kept100 == d0_clean
+    # increment re-recorded the recipe; stats table covers base+batch
+    assert combined["stages"]["gopher"] is True
+    stats = spark.read.parquet(f"{inc_out}/dedup_index/domain_stats")
+    assert stats.filter(F.col("domain") == "farm.example.net").count() >= 2
+
+
 def test_dedup_index_lockstep_and_self_heal(spark, sf_dir, tmp_path_factory):
     """The persisted dedup index (digests + MinHash signatures of the
     kept corpus) must (a) be written by curate_corpus, (b) be kept in
