@@ -1928,14 +1928,18 @@ def q73(spark, sf_dir):
     # corpus-adaptive nlist/nprobe (derive_ivf_params) — fixed 32/12
     # starved recall at small corpora and under-celled large ones;
     # corpus_n comes from the parquet footer, no count() job.
-    # min_probed_frac=0.55: the fixture embeddings are i.i.d. (no
+    # min_probed_frac=0.8: the fixture embeddings are i.i.d. (no
     # cluster structure), where recall tracks the probed fraction
-    # (docs/SCALEPROOF.md Finding 3) — clustered production corpora
-    # should leave the default 0.0
+    # almost linearly (docs/SCALEPROOF.md Finding 3) — 0.55 landed
+    # recall exactly ON the 0.9 invariant gate in BENCH_r09 (one
+    # k-means-seed wobble from red; 0.967 in r8; 0.7 measured 0.933),
+    # so the floor buys ~0.95+ with margin. Clustered production corpora should leave
+    # the default 0.0 — the mog scale proof (tools/ann_scale_proof.py)
+    # holds its recall probing ~3% of members
     return similarity.ann_ivf_topk(
         emb, _query_vectors(spark, sf_dir), k=10,
         n_cells=None, n_probe=None, corpus_n=table_rows(sf_dir, "embeddings"),
-        min_probed_frac=0.55,
+        min_probed_frac=0.8,
     )
 
 
@@ -5959,7 +5963,79 @@ def q186(spark, sf_dir):
 #     q186 (C4 line filter) registered after these seats were spent —
 #     it waits for the r10 window like q167/q172 did, replay-checked
 #     meanwhile.
+#   round 10 (this list): (a) q186 leads — the one never-driver-
+#     checked query; (b) re-proofs of every plan round 10 touches —
+#     the hash-keyed occurrence-level trigram LM rewrite (q177/q181),
+#     the gopher zero-token guard + shared-helper refactor (q183),
+#     the domain-reputation mergeable-stats refactor + url_host
+#     userinfo/port fix (q184, q175), the IVF probe-floor retune
+#     (q73), the jpeg floor-proof/decode follow-up (q172); (c) the
+#     four expression suites q63-q66 (last r5 rows — the seats
+#     promised when they yielded to q182-q185); (d) the r6 stale
+#     cohort (driver rows 4 rounds old after this window) — all of it
+#     except q110/q115/q116/q117/q83, which yield to the cap and
+#     lead round 11. Rows-only slots: q73, q172, q55, q140, q156,
+#     q162, q163, q164 = 8 <= 9.
 DRIVER_WINDOW: list[str] = [
+    # (a) the lead: never driver-checked, full oracle
+    "q186_c4_line_filter",
+    # (b) re-proofs of round-10-touched plans
+    "q177_trigram_lm_score",
+    "q181_perplexity_bucket_mix",
+    "q183_gopher_rules",
+    "q184_domain_reputation",
+    "q175_url_dedup",
+    "q73_ann_ivf_topk",
+    "q172_avi_mjpeg_frames",
+    # (c) the promised r5 expression suites
+    "q63_string_suite",
+    "q64_math_suite",
+    "q65_conditional_suite",
+    "q66_array_suite",
+    # (d) the r6 stale cohort: rows-only members first (recall/INV
+    # gated), then the oracle-bearing remainder
+    "q55_ann_lsh_topk",
+    "q140_pq_ann_topk",
+    "q156_approx_percentiles",
+    "q162_bpe_merges",
+    "q163_bpe_tokenize",
+    "q164_bpe_tokenize_ranked",
+    "q106_decontaminate",
+    "q107_hash_split",
+    "q108_pack_sequences",
+    "q109_tfidf_top_term",
+    "q111_vocab_topk",
+    "q112_shuffle_batches",
+    "q113_label_centroids",
+    "q118_bigram_lm_score",
+    "q119_line_dedup",
+    "q120_chunk_windows",
+    "q121_dedup_keep_longest",
+    "q125_token_budget_mix",
+    "q128_quality_select",
+    "q151_inverted_index",
+    "q165_binned_range_join",
+    "q168_temperature_mix",
+    "q171_shard_assign",
+    "q71_value_windows",
+    "q74_salted_skew_join",
+    "q75_salted_agg",
+    "q76_tile_rollup",
+    "q77_grouping_sets",
+    "q78_exists_subquery",
+    "q79_scalar_subquery",
+    "q80_redact",
+    "q81_repetition_ratio",
+    "q82_sentence_stats",
+    "q93_try_functions",
+    "q95_struct_update",
+    "q97_string_agg",
+    "q98_histogram",
+    "q99_map_suite",
+]
+
+_ROUND9_WINDOW: list[str] = [
+    # retained for the rotation record (served as DRIVER_WINDOW in r9)
     # mid-round additions, never driver-checked, full oracle
     "q182_cross_source_overlap",
     "q183_gopher_rules",
