@@ -4,6 +4,13 @@ SURVEY.md §2.11: image/audio/video travel as ``binary`` columns with a
 typed metadata struct; decode / feature-extract / resize / frame-sample
 run as Arrow-batched pandas functions over ``mapInPandas``.
 
+Every text→payload builder spreads its (id, text) source with
+``spread_for_cpu`` before the encode (r10: the q172 fps-floor proof
+measured the Spark decode at ~1× the SINGLE-CORE kernel time — the
+whole codec chain was inheriting the documents scan's single split,
+and mapInPandas preserves partitioning, so one spread at the builder
+fixes encode AND every downstream feature/decode stage).
+
 The decode kernel is REAL for PNG: a dependency-free decoder (zlib
 inflate + per-scanline unfilter, all five PNG filter types, gray8 /
 RGB8 / RGBA8) plus a matching gray8 encoder, so ``q54`` computes actual
@@ -30,6 +37,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
 from climate_data_pipelines_spark.functions import jpeg
+from climate_data_pipelines_spark.operators.scale import spread_for_cpu
 
 # ---------------------------------------------------------------------------
 # Dependency-free PNG codec (stdlib only: struct + zlib)
@@ -254,7 +262,9 @@ def text_as_png_payload(
     out_schema = T.StructType(
         [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
     )
-    png = df.select(id_col, text_col).mapInPandas(batches, schema=out_schema)
+    png = spread_for_cpu(df.select(id_col, text_col)).mapInPandas(
+        batches, schema=out_schema
+    )
     return png.select(
         F.col(id_col),
         "payload",
@@ -295,7 +305,9 @@ def text_as_jpeg_payload(
     out_schema = T.StructType(
         [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
     )
-    jp = df.select(id_col, text_col).mapInPandas(batches, schema=out_schema)
+    jp = spread_for_cpu(df.select(id_col, text_col)).mapInPandas(
+        batches, schema=out_schema
+    )
     return jp.select(
         F.col(id_col),
         "payload",
@@ -666,7 +678,9 @@ def text_as_wav_payload(
     out_schema = T.StructType(
         [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
     )
-    return df.select(id_col, text_col).mapInPandas(batches, schema=out_schema)
+    return spread_for_cpu(df.select(id_col, text_col)).mapInPandas(
+        batches, schema=out_schema
+    )
 
 
 def _wav_samples(payload: bytes):
@@ -1055,7 +1069,9 @@ def text_as_y4m_payload(
     out_schema = T.StructType(
         [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
     )
-    vid = df.select(id_col, text_col).mapInPandas(batches, schema=out_schema)
+    vid = spread_for_cpu(df.select(id_col, text_col)).mapInPandas(
+        batches, schema=out_schema
+    )
     return vid.select(
         F.col(id_col),
         "payload",
@@ -1401,7 +1417,9 @@ def text_as_avi_payload(
     out_schema = T.StructType(
         [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
     )
-    avi = df.select(id_col, text_col).mapInPandas(batches, schema=out_schema)
+    avi = spread_for_cpu(df.select(id_col, text_col)).mapInPandas(
+        batches, schema=out_schema
+    )
     return avi.select(
         F.col(id_col),
         "payload",
