@@ -127,6 +127,12 @@ ANN_RECALL = ["q55_ann_lsh_topk", "q73_ann_ivf_topk", "q140_pq_ann_topk"]
 REPEATS = 3
 # sub-second queries get 2 extra runs (median of 5) — noise control
 EXTRA_REPEATS_UNDER = 1.5
+# suite median drifting >= this vs the previous round triggers an
+# automatic fresh-session re-measure (median-of-5) at end of suite
+AUTO_ISOLATE_DELTA = 1.3
+# cap on estimated auto-isolate wall (sum of 5x suite medians) so a
+# fully-contended suite can't double the bench's runtime
+AUTO_ISOLATE_BUDGET_SEC = 150.0
 
 
 def _drop_stale_checkpoints(spark) -> None:
@@ -190,10 +196,12 @@ def isolate(names: list[str], repeats: int = 7) -> None:
             run(spec.fn(spark, sf_dir))
             samples.append(time.perf_counter() - t0)
             _drop_stale_checkpoints(spark)  # between samples, untimed
+        m = re.search(r"sf([0-9.]+)", sf_dir)
         rec = {
             "median": round(statistics.median(samples), 3),
             "min": round(min(samples), 3),
             "n": len(samples),
+            "sf": float(m.group(1)) if m else None,
         }
         iso[name] = rec
         print(json.dumps({"record": "isolate", "query": name, **rec,
@@ -300,7 +308,10 @@ def main() -> None:
             prev_round = "BENCH_DETAIL.json"
         else:
             benches = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
-            if benches:
+            # same-sf guard (r11): the driver artifacts are sf0.1 runs;
+            # a smoke run at another sf must not diff against them (the
+            # cross-sf deltas auto-isolated a phantom in testing)
+            if benches and sf == 0.1:
                 prev_round = os.path.basename(benches[-1])
                 with open(benches[-1]) as fh:
                     prev = json.load(fh)
@@ -318,18 +329,89 @@ def main() -> None:
     except Exception:
         pass  # a malformed prior artifact must not fail the bench
 
+    # auto-isolate (r11, VERDICT item 1): two consecutive rounds
+    # shipped a recorded suite regression that post-hoc --isolate runs
+    # attributed to machine/suite-position contention — but only for
+    # the queries someone remembered to isolate. Make the record carry
+    # its own exoneration: every query whose suite median drifted
+    # >= AUTO_ISOLATE_DELTA vs the previous round is re-measured in a
+    # FRESH session (median-of-5) and the verdict lands in the sidecar
+    # `isolated` block next to the suite number. Capped by total
+    # re-measure time (sum of flagged suite medians), largest absolute
+    # drift first, so a fully-contended suite can't double the bench's
+    # wall; anything dropped is named in `auto_isolate_skipped`.
+    auto_isolated: dict[str, dict] = {}
+    auto_skipped: list[str] = []
+    flagged = sorted(
+        (n for n, d in deltas.items() if d >= AUTO_ISOLATE_DELTA),
+        key=lambda n: -(timings[n] - timings[n] / deltas[n]),
+    )
+    if flagged:
+        budget = AUTO_ISOLATE_BUDGET_SEC
+        picked = []
+        for n in flagged:
+            est = timings[n] * 5
+            if budget - est < 0 and picked:
+                auto_skipped.append(n)
+                continue
+            budget -= est
+            picked.append(n)
+        spark.stop()
+        spark = get_spark(app_name="bench-auto-isolate")
+        run(REGISTRY["q17_agg_suite"].fn(spark, sf_dir))  # warmup
+        _drop_stale_checkpoints(spark)
+        for name in picked:
+            samples = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                run(REGISTRY[name].fn(spark, sf_dir))
+                samples.append(time.perf_counter() - t0)
+                _drop_stale_checkpoints(spark)
+            auto_isolated[name] = {
+                "median": round(statistics.median(samples), 3),
+                "min": round(min(samples), 3),
+                "n": len(samples),
+                "suite_median": timings[name],
+                "suite_delta_vs_prev": deltas[name],
+                "auto": True,
+                "sf": sf,
+            }
+
     # cumulative per-query history (VERDICT r8 item 10): medians from
     # every recorded round plus this run, so suite-position contention
     # (the r7 phantom regressions) is visible as a sparkline in ONE
     # artifact instead of requiring an 8-file diff. null = query not
     # benched that round.
+    #
+    # Source of truth is BENCH_HISTORY.json, which THIS script
+    # maintains (r11, VERDICT item 8): the driver's BENCH_r*.json only
+    # keeps the last ~2000 stdout chars, and once the headline line
+    # outgrew that, `queries` was dropped for `worst_queries` — so
+    # reconstructing history from the driver artifacts silently thinned
+    # to 8 queries per round (the r9 null-gap). Rounds predating the
+    # history file still backfill from the driver artifacts.
     history: dict[str, list] = {}
     history_rounds: list[str] = []
     try:
         import glob as _glob
 
-        round_meds: list[dict[str, float]] = []
+        # current round = one past the newest driver-recorded bench
+        # (the driver writes BENCH_r{N}.json AFTER running this script)
+        rec_rounds = sorted(
+            os.path.basename(p).replace("BENCH_", "").replace(".json", "")
+            for p in _glob.glob(os.path.join(here, "BENCH_r*.json"))
+        )
+        cur_round = f"r{int(rec_rounds[-1][1:]) + 1:02d}" if rec_rounds else "r01"
+        hist_path = os.path.join(here, "BENCH_HISTORY.json")
+        hist_file: dict[str, dict[str, float]] = {}
+        if os.path.exists(hist_path):
+            with open(hist_path) as fh:
+                hist_file = json.load(fh)
+        # backfill pre-history rounds from the (thinned) driver tails
         for path in sorted(_glob.glob(os.path.join(here, "BENCH_r*.json"))):
+            rnd = os.path.basename(path).replace("BENCH_", "").replace(".json", "")
+            if rnd in hist_file:
+                continue
             with open(path) as fh:
                 rec = json.load(fh)
             q = (rec.get("parsed") or {}).get("queries", {}) or {}
@@ -340,12 +422,23 @@ def main() -> None:
                         r'"(q\w+)":\s*([0-9.]+)', rec.get("tail", "")
                     )
                 }
-            history_rounds.append(
-                os.path.basename(path).replace("BENCH_", "").replace(".json", "")
-            )
-            round_meds.append(q)
-        history_rounds.append("current")
-        round_meds.append(timings)
+            hist_file[rnd] = q
+        # only a same-sf run may stamp the round's history row (a
+        # smoke run at sf0.001 must not become r11's record)
+        if sf == 0.1:
+            hist_file[cur_round] = timings
+        with open(hist_path, "w") as fh:
+            json.dump(hist_file, fh, indent=1, sort_keys=True)
+
+        for rnd in sorted(hist_file):
+            history_rounds.append(rnd)
+        if history_rounds and history_rounds[-1] == cur_round:
+            history_rounds[-1] = "current"
+            round_meds = [hist_file[r] for r in sorted(hist_file)]
+        else:
+            round_meds = [hist_file[r] for r in sorted(hist_file)]
+            history_rounds.append("current")
+            round_meds.append(timings)
         for name in timings:
             history[name] = [m.get(name) for m in round_meds]
     except Exception:
@@ -364,11 +457,14 @@ def main() -> None:
         "prev_round": prev_round,
         "history": history,
         "history_rounds": history_rounds,
+        "auto_isolate_skipped": auto_skipped,
         "sf": sf,
     }
     # read-merge: a suite run must not erase isolate()'s verdicts —
     # the sidecar's contract is that isolated medians live NEXT TO the
-    # suite numbers (a fresh dict silently dropped them; r8 review)
+    # suite numbers (a fresh dict silently dropped them; r8 review);
+    # this run's auto-isolations overwrite same-name entries (newest
+    # measurement wins)
     detail_path = os.path.join(here, "BENCH_DETAIL.json")
     try:
         if os.path.exists(detail_path):
@@ -378,6 +474,8 @@ def main() -> None:
                 detail["isolated"] = prev_sidecar["isolated"]
     except Exception:
         pass  # a malformed sidecar must not fail the bench
+    if auto_isolated:
+        detail.setdefault("isolated", {}).update(auto_isolated)
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
     print(json.dumps(detail))
@@ -392,6 +490,15 @@ def main() -> None:
         "repeats": REPEATS,
         "extra_repeats_under_sec": EXTRA_REPEATS_UNDER,
         "detail": "BENCH_DETAIL.json",
+        "n_auto_isolated": len(auto_isolated),
+        # isolated total for the flagged set, next to their suite total:
+        # the one-line contention verdict (≈1.0 x prev = exonerated)
+        "auto_isolated_sec": round(
+            sum(v["median"] for v in auto_isolated.values()), 3
+        ),
+        "auto_isolated_suite_sec": round(
+            sum(v["suite_median"] for v in auto_isolated.values()), 3
+        ),
         **recall,
     }
     line = json.dumps(out, separators=(",", ":"))

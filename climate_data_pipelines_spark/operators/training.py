@@ -968,9 +968,14 @@ def trigram_lm_score(
     Over a 24M-type vocabulary P(any collision) ≈ 1.5e-5 and a
     collision perturbs one trigram's fluency score, never a keep/drop
     rule directly — the same bound q179's xxhash64-keyed df agg
-    documents. At 100 TB the occurrence table is corpus-sized but
-    touches exactly two shuffles (dim join + doc agg); every other
-    exchange is hash-keyed and vocabulary-sized.
+    documents. At 100 TB the occurrence table is corpus-sized and
+    touches up to FOUR hash-keyed exchanges — the three backoff left
+    joins (score3/score2/score1) re-shuffle the occurrence stream
+    whenever a train-vocab-sized score table exceeds the broadcast
+    threshold (on Zipf-realistic text it will), plus the doc agg —
+    but each exchange row is 16-byte longs, vs the old plan's five
+    ~40-byte string-keyed vocab×vocab joins; every other exchange is
+    hash-keyed and vocabulary-sized.
     """
     from climate_data_pipelines_spark.functions.scalar import oracle_round
     from climate_data_pipelines_spark.functions.text import shingles, tokens

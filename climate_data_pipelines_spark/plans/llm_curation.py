@@ -207,6 +207,7 @@ def _write_dedup_index(
     url_col: str | None = None,
     containment: bool = False,
     domain_url_col: str | None = None,
+    domain_stats_df: DataFrame | None = None,
 ) -> None:
     """Persist the dedup state of the curated corpus — content digests
     (exact-dedup keys) and MinHash signatures (near-dup LSH input) —
@@ -244,7 +245,18 @@ def _write_dedup_index(
         bucketed by shingle-hash range so the prefix probe prunes
         file groups. ``shingle_df`` appends PARTIAL counts per
         increment; readers aggregate (groupBy sum — vocabulary-sized)
-        so the append path never rewrites the table."""
+        so the append path never rewrites the table.
+
+    ``domain_stats_df`` is the domain gate's exact gate-INPUT stats
+    frame (already eagerly checkpointed by the caller). It lands here
+    — inside the digests-last commit sequence — rather than at gate
+    time, so a crash mid-run never strands a stats table behind an
+    otherwise-absent/stale index: retrying a failed increment would
+    otherwise append the same batch stats twice, doubling ``cnt`` for
+    its (domain, _norm) rows while ``n_unique`` stays fixed and
+    inflating ``dup_rate`` toward 0.5+ (r10 advice, medium).
+    ``domain_url_col`` is the REBUILD fallback (recompute survivor
+    stats from ``kept``); the two are mutually exclusive."""
     from climate_data_pipelines_spark.functions.text import (
         normalize_text,
         normalize_url,
@@ -260,6 +272,10 @@ def _write_dedup_index(
         textops.domain_stats(kept, url_col=domain_url_col).write.mode(
             mode
         ).parquet(f"{out_dir}/dedup_index/domain_stats")
+    if domain_stats_df is not None:
+        domain_stats_df.write.mode(mode).parquet(
+            f"{out_dir}/dedup_index/domain_stats"
+        )
     dedup.minhash_signatures(kept, k=3, n_hashes=MINHASH_N).write.mode(
         mode
     ).parquet(f"{out_dir}/dedup_index/signatures")
@@ -362,19 +378,23 @@ def curate_corpus(
     if url_col is not None:
         train = url_dedup_keep(train, url_col=url_col)
     gate_ckpt = None
+    gate_stats = None
     if domain_gate:
-        # gate-INPUT stats persist now (not survivor stats at the end):
-        # the increment's parity contract folds base stats ∪ batch
-        # stats into exactly the profile a from-scratch run over the
-        # union would compute. Checkpoint the gate input once — the
-        # stats write and the downstream chain both reference it.
+        # gate-INPUT stats are computed now (not survivor stats at the
+        # end) but WRITTEN at the end, inside _write_dedup_index's
+        # digests-last commit sequence — an early write would strand a
+        # stats table in an otherwise index-less output dir on a
+        # mid-run crash (r10 advice). The increment's parity contract
+        # folds base stats ∪ batch stats into the profile a
+        # from-scratch run over the union would compute (modulo the
+        # documented URL keep-best asymmetry). Both the stats frame
+        # and the gate input are checkpointed once; the profile and
+        # the deferred write both read the tiny materialized frame.
         train = gate_ckpt = train.localCheckpoint(eager=True)
-        textops.domain_stats(train, url_col=url_col).write.mode(
-            "overwrite"
-        ).parquet(f"{out_dir}/dedup_index/domain_stats")
-        profile = textops.domain_profile_from_stats(
-            spark.read.parquet(f"{out_dir}/dedup_index/domain_stats")
-        )
+        gate_stats = textops.domain_stats(
+            train, url_col=url_col
+        ).localCheckpoint(eager=True)
+        profile = textops.domain_profile_from_stats(gate_stats)
         train = domain_gate_drop(train, profile, url_col)
     if c4:
         train = c4_scrub_stage(train)
@@ -458,11 +478,14 @@ def curate_corpus(
         out_dir,
         url_col=url_col,
         containment=containment,
+        domain_stats_df=gate_stats,
     )
     unpersist_checkpoint(mixed)
     unpersist_checkpoint(unique)
     if gate_ckpt is not None:
         unpersist_checkpoint(gate_ckpt)
+    if gate_stats is not None:
+        unpersist_checkpoint(gate_stats)
     return manifest
 
 
@@ -621,30 +644,37 @@ def curate_increment(
         )
 
     gate_ckpt = None
+    batch_stats = None
     if dg_conf:
         # domain gate (manifest-driven, mirrors curate_corpus's stage
         # order): the profile folds the PERSISTED base gate-input
         # stats with this batch's stats, so the batch is gated on
-        # exactly the profile a from-scratch run over base ∪ batch
-        # would compute — a batch-only profile would mis-judge any
-        # domain that straddles days. The batch stats append so
-        # day-N+1 folds them too. Base docs already gated stay
-        # (append-only asymmetry, same as the URL/containment rules).
+        # the profile a from-scratch run over base ∪ batch would
+        # compute (exactly, modulo the documented append-only URL
+        # keep-best asymmetry: a batch doc sharing a canonical URL
+        # with a kept base doc is always dropped here, while a
+        # from-scratch run may keep the batch doc) — a batch-only
+        # profile would mis-judge any domain that straddles days.
+        # The batch stats APPEND IS DEFERRED to the end-of-run
+        # _write_dedup_index call (digests-last commit discipline) so
+        # a crash + retry never appends the same stats twice (r10
+        # advice, medium); day-N+1 still folds them because the final
+        # index append is the increment's commit record. Base docs
+        # already gated stay (append-only asymmetry, same as the
+        # URL/containment rules).
         uc = dg_conf["url_col"]
         new_docs = gate_ckpt = new_docs.localCheckpoint(eager=True)
-        batch_stats = textops.domain_stats(new_docs, url_col=uc)
+        # |batch domains|-row frame, checkpointed EAGERLY: it must
+        # outlive gate_ckpt (freed before the shard write) to land in
+        # the deferred index append
+        batch_stats = textops.domain_stats(
+            new_docs, url_col=uc
+        ).localCheckpoint(eager=True)
         base_stats = spark.read.parquet(f"{base_dir}/dedup_index/domain_stats")
-        # |domains|-row frame, materialized EAGERLY: the append below
-        # lands in the same parquet dir base_stats lazily lists, so an
-        # unmaterialized profile would double-count the batch at
-        # action time
         profile = textops.domain_profile_from_stats(
             base_stats.unionByName(batch_stats)
         ).localCheckpoint(eager=True)
         new_docs = domain_gate_drop(new_docs, profile, uc)
-        batch_stats.write.mode("append").parquet(
-            f"{base_dir}/dedup_index/domain_stats"
-        )
     if c4_conf:
         new_docs = c4_scrub_stage(new_docs)
     passed = new_docs.filter(textops.quality_predicate("text"))
@@ -767,9 +797,12 @@ def curate_increment(
         mode="append",
         url_col=url_conf["url_col"] if url_conf else None,
         containment=bool(cont_conf),
+        domain_stats_df=batch_stats,
     )
     unpersist_checkpoint(survivors)
     unpersist_checkpoint(unique)
+    if batch_stats is not None:
+        unpersist_checkpoint(batch_stats)
     return manifest
 
 

@@ -5976,7 +5976,74 @@ def q186(spark, sf_dir):
 #     except q110/q115/q116/q117/q83, which yield to the cap and
 #     lead round 11. Rows-only slots: q73, q172, q55, q140, q156,
 #     q162, q163, q164 = 8 <= 9.
+#   round 11 (this list): (a) lead with the five r6-only queries that
+#     yielded their r10 seats to the cap (q83/q110/q115/q116/q117 —
+#     the oldest driver rows in any CORRECTNESS file, judge-replay
+#     green every round since); (b) the COMPLETE 45-query r7-only
+#     cohort — the only other rows older than r8 — so after this
+#     window every registry query's driver row is <=3 rounds old (the
+#     r10 verdict's item 5 exactly). 5 + 45 = 50, no fillers needed.
+#     The round's llm_curation.py change (deferred domain-stats
+#     commit) has no registry twin — its re-proof is the pytest e2e
+#     parity suite + the full-registry oracle replay. Rows-only
+#     slots: q34, q59, q69, q84, q161, q167, q169, q170 = 8 <= 9.
 DRIVER_WINDOW: list[str] = [
+    # (a) the five promised leads (r6-only driver rows)
+    "q83_time_rollup",
+    "q110_per_key_trend",
+    "q115_degree_days",
+    "q116_domain_upsample",
+    "q117_fractional_upsample",
+    # (b) the complete r7-only stale cohort, registry order
+    "q01_projection",
+    "q02_time_range",
+    "q03_null_drop",
+    "q04_mask_semi_join",
+    "q06_broadcast_lookup_join",
+    "q07_grid_semi_join",
+    "q08_grid_anti_join",
+    "q09_multiway_join",
+    "q13_partition_layout",
+    "q15_group_count",
+    "q17_agg_suite",
+    "q21_sort_limit",
+    "q32_geojson_feature",
+    "q34_python_udf",
+    "q36_exact_dedup",
+    "q38_cosine_topk",
+    "q39_word_count",
+    "q43_embedding_neardup",
+    "q48_asof_join",
+    "q49_range_join",
+    "q50_sliding_window",
+    "q51_session_window",
+    "q52_dedup_rows",
+    "q53_multimodal_meta",
+    "q56_pandas_udf",
+    "q57_grouped_pandas",
+    "q59_approx_count_distinct",
+    "q67_date_suite",
+    "q68_regexp_suite",
+    "q69_sample",
+    "q70_rank_suite",
+    "q84_stratified_sample",
+    "q90_dedup_clusters",
+    "q94_bitwise_null_suite",
+    "q102_anomaly",
+    "q104_time_weighted_avg",
+    "q105_locf_gapfill",
+    "q122_verified_dedup_clusters",
+    "q130_contamination_rate",
+    "q133_dsir_weights",
+    "q141_incremental_dedup",
+    "q161_pagerank",
+    "q167_image_neardup",
+    "q169_audio_neardup",
+    "q170_video_neardup",
+]
+
+_ROUND10_WINDOW: list[str] = [
+    # retained for the rotation record (served as DRIVER_WINDOW in r10)
     # (a) the lead: never driver-checked, full oracle
     "q186_c4_line_filter",
     # (b) re-proofs of round-10-touched plans

@@ -232,6 +232,22 @@ def main() -> None:
     def run_noop(df) -> None:
         df.write.format("noop").mode("overwrite").save()
 
+    def drop_stale_checkpoints() -> None:
+        """bench.py's r7 lesson, adopted here in r11: operators
+        localCheckpoint bounded intermediates that die with the query
+        but linger in the block manager; across a multi-query sweep
+        the dead blocks build memory pressure that taxes LATE list
+        entries. The zipf section's q179_candidates row (a CUSTOM
+        entry, so it runs after every QUERIES entry) measured 38.0 s
+        at z100 while its own superset — the full operator, run
+        early — measured 12.6 s; the probe paid the accumulated
+        blocks, not the plan. Untimed, between samples."""
+        try:
+            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                rdd.unpersist(False)
+        except Exception:
+            pass
+
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "SCALEPROOF.json",
@@ -277,11 +293,13 @@ def main() -> None:
         for d in dirs:
             n_docs = table_rows(d, "documents")
             rows = fn(spark, d).count()  # materialize once (rows metric)
+            drop_stale_checkpoints()
             samples = []
             for _ in range(REPEATS):
                 t0 = time.perf_counter()
                 run_noop(fn(spark, d))
                 samples.append(time.perf_counter() - t0)
+                drop_stale_checkpoints()  # between samples, untimed
             res[d] = {
                 "rows": rows,
                 "sec": round(statistics.median(samples), 3),
