@@ -118,6 +118,9 @@ HEADLINE = [
     "q184_domain_reputation",
     "q185_contamination_report",
     "q186_c4_line_filter",
+    # round-11 addition: distributed Lloyd k-means + cluster-balanced
+    # semantic mixing (SemDeDup cluster-then-prune shape)
+    "q187_kmeans_mix",
 ]
 
 # ANN quality: rows-only queries whose real metric is recall vs the

@@ -1128,6 +1128,55 @@ def inv_q173(spark, sf_dir):
     )
 
 
+def inv_q187(spark, sf_dir):
+    """q187 cluster-balanced mix: (a) Lloyd inertia is non-increasing
+    across iterations (the algorithm's defining monotonicity — a
+    broken assignment kernel or centroid aggregate breaks it
+    immediately); (b) the kept set respects the per-cluster cap and
+    keeps exactly min(cap, cluster_n) members per cluster (the
+    centrality window did its job); (c) the run is deterministic, so
+    the re-derived assignment table agrees with the query's kept rows
+    on (id -> cluster)."""
+    from climate_data_pipelines_spark.catalog import load_table
+    from climate_data_pipelines_spark.operators import similarity
+    from climate_data_pipelines_spark.queries import REGISTRY
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, inertia = similarity.kmeans_clusters(emb, k=16, iters=6)
+    rises = [
+        (i, inertia[i - 1], inertia[i])
+        for i in range(1, len(inertia))
+        if inertia[i] > inertia[i - 1] * (1 + 1e-9)
+    ]
+    if rises:
+        return False, f"inertia increased: {rises[:3]}"
+    sizes = {
+        r["cluster"]: r["n"]
+        for r in assigned.groupBy("cluster").agg(F.count("*").alias("n")).collect()
+    }
+    n = sum(sizes.values())
+    cap = -(-2 * n // 16)
+    kept = REGISTRY["q187_kmeans_mix"].fn(spark, sf_dir).collect()
+    per = {}
+    amap = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    for r in kept:
+        per[r["cluster"]] = per.get(r["cluster"], 0) + 1
+        if amap.get(r["vec_id"]) != r["cluster"]:
+            return False, (
+                f"vec {r['vec_id']} kept in cluster {r['cluster']} but "
+                f"re-derived assignment says {amap.get(r['vec_id'])}"
+            )
+    for c, cnt in per.items():
+        want = min(cap, sizes.get(c, 0))
+        if cnt != want:
+            return False, f"cluster {c}: kept {cnt}, expected {want} (cap {cap})"
+    drop = inertia[-1] / inertia[0] if inertia[0] else 1.0
+    return True, (
+        f"inertia monotone over {len(inertia)} iters "
+        f"(final/initial {drop:.3f}); {len(kept)}/{n} kept under cap {cap}"
+    )
+
+
 INVARIANTS: dict[str, Callable] = {
     "q34_python_udf": inv_q34,
     "q42_simhash": inv_q42,
@@ -1158,6 +1207,7 @@ INVARIANTS: dict[str, Callable] = {
     "q167_image_neardup": inv_q167,
     "q169_audio_neardup": inv_q169,
     "q170_video_neardup": inv_q170,
+    "q187_kmeans_mix": inv_q187,
     "q172_avi_mjpeg_frames": inv_q172,
     "q173_quality_classifier": inv_q173,
 }

@@ -1045,3 +1045,190 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "cosine", "rank")
     )
+
+
+def _kmeans_assign(vec_col: str, centroids) -> F.Column:
+    """Nearest-centroid assignment for one Lloyd round as ONE
+    vectorized pandas kernel — a (batch×dim)@(dim×k) matmul + argmin
+    instead of k interpreted zip_with/aggregate distances per row
+    (the `_lsh_signatures` precedent: the sanctioned Arrow-batched
+    exception to the no-UDF rule; k·dim = 1-4k multiply-adds per row
+    cannot stay in codegen at acceptable cost). ``centroids`` is a
+    (k, dim) numpy array captured by closure — k·dim floats shipped
+    once per task via the serialized udf, the Spark-idiomatic
+    equivalent of a broadcast variable at this size. Returns
+    struct(cluster int, d2 double); null/ragged vectors get cluster
+    -1 so they never perturb a mean."""
+    import numpy as np
+
+    C = centroids.astype(np.float64)  # (k, dim)
+    c_sq = (C**2).sum(axis=1)  # (k,)
+
+    @F.pandas_udf("cluster int, d2 double")
+    def assign(v: pd.Series) -> pd.DataFrame:
+        if len(v) == 0:
+            return pd.DataFrame({"cluster": [], "d2": []})
+        dim = C.shape[1]
+        ok = np.array(
+            [x is not None and len(x) == dim for x in v], dtype=bool
+        )
+        M = np.stack(
+            [
+                np.zeros(dim) if not o else np.asarray(x, dtype=np.float64)
+                for x, o in zip(v, ok)
+            ]
+        )
+        # ||x-c||² = ||x||² + ||c||² - 2<x,c> — one matmul, no
+        # (n, k, dim) broadcast tensor (the _pq_codebooks identity)
+        d2 = (M**2).sum(axis=1, keepdims=True) + c_sq[None, :] - 2.0 * (M @ C.T)
+        best = d2.argmin(axis=1)
+        out = pd.DataFrame(
+            {
+                "cluster": best.astype("int32"),
+                "d2": d2[np.arange(len(M)), best],
+            }
+        )
+        out.loc[~ok, "cluster"] = -1
+        out.loc[~ok, "d2"] = None
+        return out
+
+    return assign(F.col(vec_col))
+
+
+def kmeans_clusters(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 16,
+    iters: int = 8,
+) -> tuple[DataFrame, list[float]]:
+    """Distributed Lloyd k-means over an embedding column — the
+    coarse clustering behind semantic data mixing (SemDeDup, Abbas et
+    al. 2023 cluster-then-prune; cluster-balanced sampling in DoReMi-
+    style mixture tuning) and a trainable IVF coarse quantizer.
+
+    Spark-first shape, per iteration (plan depth CONSTANT — centroids
+    leave the plan as numpy between rounds, so no lineage growth and
+    no checkpoints):
+      - ASSIGN: one Arrow-batched matmul+argmin kernel per row
+        (`_kmeans_assign`), map-only — the corpus never shuffles for
+        assignment;
+      - UPDATE: posexplode → ONE hash aggregate keyed on
+        (cluster, dim) — k·dim groups regardless of corpus size,
+        map-side combined (the `label_centroids` plan) — collected to
+        the driver as k·dim floats + k counts. That collect is the
+        ONLY driver traffic and is corpus-size-independent (the
+        classifier's (dim+1)-float gradient precedent,
+        operators/classifier.py).
+      - empty clusters re-seed deterministically to the point
+        FARTHEST from its centroid among a hash-ranked probe set
+        (same rule as `_pq_codebooks`, distributed form: max d2 with
+        min-id tiebreak).
+
+    Init is sample-free and engine-portable: the k rows with the
+    smallest ``xxhash64(id)`` (deterministic, no RNG, no collect of
+    raw vectors beyond k of them). Returns ``(assignments, inertia)``
+    — assignments (id, cluster, d2) for every non-null vector, and
+    the per-iteration total inertia list, which is NON-INCREASING by
+    Lloyd's monotonicity; the replay invariant pins that property
+    plus assignment parity vs a numpy reference on the driver-checked
+    fixture (tests/test_similarity.py)."""
+    import numpy as np
+
+    vecs = df.select(id_col, vec_col).filter(
+        F.col(vec_col).isNotNull()
+    )
+    probe = vecs.select(vec_col).filter(F.size(vec_col) > 0).first()
+    if probe is None:
+        raise ValueError("kmeans_clusters: no non-empty vectors")
+    dim = len(probe[0])
+    vecs = vecs.filter(F.size(vec_col) == dim).localCheckpoint(eager=True)
+
+    seed_rows = (
+        vecs.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(k)
+        .collect()
+    )
+    C = np.stack(
+        [np.asarray(r[vec_col], dtype=np.float64) for r in seed_rows]
+    )
+    if len(C) < k:
+        C = C[np.arange(k) % len(C)]
+
+    inertia: list[float] = []
+    assigned = None
+    for _ in range(iters):
+        assigned = vecs.select(
+            id_col, vec_col, _kmeans_assign(vec_col, C).alias("a")
+        ).select(id_col, vec_col, "a.cluster", "a.d2")
+        per_dim = (
+            assigned.select("cluster", "d2", F.posexplode(vec_col).alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(F.sum("x").alias("sx"), F.count("*").alias("n"),
+                 F.sum("d2").alias("sd2"))
+        )
+        rows = per_dim.collect()  # k·dim rows — corpus-size-independent
+        sums = np.zeros((k, dim))
+        counts = np.zeros(k)
+        total_d2 = 0.0
+        for r in rows:
+            sums[r["cluster"], r["dim"]] = r["sx"]
+            counts[r["cluster"]] = r["n"]
+            if r["dim"] == 0:  # sd2 is the same total at every dim —
+                total_d2 += r["sd2"]  # count it once per cluster
+        inertia.append(float(total_d2))
+        nonempty = counts > 0
+        C = np.where(
+            nonempty[:, None], sums / np.maximum(counts, 1)[:, None], C
+        )
+        if not nonempty.all():
+            # deterministic re-seed: farthest point (max d2, min id)
+            far = (
+                assigned.orderBy(F.desc("d2"), F.col(id_col))
+                .select(vec_col)
+                .first()
+            )
+            for c in np.flatnonzero(~nonempty):
+                C[c] = np.asarray(far[vec_col], dtype=np.float64)
+
+    final = vecs.select(
+        id_col, _kmeans_assign(vec_col, C).alias("a")
+    ).select(id_col, "a.cluster", "a.d2")
+    return final, inertia
+
+
+def cluster_balanced_mix(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 16,
+    iters: int = 8,
+    per_cluster_cap: int | None = None,
+) -> DataFrame:
+    """Cluster-balanced selection over an embedding corpus: k-means,
+    then keep up to ``per_cluster_cap`` members per cluster by
+    CENTRALITY (smallest d2 first, id tiebreak) — the semantic twin
+    of the per-domain cap (operators/training.py domain_cap): a
+    corpus dominated by one semantic mode (100 TB of near-identical
+    boilerplate pages) is rebalanced once at its cluster rows, not
+    row-by-row downstream. Default cap = ceil(2·n/k) (soft balance:
+    clusters under the cap keep everything).
+
+    The rank window partitions by CLUSTER — at most k partitions of
+    bounded skew after the cap rationale, and the window input is the
+    (id, cluster, d2) assignment table, never the vectors. Returns
+    (id, cluster, d2, cluster_n) for kept rows."""
+    assigned, _ = kmeans_clusters(
+        df, vec_col=vec_col, id_col=id_col, k=k, iters=iters
+    )
+    n = assigned.count()
+    cap = per_cluster_cap or -(-2 * n // k)
+    w = Window.partitionBy("cluster").orderBy("d2", id_col)
+    sizes = assigned.groupBy("cluster").agg(F.count("*").alias("cluster_n"))
+    return (
+        assigned.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= cap)
+        .drop("_r")
+        .join(F.broadcast(sizes), "cluster")
+    )

@@ -5829,6 +5829,27 @@ def q186(spark, sf_dir):
     return textops.c4_line_filter(corpus)
 
 
+@query(
+    "q187_kmeans_mix",
+    None,
+    "Cluster-balanced semantic mixing (rows-only: iterative Lloyd "
+    "k-means has no DuckDB twin): distributed k-means over the "
+    "embedding corpus — Arrow-batched matmul+argmin assignment, one "
+    "(cluster, dim)-keyed hash aggregate per round, k*dim floats of "
+    "driver traffic — then keep up to ceil(2n/k) members per cluster "
+    "by centrality (the SemDeDup cluster-then-prune shape; the "
+    "semantic twin of the q142 domain cap). Replay invariant: Lloyd "
+    "inertia non-increasing + every cluster within the cap + "
+    "assignment parity vs a driver-side numpy reference (pytest).",
+)
+def q187(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.cluster_balanced_mix(emb, k=16, iters=6)
+    return out.select(
+        "vec_id", "cluster", oround("d2", 6).alias("d2"), "cluster_n"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window selection
 # ---------------------------------------------------------------------------

@@ -58,6 +58,10 @@ QUERIES = [
     "q124_simhash_candidates",
     # round-5 additions (documents-based, candidate-bounded by design)
     "q136_edit_distance_verify",
+    # round-11 (zipf_cc sweep): incremental cross-corpus dedup joins
+    # the permanent list — its base/batch split is self-contained in
+    # the registry fn, so it runs on any documents fixture
+    "q141_incremental_dedup",
     # events-based: sessionization (users and events scale together,
     # so per-key partition work stays constant)
     "q137_sessionize",
