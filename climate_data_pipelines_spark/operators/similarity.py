@@ -1222,6 +1222,14 @@ def cluster_balanced_mix(
     assigned, _ = kmeans_clusters(
         df, vec_col=vec_col, id_col=id_col, k=k, iters=iters
     )
+    # materialize the (id, cluster, d2) table ONCE: it is referenced
+    # three ways (the cap count, the sizes aggregate, the window
+    # input) and each un-checkpointed reference re-runs the final
+    # assignment kernel — the explain showed the ArrowEvalPython
+    # matmul duplicated per subtree, i.e. three corpus passes for one
+    # logical table (the q136/q122 candidate-table lesson). 16 bytes
+    # per row, freed by the caller's action.
+    assigned = assigned.localCheckpoint(eager=True)
     n = assigned.count()
     cap = per_cluster_cap or -(-2 * n // k)
     w = Window.partitionBy("cluster").orderBy("d2", id_col)

@@ -38,6 +38,11 @@ PYTHON_SURFACE = {
     "q166_semantic_decontaminate",  # one-matmul LSH signature kernel
     # (Arrow) stays live on the TRAIN side: the big corpus pipelines
     # scan->sig->join without materializing a bucket table
+    "q187_kmeans_mix",  # k-means assignment kernel (Arrow matmul+
+    # argmin — the _lsh_signatures exception rule); since the r11
+    # checkpoint fix the FINAL plan scans the materialized assignment
+    # table and shows no EvalPython node, but the kernel is this
+    # operator's declared Python surface either way
 }
 
 # Iterative/recursive queries execute jobs during plan construction
