@@ -111,6 +111,11 @@ QUERIES = [
     # round-8: CCNet perplexity-bucket mix — q177's LM + one
     # lang-keyed ranking window + stateless md5 keep
     "q181_perplexity_bucket_mix",
+    # round-11: distributed Lloyd k-means + cluster-balanced mix —
+    # per-iteration cost is one map-only Arrow kernel + one
+    # (cluster,dim)-keyed agg, so wall should track the embedding
+    # count ~linearly with a large fixed stage overhead at small n
+    "q187_kmeans_mix",
 ]
 
 
