@@ -121,6 +121,7 @@ HEADLINE = [
     # round-11 addition: distributed Lloyd k-means + cluster-balanced
     # semantic mixing (SemDeDup cluster-then-prune shape)
     "q187_kmeans_mix",
+    "q188_pca_project",
 ]
 
 # ANN quality: rows-only queries whose real metric is recall vs the

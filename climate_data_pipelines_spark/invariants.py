@@ -1177,6 +1177,61 @@ def inv_q187(spark, sf_dir):
     )
 
 
+def inv_q188(spark, sf_dir):
+    """q188 PCA: the distributed sufficient-statistics fit must equal
+    a driver-side numpy PCA over the same vectors — components (after
+    the shared sign canonicalization), explained-variance ratios
+    (descending), and projections, all within float tolerance."""
+    import numpy as np
+
+    from climate_data_pipelines_spark.catalog import load_table
+    from climate_data_pipelines_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps, mean, evr = similarity.pca_fit(emb, n_components=8)
+    rows = emb.select("vec_id", "embedding").filter(
+        F.col("embedding").isNotNull()
+    ).collect()
+    X = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    mu = X.mean(axis=0)
+    cov = (X.T @ X) / len(X) - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:8]
+    ref = evecs[:, order].T
+    for i in range(len(ref)):
+        j = int(np.abs(ref[i]).argmax())
+        if ref[i, j] < 0:
+            ref[i] = -ref[i]
+    comp_err = float(np.abs(comps - ref).max())
+    if comp_err > 1e-8:
+        return False, f"component mismatch vs numpy: max abs {comp_err:.2e}"
+    if not all(evr[i] >= evr[i + 1] - 1e-12 for i in range(len(evr) - 1)):
+        return False, f"explained variance not descending: {evr.tolist()}"
+    ref_evr = np.maximum(evals[order], 0.0) / np.trace(cov)
+    evr_err = float(np.abs(evr - ref_evr).max())
+    if evr_err > 1e-9:
+        return False, f"evr mismatch: {evr_err:.2e}"
+    got = {
+        r["vec_id"]: np.asarray(r["pca"])
+        for r in similarity.pca_project(emb, comps, mean)
+        .select("vec_id", "pca")
+        .filter(F.col("pca").isNotNull())
+        .collect()
+    }
+    proj_ref = (X - mu) @ ref.T
+    perr = max(
+        float(np.abs(got[r["vec_id"]] - proj_ref[i]).max())
+        for i, r in enumerate(rows)
+    )
+    if perr > 1e-8:
+        return False, f"projection mismatch: max abs {perr:.2e}"
+    return True, (
+        f"components/evr/projections match numpy (max errs "
+        f"{comp_err:.1e}/{evr_err:.1e}/{perr:.1e}); "
+        f"evr[0..2]={[round(float(v), 4) for v in evr[:3]]}"
+    )
+
+
 INVARIANTS: dict[str, Callable] = {
     "q34_python_udf": inv_q34,
     "q42_simhash": inv_q42,
@@ -1208,6 +1263,7 @@ INVARIANTS: dict[str, Callable] = {
     "q169_audio_neardup": inv_q169,
     "q170_video_neardup": inv_q170,
     "q187_kmeans_mix": inv_q187,
+    "q188_pca_project": inv_q188,
     "q172_avi_mjpeg_frames": inv_q172,
     "q173_quality_classifier": inv_q173,
 }

@@ -5850,6 +5850,36 @@ def q187(spark, sf_dir):
     )
 
 
+@query(
+    "q188_pca_project",
+    None,
+    "Distributed PCA fit + projection over the embedding corpus "
+    "(rows-only: eigendecomposition has no DuckDB twin): a mapInPandas "
+    "kernel reduces each partition to (n, sum, gram) sufficient "
+    "statistics — ONE corpus pass, zero shuffles of vector data, "
+    "dim^2 floats of driver state — numpy eigh on the driver, then an "
+    "Arrow matmul projection. Replay invariant: exact parity vs a "
+    "driver-side numpy PCA (components, explained variance, "
+    "projections) + descending explained-variance order (pytest + "
+    "invariants.py).",
+)
+def q188(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    comps, mean, _ = similarity.pca_fit(emb, n_components=8)
+    out = similarity.pca_project(emb, comps, mean)
+    # micro-unit string join: the driver canonicalizer can't hash list
+    # cells (the q113 lesson), and this keeps the output replay-stable
+    return out.select(
+        "vec_id",
+        F.array_join(
+            F.transform(
+                "pca", lambda x: F.round(x * 1e6).cast("long").cast("string")
+            ),
+            ",",
+        ).alias("pca_micro"),
+    ).filter(F.col("pca_micro").isNotNull())
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window selection
 # ---------------------------------------------------------------------------

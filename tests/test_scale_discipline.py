@@ -43,6 +43,8 @@ PYTHON_SURFACE = {
     # checkpoint fix the FINAL plan scans the materialized assignment
     # table and shows no EvalPython node, but the kernel is this
     # operator's declared Python surface either way
+    "q188_pca_project",  # sufficient-statistics kernel (mapInPandas:
+    # (n, sum, gram) per partition) + Arrow projection matmul
 }
 
 # Iterative/recursive queries execute jobs during plan construction

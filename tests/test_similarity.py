@@ -460,3 +460,58 @@ def test_cluster_balanced_mix_caps_dominant_mode(spark):
     # overall is hard to check without full table; at least verify
     # they're tightly central relative to the mode's noise scale
     assert max(r["d2"] for r in big) <= 0.1
+
+
+def test_pca_fit_matches_numpy_and_recovers_structure(spark):
+    """Distributed sufficient-statistics PCA == numpy PCA on the same
+    data, and on data with one dominant direction the first component
+    recovers it with most of the variance."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    # variance 25 along a fixed axis u, ~1 isotropic noise
+    u = np.array([3.0, 4.0, 0.0, 0.0]) / 5.0
+    X = np.outer(5.0 * rng.standard_normal(200), u) + 0.5 * rng.standard_normal(
+        (200, 4)
+    )
+    df = _vecs(
+        spark,
+        [(int(i), [float(v) for v in row], 0) for i, row in enumerate(X)],
+    ).withColumnRenamed("embedding", "embedding")
+
+    comps, mean, evr = similarity.pca_fit(df, n_components=2)
+    Xf = X.astype(np.float32).astype(np.float64)  # array<float> storage
+    mu = Xf.mean(axis=0)
+    cov = (Xf.T @ Xf) / len(Xf) - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:2]
+    ref = evecs[:, order].T
+    for i in range(2):
+        j = int(np.abs(ref[i]).argmax())
+        if ref[i, j] < 0:
+            ref[i] = -ref[i]
+    assert np.abs(comps - ref).max() < 1e-7
+    assert np.abs(mean - mu).max() < 1e-7
+    # dominant direction recovered (up to the canonical sign)
+    assert abs(float(np.abs(comps[0] @ u))) > 0.99
+    assert evr[0] > 0.9 and evr[0] >= evr[1]
+
+    # projection parity + null/ragged handling
+    out = similarity.pca_project(df, comps, mean).orderBy("vec_id").collect()
+    P = (Xf - mu) @ comps.T
+    for i, r in enumerate(out):
+        assert np.abs(np.asarray(r["pca"]) - P[i]).max() < 1e-7
+
+
+def test_pca_project_nulls_stay_null(spark):
+    import numpy as np
+
+    df = _vecs(
+        spark,
+        [(0, [1.0, 0.0], 0), (1, None, 0), (2, [0.0, 1.0], 0)],
+    )
+    comps = np.array([[1.0, 0.0]])
+    mean = np.array([0.0, 0.0])
+    rows = {r["vec_id"]: r["pca"] for r in similarity.pca_project(df, comps, mean).collect()}
+    assert rows[1] is None
+    assert rows[0] == [1.0] and rows[2] == [0.0]
