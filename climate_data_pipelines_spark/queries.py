@@ -6038,6 +6038,10 @@ def q188(spark, sf_dir):
 #     commit) has no registry twin — its re-proof is the pytest e2e
 #     parity suite + the full-registry oracle replay. Rows-only
 #     slots: q34, q59, q69, q84, q161, q167, q169, q170 = 8 <= 9.
+#     The round-11 additions q187 (k-means mix) and q188 (PCA)
+#     registered after this window froze — they LEAD round 12 as
+#     never-driver-checked (the q186/q172 precedent), replay-checked
+#     (and numpy-parity-gated) meanwhile.
 DRIVER_WINDOW: list[str] = [
     # (a) the five promised leads (r6-only driver rows)
     "q83_time_rollup",
