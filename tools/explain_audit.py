@@ -184,6 +184,20 @@ AUDITS = {
         ("HashAggregate", True), ("Window", False), ("Join", False),
         ("EvalPython", False),
     ],
+    # r11: the final selection plan must scan the materialized
+    # assignment checkpoint (NO re-run of the Arrow assignment
+    # kernel — it appeared three times before the checkpoint fix)
+    # and prune map-side before its one cluster-keyed exchange
+    "q187_kmeans_mix": [
+        ("WindowGroupLimit", True), ("EvalPython", False),
+        ("BroadcastHashJoin", True),
+    ],
+    # r11: projection is the declared Arrow kernel; the fit's
+    # sufficient-statistics pass happens before this plan, so the
+    # output plan is kernel + string projection, no join/window
+    "q188_pca_project": [
+        ("ArrowEvalPython", True), ("Window", False), ("Join", False),
+    ],
 }
 
 
