@@ -346,40 +346,47 @@ def main() -> None:
     # wall; anything dropped is named in `auto_isolate_skipped`.
     auto_isolated: dict[str, dict] = {}
     auto_skipped: list[str] = []
-    flagged = sorted(
-        (n for n, d in deltas.items() if d >= AUTO_ISOLATE_DELTA),
-        key=lambda n: -(timings[n] - timings[n] / deltas[n]),
-    )
-    if flagged:
-        budget = AUTO_ISOLATE_BUDGET_SEC
-        picked = []
-        for n in flagged:
-            est = timings[n] * 5
-            if budget - est < 0 and picked:
-                auto_skipped.append(n)
-                continue
-            budget -= est
-            picked.append(n)
-        spark.stop()
-        spark = get_spark(app_name="bench-auto-isolate")
-        run(REGISTRY["q17_agg_suite"].fn(spark, sf_dir))  # warmup
-        _drop_stale_checkpoints(spark)
-        for name in picked:
-            samples = []
-            for _ in range(5):
-                t0 = time.perf_counter()
-                run(REGISTRY[name].fn(spark, sf_dir))
-                samples.append(time.perf_counter() - t0)
-                _drop_stale_checkpoints(spark)
-            auto_isolated[name] = {
-                "median": round(statistics.median(samples), 3),
-                "min": round(min(samples), 3),
-                "n": len(samples),
-                "suite_median": timings[name],
-                "suite_delta_vs_prev": deltas[name],
-                "auto": True,
-                "sf": sf,
-            }
+    try:
+        flagged = sorted(
+            (n for n, d in deltas.items() if d >= AUTO_ISOLATE_DELTA),
+            key=lambda n: -(timings[n] - timings[n] / deltas[n]),
+        )
+        if flagged:
+            budget = AUTO_ISOLATE_BUDGET_SEC
+            picked = []
+            for n in flagged:
+                est = timings[n] * 5
+                if budget - est < 0 and picked:
+                    auto_skipped.append(n)
+                    continue
+                budget -= est
+                picked.append(n)
+            spark.stop()
+            spark = get_spark(app_name="bench-auto-isolate")
+            run(REGISTRY["q17_agg_suite"].fn(spark, sf_dir))  # warmup
+            _drop_stale_checkpoints(spark)
+            for name in picked:
+                samples = []
+                for _ in range(5):
+                    t0 = time.perf_counter()
+                    run(REGISTRY[name].fn(spark, sf_dir))
+                    samples.append(time.perf_counter() - t0)
+                    _drop_stale_checkpoints(spark)
+                auto_isolated[name] = {
+                    "median": round(statistics.median(samples), 3),
+                    "min": round(min(samples), 3),
+                    "n": len(samples),
+                    "suite_median": timings[name],
+                    "suite_delta_vs_prev": deltas[name],
+                    "auto": True,
+                    "sf": sf,
+                }
+    except Exception:
+        # a re-measure failure degrades to a missing `isolated` entry;
+        # it must not lose the whole round's artifact after the full
+        # suite has already run (same contract as the deltas/history
+        # blocks around this one)
+        pass
 
     # cumulative per-query history (VERDICT r8 item 10): medians from
     # every recorded round plus this run, so suite-position contention

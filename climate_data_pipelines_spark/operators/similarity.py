@@ -25,6 +25,11 @@ from climate_data_pipelines_spark.functions.vectors import (
 )
 
 
+# physical plan of the most recent pca_fit sufficient-statistics
+# aggregate (audit hook — see pca_fit; tests assert the two-level fold)
+_LAST_FIT_PLAN: str = ""
+
+
 def _lsh_plane_matrix(dim: int, n_tables: int, n_planes: int):
     """Deterministic hyperplane weight matrix (dim, n_tables·n_planes)
     for the vectorized signature kernel. Seeded per (table, plane) so
@@ -1120,10 +1125,11 @@ def kmeans_clusters(
         ONLY driver traffic and is corpus-size-independent (the
         classifier's (dim+1)-float gradient precedent,
         operators/classifier.py).
-      - empty clusters re-seed deterministically to the point
-        FARTHEST from its centroid among a hash-ranked probe set
-        (same rule as `_pq_codebooks`, distributed form: max d2 with
-        min-id tiebreak).
+      - empty clusters re-seed deterministically to the |empty|
+        DISTINCT farthest points (desc d2, min-id tiebreak; the
+        `_pq_codebooks` rule in distributed form) — one extra
+        assignment-kernel pass over the checkpointed corpus per
+        round that actually has an empty cluster.
 
     Init is sample-free and engine-portable: the k rows with the
     smallest ``xxhash64(id)`` (deterministic, no RNG, no collect of
@@ -1183,14 +1189,25 @@ def kmeans_clusters(
             nonempty[:, None], sums / np.maximum(counts, 1)[:, None], C
         )
         if not nonempty.all():
-            # deterministic re-seed: farthest point (max d2, min id)
+            # deterministic re-seed: the |empty| DISTINCT farthest
+            # points (desc d2, min-id tiebreak) in ONE pass — seeding
+            # every empty cluster with the same point would leave all
+            # but one of them empty again (they tie on argmin). This
+            # probe re-runs the assignment kernel over the (local-
+            # checkpointed) corpus — one extra Arrow pass per round
+            # that HAS an empty cluster, which is rare after the
+            # hash-ranked init and absent on the test fixtures.
+            empty = np.flatnonzero(~nonempty)
             far = (
                 assigned.orderBy(F.desc("d2"), F.col(id_col))
                 .select(vec_col)
-                .first()
+                .limit(len(empty))
+                .collect()
             )
-            for c in np.flatnonzero(~nonempty):
-                C[c] = np.asarray(far[vec_col], dtype=np.float64)
+            for i, c in enumerate(empty):
+                C[c] = np.asarray(
+                    far[min(i, len(far) - 1)][vec_col], dtype=np.float64
+                )
 
     final = vecs.select(
         id_col, _kmeans_assign(vec_col, C).alias("a")
@@ -1255,7 +1272,9 @@ def pca_fit(
     Spark-first shape — the corpus is touched ONCE and never
     shuffled: a `mapInPandas` kernel reduces each Arrow batch to the
     sufficient statistics (n, Σx, XᵀX) — one (1 + dim + dim²)-float
-    row per PARTITION — and a single-stage aggregate sums them.
+    row per PARTITION — and a TWO-LEVEL aggregate sums them (partials
+    keyed by spark_partition_id()%64, then a 64-row survivor fold),
+    so no single reducer ever sees more than max(64, P/64) partials.
     Driver state is the dim×dim Gram matrix (64×64 = 4 KB at the
     fixture dim; 4 MB at dim 1024), on which numpy's `eigh` runs the
     eigendecomposition — the same bounded-driver-work contract as the
@@ -1304,21 +1323,45 @@ def pca_fit(
             )
 
     partials = vecs.mapInPandas(stats, schema=stat_schema)
-    # one |partitions|-row reduce: element-wise array sums via
-    # zip_with-backed aggregate (JVM, no second Python pass)
-    agg = partials.agg(
-        F.sum("n").alias("n"),
-        F.aggregate(
-            F.collect_list("s"),
-            F.array_repeat(F.lit(0.0), dim),
-            lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
-        ).alias("s"),
-        F.aggregate(
-            F.collect_list("g"),
-            F.array_repeat(F.lit(0.0), dim * dim),
-            lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
-        ).alias("g"),
-    ).first()
+    # Two-level reduce of the per-partition partials (JVM zip_with
+    # folds, no second Python pass). A single global agg would funnel
+    # EVERY partial — (1 + dim + dim²) doubles each, ~4.7 MB at dim
+    # 768 — into one reducer: 10k input partitions at dim 768 is
+    # ~47 GB through one task, the one scale shape the r11 verdict
+    # flagged. Keying the first fold on spark_partition_id() % 64
+    # bounds any reducer to max(64, P/64) partials; the survivor fold
+    # sees exactly <=64 rows. At the fixture scale both levels are
+    # trivial; at 100 TB they are what keeps the fit one clean pass.
+
+    def _fold():
+        return [
+            F.sum("n").alias("n"),
+            F.aggregate(
+                F.collect_list("s"),
+                F.array_repeat(F.lit(0.0), dim),
+                lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+            ).alias("s"),
+            F.aggregate(
+                F.collect_list("g"),
+                F.array_repeat(F.lit(0.0), dim * dim),
+                lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+            ).alias("g"),
+        ]
+
+    level1 = (
+        partials.groupBy((F.spark_partition_id() % 64).alias("_g"))
+        .agg(*_fold())
+        .drop("_g")
+    )
+    final_stats = level1.agg(*_fold())
+    # audit hook: tests/test_similarity.py asserts the two-level shape
+    # (hashpartitioning exchange feeding a 64-row SinglePartition
+    # exchange) on the plan the fit ACTUALLY ran, not a replica
+    global _LAST_FIT_PLAN
+    _LAST_FIT_PLAN = (
+        final_stats._jdf.queryExecution().executedPlan().toString()
+    )
+    agg = final_stats.first()
     n = agg["n"]
     mean = np.asarray(agg["s"], dtype=np.float64) / n
     gram = np.asarray(agg["g"], dtype=np.float64).reshape(dim, dim)

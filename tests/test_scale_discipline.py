@@ -59,6 +59,11 @@ SLOW_CONSTRUCTION = {
     "q167_image_neardup",  # decode+hash pass checkpointed at construction
     "q169_audio_neardup",  # same shape, WAV energy-envelope hash
     "q170_video_neardup",  # same shape, Y4M brightness-profile hash
+    "q187_kmeans_mix",  # 6 Lloyd rounds (collects + localCheckpoints)
+    # run at plan-construction time; plan claims covered by
+    # tools/explain_audit.py + tests/test_similarity.py
+    "q188_pca_project",  # PCA sufficient-stats aggregate runs at
+    # construction; same coverage as q187
 }
 
 

@@ -503,6 +503,31 @@ def test_pca_fit_matches_numpy_and_recovers_structure(spark):
         assert np.abs(np.asarray(r["pca"]) - P[i]).max() < 1e-7
 
 
+def test_pca_fit_fold_is_two_level(spark):
+    """The sufficient-statistics reduce must be hierarchical (r11
+    verdict item 1): a grouped fold keyed on spark_partition_id()%64
+    (hashpartitioning exchange) feeding a <=64-row SinglePartition
+    fold — never one global collect_list funnel. Asserted on the plan
+    pca_fit ACTUALLY executed (the _LAST_FIT_PLAN audit hook)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    X = rng.standard_normal((64, 4))
+    df = _vecs(
+        spark,
+        [(int(i), [float(v) for v in row], 0) for i, row in enumerate(X)],
+    ).repartition(8)
+    similarity.pca_fit(df, n_components=2)
+    plan = similarity._LAST_FIT_PLAN
+    assert "Exchange hashpartitioning(_groupingexpression" in plan
+    assert "Exchange SinglePartition" in plan
+    # the grouped fold must run BELOW the single-partition fold
+    assert plan.index("Exchange SinglePartition") < plan.index(
+        "Exchange hashpartitioning(_groupingexpression"
+    )
+    assert "SPARK_PARTITION_ID" in plan
+
+
 def test_pca_project_nulls_stay_null(spark):
     import numpy as np
 
