@@ -200,6 +200,59 @@ def _containment_drop_ids(pairs: DataFrame, id_col: str = "doc_id") -> DataFrame
     )
 
 
+def cluster_mix_stage(
+    df: DataFrame,
+    embeddings: DataFrame,
+    k: int = 16,
+    iters: int = 6,
+    per_cluster_cap: int | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cluster-balanced semantic mixing as a curation stage (q187's
+    ``cluster_balanced_mix`` composed into the pipeline): k-means the
+    surviving docs' embeddings, then cap each semantic cluster at
+    ``per_cluster_cap`` members kept by CENTRALITY (smallest d2) — a
+    corpus where one semantic mode dominates (100 TB of near-identical
+    boilerplate pages that pass every textual gate) is rebalanced ONCE
+    at its k cluster rows, before the per-domain temperature mix sees
+    it. The semantic twin of ``training.domain_cap``.
+
+    ``embeddings`` carries (id_col, embedding) — an external model's
+    output joined by doc id; the pipeline never computes embeddings
+    itself. Docs WITHOUT an embedding row are KEPT unconditionally:
+    a missing embedding is absence of evidence, the same exemption
+    rule as the domain gate's unparseable-URL passthrough — the stage
+    drops on demonstrated redundancy, not on missing metadata.
+
+    Scale shape: clustering touches only the embedding frame (the
+    kmeans kernel's one-pass-per-round contract, similarity.py); the
+    doc table joins by 8-byte ids only — drop set = (embedded ids
+    anti-join kept ids), then one id-keyed left_anti against the
+    corpus. No vector ever moves through the document exchange.
+
+    INCREMENT SEMANTICS — GLOBAL-ONLY, like temperature mix: cluster
+    centroids, sizes, and caps are properties of the WHOLE corpus; a
+    day-N batch clustered alone would cap against batch-local modes
+    and drift from the recipe. ``curate_increment`` therefore does NOT
+    re-run this stage (the manifest records ``global_only: true``);
+    rebalance by re-running the full job, exactly as for alpha."""
+    from climate_data_pipelines_spark.operators import similarity
+
+    emb = embeddings.select(id_col, "embedding").join(
+        df.select(id_col), id_col, "left_semi"
+    )
+    kept = similarity.cluster_balanced_mix(
+        emb,
+        vec_col="embedding",
+        id_col=id_col,
+        k=k,
+        iters=iters,
+        per_cluster_cap=per_cluster_cap,
+    ).select(id_col)
+    drop = emb.select(id_col).join(kept, id_col, "left_anti")
+    return df.join(drop, id_col, "left_anti")
+
+
 def _write_dedup_index(
     kept: DataFrame,
     out_dir: str,
@@ -223,15 +276,21 @@ def _write_dedup_index(
 
     ``kept`` must carry (doc_id, text).
 
-    WRITE ORDER IS LOAD-BEARING: signatures (and the optional url /
-    containment tables) first, digests LAST. ``curate_increment``'s
-    staleness probe validates the index by digest row count alone, so
-    digests must be the COMMIT RECORD — a crash between the writes
-    then leaves digests missing/stale and the probe rebuilds every
-    table. The previous order (digests first) let a crash strand a
-    stale signatures table behind a valid-looking digest count,
+    WRITE ORDER IS LOAD-BEARING — the full commit sequence, in the
+    order this function writes, is: (1) ``domain_stats`` (the gate's
+    deferred input-stats append, when the domain gate is configured),
+    (2) ``signatures``, (3) ``urls`` (optional), (4) ``shingle_sets``
+    then ``shingle_df`` (optional), (5) ``digests`` LAST.
+    ``curate_increment``'s staleness probe validates the index by
+    digest row count alone, so digests must be the COMMIT RECORD — a
+    crash between ANY of the earlier writes and the digest write
+    leaves digests missing/stale and the probe rebuilds every table
+    (including re-deriving domain_stats via the documented rebuild
+    fallback). The previous order (digests first) let a crash strand
+    a stale signatures table behind a valid-looking digest count,
     silently missing near-dups of the latest increment (r7 advice,
-    medium).
+    medium); the deferred domain_stats write exists for the same
+    reason (r10 advice, medium).
 
     r9 optional tables (written only when the corresponding stage is
     configured, so the default pipeline's index cost is unchanged):
@@ -320,6 +379,10 @@ def curate_corpus(
     domain_gate: bool = False,
     c4: bool = False,
     gopher: bool = False,
+    cluster_mix_embeddings: DataFrame | None = None,
+    cluster_k: int = 16,
+    cluster_iters: int = 6,
+    cluster_cap: int | None = None,
 ) -> dict:
     """Run the full curation chain on the ``documents`` table and
     write trainer shards + manifest to ``out_dir``. The documents
@@ -359,6 +422,16 @@ def curate_corpus(
       - ``gopher``: Gopher repetition/format rules (q183) as an
         additional quality gate next to ``quality_predicate`` — a
         pure Column predicate, zero shuffles.
+
+    r12 optional stage:
+      - ``cluster_mix_embeddings``: a (doc_id, embedding) frame
+        enabling cluster-balanced semantic mixing (q187) AFTER all
+        quality/dedup/decontamination gates and BEFORE the
+        temperature mix — over-represented semantic modes are capped
+        at their k cluster rows first, then per-domain shares are
+        tempered on the rebalanced corpus. GLOBAL-ONLY like
+        temperature mix (see ``cluster_mix_stage``): increments do
+        not re-run it, the manifest records ``global_only: true``.
     All stage configs land in the manifest (``stages``) and persist
     whatever index tables they need so ``curate_increment`` stays
     O(batch). Returns the manifest dict (per-shard doc/token
@@ -425,6 +498,19 @@ def curate_corpus(
             small_max=containment_small_max,
             df_cap=containment_df_cap,
         )
+    if cluster_mix_embeddings is not None:
+        # AFTER every drop gate, BEFORE the temperature mix: the cap
+        # should see only docs that will otherwise train, and the
+        # per-domain shares should be computed on the semantically
+        # rebalanced corpus (a boilerplate mode inflating one domain's
+        # share would otherwise survive into the alpha targets)
+        clean = cluster_mix_stage(
+            clean,
+            cluster_mix_embeddings,
+            k=cluster_k,
+            iters=cluster_iters,
+            per_cluster_cap=cluster_cap,
+        )
     # materialize the curated corpus ONCE: the shard join below
     # references it on both sides (payload + shard_assign), so an
     # unmaterialized plan would evaluate the whole expensive chain
@@ -462,6 +548,16 @@ def curate_corpus(
         if c4
         else None,
         "gopher": True if gopher else None,
+        "cluster_mix": {
+            "k": cluster_k,
+            "iters": cluster_iters,
+            "per_cluster_cap": cluster_cap,  # None = ceil(2n/k) soft cap
+            # centroids/caps are whole-corpus properties: increments do
+            # NOT re-run this stage (same contract as alpha below)
+            "global_only": True,
+        }
+        if cluster_mix_embeddings is not None
+        else None,
         "jaccard_threshold": jaccard_threshold,
         "alpha": alpha,
         "benchmark_source": benchmark_source,
@@ -547,7 +643,12 @@ def curate_increment(
     whose recrawl is better — stays; reconciling those is a full-run
     event. Temperature mixing is deliberately NOT re-run per
     increment — mix ratios are a global property of the corpus;
-    rebalance by running the full job when the recipe changes.
+    rebalance by running the full job when the recipe changes. The
+    r12 cluster-mix stage follows the SAME rule (its manifest entry
+    says ``global_only: true``): centroids and per-cluster caps are
+    whole-corpus properties, so a batch-local k-means would cap
+    against the wrong modes — the stage key is carried through the
+    manifest untouched and applied only by full runs.
     Returns the combined manifest.
     """
     import pyspark.sql.functions as F
@@ -835,6 +936,15 @@ def build_parser() -> argparse.ArgumentParser:
         "--gopher", action="store_true",
         help="enable the Gopher rule gate next to the quality predicate",
     )
+    p.add_argument(
+        "--cluster-mix", action="store_true",
+        help="enable cluster-balanced semantic mixing using the sf "
+        "dir's embeddings table (vec_id keyed as doc_id — the test "
+        "fixture convention; real corpora pass their own "
+        "(doc_id, embedding) frame via the API)",
+    )
+    p.add_argument("--cluster-k", type=int, default=16)
+    p.add_argument("--cluster-cap", type=int, default=None)
     return p
 
 
@@ -843,6 +953,11 @@ def main() -> None:
 
     args = build_parser().parse_args()
     spark = get_spark(app_name="llm-curation")
+    cm_emb = None
+    if args.cluster_mix:
+        cm_emb = load_table(spark, args.sf_dir, "embeddings").select(
+            F.col("vec_id").alias("doc_id"), "embedding"
+        )
     manifest = curate_corpus(
         spark,
         args.sf_dir,
@@ -856,6 +971,9 @@ def main() -> None:
         domain_gate=args.domain_gate,
         c4=args.c4,
         gopher=args.gopher,
+        cluster_mix_embeddings=cm_emb,
+        cluster_k=args.cluster_k,
+        cluster_cap=args.cluster_cap,
     )
     print(
         f"wrote {manifest['n_shards']} shards / {manifest['total_docs']} docs "

@@ -6042,7 +6042,82 @@ def q188(spark, sf_dir):
 #     registered after this window froze — they LEAD round 12 as
 #     never-driver-checked (the q186/q172 precedent), replay-checked
 #     (and numpy-parity-gated) meanwhile.
+#   round 12 (this list): (a) lead with q187/q188 — the only registry
+#     queries never driver-checked, exactly as the r11 rotation note
+#     promised; both plans ALSO changed this round (q188's
+#     sufficient-statistics fold is now two-level, q187's empty-
+#     cluster reseed takes |empty| distinct farthest points), so the
+#     leads double as this round's touched-plan re-proofs; (b) the
+#     COMPLETE 42-query r8-only cohort — the stalest driver rows left
+#     (4 rounds old), including q114_corpus_curation, which re-proves
+#     the curation pipeline's new optional cluster-mix stage is
+#     plan-inert when off; (c) six r9-only fillers, lowest-risk
+#     members of the next-stalest cohort (expression-only full-oracle
+#     suites q40/q41/q45/q46/q47/q58), bringing the list to exactly
+#     50. Rows-only slots: q187, q188, q54, q72, q88, q89, q91,
+#     q126, q131 = 9 <= 9 (at the cap — which is why a round-12
+#     rows-only addition, if any, waits for r13 per the q186/q172
+#     precedent). Leftover for r13: the remaining 38 r9-only rows.
 DRIVER_WINDOW: list[str] = [
+    # (a) the two never-driver-checked leads (r11 additions, plans
+    # re-touched this round: two-level fold / distinct reseed)
+    "q187_kmeans_mix",
+    "q188_pca_project",
+    # (b) the complete r8-only stale cohort, registry order
+    "q05_numeric_validity",
+    "q10_left_outer_join",
+    "q11_left_semi_join",
+    "q12_left_anti_join",
+    "q14_distinct",
+    "q16_value_per_key",
+    "q18_count_distinct",
+    "q19_rollup",
+    "q20_filtered_agg",
+    "q22_neighbor_diff",
+    "q23_topk_per_group",
+    "q24_rolling_window",
+    "q25_union",
+    "q26_intersect",
+    "q27_except_all",
+    "q28_date_parts",
+    "q29_coord_arithmetic",
+    "q30_string_codec",
+    "q31_polygon_corners",
+    "q33_json_access",
+    "q35_tumbling_window",
+    "q37_minhash_lsh_candidates",
+    "q44_quality_score",
+    "q54_image_features",
+    "q72_minhash_lsh_ml",
+    "q85_merge_upsert",
+    "q86_latest_per_key",
+    "q87_variant_json",
+    "q88_hll_sketch_merge",
+    "q89_udtf_sentences",
+    "q91_cogrouped_asof",
+    "q96_stats_suite",
+    "q100_date_spine",
+    "q101_nearest_station",
+    "q103_regrid",
+    "q114_corpus_curation",
+    "q124_simhash_candidates",
+    "q126_semantic_dedup",
+    "q127_repeated_ngrams",
+    "q131_compression_ratio",
+    "q166_semantic_decontaminate",
+    "q180_corpus_datasheet",
+    # (c) six r9-only fillers (oldest remaining cohort, lowest risk:
+    # expression-only full-oracle suites)
+    "q40_ngram_jaccard",
+    "q41_minhash_signatures",
+    "q45_token_count",
+    "q46_fingerprint",
+    "q47_lang_id",
+    "q58_cube_grouping",
+]
+
+_ROUND11_WINDOW: list[str] = [
+    # retained for the rotation record (served as DRIVER_WINDOW in r11)
     # (a) the five promised leads (r6-only driver rows)
     "q83_time_rollup",
     "q110_per_key_trend",

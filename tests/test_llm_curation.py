@@ -651,3 +651,88 @@ def test_dedup_index_lockstep_and_self_heal(spark, sf_dir, tmp_path_factory):
     )
     curate_increment(spark, rerun, out)
     index_in_lockstep()
+
+
+def test_cluster_mix_stage_rebalances_boilerplate_mode(
+    spark, tmp_path_factory
+):
+    """r12 stage e2e: a corpus where one semantic MODE dominates (80
+    boilerplate-embedding docs vs 8 rare-mode docs — every text unique
+    and quality-passing, so no textual gate touches them) must come
+    out of ``curate_corpus(cluster_mix_embeddings=...)`` rebalanced:
+    the dominant cluster cut to the cap, the rare mode intact, docs
+    WITHOUT an embedding kept unconditionally, the stage recorded in
+    the manifest as global_only — and a day-1 increment must carry the
+    stage key through untouched (global-only contract) without
+    re-running it."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from climate_data_pipelines_spark.plans.llm_curation import (
+        curate_corpus,
+        curate_increment,
+    )
+
+    def lines_doc(i, n_lines=4):
+        return "\n".join(
+            f"w{i}a{j} w{i}b{j} w{i}c{j} w{i}d{j} w{i}e{j}."
+            for j in range(n_lines)
+        )
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    docs = spark.createDataFrame(
+        [(i, lines_doc(i), "en", "srcA", 80) for i in range(88)]
+        + [(i, lines_doc(i), "en", "srcA", 80) for i in (900, 901, 902)],
+        schema,
+    )
+    rng = np.random.default_rng(11)
+    dom = np.array([10.0, 0.0]) + 0.1 * rng.standard_normal((80, 2))
+    rare = np.array([-10.0, 0.0]) + 0.1 * rng.standard_normal((8, 2))
+    pts = np.concatenate([dom, rare])
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in p]) for i, p in enumerate(pts)],
+        "doc_id long, embedding array<float>",
+    )
+
+    day0_dir = str(tmp_path_factory.mktemp("cmix_day0"))
+    out = str(tmp_path_factory.mktemp("cmix_out"))
+    docs.write.parquet(f"{day0_dir}/documents.parquet")
+    manifest = curate_corpus(
+        spark,
+        day0_dir,
+        out,
+        alpha=1.0,
+        tokens_per_shard=300,
+        cluster_mix_embeddings=emb,
+        cluster_k=2,
+        cluster_iters=4,
+        cluster_cap=20,
+    )
+    st = manifest["stages"]["cluster_mix"]
+    assert st["k"] == 2 and st["per_cluster_cap"] == 20
+    assert st["global_only"] is True
+
+    kept = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{out}/shards").select("doc_id").collect()
+    }
+    # dominant mode capped at 20, rare mode intact, no-embedding docs kept
+    assert len(kept & set(range(80))) == 20
+    assert set(range(80, 88)) <= kept
+    assert {900, 901, 902} <= kept
+
+    # increment: new unique docs, NO re-clustering (global-only) — the
+    # batch survives untouched by the stage and the re-written
+    # manifest still carries the stage record for the next full run
+    day1 = spark.createDataFrame(
+        [(i, lines_doc(i), "en", "srcA", 80) for i in range(2000, 2010)],
+        schema,
+    )
+    combined = curate_increment(spark, day1, out)
+    assert combined["stages"]["cluster_mix"]["global_only"] is True
+    kept2 = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{out}/shards").select("doc_id").collect()
+    }
+    assert set(range(2000, 2010)) <= kept2
+    assert kept <= kept2
