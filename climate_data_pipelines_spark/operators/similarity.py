@@ -1131,6 +1131,17 @@ def kmeans_clusters(
         assignment-kernel pass over the checkpointed corpus per
         round that actually has an empty cluster.
 
+    Practical k ceiling (measured, SCALEPROOF `q187_kmeans_k`): the
+    three k-growing terms are the per-round driver collect (k·dim
+    rows), the broadcast centroid closure (k·dim·8 bytes per task),
+    and the assignment matmul (k·dim FLOPs/row). At the IVF-coarse-
+    quantizer shape k=256 on the x10 fixture the round cost is ×3.3
+    k=16's with driver traffic at 0.5 MB/round and a 131 KB closure —
+    comfortable; at k≈4096 and dim 1024 the closure alone is 32 MB
+    into every task and the collect ~134 MB/round, so treat k in the
+    low thousands as the ceiling and shard the quantizer (train per
+    coarse partition) beyond it.
+
     Init is sample-free and engine-portable: the k rows with the
     smallest ``xxhash64(id)`` (deterministic, no RNG, no collect of
     raw vectors beyond k of them). Returns ``(assignments, inertia)``
@@ -1271,10 +1282,12 @@ def pca_fit(
 
     Spark-first shape — the corpus is touched ONCE and never
     shuffled: a `mapInPandas` kernel reduces each Arrow batch to the
-    sufficient statistics (n, Σx, XᵀX) — one (1 + dim + dim²)-float
-    row per PARTITION — and a TWO-LEVEL aggregate sums them (partials
-    keyed by spark_partition_id()%64, then a 64-row survivor fold),
-    so no single reducer ever sees more than max(64, P/64) partials.
+    sufficient statistics (n, Σx, XᵀX), emitted CHUNKED as dim rows
+    (i, n, s_i, gram_row_i) per partition, and ONE groupBy(i) Arrow
+    fold sums them with dim-way reducer parallelism — no single
+    reducer ever sees more than P rows of ~8·dim bytes, and the
+    driver collect is exactly the dim×dim gram (the fold-shape
+    measurements behind this layout are documented at the fold).
     Driver state is the dim×dim Gram matrix (64×64 = 4 KB at the
     fixture dim; 4 MB at dim 1024), on which numpy's `eigh` runs the
     eigendecomposition — the same bounded-driver-work contract as the
@@ -1304,7 +1317,28 @@ def pca_fit(
         F.col("v").isNotNull() & (F.size("v") == dim)
     )
 
-    stat_schema = "n long, s array<double>, g array<double>"
+    # The gram is reduced CHUNKED BY ROW, never as one wide cell. A
+    # single global fold of per-partition (n, Σx, XᵀX) rows would
+    # funnel EVERY partial — (1 + dim + dim²) doubles, ~4.7 MB at dim
+    # 768 — into one reducer (10k input partitions at dim 768 is
+    # ~47 GB through one task, the scale shape the r11 verdict
+    # flagged). The two fold shapes that keep the partial as one wide
+    # row both measured badly at dim 768 (50k×768 fixture, 64
+    # partitions): a JVM collect_list + zip_with fold costs ~8 s for
+    # 64 partials — higher-order-function lambdas are interpreted per
+    # element, never codegen'd (75M interpreted adds vs ~2 s for the
+    # whole kernel) — and a grouped applyInPandas fold of the same 64
+    # rows costs 36-42 s (FlatMapGroupsInPandas degrades on multi-MB
+    # cells; an Arrow collect of the identical rows takes 1.4 s).
+    # Emitting the gram as dim rows (i, n, s_i, g_row_i) of ~8·dim
+    # bytes instead gives ONE groupBy(i) fold with dim-way reducer
+    # parallelism, small Arrow cells, numpy vectorization inside the
+    # fold, and a driver collect of exactly dim×(dim+2) doubles — the
+    # gram the driver needs anyway (4.7 MB at dim 768), independent of
+    # corpus size and partition count. Per-group reducer input is
+    # P × 8·dim bytes (60 MB at 10k partitions, dim 768); sub-chunk
+    # the key to (i, pid % c) if P ever makes that the binding term.
+    stat_schema = "i int, n long, s double, g array<double>"
 
     def stats(batches):
         n = 0
@@ -1318,53 +1352,50 @@ def pca_fit(
             s += M.sum(axis=0)
             g += M.T @ M
         if n:
+            idx = np.arange(dim)
             yield pd.DataFrame(
-                {"n": [n], "s": [s.tolist()], "g": [g.reshape(-1).tolist()]}
+                {
+                    "i": idx.astype("int32"),
+                    "n": np.where(idx == 0, n, 0),
+                    "s": s,
+                    "g": [row.tolist() for row in g],
+                }
             )
 
     partials = vecs.mapInPandas(stats, schema=stat_schema)
-    # Two-level reduce of the per-partition partials (JVM zip_with
-    # folds, no second Python pass). A single global agg would funnel
-    # EVERY partial — (1 + dim + dim²) doubles each, ~4.7 MB at dim
-    # 768 — into one reducer: 10k input partitions at dim 768 is
-    # ~47 GB through one task, the one scale shape the r11 verdict
-    # flagged. Keying the first fold on spark_partition_id() % 64
-    # bounds any reducer to max(64, P/64) partials; the survivor fold
-    # sees exactly <=64 rows. At the fixture scale both levels are
-    # trivial; at 100 TB they are what keeps the fit one clean pass.
 
-    def _fold():
-        return [
-            F.sum("n").alias("n"),
-            F.aggregate(
-                F.collect_list("s"),
-                F.array_repeat(F.lit(0.0), dim),
-                lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
-            ).alias("s"),
-            F.aggregate(
-                F.collect_list("g"),
-                F.array_repeat(F.lit(0.0), dim * dim),
-                lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
-            ).alias("g"),
-        ]
+    def fold(pdf):
+        return pd.DataFrame(
+            {
+                "i": [int(pdf["i"].iloc[0])],
+                "n": [int(pdf["n"].sum())],
+                "s": [float(pdf["s"].sum())],
+                "g": [
+                    np.sum(
+                        np.stack([np.asarray(x) for x in pdf["g"]]), axis=0
+                    ).tolist()
+                ],
+            }
+        )
 
-    level1 = (
-        partials.groupBy((F.spark_partition_id() % 64).alias("_g"))
-        .agg(*_fold())
-        .drop("_g")
-    )
-    final_stats = level1.agg(*_fold())
-    # audit hook: tests/test_similarity.py asserts the two-level shape
-    # (hashpartitioning exchange feeding a 64-row SinglePartition
-    # exchange) on the plan the fit ACTUALLY ran, not a replica
+    folded = partials.groupBy("i").applyInPandas(fold, schema=stat_schema)
+    # audit hook: tests/test_similarity.py asserts the chunked-fold
+    # shape (one hashpartitioning(i) exchange feeding the Arrow fold)
+    # on the plan the fit ACTUALLY ran, not a replica
     global _LAST_FIT_PLAN
-    _LAST_FIT_PLAN = (
-        final_stats._jdf.queryExecution().executedPlan().toString()
-    )
-    agg = final_stats.first()
-    n = agg["n"]
-    mean = np.asarray(agg["s"], dtype=np.float64) / n
-    gram = np.asarray(agg["g"], dtype=np.float64).reshape(dim, dim)
+    _LAST_FIT_PLAN = folded._jdf.queryExecution().executedPlan().toString()
+    rows = folded.collect()  # dim rows — dim×(dim+2) doubles total
+    if len(rows) != dim:
+        raise ValueError(
+            f"pca_fit: gram fold returned {len(rows)} rows, expected {dim}"
+        )
+    n = sum(r["n"] for r in rows)
+    mean = np.zeros(dim)
+    gram = np.zeros((dim, dim))
+    for r in rows:
+        mean[r["i"]] = r["s"]
+        gram[r["i"]] = r["g"]
+    mean /= n
     cov = gram / n - np.outer(mean, mean)
     evals, evecs = np.linalg.eigh(cov)  # ascending
     order = np.argsort(evals)[::-1][:n_components]

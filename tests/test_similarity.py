@@ -503,12 +503,13 @@ def test_pca_fit_matches_numpy_and_recovers_structure(spark):
         assert np.abs(np.asarray(r["pca"]) - P[i]).max() < 1e-7
 
 
-def test_pca_fit_fold_is_two_level(spark):
-    """The sufficient-statistics reduce must be hierarchical (r11
-    verdict item 1): a grouped fold keyed on spark_partition_id()%64
-    (hashpartitioning exchange) feeding a <=64-row SinglePartition
-    fold — never one global collect_list funnel. Asserted on the plan
-    pca_fit ACTUALLY executed (the _LAST_FIT_PLAN audit hook)."""
+def test_pca_fit_fold_is_chunked_and_grouped(spark):
+    """The sufficient-statistics reduce must never funnel wide
+    (dim²-cell) partials through one reducer (r11 verdict item 1):
+    the gram is emitted chunked by row and folded by ONE groupBy(i)
+    Arrow fold — dim-way reducer parallelism, small cells. Asserted
+    on the plan pca_fit ACTUALLY executed (the _LAST_FIT_PLAN audit
+    hook)."""
     import numpy as np
 
     rng = np.random.default_rng(7)
@@ -519,13 +520,15 @@ def test_pca_fit_fold_is_two_level(spark):
     ).repartition(8)
     similarity.pca_fit(df, n_components=2)
     plan = similarity._LAST_FIT_PLAN
-    assert "Exchange hashpartitioning(_groupingexpression" in plan
-    assert "Exchange SinglePartition" in plan
-    # the grouped fold must run BELOW the single-partition fold
-    assert plan.index("Exchange SinglePartition") < plan.index(
-        "Exchange hashpartitioning(_groupingexpression"
+    # exactly one Arrow fold, keyed on the gram-row index i
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert plan.count("Exchange hashpartitioning(i#") == 1
+    # the kernel feeds the grouped fold (never a global single
+    # partition: no SinglePartition exchange anywhere in the fit)
+    assert plan.index("MapInPandas") > plan.index(
+        "Exchange hashpartitioning(i#"
     )
-    assert "SPARK_PARTITION_ID" in plan
+    assert "Exchange SinglePartition" not in plan
 
 
 def test_pca_project_nulls_stay_null(spark):

@@ -1,0 +1,147 @@
+"""Scale evidence for q188 distributed PCA (r11 verdict item 2).
+
+Measures `similarity.pca_fit` + `pca_project` on the three axes that
+matter for the operator's 100 TB claim, and specifically the two axes
+the r12 fold rework targets:
+
+- corpus rows: x1/x10/x100 embedding fixtures (2k/20k/200k vectors,
+  dim 64) — wall should be sublinear in rows (fixed Arrow/session
+  overhead amortizes; the kernel is one corpus pass);
+- PARTITION COUNT: the x100 fixture repartitioned to ~2k partitions —
+  the axis that breaks a single-reducer fold (2k partials of
+  1+dim+dim² doubles through one task); with the row-chunked
+  groupBy(i) fold each reducer sees P rows of ~8·dim bytes, so wall
+  should move only by per-task overhead;
+- DIMENSION: a deterministic synthetic dim-768 corpus (real text
+  embedding width) — each partial is ~4.7 MB, so the fold's funnel
+  width, not the row count, is what this axis stresses.
+
+Each record carries the partials count (non-empty input partitions),
+wall seconds (median of SCALEPROOF_REPEATS, default 3), and a
+`chunked_grouped_fold` flag read from the plan the fit actually
+executed (`similarity._LAST_FIT_PLAN`): one groupBy(i) Arrow fold of
+row-chunked gram partials, dim-way parallel, never a SinglePartition
+funnel. Results land under SCALEPROOF.json section `q188_pca`.
+
+Usage:
+    python tools/pca_scale_proof.py [scaledata/x1 scaledata/x10 scaledata/x100]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPEATS = int(os.environ.get("SCALEPROOF_REPEATS", "3"))
+
+
+def main() -> None:
+    dirs = sys.argv[1:] or ["scaledata/x1", "scaledata/x10", "scaledata/x100"]
+
+    from pyspark.sql import functions as F
+
+    from climate_data_pipelines_spark import get_spark
+    from climate_data_pipelines_spark.catalog import load_table
+    from climate_data_pipelines_spark.operators import similarity
+
+    spark = get_spark(app_name="pca-scale-proof")
+
+    def measure(vecs, label: str, n_components: int = 8) -> dict:
+        # one untimed warmup fit (plan compile + Arrow worker spinup),
+        # then median-of-REPEATS for fit and project separately
+        comps = mean = None
+        fit_s, proj_s = [], []
+        for _ in range(REPEATS + 1):
+            t0 = time.perf_counter()
+            comps, mean, _evr = similarity.pca_fit(
+                vecs, n_components=n_components
+            )
+            fit_s.append(time.perf_counter() - t0)
+        fit_s = fit_s[1:]
+        plan = similarity._LAST_FIT_PLAN
+        chunked = (
+            plan.count("FlatMapGroupsInPandas") == 1
+            and plan.count("Exchange hashpartitioning(i#") == 1
+            and "Exchange SinglePartition" not in plan
+        )
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            similarity.pca_project(vecs, comps, mean).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            proj_s.append(time.perf_counter() - t0)
+        n = vecs.count()
+        parts = vecs.rdd.getNumPartitions()
+        rec = {
+            "n_vecs": n,
+            "input_partitions": parts,
+            "fit_sec": round(statistics.median(fit_s), 3),
+            "project_sec": round(statistics.median(proj_s), 3),
+            "chunked_grouped_fold": chunked,
+        }
+        print(f"{label}: {rec}")
+        return rec
+
+    section: dict = {"repeats": REPEATS, "points": {}}
+    for d in dirs:
+        emb = load_table(spark, d, "embeddings").select("vec_id", "embedding")
+        section["points"][d] = measure(emb, d)
+
+    # high-partition-count point: the x100 corpus split to ~2k tasks —
+    # 2048 partials (~35 KB each at dim 64) through the fold
+    big = dirs[-1]
+    emb2k = (
+        load_table(spark, big, "embeddings")
+        .select("vec_id", "embedding")
+        .repartition(2048)
+        .localCheckpoint(eager=True)  # pay the shuffle once, untimed
+    )
+    section["points"][f"{big}@2048parts"] = measure(emb2k, f"{big}@2048parts")
+
+    # realistic-dimension point: 50k deterministic dim-768 vectors
+    # (hash-seeded expression — no driver data); each partial is
+    # 1 + 768 + 768² doubles ≈ 4.7 MB, the fold-width stress axis
+    dim = 768
+    syn = (
+        spark.range(50_000)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: (
+                    F.pmod(F.xxhash64(F.col("id"), i), F.lit(10_000)).cast(
+                        "double"
+                    )
+                    / 5_000.0
+                    - 1.0
+                ).cast("float"),
+            ).alias("embedding"),
+        )
+        .repartition(64)
+        .localCheckpoint(eager=True)  # materialize: time the fit, not gen
+    )
+    rec = measure(syn, "dim768_50k", n_components=16)
+    rec["dim"] = dim
+    section["points"]["dim768_50k"] = rec
+
+    out_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALEPROOF.json",
+    )
+    out = {}
+    if os.path.exists(out_path):
+        with open(out_path) as fh:
+            out = json.load(fh)
+    out["q188_pca"] = section
+    with open(out_path, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print("wrote SCALEPROOF.json section q188_pca")
+
+
+if __name__ == "__main__":
+    main()
