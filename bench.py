@@ -122,6 +122,9 @@ HEADLINE = [
     # semantic mixing (SemDeDup cluster-then-prune shape)
     "q187_kmeans_mix",
     "q188_pca_project",
+    # round-12 addition: context-window packing (concatenate-and-split
+    # pretraining sequences, hierarchical prefix sum + explode)
+    "q189_context_packing",
 ]
 
 # ANN quality: rows-only queries whose real metric is recall vs the

@@ -785,6 +785,27 @@ def shard_assign(
     oracle IS that plan), but every corpus-sized stage is partitioned.
     Returns (id, n_tok, shard).
     """
+    return _exclusive_prefix_tokens(
+        df, text_col=text_col, id_col=id_col, bucket_size=bucket_size
+    ).select(
+        id_col,
+        "n_tok",
+        F.floor(F.col("_excl") / tokens_per_shard).alias("shard"),
+    )
+
+
+def _exclusive_prefix_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_size: int = 4096,
+) -> DataFrame:
+    """The hierarchical exclusive prefix sum of per-doc token counts in
+    deterministic ``id_col`` order — the shared core of ``shard_assign``
+    (q171) and ``pack_contexts`` (q189). Returns (id, n_tok, _excl)
+    with every corpus-sized stage partitioned; the only ordered window
+    runs over the |buckets|-row offset table (see shard_assign's
+    docstring for the full plan argument)."""
     # the tokenize pass is the map-side CPU stage; spread it past a
     # small file's single scan split (SCALEPROOF.md Finding 7 pattern)
     toks = spread_for_cpu(df).select(
@@ -807,11 +828,60 @@ def shard_assign(
             "_excl",
             F.col("_off") + F.coalesce(F.sum("n_tok").over(w_in), F.lit(0)),
         )
-        .select(
-            id_col,
-            "n_tok",
-            F.floor(F.col("_excl") / tokens_per_shard).alias("shard"),
-        )
+        .select(id_col, "n_tok", "_excl")
+    )
+
+
+def pack_contexts(
+    df: DataFrame,
+    ctx_len: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_size: int = 4096,
+) -> DataFrame:
+    """Context-window packing with document spanning — the
+    concatenate-and-split convention GPT/T5-style pretraining uses to
+    build fixed-length training sequences with ZERO padding (Brown et
+    al. 2020 appendix B; Raffel et al. 2020 §2.2): the corpus is one
+    global token stream in deterministic ``id_col`` order, cut every
+    ``ctx_len`` tokens; a document straddling a cut contributes a
+    piece to EACH sequence it spans. The last stage before the
+    trainer's dataloader — ``shard_assign`` (q171) packs whole docs
+    into coarse shards; this packs token spans into exact-length
+    contexts.
+
+    Output: one row per (document, sequence) piece —
+      (id, seq, doc_offset, seq_offset, n_tok_piece)
+    where ``doc_offset`` is the piece's first token within the doc,
+    ``seq_offset`` its position within the sequence, and pieces tile
+    every sequence exactly (Σ n_tok_piece per seq == ctx_len, except
+    the corpus tail). Zero-token docs pack nothing and are excluded.
+
+    Scale shape: the prefix sum is the shared hierarchical plan
+    (``_exclusive_prefix_tokens`` — no global ordered window); the
+    span fan-out is a pure-expression ``explode(sequence(s0, s1))``
+    whose per-doc width is 1 + n_tok/ctx_len (bounded by document
+    length, independent of corpus size); everything after is
+    arithmetic on (8-byte) offsets — the text never moves past the
+    tokenize pass. The DuckDB oracle is the naive global-window twin
+    with unnest(generate_series(...)).
+    """
+    t = _exclusive_prefix_tokens(
+        df, text_col=text_col, id_col=id_col, bucket_size=bucket_size
+    ).filter(F.col("n_tok") > 0)
+    s0 = F.floor(F.col("_excl") / ctx_len).cast("long")
+    s1 = F.floor((F.col("_excl") + F.col("n_tok") - 1) / ctx_len).cast("long")
+    spans = t.withColumn("seq", F.explode(F.sequence(s0, s1)))
+    start = F.greatest(F.col("_excl"), F.col("seq") * ctx_len)
+    end = F.least(
+        F.col("_excl") + F.col("n_tok"), (F.col("seq") + 1) * ctx_len
+    )
+    return spans.select(
+        id_col,
+        "seq",
+        (start - F.col("_excl")).alias("doc_offset"),
+        (start - F.col("seq") * ctx_len).alias("seq_offset"),
+        (end - start).alias("n_tok_piece"),
     )
 
 

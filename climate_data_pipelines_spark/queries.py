@@ -5880,6 +5880,45 @@ def q188(spark, sf_dir):
     ).filter(F.col("pca_micro").isNotNull())
 
 
+@query(
+    "q189_context_packing",
+    """WITH toks AS (SELECT doc_id,
+                       len(list_filter(string_split(text, ' '), x -> x != ''))
+                         AS n_tok
+                     FROM documents),
+         c AS (SELECT doc_id, n_tok,
+                 COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS excl
+               FROM toks WHERE n_tok > 0),
+         x AS (SELECT doc_id, n_tok, excl,
+                 UNNEST(generate_series(
+                   CAST(FLOOR(excl / 2048.0) AS BIGINT),
+                   CAST(FLOOR((excl + n_tok - 1) / 2048.0) AS BIGINT))) AS seq
+               FROM c)
+       SELECT doc_id, seq,
+              CAST(GREATEST(excl, seq*2048) - excl AS BIGINT) AS doc_offset,
+              CAST(GREATEST(excl, seq*2048) - seq*2048 AS BIGINT)
+                AS seq_offset,
+              CAST(LEAST(excl + n_tok, (seq+1)*2048)
+                   - GREATEST(excl, seq*2048) AS BIGINT) AS n_tok_piece
+       FROM x""",
+    "Context-window packing with document spanning (the GPT/T5 "
+    "concatenate-and-split pretraining convention): the corpus is one "
+    "global token stream in doc-id order, cut every 2048 tokens; a "
+    "boundary-straddling doc contributes a piece to EACH sequence it "
+    "spans, so every sequence is exactly full (zero padding). Engine "
+    "plan: the q171 hierarchical prefix sum (no global ordered "
+    "window) + a pure-expression explode(sequence(s0,s1)) span "
+    "fan-out — the text never moves past the tokenize pass. Oracle "
+    "is the naive global-window twin with unnest(generate_series).",
+)
+def q189(spark, sf_dir):
+    return training.pack_contexts(
+        _t(spark, sf_dir, "documents"), ctx_len=2048
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window selection
 # ---------------------------------------------------------------------------
@@ -6057,7 +6096,10 @@ def q188(spark, sf_dir):
 #     50. Rows-only slots: q187, q188, q54, q72, q88, q89, q91,
 #     q126, q131 = 9 <= 9 (at the cap — which is why a round-12
 #     rows-only addition, if any, waits for r13 per the q186/q172
-#     precedent). Leftover for r13: the remaining 38 r9-only rows.
+#     precedent). Leftover for r13: the remaining 38 r9-only rows,
+#     PLUS the round-12 addition q189_context_packing (full oracle,
+#     registered after this window froze — it LEADS round 13 as
+#     never-driver-checked, replay-checked meanwhile).
 DRIVER_WINDOW: list[str] = [
     # (a) the two never-driver-checked leads (r11 additions, plans
     # re-touched this round: two-level fold / distinct reseed)

@@ -405,6 +405,51 @@ def test_shard_assign_matches_naive_prefix_sum(spark, toks, cap, bucket):
     assert got == want
 
 
+@settings(**_SETTINGS)
+@given(
+    toks=st.lists(st.integers(0, 500), min_size=1, max_size=40),
+    ctx=st.sampled_from([64, 257, 2048]),
+    bucket=st.sampled_from([1, 3, 4096]),
+)
+def test_pack_contexts_matches_naive_packing(spark, toks, ctx, bucket):
+    """Context packing must equal a driver-side walk of the global
+    token stream for any doc sizes, ctx length, and prefix-sum bucket
+    size: pieces tile every sequence exactly (zero padding), a doc
+    spanning k cuts produces k+1 pieces, zero-token docs pack
+    nothing."""
+    from climate_data_pipelines_spark.operators import training
+
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate(toks)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["seq"]): (
+            r["doc_offset"], r["seq_offset"], r["n_tok_piece"]
+        )
+        for r in training.pack_contexts(
+            df, ctx_len=ctx, bucket_size=bucket
+        ).collect()
+    }
+    excl = 0
+    want = {}
+    for i, n in enumerate(toks):
+        if n == 0:
+            continue
+        for seq in range(excl // ctx, (excl + n - 1) // ctx + 1):
+            start = max(excl, seq * ctx)
+            end = min(excl + n, (seq + 1) * ctx)
+            want[(i, seq)] = (start - excl, start - seq * ctx, end - start)
+        excl += n
+    assert got == want
+    # tiling: every sequence except the corpus tail is exactly full
+    per_seq: dict[int, int] = {}
+    for (_i, seq), (_do, _so, np_) in got.items():
+        per_seq[seq] = per_seq.get(seq, 0) + np_
+    if per_seq:
+        last = max(per_seq)
+        assert all(v == ctx for s, v in per_seq.items() if s != last)
+        assert 0 < per_seq[last] <= ctx
+
+
 _word = st.text(alphabet="abcdefgh", min_size=1, max_size=3)
 
 

@@ -198,6 +198,14 @@ AUDITS = {
     "q188_pca_project": [
         ("ArrowEvalPython", True), ("Window", False), ("Join", False),
     ],
+    # r12: context packing — prefix sum must be the hierarchical plan
+    # (partitioned window + broadcast offsets), the span fan-out a
+    # pure-expression explode; no Python, no product joins
+    "q189_context_packing": [
+        ("Window", True), ("BroadcastHashJoin", True),
+        ("Generate", True), ("EvalPython", False),
+        ("CartesianProduct", False), ("BroadcastNestedLoopJoin", False),
+    ],
 }
 
 

@@ -116,6 +116,9 @@ QUERIES = [
     # (cluster,dim)-keyed agg, so wall should track the embedding
     # count ~linearly with a large fixed stage overhead at small n
     "q187_kmeans_mix",
+    # round-12: context packing — hierarchical prefix sum + explode;
+    # output rows ~= docs + tokens/ctx_len, both linear in the corpus
+    "q189_context_packing",
 ]
 
 
@@ -214,11 +217,51 @@ def _q179_planted_recovery(spark, sf_dir):
     )
 
 
+def _q122_candidates(spark, sf_dir):
+    """q122's LSH candidate-pair table BEFORE verification — its row
+    count is the stage the banding bounds; recorded alongside the full
+    operator so the z1000 row (r11 verdict item 6) names which stage
+    grows."""
+    from climate_data_pipelines_spark.catalog import load_table
+    from climate_data_pipelines_spark.operators import dedup
+    from climate_data_pipelines_spark.queries import MINHASH_BANDS, MINHASH_N
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, k=3, n_hashes=MINHASH_N)
+    return dedup.minhash_lsh_candidates(
+        sigs, n_hashes=MINHASH_N, bands=MINHASH_BANDS
+    )
+
+
+def _q122_verified_pairs(spark, sf_dir):
+    """q122's verified edge set (exact Jaccard >= 0.5 on the LSH
+    candidates) — the CC input; candidates minus this count is the
+    false-positive volume verification kills."""
+    from pyspark.sql import functions as F
+
+    from climate_data_pipelines_spark.catalog import load_table
+    from climate_data_pipelines_spark.operators import dedup
+    from climate_data_pipelines_spark.queries import MINHASH_BANDS, MINHASH_N
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, k=3, n_hashes=MINHASH_N)
+    cand = dedup.minhash_lsh_candidates(
+        sigs, n_hashes=MINHASH_N, bands=MINHASH_BANDS
+    ).localCheckpoint(eager=True)
+    return (
+        dedup.jaccard_on_pairs(docs, cand, k=3)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b")
+    )
+
+
 CUSTOM = {
     "q139_fixed_bench_decontaminate": _fixed_bench_decontaminate,
     "q166_fixed_bench_semantic_decon": _fixed_bench_semantic_decontaminate,
     "q179_candidates": _q179_candidates,
     "q179_planted_recovery": _q179_planted_recovery,
+    "q122_candidates": _q122_candidates,
+    "q122_verified_pairs": _q122_verified_pairs,
 }
 
 
