@@ -122,9 +122,11 @@ HEADLINE = [
     # semantic mixing (SemDeDup cluster-then-prune shape)
     "q187_kmeans_mix",
     "q188_pca_project",
-    # round-12 addition: context-window packing (concatenate-and-split
-    # pretraining sequences, hierarchical prefix sum + explode)
+    # round-12 additions: context-window packing (concatenate-and-
+    # split pretraining sequences, hierarchical prefix sum + explode)
+    # and its per-sequence boundary manifest
     "q189_context_packing",
+    "q190_sequence_manifest",
 ]
 
 # ANN quality: rows-only queries whose real metric is recall vs the

@@ -885,6 +885,46 @@ def pack_contexts(
     )
 
 
+def sequence_manifest(
+    pieces: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-sequence boundary manifest over ``pack_contexts`` output —
+    the row the trainer's dataloader actually consumes: for each
+    packed sequence, its piece count, token fill, and the ordered
+    document-boundary list (`seq_offset:doc_id` pairs) that drives
+    cross-document attention masking (packed samples must not attend
+    across boundaries — the packing caveat in Raffel et al. 2020 §2.2
+    and every FlashAttention varlen dataloader since).
+
+    Scale shape: ONE seq-keyed exchange of 24-byte piece rows; the
+    per-sequence ``collect_list`` is bounded by pieces-per-sequence —
+    at most ctx_len (every piece carries ≥1 token), typically
+    ~ctx_len/avg_doc_tokens + 1 — never corpus-sized. Boundaries are
+    serialized to an ordered string because list cells are not
+    hash-comparable by the oracle canonicalizer (the q113 lesson)."""
+    return (
+        pieces.groupBy("seq")
+        .agg(
+            F.count("*").alias("n_pieces"),
+            F.sum("n_tok_piece").alias("seq_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("seq_offset", id_col))
+                    ),
+                    lambda x: F.concat_ws(
+                        ":",
+                        x["seq_offset"].cast("string"),
+                        x[id_col].cast("string"),
+                    ),
+                ),
+                ",",
+            ).alias("boundaries"),
+        )
+    )
+
+
 def quality_select(
     df: DataFrame,
     keep_frac: float = 0.5,

@@ -5919,6 +5919,48 @@ def q189(spark, sf_dir):
     )
 
 
+@query(
+    "q190_sequence_manifest",
+    """WITH toks AS (SELECT doc_id,
+                       len(list_filter(string_split(text, ' '), x -> x != ''))
+                         AS n_tok
+                     FROM documents),
+         c AS (SELECT doc_id, n_tok,
+                 COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS excl
+               FROM toks WHERE n_tok > 0),
+         x AS (SELECT doc_id, n_tok, excl,
+                 UNNEST(generate_series(
+                   CAST(FLOOR(excl / 2048.0) AS BIGINT),
+                   CAST(FLOOR((excl + n_tok - 1) / 2048.0) AS BIGINT))) AS seq
+               FROM c),
+         p AS (SELECT doc_id, seq,
+                 CAST(GREATEST(excl, seq*2048) - seq*2048 AS BIGINT)
+                   AS seq_offset,
+                 CAST(LEAST(excl + n_tok, (seq+1)*2048)
+                      - GREATEST(excl, seq*2048) AS BIGINT) AS n_tok_piece
+               FROM x)
+       SELECT seq, COUNT(*) AS n_pieces,
+              CAST(SUM(n_tok_piece) AS BIGINT) AS seq_tokens,
+              STRING_AGG(seq_offset || ':' || doc_id, ','
+                         ORDER BY seq_offset) AS boundaries
+       FROM p GROUP BY seq""",
+    "Per-sequence boundary manifest over the q189 packing — the row "
+    "the trainer's dataloader consumes: piece count, token fill, and "
+    "the ordered seq_offset:doc_id boundary list that drives "
+    "cross-document attention masking in packed batches. ONE "
+    "seq-keyed exchange of 24-byte piece rows; the per-sequence "
+    "collect_list is bounded by pieces-per-sequence (<= ctx_len), "
+    "never corpus-sized; boundaries serialize to an ordered string "
+    "(list cells are not oracle-hashable — the q113 lesson).",
+)
+def q190(spark, sf_dir):
+    return training.sequence_manifest(
+        training.pack_contexts(_t(spark, sf_dir, "documents"), ctx_len=2048)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window selection
 # ---------------------------------------------------------------------------
@@ -6097,9 +6139,10 @@ def q189(spark, sf_dir):
 #     q126, q131 = 9 <= 9 (at the cap — which is why a round-12
 #     rows-only addition, if any, waits for r13 per the q186/q172
 #     precedent). Leftover for r13: the remaining 38 r9-only rows,
-#     PLUS the round-12 addition q189_context_packing (full oracle,
-#     registered after this window froze — it LEADS round 13 as
-#     never-driver-checked, replay-checked meanwhile).
+#     PLUS the round-12 additions q189_context_packing and
+#     q190_sequence_manifest (both full oracle, registered after this
+#     window froze — they LEAD round 13 as never-driver-checked,
+#     replay-checked meanwhile).
 DRIVER_WINDOW: list[str] = [
     # (a) the two never-driver-checked leads (r11 additions, plans
     # re-touched this round: two-level fold / distinct reseed)

@@ -604,3 +604,41 @@ def test_contamination_report_rates_and_zero_rows(spark):
     assert out["clean"].n_docs == 1 and out["clean"].n_contaminated == 0
     assert out["clean"].contamination_rate == 0.0
     assert out["partial"].n_contaminated == 1
+
+
+def test_pack_contexts_and_manifest_hand_example(spark):
+    """Hand-checkable packing: docs of 5/4/6 tokens into ctx_len=8.
+    Token stream [0,15): doc 0 -> [0,5), doc 1 -> [5,9) (spans the
+    seq-0/1 cut), doc 2 -> [9,15). The manifest must list boundaries
+    in seq_offset order and tile every sequence exactly."""
+    df = spark.createDataFrame(
+        [
+            (0, "a b c d e"),
+            (1, "f g h i"),
+            (2, "j k l m n o"),
+            (3, ""),  # zero tokens: packs nothing
+        ],
+        "doc_id long, text string",
+    )
+    pieces = {
+        (r["doc_id"], r["seq"]): (
+            r["doc_offset"], r["seq_offset"], r["n_tok_piece"]
+        )
+        for r in training.pack_contexts(df, ctx_len=8).collect()
+    }
+    assert pieces == {
+        (0, 0): (0, 0, 5),
+        (1, 0): (0, 5, 3),   # first 3 tokens of doc 1 finish seq 0
+        (1, 1): (3, 0, 1),   # its last token opens seq 1
+        (2, 1): (0, 1, 6),
+    }
+    manifest = {
+        r["seq"]: (r["n_pieces"], r["seq_tokens"], r["boundaries"])
+        for r in training.sequence_manifest(
+            training.pack_contexts(df, ctx_len=8)
+        ).collect()
+    }
+    assert manifest == {
+        0: (2, 8, "0:0,5:1"),
+        1: (2, 7, "0:1,1:2"),  # corpus tail: 7 of 8 tokens filled
+    }

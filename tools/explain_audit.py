@@ -206,6 +206,13 @@ AUDITS = {
         ("Generate", True), ("EvalPython", False),
         ("CartesianProduct", False), ("BroadcastNestedLoopJoin", False),
     ],
+    # r12: sequence manifest — one seq-keyed aggregate over the
+    # packing (ObjectHashAggregate: collect_list buffer); bounded
+    # groups, no Python, no product joins
+    "q190_sequence_manifest": [
+        ("ObjectHashAggregate", True), ("EvalPython", False),
+        ("CartesianProduct", False), ("BroadcastNestedLoopJoin", False),
+    ],
 }
 
 
