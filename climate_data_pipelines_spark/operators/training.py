@@ -885,6 +885,43 @@ def pack_contexts(
     )
 
 
+def pack_contexts_increment(
+    df: DataFrame,
+    base_total_tokens: int,
+    ctx_len: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_size: int = 4096,
+) -> DataFrame:
+    """Day-N packing: continue the global token stream AFTER an
+    existing packed corpus — the batch's first token lands at
+    ``base_total_tokens`` (the base manifest's token total), so the
+    increment's pieces fill the base's partially-full tail sequence
+    first and then open fresh ones. With batch ids sorting after base
+    ids, the output is row-identical to ``pack_contexts`` over the
+    union restricted to batch docs (pinned by pytest) — the same
+    append-only contract as ``curate_increment``: base rows are never
+    recut, and cost is O(batch), never O(total)."""
+    t = _exclusive_prefix_tokens(
+        df, text_col=text_col, id_col=id_col, bucket_size=bucket_size
+    ).filter(F.col("n_tok") > 0)
+    t = t.withColumn("_excl", F.col("_excl") + F.lit(base_total_tokens))
+    s0 = F.floor(F.col("_excl") / ctx_len).cast("long")
+    s1 = F.floor((F.col("_excl") + F.col("n_tok") - 1) / ctx_len).cast("long")
+    spans = t.withColumn("seq", F.explode(F.sequence(s0, s1)))
+    start = F.greatest(F.col("_excl"), F.col("seq") * ctx_len)
+    end = F.least(
+        F.col("_excl") + F.col("n_tok"), (F.col("seq") + 1) * ctx_len
+    )
+    return spans.select(
+        id_col,
+        "seq",
+        (start - F.col("_excl")).alias("doc_offset"),
+        (start - F.col("seq") * ctx_len).alias("seq_offset"),
+        (end - start).alias("n_tok_piece"),
+    )
+
+
 def sequence_manifest(
     pieces: DataFrame,
     id_col: str = "doc_id",

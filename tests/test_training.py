@@ -642,3 +642,46 @@ def test_pack_contexts_and_manifest_hand_example(spark):
         0: (2, 8, "0:0,5:1"),
         1: (2, 7, "0:1,1:2"),  # corpus tail: 7 of 8 tokens filled
     }
+
+
+def test_pack_contexts_increment_matches_union_repack(spark):
+    """Append-only packing parity: base docs packed at day 0, a day-1
+    batch (ids after the base's) packed via pack_contexts_increment
+    starting at the base token total must equal the union repack
+    restricted to batch docs — including filling the base's
+    partially-full tail sequence first."""
+    import pyspark.sql.functions as F
+
+    base = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in enumerate([5, 9, 3])],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(100 + i, " ".join(["w"] * n)) for i, n in enumerate([4, 13, 2])],
+        "doc_id long, text string",
+    )
+    ctx = 8
+    base_total = base.select(
+        F.sum(F.size(F.split(F.trim("text"), r"\s+")))
+    ).collect()[0][0]
+    assert base_total == 17  # fills 2 full seqs + 1 token of seq 2
+    inc = {
+        (r["doc_id"], r["seq"]): (
+            r["doc_offset"], r["seq_offset"], r["n_tok_piece"]
+        )
+        for r in training.pack_contexts_increment(
+            batch, base_total, ctx_len=ctx
+        ).collect()
+    }
+    union = {
+        (r["doc_id"], r["seq"]): (
+            r["doc_offset"], r["seq_offset"], r["n_tok_piece"]
+        )
+        for r in training.pack_contexts(
+            base.unionByName(batch), ctx_len=ctx
+        ).collect()
+        if r["doc_id"] >= 100
+    }
+    assert inc == union
+    # the first batch piece lands inside the base's tail sequence
+    assert (100, 2) in inc and inc[(100, 2)][1] == 1  # seq_offset 1
