@@ -106,6 +106,88 @@ def main() -> None:
         "global_only and never re-run it (manifest contract)."
     )
 
+    # planted dominant-mode point: the stage's actual purpose, at the
+    # DEFAULT soft cap — 60% of embeddings are the IDENTICAL vector
+    # (the boilerplate extreme: near-duplicate pages embed to the same
+    # point), the rest spread across 8 rare modes with noise. A loose
+    # dominant blob would be subdivided by k-means into under-cap
+    # Voronoi cells (measured: only 437/12,000 capped at k=16 — the
+    # soft cap is soft by design); an identical-vector mode collapses
+    # every centroid seeded inside it to one point, the duplicates
+    # empty out, and the r12 distinct-farthest reseed pushes them to
+    # the rare modes — leaving the boilerplate mass as ONE cluster the
+    # default cap then cuts. This also exercises the reseed path at
+    # pipeline scale.
+    dim, n_modes = 32, 8
+    mode = F.when(F.col("doc_id") % 10 < 6, F.lit(0)).otherwise(
+        (F.col("doc_id") % n_modes) + 1
+    )
+    noise_on = F.when(F.col("_m") == 0, F.lit(0.0)).otherwise(F.lit(1.0))
+    planted = (
+        load_table(spark, d, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 20_000)
+        .withColumn("_m", mode)
+        .select(
+            "doc_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: (
+                    # center coordinate for this mode (+-3 lattice)...
+                    (F.pmod(F.xxhash64(F.col("_m"), i), F.lit(7)) - 3).cast(
+                        "double"
+                    )
+                    # ...plus per-doc noise in [-0.05, 0.05) — zeroed
+                    # for the dominant mode (exact-duplicate vectors)
+                    + noise_on
+                    * (
+                        F.pmod(F.xxhash64(F.col("doc_id"), i), F.lit(100))
+                        / 1000.0
+                        - 0.05
+                    )
+                ).cast("float"),
+            ).alias("embedding"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_planted = planted.count()
+    out_dir = f"{work}/out_planted"
+    t0 = time.perf_counter()
+    manifest = curate_corpus(
+        spark,
+        d,
+        out_dir,
+        alpha=1.0,
+        bench_stride=mult,
+        cluster_mix_embeddings=planted,
+        cluster_k=k,
+        cluster_iters=6,
+        cluster_cap=None,  # DEFAULT soft cap = ceil(2n/k)
+    )
+    sec = time.perf_counter() - t0
+    default_cap = -(-2 * n_planted // k)
+    section["planted_mode_default_cap"] = {
+        "sec": round(sec, 1),
+        "n_embedded": n_planted,
+        "dominant_mode_frac": 0.6,
+        "default_cap": default_cap,
+        "docs_kept": manifest["total_docs"],
+        "docs_capped": section["off"]["docs_kept"] - manifest["total_docs"],
+        "note": (
+            "60% of embedded docs are the IDENTICAL vector (the "
+            "boilerplate extreme) vs the default soft cap ceil(2n/k): "
+            "duplicate centroids inside the zero-radius mode empty "
+            "out and the distinct-farthest reseed relocates them, so "
+            "the mass stays one cluster and the cap cuts it; rare "
+            "modes keep everything. A loose dominant blob instead "
+            "subdivides into under-cap Voronoi cells (437/12,000 "
+            "capped when measured with noise on) — the soft cap is "
+            "soft by design, and the tighter the redundancy, the "
+            "harder it bites."
+        ),
+    }
+    print(f"planted: {section['planted_mode_default_cap']}")
+
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "SCALEPROOF.json",
