@@ -1274,6 +1274,7 @@ def pca_fit(
     df: DataFrame,
     vec_col: str = "embedding",
     n_components: int = 16,
+    prefold_threshold: int = 4096,
 ):
     """Fit PCA over an embedding corpus — the dimensionality-reduction
     step a training-data pipeline runs ahead of ANN indexing, k-means
@@ -1378,6 +1379,24 @@ def pca_fit(
             }
         )
 
+    # A single groupBy(i) fold's reducer input is P rows of ~8·dim
+    # bytes per dim-group — fine into the tens of thousands of
+    # partitions (4096 × 6 KB = 25 MB), but a 100 TB scan is ~800k
+    # 128 MB splits, i.e. ~5 GB per group, and applyInPandas
+    # MATERIALIZES its group. Above ``prefold_threshold`` partitions
+    # an extra (i, spark_partition_id()%64)-keyed fold bounds level 1
+    # to P/64 rows per group and level 2 to exactly <=64 rows per i.
+    # The pre-fold is NOT unconditional: at normal P it creates
+    # dim×64 one-row Arrow groups whose per-invocation overhead
+    # measured ×4 on the dim-768 fixture (2.8 → 11.1 s) — it only
+    # pays when P/64 rows amortize it, which is exactly when it is
+    # needed.
+    if vecs.rdd.getNumPartitions() > prefold_threshold:
+        partials = (
+            partials.withColumn("_p", F.spark_partition_id() % 64)
+            .groupBy("i", "_p")
+            .applyInPandas(lambda _k, pdf: fold(pdf), schema=stat_schema)
+        )
     folded = partials.groupBy("i").applyInPandas(fold, schema=stat_schema)
     # audit hook: tests/test_similarity.py asserts the chunked-fold
     # shape (one hashpartitioning(i) exchange feeding the Arrow fold)

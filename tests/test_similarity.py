@@ -520,7 +520,8 @@ def test_pca_fit_fold_is_chunked_and_grouped(spark):
     ).repartition(8)
     similarity.pca_fit(df, n_components=2)
     plan = similarity._LAST_FIT_PLAN
-    # exactly one Arrow fold, keyed on the gram-row index i
+    # default path (P <= prefold_threshold): exactly one Arrow fold,
+    # keyed on the gram-row index i
     assert plan.count("FlatMapGroupsInPandas") == 1
     assert plan.count("Exchange hashpartitioning(i#") == 1
     # the kernel feeds the grouped fold (never a global single
@@ -529,6 +530,21 @@ def test_pca_fit_fold_is_chunked_and_grouped(spark):
         "Exchange hashpartitioning(i#"
     )
     assert "Exchange SinglePartition" not in plan
+
+    # high-partition-count path (P > prefold_threshold): a
+    # (i, partition%64)-keyed pre-fold bounds both reducer levels;
+    # same math, numpy parity re-asserted on the same fixture
+    comps2, mean2, _evr2 = similarity.pca_fit(
+        df, n_components=2, prefold_threshold=2
+    )
+    plan2 = similarity._LAST_FIT_PLAN
+    assert plan2.count("FlatMapGroupsInPandas") == 2
+    assert plan2.count("Exchange hashpartitioning(i#") == 2
+    assert "SPARK_PARTITION_ID() % 64" in plan2
+    assert "Exchange SinglePartition" not in plan2
+    comps1, mean1, _evr1 = similarity.pca_fit(df, n_components=2)
+    assert np.abs(comps2 - comps1).max() < 1e-9
+    assert np.abs(mean2 - mean1).max() < 1e-9
 
 
 def test_pca_project_nulls_stay_null(spark):

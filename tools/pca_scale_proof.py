@@ -64,9 +64,10 @@ def main() -> None:
             fit_s.append(time.perf_counter() - t0)
         fit_s = fit_s[1:]
         plan = similarity._LAST_FIT_PLAN
+        # 1 fold at P <= 4096, 2 when the adaptive pre-fold engages
         chunked = (
-            plan.count("FlatMapGroupsInPandas") == 1
-            and plan.count("Exchange hashpartitioning(i#") == 1
+            plan.count("FlatMapGroupsInPandas") in (1, 2)
+            and "Exchange hashpartitioning(i#" in plan
             and "Exchange SinglePartition" not in plan
         )
         for _ in range(REPEATS):
@@ -103,6 +104,29 @@ def main() -> None:
     )
     section["points"][f"{big}@2048parts"] = measure(emb2k, f"{big}@2048parts")
 
+    # same fixture with the adaptive pre-fold FORCED (threshold 1024 <
+    # 2048 partitions): the path a 100 TB scan (~800k splits) takes,
+    # measured here at the largest local partition count
+    import statistics as _st
+    import time as _t
+
+    from climate_data_pipelines_spark.operators import similarity as _sim
+
+    fs = []
+    for _ in range(REPEATS + 1):
+        t0 = _t.perf_counter()
+        _sim.pca_fit(emb2k, n_components=8, prefold_threshold=1024)
+        fs.append(_t.perf_counter() - t0)
+    plan = _sim._LAST_FIT_PLAN
+    section["points"][f"{big}@2048parts+prefold"] = {
+        "n_vecs": 200_000,
+        "input_partitions": 2048,
+        "fit_sec": round(_st.median(fs[1:]), 3),
+        "prefold_engaged": plan.count("FlatMapGroupsInPandas") == 2,
+    }
+    print(f"{big}@2048parts+prefold:",
+          section["points"][f"{big}@2048parts+prefold"])
+
     # realistic-dimension point: 50k deterministic dim-768 vectors
     # (hash-seeded expression — no driver data); each partial is
     # 1 + 768 + 768² doubles ≈ 4.7 MB, the fold-width stress axis
@@ -137,6 +161,27 @@ def main() -> None:
     if os.path.exists(out_path):
         with open(out_path) as fh:
             out = json.load(fh)
+    section["note"] = (
+        "fit is one corpus pass + a groupBy(i) Arrow fold of row-chun"
+        "ked gram partials (no SinglePartition stage anywhere): x1->x"
+        "100 rows ~ x1.8 wall; dim 64->768 at 50k rows ~ x2-3 wall (w"
+        "as x17.7 worse under the wide-cell folds this rework replace"
+        "d \u2014 measured journey in the pca_fit fold comment and SCALEPR"
+        "OOF.md Finding 14). The @2048parts point prices 2048 Python-"
+        "task launches on ~100-row batches (pure per-task overhead; a"
+        "t production split sizes the same partition count carries ~2"
+        "M rows/task and amortizes). Above prefold_threshold=4096 inp"
+        "ut partitions an adaptive (i, pid%64)-keyed pre-fold bounds "
+        "every reducer to P/64 chunk rows (a 100 TB scan's ~800k spli"
+        "ts would otherwise materialize ~5 GB per dim-group); FORCED "
+        "at 2048 parts it costs +22% (20.2 vs 16.6 s) \u2014 per-group ove"
+        "rhead not yet amortized at this P, which is why the switch i"
+        "s adaptive. Cross-path parity pinned in pytest (1e-9) and th"
+        "e numpy invariant (0.0 max err). Small-fixture price of the "
+        "chunked fold vs r11's single wide fold: ~+0.5 s at sf0.1's 2"
+        "k dim-64 vectors (bench q188 0.93 -> ~1.4 s isolated) \u2014 the "
+        "documented trade for the dim-768 win and partition safety."
+    )
     out["q188_pca"] = section
     with open(out_path, "w") as fh:
         json.dump(out, fh, indent=1)
