@@ -118,7 +118,10 @@ QUERIES = [
     "q187_kmeans_mix",
     # round-12: context packing — hierarchical prefix sum + explode;
     # output rows ~= docs + tokens/ctx_len, both linear in the corpus
+    # — and its per-sequence boundary manifest (one seq-keyed agg,
+    # output rows = tokens/ctx_len)
     "q189_context_packing",
+    "q190_sequence_manifest",
 ]
 
 
