@@ -1131,6 +1131,18 @@ def kmeans_clusters(
         assignment-kernel pass over the checkpointed corpus per
         round that actually has an empty cluster.
 
+    Storage note (r11 verdict watch-item): the eager localCheckpoint
+    below pins the FILTERED (id, vector) projection — not the source
+    rows — in executor storage for the duration of the fit, because
+    every Lloyd round re-reads it (the q136/q122 must-materialize
+    lesson). That is 8·dim bytes per vector: ~3 TB at 10⁹ vectors ×
+    dim 384 — executor-memory+disk scale, not driver scale; local
+    checkpoints spill to executor disk (MEMORY_AND_DISK) when RAM is
+    short. If even the projection exceeds cluster storage, the
+    alternatives are a persisted parquet staging table (pay one write,
+    read per round) or fewer iterations — NOT dropping the
+    materialization, which re-runs the upstream scan k·iters times.
+
     Practical k ceiling (measured, SCALEPROOF `q187_kmeans_k`): the
     three k-growing terms are the per-round driver collect (k·dim
     rows), the broadcast centroid closure (k·dim·8 bytes per task),
