@@ -450,6 +450,46 @@ def test_pack_contexts_matches_naive_packing(spark, toks, ctx, bucket):
         assert 0 < per_seq[last] <= ctx
 
 
+@settings(**_SETTINGS)
+@given(
+    toks=st.lists(st.integers(0, 60), min_size=2, max_size=24),
+    split=st.integers(1, 23),
+    ctx=st.sampled_from([7, 8, 64]),
+)
+def test_pack_contexts_increment_parity_any_split(spark, toks, split, ctx):
+    """Append-only packing parity under hypothesis: for ANY doc sizes,
+    split point, and ctx length (including base totals landing exactly
+    on a cut), pack_contexts_increment(batch, base_total) equals the
+    union repack restricted to batch docs."""
+    from climate_data_pipelines_spark.operators import training
+
+    split = min(split, len(toks) - 1)
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate(toks)]
+    base, batch = rows[:split], rows[split:]
+    schema = "doc_id long, text string"
+    base_df = spark.createDataFrame(base, schema)
+    batch_df = spark.createDataFrame(batch, schema)
+    base_total = sum(n for _, n in zip(range(split), toks))
+    inc = {
+        (r["doc_id"], r["seq"]): (
+            r["doc_offset"], r["seq_offset"], r["n_tok_piece"]
+        )
+        for r in training.pack_contexts_increment(
+            batch_df, base_total, ctx_len=ctx
+        ).collect()
+    }
+    union = {
+        (r["doc_id"], r["seq"]): (
+            r["doc_offset"], r["seq_offset"], r["n_tok_piece"]
+        )
+        for r in training.pack_contexts(
+            base_df.unionByName(batch_df), ctx_len=ctx
+        ).collect()
+        if r["doc_id"] >= split
+    }
+    assert inc == union
+
+
 _word = st.text(alphabet="abcdefgh", min_size=1, max_size=3)
 
 
