@@ -12,6 +12,16 @@ timings, delta-vs-previous-round ratios, sample counts — goes to a
 PRECEDING stdout line (record "bench_detail") and to
 ``BENCH_DETAIL.json`` next to this file.
 
+Host-load self-calibration (r12 verdict): three plan-stable pure-JVM
+CANARIES are measured median-of-5 at suite start AND end; the parsed
+record carries ``canary_ratio`` (vs the best same-sf canary medians
+ever recorded in BENCH_HISTORY.json's ``_canary`` track) and
+``value_canary_normalized`` — so a degraded host window (the r12
+82→139 s artifact) is visible in the record itself instead of
+requiring a post-hoc isolate sweep. BENCH_HISTORY.json also grows an
+``_isolated`` track (canary + auto-isolated medians per round): the
+numbers cross-round comparisons should use.
+
 Each query executes its full plan via the noop sink (distributed
 execution, nothing collected to the driver). JVM/session startup is
 excluded; a warmup query primes the JIT + parquet footer caches.
@@ -133,6 +143,19 @@ HEADLINE = [
 # exact q38 baseline — reported as "<name>_recall@10" in the JSON
 ANN_RECALL = ["q55_ann_lsh_topk", "q73_ann_ivf_topk", "q140_pq_ann_topk"]
 
+# Environment canaries (r12 verdict item 2): fixed, pure-JVM,
+# plan-stable expression queries measured median-of-5 at suite START
+# and END. Their plans never change round-to-round, so any drift in
+# their medians is the HOST, not the code — the r12 record's 82→139 s
+# "regression" was exactly this (uniform inflation of untouched
+# queries under machine load) and took a post-hoc isolate sweep to
+# exonerate. The parsed record now carries `canary_ratio` (this run's
+# canary medians vs the best same-sf medians ever recorded) and a
+# canary-normalized suite total, so a degraded window is visible in
+# the artifact itself.
+CANARIES = ["q02_time_range", "q14_distinct", "q17_agg_suite"]
+CANARY_REPEATS = 5
+
 REPEATS = 3
 # sub-second queries get 2 extra runs (median of 5) — noise control
 EXTRA_REPEATS_UNDER = 1.5
@@ -219,6 +242,25 @@ def isolate(names: list[str], repeats: int = 7) -> None:
         json.dump(detail, fh, indent=1, sort_keys=True)
 
 
+def _measure_canaries(spark, run, registry, sf_dir) -> dict[str, float]:
+    """Median-of-``CANARY_REPEATS`` for each canary query — the host-
+    load probe. Kept tiny (three sub-second pure-expression plans) so
+    two sweeps cost ~10 s against a ~100 s suite."""
+    meds: dict[str, float] = {}
+    for name in CANARIES:
+        spec = registry.get(name)
+        if spec is None:
+            continue
+        samples = []
+        for _ in range(CANARY_REPEATS):
+            t0 = time.perf_counter()
+            run(spec.fn(spark, sf_dir))
+            samples.append(time.perf_counter() - t0)
+            _drop_stale_checkpoints(spark)
+        meds[name] = round(statistics.median(samples), 3)
+    return meds
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -235,6 +277,8 @@ def main() -> None:
     # warmup: prime JIT/codegen + parquet footers (not timed)
     run(REGISTRY["q17_agg_suite"].fn(spark, sf_dir))
     _drop_stale_checkpoints(spark)
+
+    canary_start = _measure_canaries(spark, run, REGISTRY, sf_dir)
 
     timings: dict[str, float] = {}
     timings_min: dict[str, float] = {}
@@ -292,6 +336,14 @@ def main() -> None:
         load_table(spark, sf_dir, "embeddings"), _query_vectors(spark, sf_dir),
         k=1 << 30, n_planes=5, n_tables=8, multiprobe_bits=2,
     ).count()
+
+    # canary sweep #2: the host's state at suite END — a clean start +
+    # degraded end means the contention arrived mid-suite
+    canary_end = _measure_canaries(spark, run, REGISTRY, sf_dir)
+    canary_med = {
+        n: round(min(canary_start[n], canary_end.get(n, canary_start[n])), 3)
+        for n in canary_start
+    }  # min of the two sweeps: the least-contended view of this host
 
     # regression self-flagging (VERDICT r5 item 8): compare this run's
     # medians against the newest recorded BENCH_r*.json so a doubling
@@ -408,6 +460,7 @@ def main() -> None:
     # history file still backfill from the driver artifacts.
     history: dict[str, list] = {}
     history_rounds: list[str] = []
+    canary_ratio = None
     try:
         import glob as _glob
 
@@ -439,20 +492,49 @@ def main() -> None:
                     )
                 }
             hist_file[rnd] = q
+        # canary ratio (r12 verdict item 2): this run's canary medians
+        # vs the BEST same-sf medians ever recorded — the canaries'
+        # plans never change, so ratio >> 1 means the host window is
+        # degraded and the suite total is not round-comparable raw.
+        # "_"-prefixed keys are side tracks, not round rows.
+        canary_hist = hist_file.setdefault("_canary", {})
+        best = {
+            n: min(r[n] for r in canary_hist.values() if n in r)
+            for n in canary_med
+            if any(n in r for r in canary_hist.values())
+        }
+        if best and sf == 0.1:  # ratio is same-sf only (history is sf0.1)
+            ratios = sorted(
+                canary_med[n] / best[n] for n in best if best[n] > 0
+            )
+            if ratios:
+                canary_ratio = round(ratios[len(ratios) // 2], 2)
+        elif canary_med and sf == 0.1:
+            canary_ratio = 1.0  # first recorded round defines the best
+
         # only a same-sf run may stamp the round's history row (a
         # smoke run at sf0.001 must not become r11's record)
         if sf == 0.1:
             hist_file[cur_round] = timings
+            canary_hist[cur_round] = canary_med
+            # isolated-median track: suite-position-free measurements
+            # (canaries + this run's auto-isolations) — the numbers a
+            # cross-round comparison should actually use
+            iso_hist = hist_file.setdefault("_isolated", {})
+            iso_hist[cur_round] = {
+                **canary_med,
+                **{n: v["median"] for n, v in auto_isolated.items()},
+            }
         with open(hist_path, "w") as fh:
             json.dump(hist_file, fh, indent=1, sort_keys=True)
 
-        for rnd in sorted(hist_file):
-            history_rounds.append(rnd)
+        round_keys = [r for r in sorted(hist_file) if not r.startswith("_")]
+        history_rounds.extend(round_keys)
         if history_rounds and history_rounds[-1] == cur_round:
             history_rounds[-1] = "current"
-            round_meds = [hist_file[r] for r in sorted(hist_file)]
+            round_meds = [hist_file[r] for r in round_keys]
         else:
-            round_meds = [hist_file[r] for r in sorted(hist_file)]
+            round_meds = [hist_file[r] for r in round_keys]
             history_rounds.append("current")
             round_meds.append(timings)
         for name in timings:
@@ -474,6 +556,10 @@ def main() -> None:
         "history": history,
         "history_rounds": history_rounds,
         "auto_isolate_skipped": auto_skipped,
+        "canary_start": canary_start,
+        "canary_end": canary_end,
+        "canary_median": canary_med,
+        "canary_ratio": canary_ratio,
         "sf": sf,
     }
     # read-merge: a suite run must not erase isolate()'s verdicts —
@@ -514,6 +600,15 @@ def main() -> None:
         ),
         "auto_isolated_suite_sec": round(
             sum(v["suite_median"] for v in auto_isolated.values()), 3
+        ),
+        # host-load verdict: canaries are plan-stable pure-JVM queries,
+        # so ratio >> 1 = degraded host window; the normalized total is
+        # what this suite would cost on the best recorded host state
+        "canary_ratio": canary_ratio,
+        "value_canary_normalized": (
+            round(sum(timings.values()) / canary_ratio, 3)
+            if canary_ratio and canary_ratio > 0
+            else None
         ),
         **recall,
     }

@@ -1227,10 +1227,18 @@ def kmeans_clusters(
                 .limit(len(empty))
                 .collect()
             )
-            for i, c in enumerate(empty):
-                C[c] = np.asarray(
-                    far[min(i, len(far) - 1)][vec_col], dtype=np.float64
+            if not far:
+                raise ValueError(
+                    "kmeans_clusters: cannot reseed empty clusters — "
+                    "assignment table has no rows"
                 )
+            # fewer distinct farthest points than empty clusters
+            # (corpus smaller than |empty|): reseed only the first
+            # len(far) — duplicating the last point across the rest
+            # would recreate the argmin tie this pass exists to avoid,
+            # and those clusters stay empty either way
+            for i, c in enumerate(empty[: len(far)]):
+                C[c] = np.asarray(far[i][vec_col], dtype=np.float64)
 
     final = vecs.select(
         id_col, _kmeans_assign(vec_col, C).alias("a")

@@ -810,7 +810,15 @@ def _exclusive_prefix_tokens(
     # small file's single scan split (SCALEPROOF.md Finding 7 pattern)
     toks = spread_for_cpu(df).select(
         F.col(id_col), F.size(tokens(text_col)).alias("n_tok")
-    ).withColumn("_bkt", (F.col(id_col) / bucket_size).cast("long"))
+    ).withColumn(
+        # integer DIV, never double division: (id / 4096).cast("long")
+        # routes a bigint through a float64, whose 53-bit mantissa
+        # could break bucket monotonicity (and thus the prefix sum's
+        # id-order contract) above ~9e15 ids; DIV is exact at any id
+        # and truncates toward zero exactly like the old cast did
+        "_bkt",
+        F.expr(f"CAST(`{id_col}` AS BIGINT) DIV {int(bucket_size)}"),
+    )
     per_bucket = toks.groupBy("_bkt").agg(F.sum("n_tok").alias("_bkt_tok"))
     w_b = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
     offsets = per_bucket.select(
@@ -866,22 +874,17 @@ def pack_contexts(
     tokenize pass. The DuckDB oracle is the naive global-window twin
     with unnest(generate_series(...)).
     """
-    t = _exclusive_prefix_tokens(
-        df, text_col=text_col, id_col=id_col, bucket_size=bucket_size
-    ).filter(F.col("n_tok") > 0)
-    s0 = F.floor(F.col("_excl") / ctx_len).cast("long")
-    s1 = F.floor((F.col("_excl") + F.col("n_tok") - 1) / ctx_len).cast("long")
-    spans = t.withColumn("seq", F.explode(F.sequence(s0, s1)))
-    start = F.greatest(F.col("_excl"), F.col("seq") * ctx_len)
-    end = F.least(
-        F.col("_excl") + F.col("n_tok"), (F.col("seq") + 1) * ctx_len
-    )
-    return spans.select(
-        id_col,
-        "seq",
-        (start - F.col("_excl")).alias("doc_offset"),
-        (start - F.col("seq") * ctx_len).alias("seq_offset"),
-        (end - start).alias("n_tok_piece"),
+    # ONE implementation for both packers: day-0 packing IS the
+    # increment continuing an empty base (offset 0). The parity
+    # property test pins the contract; this delegation keeps the span
+    # arithmetic from ever diverging between the twins.
+    return pack_contexts_increment(
+        df,
+        base_total_tokens=0,
+        ctx_len=ctx_len,
+        text_col=text_col,
+        id_col=id_col,
+        bucket_size=bucket_size,
     )
 
 

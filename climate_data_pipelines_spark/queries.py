@@ -6143,9 +6143,81 @@ def q190(spark, sf_dir):
 #     q190_sequence_manifest (both full oracle, registered after this
 #     window froze — they LEAD round 13 as never-driver-checked,
 #     replay-checked meanwhile).
+#   round 13 (this list): (a) lead with q189/q190 — the only registry
+#     queries never driver-checked (both FULL oracle), exactly as the
+#     r12 rotation note promised; q189's plan also changed this round
+#     (integer-DIV bucketing + the pack_contexts→increment delegation)
+#     so the lead doubles as the touched-plan re-proof; (b) the
+#     COMPLETE 38-query r9-only cohort — the stalest driver rows left
+#     (4 rounds old), including q174 (WARC) and the multimodal
+#     feature suites; (c) ten r10-cohort fillers, lowest-risk members
+#     of the next-stalest cohort (expression-only full-oracle suites
+#     q63-q66, q77-q79, q93, q97, q98), bringing the list to exactly
+#     50. Rows-only slots: q42, q134, q135, q144, q155, q157, q158,
+#     q173 = 8 <= 9. Leftover for r14: the remaining 40 r10-only
+#     rows; no registry query is driver-unchecked after this window.
 DRIVER_WINDOW: list[str] = [
+    # (a) the two never-driver-checked leads (r12 additions; q189's
+    # plan re-touched this round: DIV bucketing + twin delegation)
+    "q189_context_packing",
+    "q190_sequence_manifest",
+    # (b) the complete r9-only stale cohort, registry order
+    "q42_simhash",
+    "q60_percentiles",
+    "q61_unpivot",
+    "q62_pivot",
+    "q92_land_mask_grid",
+    "q123_simhash_fingerprints",
+    "q129_minhash64_candidates",
+    "q132_repeated_spans",
+    "q134_strip_spans",
+    "q135_mvt_tiles",
+    "q136_edit_distance_verify",
+    "q137_sessionize",
+    "q138_stratified_sample",
+    "q139_bloom_decontaminate",
+    "q142_domain_cap",
+    "q143_quality_calibrate",
+    "q144_audio_features",
+    "q145_funnel",
+    "q146_retention",
+    "q147_gap_fill",
+    "q148_event_paths",
+    "q149_value_outliers",
+    "q150_bm25_topk",
+    "q152_gap_interpolate",
+    "q153_robust_outliers",
+    "q154_scd2_intervals",
+    "q155_jpeg_features",
+    "q157_video_features",
+    "q158_frame_sample",
+    "q159_weighted_sample",
+    "q160_heavy_hitters",
+    "q173_quality_classifier",
+    "q174_warc_ingest",
+    "q176_containment_neardup",
+    "q178_simhash_capped_candidates",
+    "q179_small_in_large_containment",
+    "q182_cross_source_overlap",
+    "q185_contamination_report",
+    # (c) ten r10-cohort fillers (next-stalest cohort, lowest risk:
+    # expression-only full-oracle suites)
+    "q63_string_suite",
+    "q64_math_suite",
+    "q65_conditional_suite",
+    "q66_array_suite",
+    "q77_grouping_sets",
+    "q78_exists_subquery",
+    "q79_scalar_subquery",
+    "q93_try_functions",
+    "q97_string_agg",
+    "q98_histogram",
+]
+
+_ROUND12_WINDOW: list[str] = [
+    # retained for the rotation record (served as DRIVER_WINDOW in r12)
     # (a) the two never-driver-checked leads (r11 additions, plans
-    # re-touched this round: two-level fold / distinct reseed)
+    # re-touched that round: two-level fold / distinct reseed)
     "q187_kmeans_mix",
     "q188_pca_project",
     # (b) the complete r8-only stale cohort, registry order

@@ -653,6 +653,58 @@ def test_dedup_index_lockstep_and_self_heal(spark, sf_dir, tmp_path_factory):
     index_in_lockstep()
 
 
+def test_cluster_mix_stage_unusable_embeddings_keep(spark):
+    """ADVICE r12 (medium): a doc whose embedding row EXISTS but is
+    null / empty-array / wrong-dim must pass the stage unconditionally
+    — the kmeans kernel silently excludes those vectors, so without
+    the usable-evidence pre-filter they could never appear in `kept`
+    and would land in the drop set, violating the keep-on-missing-
+    evidence rule. Also: a corpus with NO usable embeddings at all is
+    a stage no-op, not a kmeans ValueError."""
+    import numpy as np
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from climate_data_pipelines_spark.plans.llm_curation import (
+        cluster_mix_stage,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(40)]
+        + [
+            (100, "null emb row"),
+            (101, "empty emb row"),
+            (102, "ragged emb row"),
+            (103, "no emb row at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rng = np.random.default_rng(3)
+    pts = np.concatenate(
+        [
+            np.array([5.0, 0.0]) + 0.1 * rng.standard_normal((36, 2)),
+            np.array([-5.0, 0.0]) + 0.1 * rng.standard_normal((4, 2)),
+        ]
+    )
+    rows = [(int(i), [float(x) for x in p]) for i, p in enumerate(pts)]
+    rows += [(100, None), (101, []), (102, [1.0, 2.0, 3.0])]
+    emb = spark.createDataFrame(rows, "doc_id long, embedding array<float>")
+
+    out = cluster_mix_stage(docs, emb, k=2, iters=4, per_cluster_cap=10)
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    # unusable-evidence and missing-row docs all kept
+    assert {100, 101, 102, 103} <= kept
+    # the stage actually ran: dominant mode capped, rare mode intact
+    assert len(kept & set(range(36))) == 10
+    assert set(range(36, 40)) <= kept
+
+    # no usable embeddings anywhere → no-op passthrough
+    emb2 = spark.createDataFrame(
+        [(100, None), (101, [])], "doc_id long, embedding array<float>"
+    )
+    out2 = cluster_mix_stage(docs, emb2, k=2, iters=2)
+    assert out2.count() == docs.count()
+
+
 def test_cluster_mix_stage_rebalances_boilerplate_mode(
     spark, tmp_path_factory
 ):

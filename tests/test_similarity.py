@@ -433,6 +433,27 @@ def test_kmeans_skips_null_and_ragged_vectors(spark):
     assert inertia[-1] <= inertia[0] * (1 + 1e-9)
 
 
+def test_kmeans_more_clusters_than_rows(spark):
+    """k > n: the modulo-padded init duplicates centroids, which tie
+    on argmin and leave clusters empty every round — the reseed path
+    must neither IndexError nor duplicate the last farthest point
+    across surplus clusters (ADVICE r12); clusters beyond the corpus
+    size simply stay empty."""
+    df = _vecs(
+        spark,
+        [
+            (0, [0.0, 0.0], 0),
+            (1, [10.0, 0.0], 0),
+            (2, [0.0, 10.0], 0),
+        ],
+    )
+    assigned, inertia = similarity.kmeans_clusters(df, k=8, iters=3)
+    rows = assigned.collect()
+    assert {r["vec_id"] for r in rows} == {0, 1, 2}
+    # every point sits on its own centroid: inertia pinned at 0
+    assert inertia[-1] <= inertia[0] * (1 + 1e-9)
+
+
 def test_cluster_balanced_mix_caps_dominant_mode(spark):
     """A corpus dominated by one semantic mode must come out
     rebalanced: the dominant cluster is cut to the cap, sparse
