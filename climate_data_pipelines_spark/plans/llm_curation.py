@@ -269,6 +269,149 @@ def cluster_mix_stage(
     return df.join(drop, id_col, "left_anti")
 
 
+def _rewrite_manifest(out_dir: str, manifest: dict) -> None:
+    """Re-dump manifest.json after post-shard-write additions (the
+    packing block) — ``sinks.write_training_shards`` writes the file
+    from scratch, so top-level keys added later must rewrite it."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(out_dir, "manifest.json"), "w") as fh:
+        _json.dump(manifest, fh, indent=1)
+
+
+def _packing_actual_total(spark: SparkSession, out_dir: str, ctx_len: int) -> int:
+    """Ground truth for the packing staleness probe: the global token
+    stream's end offset, recomputed from the pieces table itself —
+    every piece's end is ``seq*ctx_len + seq_offset + n_tok_piece``,
+    and the max over the table IS the total token count. One agg over
+    5-long-column rows; returns -1 when the table is absent (never
+    packed / wiped), which never equals a recorded total."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        row = (
+            spark.read.parquet(f"{out_dir}/packing/pieces")
+            .agg(
+                F.max(
+                    F.col("seq") * ctx_len
+                    + F.col("seq_offset")
+                    + F.col("n_tok_piece")
+                ).alias("t")
+            )
+            .collect()[0]
+        )
+    except AnalysisException:
+        return -1
+    return int(row["t"] or 0)
+
+
+def _write_packing(
+    spark: SparkSession,
+    out_dir: str,
+    docs: DataFrame,
+    ctx_len: int,
+    base_block: dict | None = None,
+) -> dict:
+    """Emit the trainer-facing context-packing tables next to the
+    shards — ``packing/pieces`` (q189 ``pack_contexts`` rows: one per
+    (document, sequence) span) and ``packing/sequences`` (q190
+    ``sequence_manifest`` rows: per-sequence piece count, token fill,
+    boundary list) — and return the manifest block
+    ``{ctx_len, total_tokens, n_pieces, n_sequences}``.
+
+    ``base_block is None`` → full (re)pack: ``docs`` is the whole
+    corpus, both tables overwritten, totals computed by READING BACK
+    the pieces just written (the shard-manifest verification stance).
+
+    ``base_block`` set → day-N continuation: ``docs`` is the appended
+    batch only; ``pack_contexts_increment`` continues the global token
+    stream from the recorded ``total_tokens`` (O(batch), the base
+    text is never re-tokenized). Pieces rows APPEND. Sequence rows
+    append for every sequence the batch touches — including the
+    base's partially-filled tail sequence, whose fresh row is rebuilt
+    from (base tail pieces ∪ new pieces) via a seq-pushed-down read
+    of the pieces table. The sequences table is therefore APPEND-ONLY
+    CUMULATIVE: a sequence touched by k increments has k rows, each a
+    strict superset of the last — the authoritative row per seq is
+    the one with the largest ``n_pieces`` (``read_sequence_manifest``
+    applies the rule); rewriting the one stale tail row in place
+    would force an O(total-sequences) table rewrite per increment.
+    """
+    from climate_data_pipelines_spark.operators.scale import unpersist_checkpoint
+
+    pieces_dir = f"{out_dir}/packing/pieces"
+    seqs_dir = f"{out_dir}/packing/sequences"
+    if base_block is None:
+        training.pack_contexts(docs, ctx_len=ctx_len).write.mode(
+            "overwrite"
+        ).parquet(pieces_dir)
+        allp = spark.read.parquet(pieces_dir)
+        training.sequence_manifest(allp).write.mode("overwrite").parquet(
+            seqs_dir
+        )
+        agg = allp.agg(
+            F.sum("n_tok_piece").alias("t"),
+            F.count("*").alias("p"),
+            (F.max("seq") + 1).alias("s"),
+        ).collect()[0]
+        return {
+            "ctx_len": int(ctx_len),
+            "total_tokens": int(agg["t"] or 0),
+            "n_pieces": int(agg["p"]),
+            "n_sequences": int(agg["s"] or 0),
+        }
+
+    base_total = int(base_block["total_tokens"])
+    # batch-sized and bounded: |batch docs| × (1 + doc_tokens/ctx_len)
+    # rows of five longs — checkpointed once, referenced twice (the
+    # totals agg and the append)
+    pieces_new = training.pack_contexts_increment(
+        docs, base_total, ctx_len=ctx_len
+    ).localCheckpoint(eager=True)
+    agg = pieces_new.agg(
+        F.sum("n_tok_piece").alias("t"), F.count("*").alias("p")
+    ).collect()[0]
+    n_new = int(agg["p"])
+    if n_new == 0:  # zero-token batch: stream unchanged, nothing to cut
+        unpersist_checkpoint(pieces_new)
+        return dict(base_block)
+    pieces_new.write.mode("append").parquet(pieces_dir)
+    unpersist_checkpoint(pieces_new)
+    # sequences the batch touched: everything from the base's tail
+    # sequence on (seq pushdown on the appended table — base tail
+    # pieces rejoin so the tail's fresh row is COMPLETE, not a delta)
+    first_new_seq = base_total // ctx_len
+    seq_in = spark.read.parquet(pieces_dir).filter(
+        F.col("seq") >= first_new_seq
+    )
+    training.sequence_manifest(seq_in).write.mode("append").parquet(seqs_dir)
+    new_total = base_total + int(agg["t"])
+    return {
+        "ctx_len": int(ctx_len),
+        "total_tokens": new_total,
+        "n_pieces": int(base_block["n_pieces"]) + n_new,
+        "n_sequences": -(-new_total // ctx_len),
+    }
+
+
+def read_sequence_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The authoritative per-sequence manifest of a packed corpus:
+    latest-wins over the append-only cumulative ``packing/sequences``
+    rows (see ``_write_packing`` — a sequence touched by k increments
+    has k rows, each a strict superset of the last, so the row with
+    the largest ``n_pieces`` is the complete one)."""
+    from pyspark.sql.window import Window
+
+    seqs = spark.read.parquet(f"{out_dir}/packing/sequences")
+    w = Window.partitionBy("seq").orderBy(F.desc("n_pieces"))
+    return (
+        seqs.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .drop("_r")
+    )
+
+
 def _write_dedup_index(
     kept: DataFrame,
     out_dir: str,
@@ -399,6 +542,7 @@ def curate_corpus(
     cluster_k: int = 16,
     cluster_iters: int = 6,
     cluster_cap: int | None = None,
+    pack_ctx_len: int | None = None,
 ) -> dict:
     """Run the full curation chain on the ``documents`` table and
     write trainer shards + manifest to ``out_dir``. The documents
@@ -448,6 +592,19 @@ def curate_corpus(
         tempered on the rebalanced corpus. GLOBAL-ONLY like
         temperature mix (see ``cluster_mix_stage``): increments do
         not re-run it, the manifest records ``global_only: true``.
+
+    r13 optional stage:
+      - ``pack_ctx_len``: context-window packing (q189/q190) as the
+        post-shard trainer-prep stage — the curated corpus's token
+        stream is cut into exact ``pack_ctx_len``-length sequences;
+        ``packing/pieces`` + ``packing/sequences`` land next to the
+        shards and the manifest gains a ``packing`` block (ctx_len,
+        total_tokens, n_pieces, n_sequences). ``curate_increment``
+        CONTINUES the stream from the recorded total via
+        ``pack_contexts_increment`` — O(batch), base text never
+        re-tokenized — provided batch doc_ids sort after base ids
+        (checked; violation or a crash-stale block triggers a full
+        repack, self-healing like the dedup index).
     All stage configs land in the manifest (``stages``) and persist
     whatever index tables they need so ``curate_increment`` stays
     O(batch). Returns the manifest dict (per-shard doc/token
@@ -574,6 +731,10 @@ def curate_corpus(
         }
         if cluster_mix_embeddings is not None
         else None,
+        # static recipe only (carried verbatim through every append by
+        # write_training_shards); the DYNAMIC totals live in the
+        # top-level "packing" block rewritten after the packing write
+        "packing": {"ctx_len": int(pack_ctx_len)} if pack_ctx_len else None,
         "jaccard_threshold": jaccard_threshold,
         "alpha": alpha,
         "benchmark_source": benchmark_source,
@@ -592,6 +753,18 @@ def curate_corpus(
         containment=containment,
         domain_stats_df=gate_stats,
     )
+    if pack_ctx_len:
+        # pack what actually LANDED (read back from the shards, same
+        # verification stance as the manifest/index), then rewrite
+        # manifest.json with the packing totals — the block is the
+        # increment's continuation record
+        manifest["packing"] = _write_packing(
+            spark,
+            out_dir,
+            spark.read.parquet(f"{out_dir}/shards").select("doc_id", "text"),
+            int(pack_ctx_len),
+        )
+        _rewrite_manifest(out_dir, manifest)
     unpersist_checkpoint(mixed)
     unpersist_checkpoint(unique)
     if gate_ckpt is not None:
@@ -665,6 +838,15 @@ def curate_increment(
     whole-corpus properties, so a batch-local k-means would cap
     against the wrong modes — the stage key is carried through the
     manifest untouched and applied only by full runs.
+
+    r13: when the base was curated with ``pack_ctx_len``, the batch's
+    surviving docs are packed as a CONTINUATION of the global token
+    stream (``pack_contexts_increment`` from the manifest's recorded
+    ``packing.total_tokens`` — O(batch), base text never re-read);
+    pieces and touched-sequence manifest rows append, and the
+    manifest's packing block advances. A stale block (crash window),
+    a ctx change, or batch ids not sorting after base ids triggers a
+    full repack instead (self-healing, never silently wrong).
     Returns the combined manifest.
     """
     import pyspark.sql.functions as F
@@ -689,6 +871,16 @@ def curate_increment(
     dg_conf = stages.get("domain_gate")
     c4_conf = stages.get("c4")
     gopher_conf = stages.get("gopher")
+    pack_conf = stages.get("packing")
+    base_max_doc_id = None
+    if pack_conf:
+        # evaluated BEFORE the shard append below (the lazy `base`
+        # frame re-lists files at execution time): the packing
+        # continuation is only valid when every batch id sorts after
+        # every base id — the global token stream is doc_id-ordered
+        base_max_doc_id = base.agg(
+            F.coalesce(F.max("doc_id"), F.lit(-(1 << 62))).alias("m")
+        ).collect()[0]["m"]
 
     # PRECONDITION: doc_ids are globally unique across the batch and
     # the base corpus. A crawl that restarts its id sequence per day
@@ -916,6 +1108,44 @@ def curate_increment(
         containment=bool(cont_conf),
         domain_stats_df=batch_stats,
     )
+    if pack_conf:
+        # manifest-driven packing continuation (r13): the batch's
+        # token spans continue the global stream from the recorded
+        # total — O(batch). Falls back to a full repack (self-heal,
+        # same stance as the dedup-index probe) when the recorded
+        # block is missing/stale (crash between the pieces append and
+        # the manifest rewrite — detected by recomputing the stream
+        # end from the pieces table), the ctx_len changed, or the
+        # batch ids do not sort after the base ids.
+        ctx = int(pack_conf["ctx_len"])
+        block = base_manifest.get("packing")
+        landed = (
+            spark.read.parquet(f"{base_dir}/shards")
+            .filter(F.col("shard") > base_max_shard)
+            .select("doc_id", "text")
+        )
+        batch_min = landed.agg(F.min("doc_id").alias("m")).collect()[0]["m"]
+        fresh = (
+            block is not None
+            and int(block.get("ctx_len", -1)) == ctx
+            and _packing_actual_total(spark, base_dir, ctx)
+            == int(block["total_tokens"])
+            and (batch_min is None or batch_min > base_max_doc_id)
+        )
+        if fresh:
+            manifest["packing"] = _write_packing(
+                spark, base_dir, landed, ctx, base_block=block
+            )
+        else:
+            manifest["packing"] = _write_packing(
+                spark,
+                base_dir,
+                spark.read.parquet(f"{base_dir}/shards").select(
+                    "doc_id", "text"
+                ),
+                ctx,
+            )
+        _rewrite_manifest(base_dir, manifest)
     unpersist_checkpoint(survivors)
     unpersist_checkpoint(unique)
     if batch_stats is not None:
@@ -961,6 +1191,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--cluster-k", type=int, default=16)
     p.add_argument("--cluster-cap", type=int, default=None)
+    p.add_argument(
+        "--pack-ctx-len", type=int, default=None,
+        help="emit context-packing tables (q189 pieces + q190 sequence "
+        "manifest) next to the shards at this context length; "
+        "increments continue the token stream from the manifest",
+    )
     return p
 
 
@@ -990,6 +1226,7 @@ def main() -> None:
         cluster_mix_embeddings=cm_emb,
         cluster_k=args.cluster_k,
         cluster_cap=args.cluster_cap,
+        pack_ctx_len=args.pack_ctx_len,
     )
     print(
         f"wrote {manifest['n_shards']} shards / {manifest['total_docs']} docs "

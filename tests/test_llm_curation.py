@@ -788,3 +788,122 @@ def test_cluster_mix_stage_rebalances_boilerplate_mode(
     }
     assert set(range(2000, 2010)) <= kept2
     assert kept <= kept2
+
+
+def test_packing_stage_increment_continues_stream(
+    spark, tmp_path_factory
+):
+    """r13 packing composition e2e: ``curate_corpus(pack_ctx_len=...)``
+    emits pieces + sequence manifest next to the shards and records
+    the packing block; ``curate_increment`` CONTINUES the token
+    stream — the appended batch pieces must equal a full repack of
+    the combined corpus restricted to batch docs (the append-only
+    contract at pipeline level), the authoritative sequence rows must
+    tile exactly, and a corrupted (crash-stale) packing block must
+    trigger the self-heal full repack on the next increment."""
+    import pyspark.sql.functions as F
+
+    from climate_data_pipelines_spark.operators import training
+    from climate_data_pipelines_spark.plans.llm_curation import (
+        curate_corpus,
+        curate_increment,
+        read_sequence_manifest,
+    )
+
+    def lines_doc(i, n_lines=3):
+        return "\n".join(
+            f"w{i}a{j} w{i}b{j} w{i}c{j} w{i}d{j} w{i}e{j}."
+            for j in range(n_lines)
+        )
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    docs = spark.createDataFrame(
+        [(i, lines_doc(i), "en", "srcA", 60) for i in range(60)], schema
+    )
+    day0_dir = str(tmp_path_factory.mktemp("pack_day0"))
+    out = str(tmp_path_factory.mktemp("pack_out"))
+    docs.write.parquet(f"{day0_dir}/documents.parquet")
+    CTX = 64
+    manifest = curate_corpus(
+        spark, day0_dir, out, alpha=1.0, tokens_per_shard=300,
+        pack_ctx_len=CTX,
+    )
+    blk = manifest["packing"]
+    assert blk["ctx_len"] == CTX
+    # packing counts the same whitespace tokens as the shard manifest
+    assert blk["total_tokens"] == manifest["total_tokens"]
+    assert blk["n_sequences"] == -(-blk["total_tokens"] // CTX)
+    assert manifest["stages"]["packing"] == {"ctx_len": CTX}
+
+    def landed():
+        return spark.read.parquet(f"{out}/shards").select("doc_id", "text")
+
+    def pieces():
+        return spark.read.parquet(f"{out}/packing/pieces")
+
+    def rowset(df):
+        return {tuple(r) for r in df.select(
+            "doc_id", "seq", "doc_offset", "seq_offset", "n_tok_piece"
+        ).collect()}
+
+    # day-0 pieces == a direct pack of what landed
+    assert rowset(pieces()) == rowset(
+        training.pack_contexts(landed(), ctx_len=CTX)
+    )
+
+    # day-1 increment: fresh unique docs with ids after the base
+    day1 = spark.createDataFrame(
+        [(i, lines_doc(i), "en", "srcA", 60) for i in range(1000, 1030)],
+        schema,
+    )
+    combined = curate_increment(spark, day1, out)
+    blk1 = combined["packing"]
+    assert blk1["total_tokens"] == combined["total_tokens"]
+    assert blk1["total_tokens"] > blk["total_tokens"]
+    assert blk1["n_pieces"] > blk["n_pieces"]
+
+    # the appended pieces (batch ids) == full repack of the combined
+    # corpus restricted to batch docs — the pipeline-level append-only
+    # parity contract
+    full_repack = training.pack_contexts(landed(), ctx_len=CTX)
+    batch_ids = F.col("doc_id") >= 1000
+    assert rowset(pieces().filter(batch_ids)) == rowset(
+        full_repack.filter(batch_ids)
+    )
+    # base pieces untouched (never recut)
+    assert rowset(pieces().filter(~batch_ids)) == rowset(
+        full_repack.filter(~batch_ids)
+    )
+
+    # authoritative sequence rows (latest-wins) tile exactly: every
+    # sequence except the tail carries ctx_len tokens, no seq repeats
+    seqs = read_sequence_manifest(spark, out).collect()
+    assert len(seqs) == blk1["n_sequences"]
+    assert len({r["seq"] for r in seqs}) == len(seqs)
+    fills = {r["seq"]: r["seq_tokens"] for r in seqs}
+    tail = max(fills)
+    for s, t in fills.items():
+        assert t == (CTX if s != tail else blk1["total_tokens"] - CTX * tail)
+
+    # self-heal: corrupt the recorded total (the crash-window stale
+    # signature), run another increment — the probe must detect the
+    # mismatch and full-repack instead of continuing from a lie
+    import json as _json
+
+    with open(f"{out}/manifest.json") as fh:
+        m = _json.load(fh)
+    m["packing"]["total_tokens"] += 7
+    with open(f"{out}/manifest.json", "w") as fh:
+        _json.dump(m, fh)
+    day2 = spark.createDataFrame(
+        [(i, lines_doc(i), "en", "srcA", 60) for i in range(2000, 2010)],
+        schema,
+    )
+    combined2 = curate_increment(spark, day2, out)
+    blk2 = combined2["packing"]
+    assert blk2["total_tokens"] == combined2["total_tokens"]
+    assert rowset(pieces()) == rowset(
+        training.pack_contexts(landed(), ctx_len=CTX)
+    )
+    seqs2 = read_sequence_manifest(spark, out)
+    assert seqs2.count() == blk2["n_sequences"]
