@@ -1125,11 +1125,13 @@ def kmeans_clusters(
         ONLY driver traffic and is corpus-size-independent (the
         classifier's (dim+1)-float gradient precedent,
         operators/classifier.py).
-      - empty clusters re-seed deterministically to the |empty|
+      - empty clusters re-seed deterministically to up to |empty|
         DISTINCT farthest points (desc d2, min-id tiebreak; the
         `_pq_codebooks` rule in distributed form) — one extra
         assignment-kernel pass over the checkpointed corpus per
-        round that actually has an empty cluster.
+        round that actually has an empty cluster; when the corpus
+        has fewer points than empty clusters the surplus stay empty
+        (duplicating a point would recreate the argmin tie).
 
     Storage note (r11 verdict watch-item): the eager localCheckpoint
     below pins the FILTERED (id, vector) projection — not the source

@@ -386,6 +386,43 @@ def hash_split(
     return df.withColumn("bucket", bucket).withColumn("split", split)
 
 
+def leakage_safe_split(
+    clusters: DataFrame,
+    component_col: str = "component",
+    seed: str = "split-v1",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Train/val/test split keyed on the dedup-cluster representative,
+    never the document id: every member of a verified near-dup
+    cluster lands in the SAME split, so an eval document can never be
+    a near-duplicate of a training document — the split-leakage hole
+    a per-doc ``hash_split`` leaves open (Lee et al. 2022 §6.2
+    measure exactly this train/eval near-dup overlap inflating
+    benchmark scores; the reference pipeline has no split stage at
+    all — its train/eval separation is by dataset file,
+    pipelines/pipeline_config.py:9-65).
+
+    ``clusters`` is a (doc, component) assignment — e.g. the verified
+    LSH connected components (q122) or exact-digest classes; the
+    component id is whatever stable key the clustering elected (min
+    member id here). Adds the same ``bucket``/``split`` columns as
+    ``hash_split`` so the two are drop-in interchangeable downstream.
+
+    Scale shape: stateless md5 over the component id — zero shuffles
+    beyond whatever produced the clusters, stable under corpus growth
+    (a cluster's split never changes when new docs join OTHER
+    clusters; a doc joining an existing cluster adopts that cluster's
+    split, which is exactly the leakage-safety contract)."""
+    return hash_split(
+        clusters,
+        id_col=component_col,
+        seed=seed,
+        train_pct=train_pct,
+        val_pct=val_pct,
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -5961,6 +5961,69 @@ def q190(spark, sf_dir):
     )
 
 
+@query(
+    "q191_leakage_safe_split",
+    f"""WITH RECURSIVE{_minhash_ctes()},
+         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         common AS (SELECT e.id_a, e.id_b, COUNT(*) AS n_common
+                    FROM edges e
+                    JOIN sh a ON a.doc_id = e.id_a
+                    JOIN sh b ON b.doc_id = e.id_b AND b.shingle = a.shingle
+                    GROUP BY 1, 2),
+         ver AS (SELECT c.id_a, c.id_b
+                 FROM common c
+                 JOIN sizes sa ON sa.doc_id = c.id_a
+                 JOIN sizes sb ON sb.doc_id = c.id_b
+                 WHERE CAST(n_common AS DOUBLE)
+                       / (sa.n_sh + sb.n_sh - n_common) >= 0.5),
+         sym AS (SELECT id_a AS a, id_b AS b FROM ver
+                 UNION SELECT id_b, id_a FROM ver),
+         reach(src, node) AS (
+             SELECT doc_id, doc_id FROM documents
+           UNION
+             SELECT r.src, s.b FROM reach r JOIN sym s ON r.node = s.a
+         ),
+         comp AS (SELECT src AS doc_id, MIN(node) AS component
+                  FROM reach GROUP BY src)
+       SELECT doc_id, component,
+              CAST(CAST('0x' || substring(md5('split-v1' || CAST(component AS VARCHAR)), 1, 15)
+                        AS BIGINT) % 100 AS BIGINT) AS bucket,
+              CASE WHEN CAST('0x' || substring(md5('split-v1' || CAST(component AS VARCHAR)), 1, 15)
+                        AS BIGINT) % 100 < 80 THEN 'train'
+                   WHEN CAST('0x' || substring(md5('split-v1' || CAST(component AS VARCHAR)), 1, 15)
+                        AS BIGINT) % 100 < 90 THEN 'val'
+                   ELSE 'test' END AS split
+       FROM comp""",
+    "Leakage-safe train/val/test split: the q122 verified near-dup "
+    "clusters (LSH candidates → exact-Jaccard verify → connected "
+    "components) elect one representative per cluster, and the split "
+    "hashes the REPRESENTATIVE — near-duplicate documents always land "
+    "in the same split, closing the per-doc hash_split's eval-leakage "
+    "hole (train/eval near-dup overlap inflates benchmark scores; "
+    "Lee et al. 2022 §6.2). Stateless md5 over the component id — "
+    "zero shuffles beyond the clustering itself; stable under corpus "
+    "growth. Oracle replays the identical verified-CC fixpoint "
+    "(recursive CTE) and the identical md5 bucket expression.",
+)
+def q191(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, k=3, n_hashes=MINHASH_N)
+    cand = dedup.minhash_lsh_candidates(
+        sigs, n_hashes=MINHASH_N, bands=MINHASH_BANDS
+    ).localCheckpoint(eager=True)  # referenced twice by the verify stage
+    ver = (
+        dedup.jaccard_on_pairs(docs, cand, k=3)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b")
+    )
+    comp = dedup.connected_components(
+        ver, nodes=docs.select("doc_id"), node_col="doc_id"
+    )
+    return training.leakage_safe_split(comp).select(
+        "doc_id", "component", "bucket", "split"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window selection
 # ---------------------------------------------------------------------------
@@ -6155,7 +6218,10 @@ def q190(spark, sf_dir):
 #     q63-q66, q77-q79, q93, q97, q98), bringing the list to exactly
 #     50. Rows-only slots: q42, q134, q135, q144, q155, q157, q158,
 #     q173 = 8 <= 9. Leftover for r14: the remaining 40 r10-only
-#     rows; no registry query is driver-unchecked after this window.
+#     rows, PLUS the round-13 addition q191_leakage_safe_split (full
+#     oracle, registered after this window froze — it LEADS round 14
+#     as never-driver-checked, replay-checked meanwhile, the
+#     q189/q190 precedent).
 DRIVER_WINDOW: list[str] = [
     # (a) the two never-driver-checked leads (r12 additions; q189's
     # plan re-touched this round: DIV bucketing + twin delegation)

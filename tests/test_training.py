@@ -87,6 +87,46 @@ def test_hash_split_deterministic_and_complete(spark):
     assert by_split["train"] > 130
 
 
+def test_leakage_safe_split_cluster_coherent(spark):
+    """Every member of a cluster gets the SAME split (the leakage
+    contract), the split matches hash_split of the component id (the
+    two stages are drop-in interchangeable), and assignment is stable
+    when new docs join OTHER clusters (stateless hash — no
+    redistribution on corpus growth)."""
+    clusters = spark.createDataFrame(
+        [(i, (i // 3) * 3) for i in range(300)],  # 3-doc clusters
+        "doc_id long, component long",
+    )
+    out = training.leakage_safe_split(clusters).collect()
+    by_comp: dict[int, set] = {}
+    for r in out:
+        by_comp.setdefault(r["component"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_comp.values())
+    # split fractions sane at the CLUSTER level on 100 clusters
+    from collections import Counter
+
+    cnt = Counter(next(iter(s)) for s in by_comp.values())
+    assert set(cnt) == {"train", "val", "test"} and cnt["train"] > 60
+    # parity with hash_split keyed on the component id
+    ref = {
+        r["component"]: r["split"]
+        for r in training.hash_split(
+            clusters.select("component").distinct(), id_col="component"
+        ).collect()
+    }
+    assert all(r["split"] == ref[r["component"]] for r in out)
+    # growth stability: a new 3-doc cluster changes nothing upstream
+    grown = clusters.union(
+        spark.createDataFrame([(900, 900), (901, 900), (902, 900)],
+                              "doc_id long, component long")
+    )
+    out2 = {
+        r["doc_id"]: r["split"]
+        for r in training.leakage_safe_split(grown).collect()
+    }
+    assert all(out2[r["doc_id"]] == r["split"] for r in out)
+
+
 def test_pack_sequences_quantized_boundaries(spark):
     df = spark.createDataFrame(
         [(1, 300), (2, 300), (3, 300), (4, 300)], "doc_id long, n_tokens long"

@@ -213,6 +213,13 @@ AUDITS = {
         ("ObjectHashAggregate", True), ("EvalPython", False),
         ("CartesianProduct", False), ("BroadcastNestedLoopJoin", False),
     ],
+    # r13: leakage-safe split — everything above the md5 bucketing is
+    # the q122 verified-CC machinery (already audited there); the
+    # split itself must add NO Python and no product joins
+    "q191_leakage_safe_split": [
+        ("EvalPython", False),
+        ("CartesianProduct", False), ("BroadcastNestedLoopJoin", False),
+    ],
 }
 
 

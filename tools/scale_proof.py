@@ -258,6 +258,27 @@ def _q122_verified_pairs(spark, sf_dir):
     )
 
 
+def _q141_candidates(spark, sf_dir):
+    """q141's CROSS-corpus LSH candidate table (new × base band
+    buckets only — the base never self-pairs) — the stage whose
+    growth the z1000 row names (r12 verdict item 7): its base-bucket
+    join is the shape most sensitive to vocabulary growth, so the
+    candidates-per-new-doc ratio across Zipf decades is the claim."""
+    from pyspark.sql import functions as F
+
+    from climate_data_pipelines_spark.catalog import load_table
+    from climate_data_pipelines_spark.operators import dedup
+    from climate_data_pipelines_spark.queries import MINHASH_BANDS, MINHASH_N
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_base = F.col("source").rlike("^src[0-9]$")
+    sb = dedup.minhash_signatures(docs.filter(is_base), k=3, n_hashes=MINHASH_N)
+    sn = dedup.minhash_signatures(docs.filter(~is_base), k=3, n_hashes=MINHASH_N)
+    return dedup.minhash_lsh_candidates_cross(
+        sn, sb, n_hashes=MINHASH_N, bands=MINHASH_BANDS
+    )
+
+
 CUSTOM = {
     "q139_fixed_bench_decontaminate": _fixed_bench_decontaminate,
     "q166_fixed_bench_semantic_decon": _fixed_bench_semantic_decontaminate,
@@ -265,6 +286,7 @@ CUSTOM = {
     "q179_planted_recovery": _q179_planted_recovery,
     "q122_candidates": _q122_candidates,
     "q122_verified_pairs": _q122_verified_pairs,
+    "q141_candidates": _q141_candidates,
 }
 
 
