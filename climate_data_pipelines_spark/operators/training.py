@@ -455,6 +455,74 @@ def pack_sequences(
     )
 
 
+def length_bucket_batches(
+    df: DataFrame,
+    batch_size: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_size: int = 4096,
+) -> DataFrame:
+    """Length-bucketed batch manifest — the dynamic-batching prep
+    every inference/eval dataloader runs (and SFT collators mirror):
+    docs are bucketed by ``ceil(log2(token_count))`` so a batch holds
+    similar-length members, tiled into fixed-size batches in
+    deterministic id order, and the output is one row PER BATCH —
+    member count, max/sum token lengths, and the padding fraction a
+    rectangular batch pays ((B·max − Σ)/(B·max)): padding is wasted
+    FLOPs, and bucketing by length is the standard fix (a single
+    global batch order pads every batch to its longest straggler).
+    Zero-token docs batch nothing and are excluded.
+
+    Scale shape: NO corpus-sized ordered window. Ranking within a
+    length bucket is hierarchical exactly like the q171 prefix sum:
+    per-(bucket, id-block) counts, an exclusive running offset over
+    the tiny (bucket, block) table (the only ordered window —
+    |buckets|·|blocks| rows), then ``row_number`` within
+    (bucket, block) partitions only; global rank = block offset +
+    in-block rank, exact because blocks partition the id order. The
+    DuckDB oracle is the naive per-bucket global-window twin — same
+    rows, two execution strategies (the q171/q189 pattern).
+    Returns (len_bucket, batch, n_docs, max_tok, sum_tok,
+    padding_frac)."""
+    toks = (
+        spread_for_cpu(df)
+        .select(F.col(id_col), F.size(tokens(text_col)).alias("n_tok"))
+        .filter(F.col("n_tok") > 0)
+        .withColumn("len_bucket", F.ceil(F.log2("n_tok")).cast("long"))
+        .withColumn(
+            "_blk", F.expr(f"CAST(`{id_col}` AS BIGINT) DIV {int(block_size)}")
+        )
+    )
+    per_blk = toks.groupBy("len_bucket", "_blk").agg(F.count("*").alias("_c"))
+    w_b = (
+        Window.partitionBy("len_bucket")
+        .orderBy("_blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_blk.select(
+        "len_bucket",
+        "_blk",
+        F.coalesce(F.sum("_c").over(w_b), F.lit(0)).alias("_off"),
+    )
+    w_in = Window.partitionBy("len_bucket", "_blk").orderBy(id_col)
+    ranked = toks.join(F.broadcast(offsets), ["len_bucket", "_blk"]).withColumn(
+        "_rn", F.col("_off") + F.row_number().over(w_in)
+    )
+    batched = ranked.withColumn(
+        "batch", F.floor((F.col("_rn") - 1) / batch_size).cast("long")
+    )
+    n = F.count("*")
+    mx = F.max("n_tok")
+    sm = F.sum("n_tok")
+    pad = (n * mx - sm).cast("double") / (n * mx).cast("double")
+    return batched.groupBy("len_bucket", "batch").agg(
+        n.alias("n_docs"),
+        mx.alias("max_tok"),
+        sm.alias("sum_tok"),
+        (F.round(pad * 1e6, 0) / 1e6).alias("padding_frac"),
+    )
+
+
 def tfidf_top_term(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

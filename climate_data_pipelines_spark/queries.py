@@ -6024,6 +6024,42 @@ def q191(spark, sf_dir):
     )
 
 
+@query(
+    "q192_length_bucket_batches",
+    """WITH n AS (SELECT doc_id,
+                    len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tok
+                  FROM documents),
+         nb AS (SELECT doc_id, n_tok,
+                  CAST(ceil(log2(n_tok)) AS BIGINT) AS len_bucket
+                FROM n WHERE n_tok > 0),
+         r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY len_bucket
+                                            ORDER BY doc_id) AS rn
+               FROM nb),
+         b AS (SELECT len_bucket,
+                 CAST(floor((rn - 1) / 8.0) AS BIGINT) AS batch, n_tok
+               FROM r)
+       SELECT len_bucket, batch, COUNT(*) AS n_docs,
+              MAX(n_tok) AS max_tok,
+              CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+              ROUND((COUNT(*) * MAX(n_tok) - SUM(n_tok)) * 1000000.0
+                    / (COUNT(*) * MAX(n_tok))) / 1000000.0 AS padding_frac
+       FROM b GROUP BY 1, 2""",
+    "Length-bucketed batch manifest (dynamic-batching prep for "
+    "inference/eval dataloaders): docs bucketed by ceil(log2(tokens)) "
+    "so batches hold similar-length members, tiled into batches of 8 "
+    "in id order; one row per batch with the padding fraction a "
+    "rectangular batch pays — padding is wasted FLOPs, bucketing is "
+    "the standard fix. NO corpus-sized ordered window: in-bucket rank "
+    "is hierarchical (per-(bucket, id-block) counts + tiny offset "
+    "window + row_number within blocks — the q171 pattern); the "
+    "oracle is the naive per-bucket global-window twin.",
+)
+def q192(spark, sf_dir):
+    return training.length_bucket_batches(
+        _t(spark, sf_dir, "documents"), batch_size=8
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window selection
 # ---------------------------------------------------------------------------
@@ -6218,10 +6254,10 @@ def q191(spark, sf_dir):
 #     q63-q66, q77-q79, q93, q97, q98), bringing the list to exactly
 #     50. Rows-only slots: q42, q134, q135, q144, q155, q157, q158,
 #     q173 = 8 <= 9. Leftover for r14: the remaining 40 r10-only
-#     rows, PLUS the round-13 addition q191_leakage_safe_split (full
-#     oracle, registered after this window froze — it LEADS round 14
-#     as never-driver-checked, replay-checked meanwhile, the
-#     q189/q190 precedent).
+#     rows, PLUS the round-13 additions q191_leakage_safe_split and
+#     q192_length_bucket_batches (both full oracle, registered after
+#     this window froze — they LEAD round 14 as never-driver-checked,
+#     replay-checked meanwhile, the q189/q190 precedent).
 DRIVER_WINDOW: list[str] = [
     # (a) the two never-driver-checked leads (r12 additions; q189's
     # plan re-touched this round: DIV bucketing + twin delegation)

@@ -127,6 +127,51 @@ def test_leakage_safe_split_cluster_coherent(spark):
     assert all(out2[r["doc_id"]] == r["split"] for r in out)
 
 
+def test_length_bucket_batches_matches_naive_walk(spark):
+    """The hierarchical per-bucket rank (block counts + offset +
+    in-block row_number) must equal a driver-side naive walk: bucket
+    by ceil(log2(n_tok)), sort by id within bucket, tile into batches
+    of B, and report per-batch count/max/sum/padding. Zero-token docs
+    are excluded."""
+    import math
+
+    texts = {
+        1: "a",                      # 1 tok  -> bucket 0
+        2: "a b",                    # 2 tok  -> bucket 1
+        5: "a b c",                  # 3 tok  -> bucket 2
+        7: "a b c d",                # 4 tok  -> bucket 2
+        9: " ".join(["w"] * 5),      # 5 tok  -> bucket 3
+        11: " ".join(["w"] * 8),     # 8 tok  -> bucket 3
+        13: " ".join(["w"] * 7),     # 7 tok  -> bucket 3
+        20: "",                      # 0 tok  -> excluded
+        8191: " ".join(["w"] * 6),   # bucket 3, id past block 0 at 4096
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    out = {
+        (r["len_bucket"], r["batch"]): (
+            r["n_docs"], r["max_tok"], r["sum_tok"], r["padding_frac"]
+        )
+        for r in training.length_bucket_batches(docs, batch_size=2).collect()
+    }
+
+    by_bucket: dict[int, list] = {}
+    for i, t in sorted(texts.items()):
+        n = len([x for x in t.split() if x])
+        if n == 0:
+            continue
+        by_bucket.setdefault(math.ceil(math.log2(n)), []).append(n)
+    want = {}
+    for b, lens in by_bucket.items():
+        for j in range(0, len(lens), 2):
+            chunk = lens[j:j + 2]
+            mx, sm, nd = max(chunk), sum(chunk), len(chunk)
+            pad = round((nd * mx - sm) * 1e6 / (nd * mx)) / 1e6
+            want[(b, j // 2)] = (nd, mx, sm, pad)
+    assert out == want
+
+
 def test_pack_sequences_quantized_boundaries(spark):
     df = spark.createDataFrame(
         [(1, 300), (2, 300), (3, 300), (4, 300)], "doc_id long, n_tokens long"

@@ -220,6 +220,15 @@ AUDITS = {
         ("EvalPython", False),
         ("CartesianProduct", False), ("BroadcastNestedLoopJoin", False),
     ],
+    # r13: length-bucketed batching — the in-bucket rank must be the
+    # hierarchical plan (partitioned window + broadcast block
+    # offsets), never a per-bucket corpus-sized window; no Python,
+    # no product joins
+    "q192_length_bucket_batches": [
+        ("Window", True), ("BroadcastHashJoin", True),
+        ("EvalPython", False),
+        ("CartesianProduct", False), ("BroadcastNestedLoopJoin", False),
+    ],
 }
 
 
