@@ -122,6 +122,13 @@ QUERIES = [
     # output rows = tokens/ctx_len)
     "q189_context_packing",
     "q190_sequence_manifest",
+    # round-13: leakage-safe split (the q122 verified-CC machinery +
+    # one stateless md5 projection — the row prices the split's
+    # add-on over the clustering it reuses) and length-bucketed
+    # batching (hierarchical in-bucket rank, the q171 pattern on a
+    # second axis; output rows ~ docs/batch_size, linear)
+    "q191_leakage_safe_split",
+    "q192_length_bucket_batches",
 ]
 
 
