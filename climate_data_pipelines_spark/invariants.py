@@ -1155,7 +1155,6 @@ def inv_q187(spark, sf_dir):
         for r in assigned.groupBy("cluster").agg(F.count("*").alias("n")).collect()
     }
     n = sum(sizes.values())
-    cap = -(-2 * n // 16)
     kept = REGISTRY["q187_kmeans_mix"].fn(spark, sf_dir).collect()
     per = {}
     amap = {r["vec_id"]: (r["cluster"], r["d2"]) for r in assigned.collect()}
@@ -1168,14 +1167,10 @@ def inv_q187(spark, sf_dir):
     # boundary-flip signature; any real assignment bug moves d2.
     eps = 1e-6
     flips = 0
-    # per-cluster flip budget: one tolerated boundary flip perturbs at
-    # most TWO clusters' membership (the kept cluster and the
-    # re-derived one) by 1 each — a global budget would let real
-    # cap/window bugs in unrelated clusters hide behind one
-    # legitimate flip elsewhere
-    per_flips: dict = {}
+    cluster_n_q: dict = {}  # the QUERY RUN's own per-cluster sizes
     for r in kept:
         per[r["cluster"]] = per.get(r["cluster"], 0) + 1
+        cluster_n_q[r["cluster"]] = r["cluster_n"]
         got = amap.get(r["vec_id"])
         if got is None:
             return False, (
@@ -1184,24 +1179,40 @@ def inv_q187(spark, sf_dir):
         if got[0] != r["cluster"]:
             if abs(got[1] - r["d2"]) <= eps * max(1.0, abs(r["d2"])):
                 flips += 1
-                per_flips[r["cluster"]] = per_flips.get(r["cluster"], 0) + 1
-                per_flips[got[0]] = per_flips.get(got[0], 0) + 1
                 continue
             return False, (
                 f"vec {r['vec_id']} kept in cluster {r['cluster']} "
                 f"(d2={r['d2']:.6g}) but re-derived assignment says "
                 f"{got[0]} (d2={got[1]:.6g}) — beyond boundary tolerance"
             )
+    # Cap check against the QUERY RUN'S OWN sizes (the cluster_n
+    # column), not the re-derived ones: boundary flips — including
+    # flips of NON-kept vecs this loop can never observe — shift the
+    # re-derived sizes, so any flip-budget against them is either
+    # leaky (global slack) or spuriously strict (per-cluster slack,
+    # r13 review). Same-run cnt vs min(cap, cluster_n) is exact and
+    # deterministic: the rank window and the cap derive from the same
+    # assignment. Cross-run parity is still pinned two ways: the
+    # d2-tolerance assignment check above, and the total-count check
+    # below (totals are invariant under boundary flips).
+    n_q = sum(cluster_n_q.values())
+    if n_q != n:
+        return False, (
+            f"query-run total {n_q} != re-derived assignment total {n}"
+        )
+    cap_q = -(-2 * n_q // 16)
     for c, cnt in per.items():
-        want = min(cap, sizes.get(c, 0))
-        # boundary flips shift THIS cluster's membership by at most
-        # the number of tolerated flips that touched it
-        if abs(cnt - want) > per_flips.get(c, 0):
-            return False, f"cluster {c}: kept {cnt}, expected {want} (cap {cap})"
+        want = min(cap_q, cluster_n_q[c])
+        if cnt != want:
+            return False, (
+                f"cluster {c}: kept {cnt}, expected {want} "
+                f"(cap {cap_q}, cluster_n {cluster_n_q[c]})"
+            )
     drop = inertia[-1] / inertia[0] if inertia[0] else 1.0
     return True, (
         f"inertia monotone over {len(inertia)} iters "
-        f"(final/initial {drop:.3f}); {len(kept)}/{n} kept under cap {cap}"
+        f"(final/initial {drop:.3f}); {len(kept)}/{n} kept under cap "
+        f"{cap_q}; {flips} boundary flips tolerated"
     )
 
 

@@ -1100,6 +1100,28 @@ def _kmeans_assign(vec_col: str, centroids) -> F.Column:
     return assign(F.col(vec_col))
 
 
+def usable_vectors(
+    df: DataFrame, vec_col: str = "embedding"
+) -> tuple[DataFrame | None, int | None]:
+    """The kernel-usable subset of an embedding frame — THE single
+    definition of which vectors the clustering kernels accept: null
+    vectors dropped, dim probed from the first non-empty vector,
+    ragged (wrong-dim) rows excluded. Returns ``(frame, dim)``, or
+    ``(None, None)`` when no usable vector exists.
+
+    Shared by ``kmeans_clusters`` and the curation pipeline's
+    cluster-mix stage (plans/llm_curation.py), whose
+    keep-on-missing-evidence rule requires its drop-set frame to be
+    EXACTLY the set of vectors that got clustered — one shared
+    predicate means the two can never diverge (r13 review)."""
+    vecs = df.filter(F.col(vec_col).isNotNull())
+    probe = vecs.select(vec_col).filter(F.size(vec_col) > 0).first()
+    if probe is None:
+        return None, None
+    dim = len(probe[0])
+    return vecs.filter(F.size(vec_col) == dim), dim
+
+
 def kmeans_clusters(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -1166,14 +1188,10 @@ def kmeans_clusters(
     fixture (tests/test_similarity.py)."""
     import numpy as np
 
-    vecs = df.select(id_col, vec_col).filter(
-        F.col(vec_col).isNotNull()
-    )
-    probe = vecs.select(vec_col).filter(F.size(vec_col) > 0).first()
-    if probe is None:
+    vecs, dim = usable_vectors(df.select(id_col, vec_col), vec_col)
+    if vecs is None:
         raise ValueError("kmeans_clusters: no non-empty vectors")
-    dim = len(probe[0])
-    vecs = vecs.filter(F.size(vec_col) == dim).localCheckpoint(eager=True)
+    vecs = vecs.localCheckpoint(eager=True)
 
     seed_rows = (
         vecs.select(id_col, vec_col)

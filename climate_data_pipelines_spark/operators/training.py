@@ -410,10 +410,21 @@ def leakage_safe_split(
     ``hash_split`` so the two are drop-in interchangeable downstream.
 
     Scale shape: stateless md5 over the component id — zero shuffles
-    beyond whatever produced the clusters, stable under corpus growth
-    (a cluster's split never changes when new docs join OTHER
-    clusters; a doc joining an existing cluster adopts that cluster's
-    split, which is exactly the leakage-safety contract)."""
+    beyond whatever produced the clusters.
+
+    Growth semantics, stated precisely: a cluster's split is a pure
+    function of its elected representative. New docs joining OTHER
+    clusters change nothing; a doc joining an existing cluster
+    WITHOUT changing its representative adopts that cluster's split.
+    When growth DOES change the representative — a smaller-id joiner
+    under the min-id election, or a bridge doc merging two clusters —
+    the merged cluster re-hashes to ONE split together: members may
+    migrate across runs, but a cluster never straddles splits, which
+    is the leakage-safety contract. Pipelines that also need
+    day-over-day membership stability should pin prior assignments
+    downstream (the append-only stance of ``curate_increment``) or
+    elect a growth-stable representative (e.g. min content digest)
+    before calling this."""
     return hash_split(
         clusters,
         id_col=component_col,
@@ -514,12 +525,17 @@ def length_bucket_batches(
     n = F.count("*")
     mx = F.max("n_tok")
     sm = F.sum("n_tok")
-    pad = (n * mx - sm).cast("double") / (n * mx).cast("double")
+    # bit-parity with the DuckDB oracle requires the SAME operation
+    # order: (diff * 1e6) / total, not (diff / total) * 1e6 — the two
+    # differ at half-way rounding boundaries (e.g. diff 41, total 640:
+    # 41/640*1e6 = 64062.49999999999 but 41e6/640 = 64062.5), the
+    # quality_select discipline
+    pad = (n * mx - sm).cast("double") * 1e6 / (n * mx).cast("double")
     return batched.groupBy("len_bucket", "batch").agg(
         n.alias("n_docs"),
         mx.alias("max_tok"),
         sm.alias("sum_tok"),
-        (F.round(pad * 1e6, 0) / 1e6).alias("padding_frac"),
+        (F.round(pad, 0) / 1e6).alias("padding_frac"),
     )
 
 

@@ -238,25 +238,26 @@ def cluster_mix_stage(
     rebalance by re-running the full job, exactly as for alpha."""
     from climate_data_pipelines_spark.operators import similarity
 
-    # usable-evidence filter FIRST: the kmeans kernel silently
-    # excludes null/empty/wrong-dim vectors, so a doc whose embedding
-    # row is unusable could never appear in `kept` — without this
-    # filter it would land in the drop set, violating the
-    # keep-on-missing-evidence rule above. Unusable rows are treated
-    # exactly like absent rows: the doc passes unconditionally.
-    emb = (
-        embeddings.select(id_col, "embedding")
-        .filter(F.col("embedding").isNotNull() & (F.size("embedding") > 0))
-        .join(df.select(id_col), id_col, "left_semi")
+    # usable-evidence filter FIRST, via the SHARED predicate the
+    # kmeans kernel itself uses (similarity.usable_vectors): the
+    # kernel silently excludes null/empty/wrong-dim vectors, so a doc
+    # whose embedding row is unusable could never appear in `kept` —
+    # without this filter it would land in the drop set, violating
+    # the keep-on-missing-evidence rule above. Unusable rows are
+    # treated exactly like absent rows: the doc passes
+    # unconditionally. One shared definition means the drop-set frame
+    # is EXACTLY the set of vectors that get clustered, by
+    # construction rather than by mirroring.
+    emb, _dim = similarity.usable_vectors(
+        embeddings.select(id_col, "embedding").join(
+            df.select(id_col), id_col, "left_semi"
+        ),
+        "embedding",
     )
-    probe = emb.select("embedding").first()
-    if probe is None:
+    if emb is None:
         # no surviving doc carries a usable embedding — nothing to
         # rebalance, every doc keeps (and kmeans would raise)
         return df
-    # mirror kmeans' dim inference (first non-empty vector) so the
-    # drop-set frame is EXACTLY the set of vectors that got clustered
-    emb = emb.filter(F.size("embedding") == len(probe[0]))
     kept = similarity.cluster_balanced_mix(
         emb,
         vec_col="embedding",
@@ -765,6 +766,14 @@ def curate_corpus(
             int(pack_ctx_len),
         )
         _rewrite_manifest(out_dir, manifest)
+    else:
+        # a re-curation WITHOUT packing must not strand stale packing
+        # tables describing the PREVIOUS corpus next to fresh shards —
+        # a reader of packing/sequences would otherwise load sequence
+        # boundaries for documents that no longer exist (r13 review)
+        import shutil
+
+        shutil.rmtree(f"{out_dir}/packing", ignore_errors=True)
     unpersist_checkpoint(mixed)
     unpersist_checkpoint(unique)
     if gate_ckpt is not None:

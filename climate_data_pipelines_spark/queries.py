@@ -6001,8 +6001,10 @@ def q190(spark, sf_dir):
     "in the same split, closing the per-doc hash_split's eval-leakage "
     "hole (train/eval near-dup overlap inflates benchmark scores; "
     "Lee et al. 2022 §6.2). Stateless md5 over the component id — "
-    "zero shuffles beyond the clustering itself; stable under corpus "
-    "growth. Oracle replays the identical verified-CC fixpoint "
+    "zero shuffles beyond the clustering itself; a representative "
+    "change under growth re-hashes the whole merged cluster to ONE "
+    "split together (see the operator docstring's growth semantics). "
+    "Oracle replays the identical verified-CC fixpoint "
     "(recursive CTE) and the identical md5 bucket expression.",
 )
 def q191(spark, sf_dir):

@@ -907,3 +907,14 @@ def test_packing_stage_increment_continues_stream(
     )
     seqs2 = read_sequence_manifest(spark, out)
     assert seqs2.count() == blk2["n_sequences"]
+
+    # re-curation WITHOUT packing scrubs the stale packing tables —
+    # a reader must never load boundaries for a corpus that's gone
+    import os
+
+    manifest3 = curate_corpus(
+        spark, day0_dir, out, alpha=1.0, tokens_per_shard=300
+    )
+    assert not os.path.exists(f"{out}/packing")
+    assert "packing" not in manifest3
+    assert manifest3["stages"]["packing"] is None
