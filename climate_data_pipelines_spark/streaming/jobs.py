@@ -339,13 +339,15 @@ def streaming_tile_rollup(
     )
 
 
-def read_documents_stream(spark: SparkSession, docs_dir: str) -> DataFrame:
+def read_documents_stream(
+    spark: SparkSession, docs_dir: str, max_files_per_trigger: int = 8
+) -> DataFrame:
     """File-source stream over a directory of documents parquet files
     — the crawl-feed shape of a continuously-ingesting corpus."""
     ensure_session_confs(spark)
     return (
         spark.readStream.schema(TABLES["documents"])
-        .option("maxFilesPerTrigger", 8)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(docs_dir)
     )
 
@@ -428,6 +430,93 @@ def decontaminate_stream(
             )
         )
         .drop("_bench_shingles")
+    )
+
+
+def pack_documents_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    ctx_len: int = 2048,
+    max_files_per_trigger: int = 8,
+) -> None:
+    """Streaming twin of context packing (q189): every micro-batch of
+    newly-arrived documents CONTINUES the global token stream —
+    ``pack_contexts_increment`` from the recorded running total inside
+    ``foreachBatch``, the ``warc_ingest_increment`` harness shape:
+    the continuation is a multi-stage batch job (hierarchical prefix
+    sum + span fan-out + manifest update) that streaming's
+    incremental operators cannot express, while the file source +
+    checkpoint solve exactly-once arrival tracking. Micro-batches
+    must arrive in doc_id-ascending order (the crawl-feed contract —
+    the same precondition as ``curate_increment``'s packing stage).
+
+    EXACTLY-ONCE under foreachBatch's at-least-once replay, the
+    dynamic-partition-overwrite idiom: pieces are written partitioned
+    by micro-batch id with ``partitionOverwriteMode=dynamic``, so a
+    replayed batch overwrites ITS OWN partition instead of appending
+    duplicates; ``out_dir/packing.json`` (the running total — the
+    commit record) is written AFTER the pieces, guarded by
+    ``last_batch_id``. Crash before the json write → replay recomputes
+    the identical pieces from the unchanged total and overwrites the
+    same partition; crash after → replay is skipped by the guard.
+    Output pieces carry the extra ``_b`` partition column; readers
+    drop it. Drains with ``Trigger.AvailableNow`` (cron-shaped); a
+    long-running deployment would use ``processingTime``."""
+    import json as _json
+    import os as _os
+
+    from climate_data_pipelines_spark.operators import training
+    from climate_data_pipelines_spark.operators.scale import (
+        unpersist_checkpoint,
+    )
+
+    stream = read_documents_stream(
+        spark, docs_dir, max_files_per_trigger=max_files_per_trigger
+    )
+    meta_path = f"{out_dir}/packing.json"
+
+    def _pack(batch_df: DataFrame, batch_id: int) -> None:
+        meta = {"ctx_len": int(ctx_len), "total_tokens": 0,
+                "n_pieces": 0, "last_batch_id": -1}
+        if _os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                meta = _json.load(fh)
+        if meta["last_batch_id"] >= batch_id:
+            return  # replayed, already committed
+        if batch_df.isEmpty():
+            return
+        pieces = training.pack_contexts_increment(
+            batch_df.select("doc_id", "text"),
+            int(meta["total_tokens"]),
+            ctx_len=ctx_len,
+        ).localCheckpoint(eager=True)  # referenced twice: agg + write
+        agg = pieces.agg(
+            F.sum("n_tok_piece").alias("t"), F.count("*").alias("p")
+        ).collect()[0]
+        if int(agg["p"]) > 0:
+            (
+                pieces.withColumn("_b", F.lit(int(batch_id)))
+                .write.option("partitionOverwriteMode", "dynamic")
+                .mode("overwrite")
+                .partitionBy("_b")
+                .parquet(f"{out_dir}/packing/pieces")
+            )
+            meta["total_tokens"] = int(meta["total_tokens"]) + int(agg["t"])
+            meta["n_pieces"] = int(meta["n_pieces"]) + int(agg["p"])
+        unpersist_checkpoint(pieces)
+        meta["last_batch_id"] = int(batch_id)
+        _os.makedirs(out_dir, exist_ok=True)
+        with open(meta_path, "w") as fh:
+            _json.dump(meta, fh)
+
+    (
+        stream.writeStream.foreachBatch(_pack)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
     )
 
 

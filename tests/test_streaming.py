@@ -376,3 +376,76 @@ def test_checkpoint_restart_exactly_once(spark, sf_dir, stream_dirs):
     got2 = run_once()
     assert len(got2) == len(set(got2)) == 1000
     assert sorted(got2) == sorted(r["event_id"] for r in events.collect())
+
+
+def test_pack_documents_stream_matches_batch(spark, sf_dir, stream_dirs):
+    """Streaming packing continuation (r13): an availableNow drain of
+    an id-ordered document feed must produce pieces IDENTICAL to one
+    batch ``pack_contexts`` over the whole corpus; a restart from the
+    same checkpoint with a newly-arrived file continues the stream
+    (no reprocessing, no gap); a restart with nothing new appends
+    nothing (exactly-once)."""
+    import json
+    import os
+    import time
+
+    from climate_data_pipelines_spark.operators import training
+
+    base = f"{stream_dirs}/packstream"
+    in_dir, ckpt, out = f"{base}/in", f"{base}/ckpt", f"{base}/out"
+    os.makedirs(in_dir, exist_ok=True)
+    docs = load_table(spark, sf_dir, "documents").cache()
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    t1, t2 = ids[len(ids) // 3], ids[2 * len(ids) // 3]
+    CTX = 64
+
+    def arrive(pred):
+        docs.filter(pred).coalesce(1).write.mode("append").parquet(in_dir)
+        time.sleep(1.1)  # distinct mtimes -> deterministic file order
+
+    # day 0: two files, low ids first (the crawl-feed id-order contract)
+    arrive(F.col("doc_id") < t1)
+    arrive((F.col("doc_id") >= t1) & (F.col("doc_id") < t2))
+    jobs.pack_documents_stream(
+        spark, in_dir, out, ckpt, ctx_len=CTX, max_files_per_trigger=1
+    )
+
+    def pieces():
+        return spark.read.parquet(f"{out}/packing/pieces").drop("_b")
+
+    def rowset(df):
+        return {tuple(r) for r in df.select(
+            "doc_id", "seq", "doc_offset", "seq_offset", "n_tok_piece"
+        ).collect()}
+
+    want_day0 = training.pack_contexts(
+        docs.filter(F.col("doc_id") < t2).select("doc_id", "text"),
+        ctx_len=CTX,
+    )
+    assert rowset(pieces()) == rowset(want_day0)
+
+    # restart with a new arrival: the stream CONTINUES the token
+    # stream across the restart — final pieces == one batch pack of
+    # the full corpus
+    arrive(F.col("doc_id") >= t2)
+    jobs.pack_documents_stream(
+        spark, in_dir, out, ckpt, ctx_len=CTX, max_files_per_trigger=1
+    )
+    want_all = training.pack_contexts(
+        docs.select("doc_id", "text"), ctx_len=CTX
+    )
+    assert rowset(pieces()) == rowset(want_all)
+    with open(f"{out}/packing.json") as fh:
+        meta = json.load(fh)
+    n_all = pieces().count()
+    assert meta["n_pieces"] == n_all
+    assert meta["total_tokens"] == want_all.agg(
+        F.sum("n_tok_piece")
+    ).collect()[0][0]
+
+    # nothing new: a third drain appends nothing (exactly-once)
+    jobs.pack_documents_stream(
+        spark, in_dir, out, ckpt, ctx_len=CTX, max_files_per_trigger=1
+    )
+    assert pieces().count() == n_all
+    docs.unpersist()
