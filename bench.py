@@ -137,6 +137,11 @@ HEADLINE = [
     # and its per-sequence boundary manifest
     "q189_context_packing",
     "q190_sequence_manifest",
+    # round-13 additions: leakage-safe split (the q122 verified-CC
+    # machinery + a stateless md5 over the cluster representative)
+    # and length-bucketed batch manifest (hierarchical in-bucket rank)
+    "q191_leakage_safe_split",
+    "q192_length_bucket_batches",
 ]
 
 # ANN quality: rows-only queries whose real metric is recall vs the
