@@ -557,3 +557,50 @@ def test_trigram_lm_score_all_superset_of_heldout(spark, docs):
     assert set(held) <= set(full)
     for k, v in held.items():
         assert full[k] == v
+
+
+@settings(**_SETTINGS)
+@given(
+    toks=st.lists(st.integers(0, 300), min_size=1, max_size=30),
+    batch=st.sampled_from([1, 2, 8]),
+    block=st.sampled_from([1, 4, 4096]),
+)
+def test_length_bucket_batches_matches_naive(spark, toks, batch, block):
+    """Length-bucketed batching must equal a driver-side walk for ANY
+    doc sizes, batch size, and id-block size (the hierarchical rank's
+    internal knob must be invisible): bucket = ceil(log2(n_tok)),
+    tile id-ordered members into batches of `batch`, report
+    count/max/sum/padding per batch; zero-token docs are excluded and
+    every batch except a bucket's last is full."""
+    import math
+
+    from climate_data_pipelines_spark.operators import training
+
+    rows = [(i * 7, " ".join(["w"] * n)) for i, n in enumerate(toks)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["len_bucket"], r["batch"]): (
+            r["n_docs"], r["max_tok"], r["sum_tok"], r["padding_frac"]
+        )
+        for r in training.length_bucket_batches(
+            df, batch_size=batch, block_size=block
+        ).collect()
+    }
+    by_bucket: dict[int, list[int]] = {}
+    for i, n in enumerate(toks):
+        if n == 0:
+            continue
+        by_bucket.setdefault(math.ceil(math.log2(n)), []).append(n)
+    want = {}
+    for b, lens in by_bucket.items():  # already id-ordered
+        for j in range(0, len(lens), batch):
+            chunk = lens[j:j + batch]
+            mx, sm, nd = max(chunk), sum(chunk), len(chunk)
+            # HALF_UP like Spark/DuckDB ROUND, not Python's banker's
+            pad = math.floor((nd * mx - sm) * 1e6 / (nd * mx) + 0.5) / 1e6
+            want[(b, j // batch)] = (nd, mx, sm, pad)
+    assert got == want
+    # every batch except a bucket's last is exactly full
+    for (b, k), (nd, _mx, _sm, _pad) in got.items():
+        if k < max(kk for (bb, kk) in got if bb == b):
+            assert nd == batch

@@ -167,7 +167,8 @@ def test_length_bucket_batches_matches_naive_walk(spark):
         for j in range(0, len(lens), 2):
             chunk = lens[j:j + 2]
             mx, sm, nd = max(chunk), sum(chunk), len(chunk)
-            pad = round((nd * mx - sm) * 1e6 / (nd * mx)) / 1e6
+            # HALF_UP like Spark/DuckDB ROUND, not Python's banker's
+            pad = math.floor((nd * mx - sm) * 1e6 / (nd * mx) + 0.5) / 1e6
             want[(b, j // 2)] = (nd, mx, sm, pad)
     assert out == want
 
