@@ -1046,6 +1046,31 @@ def pack_contexts_increment(
     )
 
 
+def pack_increment_with_totals(
+    df: DataFrame,
+    base_total_tokens: int,
+    ctx_len: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, int, int]:
+    """``pack_contexts_increment`` plus the totals every continuation
+    commit needs — ONE implementation of the (pieces, piece count,
+    batch tokens) bookkeeping shared by the batch pipeline's packing
+    stage (plans/llm_curation.py ``_write_packing``) and the
+    streaming job (streaming/jobs.py ``pack_documents_stream``), so
+    the twins cannot drift (r13 review). The pieces frame comes back
+    eagerly checkpointed (callers reference it at least twice: the
+    write and any further derivation) — the CALLER unpersists."""
+    pieces = pack_contexts_increment(
+        df, base_total_tokens, ctx_len=ctx_len,
+        text_col=text_col, id_col=id_col,
+    ).localCheckpoint(eager=True)
+    agg = pieces.agg(
+        F.sum("n_tok_piece").alias("t"), F.count("*").alias("p")
+    ).collect()[0]
+    return pieces, int(agg["p"]), int(agg["t"] or 0)
+
+
 def sequence_manifest(
     pieces: DataFrame,
     id_col: str = "doc_id",

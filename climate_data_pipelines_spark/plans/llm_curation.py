@@ -366,14 +366,11 @@ def _write_packing(
     base_total = int(base_block["total_tokens"])
     # batch-sized and bounded: |batch docs| × (1 + doc_tokens/ctx_len)
     # rows of five longs — checkpointed once, referenced twice (the
-    # totals agg and the append)
-    pieces_new = training.pack_contexts_increment(
+    # totals agg and the append); bookkeeping shared with the
+    # streaming twin via training.pack_increment_with_totals
+    pieces_new, n_new, t_new = training.pack_increment_with_totals(
         docs, base_total, ctx_len=ctx_len
-    ).localCheckpoint(eager=True)
-    agg = pieces_new.agg(
-        F.sum("n_tok_piece").alias("t"), F.count("*").alias("p")
-    ).collect()[0]
-    n_new = int(agg["p"])
+    )
     if n_new == 0:  # zero-token batch: stream unchanged, nothing to cut
         unpersist_checkpoint(pieces_new)
         return dict(base_block)
@@ -387,7 +384,7 @@ def _write_packing(
         F.col("seq") >= first_new_seq
     )
     training.sequence_manifest(seq_in).write.mode("append").parquet(seqs_dir)
-    new_total = base_total + int(agg["t"])
+    new_total = base_total + t_new
     return {
         "ctx_len": int(ctx_len),
         "total_tokens": new_total,
@@ -405,6 +402,11 @@ def read_sequence_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     seqs = spark.read.parquet(f"{out_dir}/packing/sequences")
+    if "_b" in seqs.columns:
+        # streamed layout (pack_documents_stream): rows partitioned by
+        # micro-batch id — drop the bookkeeping column so batch and
+        # streamed corpora read identically
+        seqs = seqs.drop("_b")
     w = Window.partitionBy("seq").orderBy(F.desc("n_pieces"))
     return (
         seqs.withColumn("_r", F.row_number().over(w))

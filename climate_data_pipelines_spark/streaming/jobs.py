@@ -453,16 +453,26 @@ def pack_documents_stream(
     the same precondition as ``curate_increment``'s packing stage).
 
     EXACTLY-ONCE under foreachBatch's at-least-once replay, the
-    dynamic-partition-overwrite idiom: pieces are written partitioned
-    by micro-batch id with ``partitionOverwriteMode=dynamic``, so a
-    replayed batch overwrites ITS OWN partition instead of appending
-    duplicates; ``out_dir/packing.json`` (the running total — the
-    commit record) is written AFTER the pieces, guarded by
-    ``last_batch_id``. Crash before the json write → replay recomputes
-    the identical pieces from the unchanged total and overwrites the
-    same partition; crash after → replay is skipped by the guard.
-    Output pieces carry the extra ``_b`` partition column; readers
-    drop it. Drains with ``Trigger.AvailableNow`` (cron-shaped); a
+    dynamic-partition-overwrite idiom: pieces AND touched-sequence
+    manifest rows are written partitioned by micro-batch id with
+    ``partitionOverwriteMode=dynamic``, so a replayed batch
+    overwrites ITS OWN partitions instead of appending duplicates;
+    ``out_dir/packing.json`` (the running total — the commit record)
+    is written ATOMICALLY (temp file + ``os.replace``, so a crash
+    mid-write can never destroy the previous total) AFTER the data,
+    guarded by ``last_batch_id``. Crash before the json write →
+    replay recomputes the identical pieces from the unchanged total
+    and overwrites the same partitions; crash after → replay is
+    skipped by the guard. The guard is only meaningful within ONE
+    checkpoint lineage, so the commit record also pins
+    ``checkpoint_dir`` and the job REFUSES (ValueError) a different
+    checkpoint path, a batch id below the committed watermark (the
+    wiped-and-recreated-checkpoint signature — batch ids restart at 0
+    and would silently skip real data), or a ``ctx_len`` different
+    from the recorded one (mixed context lengths corrupt the seq
+    numbering). Output tables carry the extra ``_b`` partition
+    column; ``read_sequence_manifest`` and piece readers drop it.
+    Drains with ``Trigger.AvailableNow`` (cron-shaped); a
     long-running deployment would use ``processingTime``."""
     import json as _json
     import os as _os
@@ -479,23 +489,44 @@ def pack_documents_stream(
 
     def _pack(batch_df: DataFrame, batch_id: int) -> None:
         meta = {"ctx_len": int(ctx_len), "total_tokens": 0,
-                "n_pieces": 0, "last_batch_id": -1}
+                "n_pieces": 0, "last_batch_id": -1,
+                "checkpoint_dir": checkpoint_dir}
         if _os.path.exists(meta_path):
             with open(meta_path) as fh:
                 meta = _json.load(fh)
-        if meta["last_batch_id"] >= batch_id:
+        if int(meta["ctx_len"]) != int(ctx_len):
+            raise ValueError(
+                f"pack_documents_stream: out_dir was packed at "
+                f"ctx_len={meta['ctx_len']}, refusing to continue at "
+                f"{ctx_len} — mixed context lengths corrupt the "
+                "sequence numbering; repack into a fresh out_dir"
+            )
+        if meta.get("checkpoint_dir", checkpoint_dir) != checkpoint_dir:
+            raise ValueError(
+                "pack_documents_stream: out_dir is bound to checkpoint "
+                f"{meta['checkpoint_dir']!r} but this run uses "
+                f"{checkpoint_dir!r} — the last_batch_id replay guard "
+                "is only valid within one checkpoint lineage; reuse "
+                "the original checkpoint or repack into a fresh out_dir"
+            )
+        if batch_id < int(meta["last_batch_id"]):
+            raise ValueError(
+                f"pack_documents_stream: micro-batch id {batch_id} is "
+                f"below the committed watermark {meta['last_batch_id']} "
+                "— the checkpoint was wiped/recreated over a packed "
+                "out_dir, and skipping would silently drop real data; "
+                "restore the original checkpoint or repack into a "
+                "fresh out_dir"
+            )
+        if batch_id == int(meta["last_batch_id"]):
             return  # replayed, already committed
         if batch_df.isEmpty():
             return
-        pieces = training.pack_contexts_increment(
-            batch_df.select("doc_id", "text"),
-            int(meta["total_tokens"]),
-            ctx_len=ctx_len,
-        ).localCheckpoint(eager=True)  # referenced twice: agg + write
-        agg = pieces.agg(
-            F.sum("n_tok_piece").alias("t"), F.count("*").alias("p")
-        ).collect()[0]
-        if int(agg["p"]) > 0:
+        base_total = int(meta["total_tokens"])
+        pieces, n_new, t_new = training.pack_increment_with_totals(
+            batch_df.select("doc_id", "text"), base_total, ctx_len=ctx_len
+        )
+        if n_new > 0:
             (
                 pieces.withColumn("_b", F.lit(int(batch_id)))
                 .write.option("partitionOverwriteMode", "dynamic")
@@ -503,13 +534,36 @@ def pack_documents_stream(
                 .partitionBy("_b")
                 .parquet(f"{out_dir}/packing/pieces")
             )
-            meta["total_tokens"] = int(meta["total_tokens"]) + int(agg["t"])
-            meta["n_pieces"] = int(meta["n_pieces"]) + int(agg["p"])
+            # touched-sequence manifest rows (the q190 surface, same
+            # cumulative latest-wins convention as the batch pipeline):
+            # everything from the pre-batch tail sequence on, rebuilt
+            # from the just-written pieces table so the tail's fresh
+            # row is COMPLETE, not a delta
+            first_new_seq = base_total // ctx_len
+            seq_in = (
+                spark.read.parquet(f"{out_dir}/packing/pieces")
+                .filter(F.col("seq") >= first_new_seq)
+            )
+            (
+                training.sequence_manifest(seq_in)
+                .withColumn("_b", F.lit(int(batch_id)))
+                .write.option("partitionOverwriteMode", "dynamic")
+                .mode("overwrite")
+                .partitionBy("_b")
+                .parquet(f"{out_dir}/packing/sequences")
+            )
+            meta["total_tokens"] = base_total + t_new
+            meta["n_pieces"] = int(meta["n_pieces"]) + n_new
         unpersist_checkpoint(pieces)
         meta["last_batch_id"] = int(batch_id)
+        meta["checkpoint_dir"] = checkpoint_dir
         _os.makedirs(out_dir, exist_ok=True)
-        with open(meta_path, "w") as fh:
+        # atomic commit: a crash mid-write must never truncate the
+        # previous record (r13 review)
+        tmp = f"{meta_path}.tmp"
+        with open(tmp, "w") as fh:
             _json.dump(meta, fh)
+        _os.replace(tmp, meta_path)
 
     (
         stream.writeStream.foreachBatch(_pack)

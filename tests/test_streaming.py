@@ -448,4 +448,36 @@ def test_pack_documents_stream_matches_batch(spark, sf_dir, stream_dirs):
         spark, in_dir, out, ckpt, ctx_len=CTX, max_files_per_trigger=1
     )
     assert pieces().count() == n_all
+
+    # streamed sequence manifest == the batch q190 surface
+    from climate_data_pipelines_spark.plans.llm_curation import (
+        read_sequence_manifest,
+    )
+    from climate_data_pipelines_spark.operators.training import (
+        sequence_manifest,
+    )
+
+    cols = ["seq", "n_pieces", "seq_tokens", "boundaries"]
+    got_seqs = {tuple(r) for r in
+                read_sequence_manifest(spark, out).select(*cols).collect()}
+    want_seqs = {tuple(r) for r in
+                 sequence_manifest(want_all).select(*cols).collect()}
+    assert got_seqs == want_seqs
+
+    # refusals (r13 review): a different ctx_len, and a fresh
+    # checkpoint over a packed out_dir (replay guard only valid
+    # within one lineage), must FAIL FAST, never silently skip/corrupt
+    with pytest.raises(Exception) as ei:
+        jobs.pack_documents_stream(
+            spark, in_dir, out, f"{base}/ckpt2", ctx_len=32,
+            max_files_per_trigger=1,
+        )
+    assert "ctx_len" in str(ei.value)
+    with pytest.raises(Exception) as ei:
+        jobs.pack_documents_stream(
+            spark, in_dir, out, f"{base}/ckpt3", ctx_len=CTX,
+            max_files_per_trigger=1,
+        )
+    assert "checkpoint" in str(ei.value)
+    assert pieces().count() == n_all  # refused runs wrote nothing
     docs.unpersist()
