@@ -115,33 +115,37 @@ def minhash_signatures(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(text_col, k))).alias("shingle"),
     )
+    # The hash projection and the n_hashes min() aggregates are built
+    # as SQL strings, not chained Column calls: every F.* call is a
+    # py4j round trip, and the original per-column construction spent
+    # ~0.3 s of DRIVER wall per query building ~200 JVM objects
+    # (optimization guide §4 — the Python boundary — applied to plan
+    # construction). One parsed expression string per output column is
+    # the identical Catalyst tree in one round trip.
     n_pairs = (n_hashes + 7) // 8
-    pair_cols = []
-    h0 = F.md5(F.col("shingle"))
-    pair_cols.append(F.conv(F.substring(h0, 1, 15), 16, 10).cast("long").alias("_h1_0"))
-    pair_cols.append(F.conv(F.substring(h0, 16, 15), 16, 10).cast("long").alias("_h2_0"))
+    pair_sql = []
+
+    def _split60(digest_sql: str, lo: int, j: int) -> list[str]:
+        return [
+            f"cast(conv(substring({digest_sql}, {lo}, 15), 16, 10) as bigint)"
+            f" as _h1_{j}",
+            f"cast(conv(substring({digest_sql}, {lo + 15}, 15), 16, 10) as bigint)"
+            f" as _h2_{j}",
+        ]
+
+    pair_sql += _split60("md5(shingle)", 1, 0)
     for w in range((n_pairs - 1 + 1) // 2):  # ceil((n_pairs-1)/2) sha digests
-        hs = F.sha2(F.concat(F.lit(f"mh{w}|"), F.col("shingle")), 256)
+        hs = f"sha2(concat('mh{w}|', shingle), 256)"
         for half in range(2):
             j = 1 + 2 * w + half
             if j >= n_pairs:
                 break
-            lo = 1 + 30 * half
-            pair_cols.append(
-                F.conv(F.substring(hs, lo, 15), 16, 10).cast("long").alias(f"_h1_{j}")
-            )
-            pair_cols.append(
-                F.conv(F.substring(hs, lo + 15, 15), 16, 10)
-                .cast("long")
-                .alias(f"_h2_{j}")
-            )
-    sh = sh.select(F.col(id_col), *pair_cols)
+            pair_sql += _split60(hs, 1 + 30 * half, j)
+    sh = sh.select(F.col(id_col), *[F.expr(s) for s in pair_sql])
     aggs = []
     for i in range(n_hashes):
         j, off = i % n_pairs, i // n_pairs  # striped: see docstring
-        aggs.append(
-            F.min(F.col(f"_h1_{j}") + F.lit(off) * F.col(f"_h2_{j}")).alias(f"mh{i}")
-        )
+        aggs.append(F.expr(f"min(_h1_{j} + {off} * _h2_{j}) as mh{i}"))
     return sh.groupBy(id_col).agg(*aggs)
 
 
@@ -203,14 +207,20 @@ def _band_buckets(
             "collapses to ~J (quadratic candidates); widen n_hashes, "
             "increase bands, or pass allow_correlated_bands=True"
         )
-    band_cols = []
-    for b in range(bands):
-        cols = [F.col(f"mh{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bh"))
+    # one parsed expression instead of bands x (struct+lit+md5+concat)
+    # Column calls — py4j round-trip economy, identical tree
+    band_sql = ", ".join(
+        "struct({b} as band, md5(concat_ws('|', {cols})) as bh)".format(
+            b=b,
+            cols=", ".join(
+                f"mh{i}"
+                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+            ),
         )
+        for b in range(bands)
+    )
     return sigs.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("b")
+        F.col(id_col), F.explode(F.expr(f"array({band_sql})")).alias("b")
     ).select(id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
 
 
@@ -565,21 +575,25 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     """
     df = spread_for_cpu(df)
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
-    h = F.xxhash64("tok")
+    # SQL-string construction (see minhash_signatures): the 64 vote
+    # aggregates + 64-term pack chain cost ~1 s of driver wall as
+    # chained Column calls (py4j round trip per F.* call); parsed
+    # expression strings build the identical trees in ~65 round trips.
     votes = [
-        F.sum(
-            F.when(h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), i)) != 0, 1).otherwise(-1)
-        ).alias(f"v{i}")
+        F.expr(
+            "sum(CASE WHEN (xxhash64(tok) & "
+            f"shiftleft(cast(1 as bigint), {i})) != 0 "
+            f"THEN 1 ELSE -1 END) as v{i}"
+        )
         for i in range(bits)
     ]
     voted = tok.groupBy(id_col).agg(*votes)
-    packed = None
-    for i in range(bits):
-        bit = F.when(
-            F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
-        ).otherwise(F.lit(0).cast("long"))
-        packed = bit if packed is None else packed.bitwiseOR(bit)
-    return voted.select(F.col(id_col), packed.alias("simhash"))
+    packed = " | ".join(
+        f"(CASE WHEN v{i} > 0 THEN shiftleft(cast(1 as bigint), {i}) "
+        "ELSE cast(0 as bigint) END)"
+        for i in range(bits)
+    )
+    return voted.select(F.col(id_col), F.expr(f"({packed}) as simhash"))
 
 
 def simhash_md5(
@@ -603,21 +617,26 @@ def simhash_md5(
         raise ValueError(f"bits must be in [1, 60], got {bits}")
     df = spread_for_cpu(df)
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
-    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    # SQL-string construction (see minhash_signatures/simhash): the
+    # per-Column build of 60 vote aggregates + the 60-term pack chain
+    # was ~1.2 s of driver wall PER QUERY CALL in py4j round trips —
+    # measured as the dominant cost of q123 (build=1.1 s vs
+    # exec=0.5 s). Identical Catalyst trees, one parse per column.
+    h = "cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"
     votes = [
-        F.sum(
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{i}")
+        F.expr(
+            f"sum(CASE WHEN (shiftright({h}, {i}) & 1) = 1 "
+            f"THEN 1 ELSE -1 END) as v{i}"
+        )
         for i in range(bits)
     ]
     voted = tok.groupBy(id_col).agg(*votes)
-    packed = None
-    for i in range(bits):
-        bit = F.when(
-            F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
-        ).otherwise(F.lit(0).cast("long"))
-        packed = bit if packed is None else packed.bitwiseOR(bit)
-    return voted.select(F.col(id_col), packed.alias("simhash"))
+    packed = " | ".join(
+        f"(CASE WHEN v{i} > 0 THEN shiftleft(cast(1 as bigint), {i}) "
+        "ELSE cast(0 as bigint) END)"
+        for i in range(bits)
+    )
+    return voted.select(F.col(id_col), F.expr(f"({packed}) as simhash"))
 
 
 def simhash_band_candidates(
@@ -660,15 +679,12 @@ def simhash_band_candidates(
         raise ValueError(f"bits ({bits}) must divide evenly into bands ({bands})")
     w = bits // bands
     mask = (1 << w) - 1
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.shiftright(F.col("simhash"), b * w).bitwiseAND(F.lit(mask)).alias("bv"),
-        )
+    band_sql = ", ".join(
+        f"struct({b} as band, (shiftright(simhash, {b * w}) & {mask}) as bv)"
         for b in range(bands)
-    ]
+    )
     buckets = fp.select(
-        F.col(id_col), F.col("simhash"), F.explode(F.array(*band_structs)).alias("b")
+        F.col(id_col), F.col("simhash"), F.explode(F.expr(f"array({band_sql})")).alias("b")
     ).select(
         id_col, F.col("simhash"), F.col("b.band").alias("band"), F.col("b.bv").alias("bv")
     )
@@ -940,9 +956,18 @@ def connected_components(
             F.col(node_col), F.col("grandparent").alias("component")
         )
 
-    for _ in range(max_iter):
+    for it in range(max_iter):
         stepped = labels
-        for _ in range(max(1, steps_per_checkpoint)):
+        # ramp-up: the FIRST checkpoint round runs a single step — the
+        # init labels (least(node, min neighbor)) already equal one
+        # full propagation, and on shallow near-dup graphs (the common
+        # case: star-shaped dup clusters, diameter ≤ 2) the first
+        # convergence check passes immediately, so the extra chained
+        # step was pure cost (2 more shuffles per query, measured
+        # ~0.2 s at sf0.1 across the 5 CC-calling queries). Deep
+        # graphs pay one extra checkpoint round at most; later rounds
+        # chain the full ``steps_per_checkpoint`` as before.
+        for _ in range(1 if it == 0 else max(1, steps_per_checkpoint)):
             stepped = _step(stepped)
         obs = Observation()
         prev_ckpt = labels_ckpt

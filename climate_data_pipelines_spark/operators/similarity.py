@@ -1191,7 +1191,12 @@ def kmeans_clusters(
     vecs, dim = usable_vectors(df.select(id_col, vec_col), vec_col)
     if vecs is None:
         raise ValueError("kmeans_clusters: no non-empty vectors")
-    vecs = vecs.localCheckpoint(eager=True)
+    # spread BEFORE the checkpoint: the checkpoint pins the scan's
+    # partitioning for every Lloyd round, and a single-split embedding
+    # file otherwise runs EVERY round's assign+update single-threaded
+    # (measured: 6 serial 1-task stages of ~0.15 s each at sf0.1).
+    # spread_for_cpu's size/shuffle guards make it a no-op at scale.
+    vecs = spread_for_cpu(vecs).localCheckpoint(eager=True)
 
     seed_rows = (
         vecs.select(id_col, vec_col)

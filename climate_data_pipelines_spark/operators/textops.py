@@ -1277,7 +1277,16 @@ def gopher_rules(
     element so Catalyst cannot re-inline the tokenize subtree), not
     an explode → groupBy — a 100 TB corpus pays exactly one scan and
     writes one row per doc.
+
+    The aggregate() scans are interpreted (higher-order functions are
+    CodegenFallback), ~0.9 CPU-s for the 600 KB sf0.1 corpus, so a
+    few-split scan leaves the stage CPU-bound on 2 cores:
+    ``spread_for_cpu`` redistributes it exactly as the minhash/simhash
+    kernels do (measured: q183 2.8 s → ~0.8 s at sf0.1; at 100 TB the
+    scan has ≫ cores splits and the spread no-ops — optimization
+    guide §2.6 idle-capacity rule).
     """
+    df = spread_for_cpu(df)
     m = _gopher_metrics(text_col)
     base = df.select(
         F.col(id_col),
@@ -1476,7 +1485,12 @@ def c4_line_filter(
     ``array_join`` back. A 100 TB crawl pays exactly one scan; the
     doc-level gate is a column, not a second pass. The SQL oracle
     replays the same lambda with DuckDB list_filter.
+
+    The line-filter lambdas are interpreted HOFs (CodegenFallback) —
+    CPU-bound per row, so the few-split scan gets the same
+    ``spread_for_cpu`` treatment as gopher_rules (no-op at scale).
     """
+    df = spread_for_cpu(df)
     lines = F.split(F.col(text_col), r"\n")
     kept = c4_kept_lines(text_col, min_line_words)
     n_kept = F.size(kept)
