@@ -393,7 +393,21 @@ def spread_for_cpu(
     # (measured: 881 s → 205 s). At 100 TB scans produce ≫ 2×cores
     # splits and this stays a no-op; the size cap keeps tiny inputs
     # (< SPREAD_CHUNK_BYTES) exchange-free exactly as before.
-    target = min_parts or 2 * sc.defaultParallelism
+    trigger = min_parts or 2 * sc.defaultParallelism
+    # r13: the TRIGGER stays at 2x cores (a scan whose split count
+    # equals the core count can still hide all its rows in a few
+    # row-group-holding splits — the x1000 q129 case above — so the
+    # probe must fire even when the split count looks "wide enough"),
+    # but the repartition WIDTH is 1x cores: round-robin distributes
+    # rows evenly by construction, so cores-many equal tasks run in
+    # ONE wave, while the old 2x-cores width ran the same work as two
+    # waves of half-sized tasks and paid the per-task fixed cost
+    # (scheduling + 60-wide partial-agg hashmap setup, ~0.1-0.3 s on
+    # the minhash family) twice. A 7-point isolated A/B over the
+    # signature kernels (q41/q122/q129/q136/q141/q176/q191) measured
+    # the 1x width at-or-under the 2x width on every query; at
+    # production scale both are no-ops (parts >> trigger).
+    width = min_parts or sc.defaultParallelism
     if chunk_bytes is None:
         chunk_bytes = SPREAD_CHUNK_BYTES
     try:
@@ -402,13 +416,15 @@ def spread_for_cpu(
         size = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         if not isinstance(size, int):
             size = int(str(size))
-        target = min(target, max(1, -(-size // chunk_bytes)))
+        cap = max(1, -(-size // chunk_bytes))
+        trigger = min(trigger, cap)
+        width = min(width, cap)
     except Exception:
         pass  # estimate unavailable: keep the uncapped target
-    if target <= 1:
+    if trigger <= 1:
         return df
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
+    if df.rdd.getNumPartitions() < trigger:
+        return df.repartition(width)
     return df
 
 

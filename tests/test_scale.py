@@ -220,20 +220,29 @@ def test_spread_for_cpu_aggregate_passthrough(spark):
     assert same is grouped
 
 
-def test_spread_for_cpu_default_target_is_2x_parallelism(spark):
+def test_spread_for_cpu_trigger_2x_width_1x(spark):
     """Round-9 x1000 finding: a scan's split COUNT can equal the core
     count while almost all splits are EMPTY (Spark sizes byte-range
     splits at bytes/cores, but a parquet row group is read whole by
     the one split holding its midpoint — a 586 MB file with five
     1M-row groups scanned as 32 splits ran 27 of them empty and the
-    minhash kernel on 5 cores: 881 s). The default target is
-    therefore 2x defaultParallelism, so an input at exactly core-count
-    partitions still gets the round-robin redistribution
-    (measured fix: 881 s -> 205 s at x1000)."""
+    minhash kernel on 5 cores: 881 s). The TRIGGER is therefore
+    2x defaultParallelism — an input at exactly core-count partitions
+    still gets the round-robin redistribution (measured fix:
+    881 s -> 205 s at x1000) — but since r13 the repartition WIDTH is
+    1x defaultParallelism: round-robin rows are even by construction,
+    so cores-many tasks finish in one wave where the old 2x width
+    paid the per-task fixed cost twice (isolated A/B: q176
+    2.57 -> 1.73 s, q122 2.97 -> 2.11 s, q191 3.33 -> 2.37 s)."""
     sc = spark.sparkContext
     n = sc.defaultParallelism
     at_cores = spark.range(10_000).repartition(n).selectExpr(
         "id", "repeat('x', 50) AS text"
     ).localCheckpoint()  # cut lineage: no upstream ShuffleExchange visible
     spread = scale.spread_for_cpu(at_cores, chunk_bytes=1)
-    assert spread.rdd.getNumPartitions() == 2 * n
+    # fired (new frame, round-robin exchange) at exactly-cores input...
+    assert spread is not at_cores
+    plan = spread._jdf.queryExecution().executedPlan().toString()
+    assert "roundrobin" in plan.lower()
+    # ...but the width is one even wave, not two
+    assert spread.rdd.getNumPartitions() == n
