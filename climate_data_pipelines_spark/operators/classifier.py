@@ -45,6 +45,7 @@ import math
 from pyspark.sql import DataFrame, functions as F
 
 from climate_data_pipelines_spark.functions.text import normalize_text, tokens
+from climate_data_pipelines_spark.operators.scale import local_df
 
 # margins are clamped to ±MARGIN_CLIP before the sigmoid in BOTH the
 # engine and the numpy twin, so near-separable fits stay finite and
@@ -175,8 +176,11 @@ def train_quality_classifier(
     w = [0.0] * (dim + 1)
     acc = [0.0] * (dim + 1)
     for _ in range(max(1, epochs)):
-        wdf = spark.createDataFrame(
-            [(i, wi) for i, wi in enumerate(w)], "feat int, w double"
+        # Arrow-path creation (scale.local_df): the pickled-list path
+        # cost 32 Python-worker tasks per epoch just to build the
+        # (dim+1)-row weight broadcast
+        wdf = local_df(
+            spark, [(i, wi) for i, wi in enumerate(w)], "feat int, w double"
         )
         margins = (
             fl.join(F.broadcast(wdf), "feat")
@@ -215,8 +219,8 @@ def train_quality_classifier(
         if math.sqrt(sq / (dim + 1)) < grad_tol:
             break  # converged — mirrored in numpy_twin_train
     fl.unpersist()
-    return spark.createDataFrame(
-        [(i, wi) for i, wi in enumerate(w)], "feat int, weight double"
+    return local_df(
+        spark, [(i, wi) for i, wi in enumerate(w)], "feat int, weight double"
     )
 
 

@@ -39,6 +39,16 @@ from pyspark.sql import types as T
 from climate_data_pipelines_spark.functions import jpeg
 from climate_data_pipelines_spark.operators.scale import spread_for_cpu
 
+# Spread size gate for the codec fan-outs. The default 64 KB/core gate
+# was calibrated on the minhash family (~5-10 CPU-s/MB); the media
+# codecs are heavier — the q172 stage profile measured the MJPEG
+# encode+decode at ~11 CPU-s/MB, and with the 64 KB gate the whole
+# kernel ran on 4 tasks with 28 cores idle (9.3 s of task time,
+# 3.4 s wall). 8 KB/core keeps the codec stages core-wide at local
+# fixture sizes; at production scale the scan split count exceeds the
+# trigger and the spread is a no-op exactly as before.
+CODEC_CHUNK_BYTES = 8 * 1024
+
 # ---------------------------------------------------------------------------
 # Dependency-free PNG codec (stdlib only: struct + zlib)
 # ---------------------------------------------------------------------------
@@ -262,7 +272,9 @@ def text_as_png_payload(
     out_schema = T.StructType(
         [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
     )
-    png = spread_for_cpu(df.select(id_col, text_col)).mapInPandas(
+    png = spread_for_cpu(
+        df.select(id_col, text_col), chunk_bytes=CODEC_CHUNK_BYTES
+    ).mapInPandas(
         batches, schema=out_schema
     )
     return png.select(
@@ -305,7 +317,9 @@ def text_as_jpeg_payload(
     out_schema = T.StructType(
         [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
     )
-    jp = spread_for_cpu(df.select(id_col, text_col)).mapInPandas(
+    jp = spread_for_cpu(
+        df.select(id_col, text_col), chunk_bytes=CODEC_CHUNK_BYTES
+    ).mapInPandas(
         batches, schema=out_schema
     )
     return jp.select(
@@ -678,7 +692,9 @@ def text_as_wav_payload(
     out_schema = T.StructType(
         [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
     )
-    return spread_for_cpu(df.select(id_col, text_col)).mapInPandas(
+    return spread_for_cpu(
+        df.select(id_col, text_col), chunk_bytes=CODEC_CHUNK_BYTES
+    ).mapInPandas(
         batches, schema=out_schema
     )
 
@@ -1069,7 +1085,9 @@ def text_as_y4m_payload(
     out_schema = T.StructType(
         [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
     )
-    vid = spread_for_cpu(df.select(id_col, text_col)).mapInPandas(
+    vid = spread_for_cpu(
+        df.select(id_col, text_col), chunk_bytes=CODEC_CHUNK_BYTES
+    ).mapInPandas(
         batches, schema=out_schema
     )
     return vid.select(
@@ -1417,7 +1435,9 @@ def text_as_avi_payload(
     out_schema = T.StructType(
         [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
     )
-    avi = spread_for_cpu(df.select(id_col, text_col)).mapInPandas(
+    avi = spread_for_cpu(
+        df.select(id_col, text_col), chunk_bytes=CODEC_CHUNK_BYTES
+    ).mapInPandas(
         batches, schema=out_schema
     )
     return avi.select(

@@ -290,6 +290,37 @@ def compact_parquet(spark, path: str, out_path: str, target_file_mb: int = 128) 
     return n_files
 
 
+def local_df(spark, rows: list, schema: str) -> DataFrame:
+    """Build a DataFrame from a SMALL driver-side row list through the
+    Arrow path (``createDataFrame(pandas_df, schema)``) instead of the
+    pickled-row path.
+
+    ``createDataFrame(list)`` parallelizes the pickled rows into
+    defaultParallelism slices and converts them to rows IN PYTHON at
+    every action — a 24-row merge table cost 32 Python-worker tasks
+    (~0.33 s wall) per collect/broadcast-build, re-paid on every
+    reference (measured: q164's stage table showed 9.8 s of task time
+    collecting the driver-built BPE merge table; the classifier paid
+    it once per epoch for its weight broadcast). The Arrow path ships
+    the data to the JVM once as record batches; actions deserialize
+    them JVM-side with no Python workers (same 24-row collect: 6 ms —
+    optimization guide §6, "Arrow for driver transfers").
+
+    Column names are parsed from the DDL schema string (top-level
+    commas split the fields; the nested types used here —
+    ``array<double>`` — contain none). Empty row lists fall back to
+    the classic path, which handles them without dtype guessing.
+    """
+    if not rows:
+        return spark.createDataFrame(rows, schema)
+    import pandas as pd
+
+    names = [f.strip().split()[0] for f in schema.split(",")]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=names), schema=schema
+    )
+
+
 # Default scan bytes per engaged core for spread_for_cpu's size gate.
 # Module-level so a measurement harness can sweep it. 64 KB, MEASURED
 # (r9): the original 1 MiB assumed ~1 CPU-s/MB kernels, but the

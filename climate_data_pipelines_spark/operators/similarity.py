@@ -16,7 +16,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 from climate_data_pipelines_spark.functions.scalar import oracle_round
-from climate_data_pipelines_spark.operators.scale import spread_for_cpu
+from climate_data_pipelines_spark.operators.scale import local_df, spread_for_cpu
 from climate_data_pipelines_spark.functions.vectors import (
     cosine_similarity,
     dot,
@@ -283,7 +283,8 @@ def ann_ivf_topk(
     cent_rows = [
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
     ]
-    centroids = spark.createDataFrame(cent_rows, "cell int, centroid array<double>")
+    # Arrow-path creation: no Python-worker tasks per broadcast build
+    centroids = local_df(spark, cent_rows, "cell int, centroid array<double>")
 
     probed = (
         query_df.select("query_id", l2_normalize("query_vec").alias("_nq"))
@@ -1012,7 +1013,8 @@ def pq_topk(
         qsubs = q.reshape(m, dsub)
         lut = np.einsum("sd,scd->sc", qsubs, books).reshape(-1)
         lut_rows.append((r["query_id"], [float(x) for x in lut]))
-    luts = spark.createDataFrame(lut_rows, "query_id bigint, lut array<double>")
+    # Arrow-path creation: no Python-worker tasks per broadcast build
+    luts = local_df(spark, lut_rows, "query_id bigint, lut array<double>")
 
     adc = (
         coded.filter(F.col("codes").isNotNull())
@@ -1222,15 +1224,23 @@ def kmeans_clusters(
             .agg(F.sum("x").alias("sx"), F.count("*").alias("n"),
                  F.sum("d2").alias("sd2"))
         )
-        rows = per_dim.collect()  # k·dim rows — corpus-size-independent
+        # k·dim rows — corpus-size-independent. Arrow transfer
+        # (toPandas) + vectorized fill instead of a pickled-row
+        # collect + Python loop: the row path cost ~0.38 s per round
+        # at k=16·dim=384 (6,144 Rows deserialized one by one), the
+        # Arrow path ~0.13 s — ×6 rounds that was ~1.5 s of q187's
+        # wall (optimization guide §6, Arrow for driver transfers).
+        # The centroid update is bit-identical: every sums/counts cell
+        # is a single assigned value, no re-summation happens here.
+        pdf = per_dim.toPandas()
         sums = np.zeros((k, dim))
         counts = np.zeros(k)
-        total_d2 = 0.0
-        for r in rows:
-            sums[r["cluster"], r["dim"]] = r["sx"]
-            counts[r["cluster"]] = r["n"]
-            if r["dim"] == 0:  # sd2 is the same total at every dim —
-                total_d2 += r["sd2"]  # count it once per cluster
+        cl = pdf["cluster"].to_numpy()
+        dm = pdf["dim"].to_numpy()
+        sums[cl, dm] = pdf["sx"].to_numpy()
+        counts[cl] = pdf["n"].to_numpy()
+        # sd2 is the same total at every dim — count it once per cluster
+        total_d2 = float(pdf.loc[pdf["dim"] == 0, "sd2"].sum())
         inertia.append(float(total_d2))
         nonempty = counts > 0
         C = np.where(

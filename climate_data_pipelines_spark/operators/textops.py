@@ -19,6 +19,7 @@ from climate_data_pipelines_spark.functions.text import (
     tokens,
 )
 from climate_data_pipelines_spark.operators.scale import (
+    local_df,
     spread_for_cpu,
     unpersist_checkpoint,
 )
@@ -844,8 +845,12 @@ def bpe_train(
     # checkpoint is unreachable from it, so free that too (unlike
     # pagerank/CC, where the final checkpoint backs the result)
     unpersist_checkpoint(words)
-    return spark.createDataFrame(
-        merges, "merge_idx int, left string, right string, pair_count bigint"
+    # Arrow-path creation (scale.local_df): the pickled-list path
+    # re-ran 32 Python-worker tasks on EVERY action over this table
+    # (~0.33 s per collect — q164 pays one per bench repeat)
+    return local_df(
+        spark, merges,
+        "merge_idx int, left string, right string, pair_count bigint",
     )
 
 

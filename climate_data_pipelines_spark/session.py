@@ -69,6 +69,23 @@ def get_spark(
                 "SPARK_GRAFT_INITIAL_PARTITIONS", str(shuffle_partitions)
             ),
         )
+        # AQE coalescing floor. Spark's default minPartitionSize (1 MB)
+        # assumes cost ~ bytes; several engine stages are COMPUTE-bound
+        # on tiny shuffle bytes (the binned range join generates ~20
+        # candidate pairs per fact row from a 216 KB shuffle; exploded
+        # shingle/token tables behind a 60-wide agg), and the 1 MB
+        # floor coalesced them to ONE task — q165 ran its entire
+        # join+filter 1.6 s single-threaded with 31 cores idle
+        # (stage-profile evidence in OPTIMIZATION_r13.md). 64 KB keeps
+        # those stages parallel at local fixture sizes; measured
+        # A/B'd vs 1 MB with no regression on the shuffle-light
+        # suite. At cluster scale post-shuffle partitions are far
+        # above any floor, so the knob is inert — parameterized for a
+        # deploy that wants the stock 1 MB back.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_MIN_COALESCE", "64k"),
+        )
         # --- heap: local mode runs ALL task slots in the driver JVM, so
         # the 1g default means 32 concurrent tasks share 1 GB (OOMs the
         # 64-wide minhash agg at a 50k-doc corpus). Only effective when
