@@ -521,7 +521,15 @@ def main() -> None:
         # smoke run at sf0.001 must not become r11's record)
         if sf == 0.1:
             hist_file[cur_round] = timings
-            canary_hist[cur_round] = canary_med
+            # min-merge within the round: the canary track records the
+            # BEST host window seen, so a later degraded-window run
+            # must not clobber an earlier clean one (that would shrink
+            # every future canary_ratio toward 1)
+            prev_c = canary_hist.get(cur_round, {})
+            canary_hist[cur_round] = {
+                n: round(min(v, prev_c.get(n, v)), 3)
+                for n, v in canary_med.items()
+            }
             # isolated-median track: suite-position-free measurements
             # (canaries + this run's auto-isolations) — the numbers a
             # cross-round comparison should actually use

@@ -22,10 +22,23 @@ from pyspark.sql import DataFrame, functions as F
 from climate_data_pipelines_spark.functions.scalar import oracle_round
 from climate_data_pipelines_spark.functions.text import normalize_text, shingles, tokens
 from climate_data_pipelines_spark.operators.scale import (
+    CPU_CHUNK_BYTES,
     localcheckpoint_capped,
     spread_for_cpu,
     unpersist_checkpoint,
 )
+
+# Spread size gate for the digest kernels (md5 + salted sha256 per
+# shingle + 15-hex conv splits): ~6-10 CPU-s/MB measured on the
+# 32/64-hash signature stages. The default 64 KB/core gate gave the
+# sf0.1 sig stage 10 tasks with 22 cores idle (6.0 s task time,
+# 0.6 s stage wall in the q122 profile); a 16 KB gate runs it
+# core-wide (measured r13: q129 1.47->1.29 s, q41 0.73->0.58,
+# q176 2.08->1.82 median-of-3, 8 KB gains nothing further). At
+# production scale the scan split count exceeds the trigger and the
+# spread is a no-op exactly as before (same rule as
+# multimodal.CODEC_CHUNK_BYTES).
+HASH_CHUNK_BYTES = CPU_CHUNK_BYTES
 
 
 def exact_dedup_keys(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -110,7 +123,7 @@ def minhash_signatures(
     """
     if not 1 <= n_hashes <= 64:
         raise ValueError(f"n_hashes must be in [1, 64], got {n_hashes}")
-    df = spread_for_cpu(df)
+    df = spread_for_cpu(df, chunk_bytes=HASH_CHUNK_BYTES)
     sh = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(text_col, k))).alias("shingle"),
@@ -373,7 +386,10 @@ def jaccard_on_pairs(
     # tiny), so the shingle explode inherits the SCAN's split count —
     # a single-file corpus shingles every endpoint doc on one core
     sh = (
-        spread_for_cpu(df.join(endpoints, id_col, "left_semi"))
+        spread_for_cpu(
+            df.join(endpoints, id_col, "left_semi"),
+            chunk_bytes=HASH_CHUNK_BYTES,
+        )
         .select(
             F.col(id_col),
             F.explode(F.array_distinct(shingles(text_col, k))).alias("shingle"),
@@ -573,7 +589,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     functions: explode → bit tests → groupBy(id) with 64 conditional
     sums → bit-OR pack. One shuffle on id.
     """
-    df = spread_for_cpu(df)
+    df = spread_for_cpu(df, chunk_bytes=HASH_CHUNK_BYTES)
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
     # SQL-string construction (see minhash_signatures): the 64 vote
     # aggregates + 64-term pack chain cost ~1 s of driver wall as
@@ -615,7 +631,7 @@ def simhash_md5(
     """
     if not 1 <= bits <= 60:
         raise ValueError(f"bits must be in [1, 60], got {bits}")
-    df = spread_for_cpu(df)
+    df = spread_for_cpu(df, chunk_bytes=HASH_CHUNK_BYTES)
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
     # SQL-string construction (see minhash_signatures/simhash): the
     # per-Column build of 60 vote aggregates + the 60-term pack chain
@@ -807,6 +823,81 @@ def dedup_rows(df: DataFrame, key_cols: list[str]) -> DataFrame:
     return kept.select(*key_cols, *[F.col(f"_rest.{c}").alias(c) for c in others])
 
 
+def _cc_driver_local(
+    sym: DataFrame, nodes: DataFrame | None, node_col: str
+) -> DataFrame:
+    """Exact driver-side union-find over a SMALL materialized edge
+    table — the broadcast-join analogue for connected components
+    (optimization guide §1.2: fix the distributed algorithm first;
+    §2.4: remove shuffles outright). The iterative min-label loop
+    costs 2 checkpoint jobs + 1 Observation action per round — ~5
+    serial sub-second stages even on a 253-pair candidate graph —
+    while the answer (min member id per component, exact integer
+    arithmetic) is computable from one Arrow fetch of the pairs.
+    Results are IDENTICAL to the converged propagation: both produce
+    component = min node id over the connected component, and there
+    is no floating point anywhere. The endpoint labels are shipped
+    back via Arrow ``createDataFrame`` and the singleton attachment
+    is the same anti-join as the distributed path, against the
+    (small, broadcast) endpoint set.
+
+    Only called when the SYMMETRIC table's materialized row count is
+    under the ``SPARK_GRAFT_CC_LOCAL_MAX`` cap (default 200k rows =
+    100k pairs, ~20 MB of driver state; the same bounded-collect
+    budget a broadcast join gets). At 100 TB candidate scale the cap
+    keeps the distributed loop."""
+    import pandas as pd
+
+    spark = sym.sparkSession
+    pdf = sym.toPandas()  # Arrow path; ≤ cap rows by contract
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for s, d in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
+        if s not in parent:
+            parent[s] = s
+        if d not in parent:
+            parent[d] = d
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[rd] = rs
+    comp_min: dict = {}
+    for n in parent:
+        r = find(n)
+        if r not in comp_min or n < comp_min[r]:
+            comp_min[r] = n
+    rows = sorted((n, comp_min[find(n)]) for n in parent)
+    id_type = sym.schema["src"].dataType
+    from pyspark.sql import types as T
+
+    labels = spark.createDataFrame(
+        pd.DataFrame(rows, columns=[node_col, "component"]),
+        schema=T.StructType(
+            [
+                T.StructField(node_col, id_type),
+                T.StructField("component", id_type),
+            ]
+        ),
+    )
+    unpersist_checkpoint(sym)  # nothing references the edge table now
+    if nodes is not None:
+        singletons = (
+            nodes.select(F.col(nodes.columns[0]).alias(node_col))
+            .distinct()
+            .join(F.broadcast(labels.select(node_col)), node_col, "left_anti")
+            .select(F.col(node_col), F.col(node_col).alias("component"))
+        )
+        labels = labels.unionByName(singletons)
+    return labels
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame | None = None,
@@ -815,6 +906,7 @@ def connected_components(
     node_col: str = "node",
     max_iter: int = 20,
     steps_per_checkpoint: int = 2,
+    local_max: int | None = None,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation — the
     clustering step that turns pairwise near-dup candidates (MinHash/
@@ -882,6 +974,13 @@ def connected_components(
     ``max_iter`` for deep graphs. Near-dup graphs converge in a
     handful of rounds — hitting the bound means the input is not the
     shallow cluster graph this is designed for.
+
+    ``local_max`` (default ``SPARK_GRAFT_CC_LOCAL_MAX`` env, 200k):
+    when the materialized symmetric edge table has at most this many
+    rows, the exact driver-side union-find (``_cc_driver_local``)
+    answers in one Arrow fetch instead of serial propagation rounds —
+    identical min-id labels, bounded driver state (the broadcast-join
+    budget). Pass 0 to force the distributed loop.
     """
     from pyspark.sql import Observation
 
@@ -898,18 +997,30 @@ def connected_components(
     )
     sym = sym.localCheckpoint(eager=True)
     base = sym.select(F.col("src").alias(node_col)).distinct()
-    if sym.isEmpty():
+    # one cheap count over the materialized checkpoint serves both the
+    # empty-edge short-circuit (was an isEmpty probe) and the
+    # small-graph dispatch below
+    n_sym = sym.count()
+    if n_sym == 0:
         # no edges — every node is a singleton; skip the label
         # checkpoint + propagation rounds entirely (a fully-deduped
         # corpus otherwise pays several empty-frame checkpoint/
-        # Observation jobs per call; isEmpty on the materialized
-        # checkpoint is one cheap partition probe)
+        # Observation jobs per call)
         empty = base.select(F.col(node_col), F.col(node_col).alias("component"))
         if nodes is not None:
             return nodes.select(
                 F.col(nodes.columns[0]).alias(node_col)
             ).distinct().select(F.col(node_col), F.col(node_col).alias("component"))
         return empty
+    if local_max is None:
+        import os
+
+        local_max = int(os.environ.get("SPARK_GRAFT_CC_LOCAL_MAX", "200000"))
+    if n_sym <= local_max:
+        # small candidate graph: exact driver union-find (identical
+        # min-id labels, one Arrow fetch) instead of ~5 serial
+        # checkpoint/Observation jobs — see _cc_driver_local
+        return _cc_driver_local(sym, nodes, node_col)
     # round 0 folded into initialization: component = least(node,
     # min neighbor) via ONE groupBy over the symmetric edge table —
     # the same result the generic step would produce from identity
@@ -1114,7 +1225,10 @@ def containment_on_pairs(
     # spread_for_cpu: same rationale as jaccard_on_pairs — the
     # broadcast semi-join keeps the scan's split count, so shingling
     # must not inherit a one-split file layout
-    sh = spread_for_cpu(df.join(endpoints, id_col, "left_semi")).select(
+    sh = spread_for_cpu(
+        df.join(endpoints, id_col, "left_semi"),
+        chunk_bytes=HASH_CHUNK_BYTES,
+    ).select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(text_col, k))).alias("shingle"),
     )
@@ -1292,7 +1406,7 @@ def shingle_sets(
     instead of re-tokenizing base text (the same O(batch) contract as
     the digest/signature index)."""
     arr = F.array_distinct(shingles(text_col, k))
-    return spread_for_cpu(df).select(
+    return spread_for_cpu(df, chunk_bytes=HASH_CHUNK_BYTES).select(
         F.col(id_col).alias("doc_id"),
         arr.alias("shingles"),
         F.size(arr).alias("n_sh"),

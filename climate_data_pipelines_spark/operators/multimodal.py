@@ -39,14 +39,16 @@ from pyspark.sql import types as T
 from climate_data_pipelines_spark.functions import jpeg
 from climate_data_pipelines_spark.operators.scale import spread_for_cpu
 
-# Spread size gate for the codec fan-outs. The default 64 KB/core gate
-# was calibrated on the minhash family (~5-10 CPU-s/MB); the media
-# codecs are heavier — the q172 stage profile measured the MJPEG
-# encode+decode at ~11 CPU-s/MB, and with the 64 KB gate the whole
-# kernel ran on 4 tasks with 28 cores idle (9.3 s of task time,
-# 3.4 s wall). 8 KB/core keeps the codec stages core-wide at local
-# fixture sizes; at production scale the scan split count exceeds the
-# trigger and the spread is a no-op exactly as before.
+# Spread size gate for the HEAVY codec fan-out (AVI/MJPEG only). The
+# q172 stage profile measured the MJPEG encode+decode at ~11 CPU-s/MB;
+# with the default 64 KB gate the kernel ran on 4 tasks with 28 cores
+# idle. A drift-cancelling interleaved A/B (r13, 6 alternating reps)
+# confirmed 8 KB for the MJPEG path (q172 1.12 vs 1.74 s) but showed
+# the LIGHTER codecs (PNG/JPEG/WAV/Y4M) are better at the 64 KB
+# default (q157 0.54 vs 0.81, q167 1.10 vs 1.42 — their per-task
+# fixed Python cost outweighs the extra parallelism), so only the
+# AVI payload builder uses this gate. At production scale the scan
+# split count exceeds the trigger and the spread is a no-op.
 CODEC_CHUNK_BYTES = 8 * 1024
 
 # ---------------------------------------------------------------------------
@@ -272,9 +274,7 @@ def text_as_png_payload(
     out_schema = T.StructType(
         [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
     )
-    png = spread_for_cpu(
-        df.select(id_col, text_col), chunk_bytes=CODEC_CHUNK_BYTES
-    ).mapInPandas(
+    png = spread_for_cpu(df.select(id_col, text_col)).mapInPandas(
         batches, schema=out_schema
     )
     return png.select(
@@ -317,9 +317,7 @@ def text_as_jpeg_payload(
     out_schema = T.StructType(
         [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
     )
-    jp = spread_for_cpu(
-        df.select(id_col, text_col), chunk_bytes=CODEC_CHUNK_BYTES
-    ).mapInPandas(
+    jp = spread_for_cpu(df.select(id_col, text_col)).mapInPandas(
         batches, schema=out_schema
     )
     return jp.select(
@@ -692,9 +690,7 @@ def text_as_wav_payload(
     out_schema = T.StructType(
         [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
     )
-    return spread_for_cpu(
-        df.select(id_col, text_col), chunk_bytes=CODEC_CHUNK_BYTES
-    ).mapInPandas(
+    return spread_for_cpu(df.select(id_col, text_col)).mapInPandas(
         batches, schema=out_schema
     )
 
@@ -1085,9 +1081,7 @@ def text_as_y4m_payload(
     out_schema = T.StructType(
         [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
     )
-    vid = spread_for_cpu(
-        df.select(id_col, text_col), chunk_bytes=CODEC_CHUNK_BYTES
-    ).mapInPandas(
+    vid = spread_for_cpu(df.select(id_col, text_col)).mapInPandas(
         batches, schema=out_schema
     )
     return vid.select(

@@ -335,6 +335,21 @@ def local_df(spark, rows: list, schema: str) -> DataFrame:
 # than the measurement noise. 32 KB gains nothing further.
 SPREAD_CHUNK_BYTES = 1 << 16
 
+# Chunk for the heavy per-row kernels (digest hashing, shingle
+# explodes, interpreted higher-order functions). A SEQUENTIAL sweep
+# this round suggested 16 KB beat 64 KB on the minhash family
+# (q129 1.47->1.29 s), but a drift-cancelling INTERLEAVED A/B
+# (6 alternating reps per query) reversed it: 64 KB wins or ties
+# everywhere (q41 0.65 vs 0.85, q176 1.89 vs 2.11, q136 1.69 vs
+# 1.93, q177 1.47 vs 2.31, q181 1.92 vs 2.56, q127 1.46 vs 1.89) —
+# the wider spread multiplies downstream task counts (and, for
+# reused exchanges like the trigram LM's shared repartition, every
+# consumer stage pays it; guide §2.2's M x R block growth in
+# miniature). The sequential sweep's win was host drift. Kept at the
+# measured 64 KB default; the per-callsite chunk_bytes plumbing
+# stays so a future sweep can re-test cheaply.
+CPU_CHUNK_BYTES = SPREAD_CHUNK_BYTES
+
 
 def spread_for_cpu(
     df: DataFrame,

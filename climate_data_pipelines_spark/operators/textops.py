@@ -19,6 +19,7 @@ from climate_data_pipelines_spark.functions.text import (
     tokens,
 )
 from climate_data_pipelines_spark.operators.scale import (
+    CPU_CHUNK_BYTES,
     local_df,
     spread_for_cpu,
     unpersist_checkpoint,
@@ -395,7 +396,7 @@ def repeated_ngrams(
     input document. A dedup pipeline drops or trims docs with high
     ``repeated_frac``; a report sorts by it.
     """
-    df = spread_for_cpu(df)
+    df = spread_for_cpu(df, chunk_bytes=CPU_CHUNK_BYTES)
     g = df.select(
         F.col(id_col),
         F.posexplode(shingles(text_col, k)).alias("pos", "gram"),
@@ -464,7 +465,7 @@ def repeated_spans(
     """
     from pyspark.sql import Window
 
-    df = spread_for_cpu(df)
+    df = spread_for_cpu(df, chunk_bytes=CPU_CHUNK_BYTES)
     n_toks = F.greatest(F.size(tokens(text_col)), F.lit(1))
     g = df.select(
         F.col(id_col),
@@ -686,7 +687,7 @@ def heavy_hitters_topk(
     # work that inherits a single scan split on small parquet files
     # (the q139 lesson, SCALEPROOF.md Finding 7); no-op at production
     # split counts
-    tok = spread_for_cpu(df).select(
+    tok = spread_for_cpu(df, chunk_bytes=CPU_CHUNK_BYTES).select(
         F.col(id_col), F.explode(tokens(text_col)).alias("token")
     )
     sampled = tok.filter(_md5_bucket(F.col(id_col), seed, 10_000) < sample_per_10k)
@@ -724,6 +725,33 @@ def _bpe_merge_fold(syms, left: str, right: str) -> Column:
             (F.try_element_at(acc, F.lit(-1)) == left) & (x == F.lit(right)),
             F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))),
         ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def _sql_str_lit(s: str) -> str:
+    """Escape an arbitrary learned symbol as a Spark SQL string
+    literal (merges come from corpus text, so quotes/backslashes are
+    legal symbol content)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _bpe_merge_fold_sql(inner: str, left: str, right: str) -> str:
+    """``_bpe_merge_fold`` as a SQL string over an inner expression
+    string — the py4j round-trip economy form for bpe_train's hot
+    loop (optimization guide §4 applied to plan build: the Column
+    version costs ~15 JVM calls per merge, ~0.22 s of driver wall per
+    8-merge batch; one parsed string per round builds the equivalent
+    tree in a single round trip). Semantics are identical to the
+    Column fold: CASE's NULL condition on the empty accumulator falls
+    to ELSE exactly like F.when().otherwise()."""
+    lft, rgt = _sql_str_lit(left), _sql_str_lit(right)
+    merged = _sql_str_lit(left + right)
+    return (
+        f"aggregate({inner}, CAST(array() AS ARRAY<STRING>), "
+        f"(acc, x) -> CASE WHEN try_element_at(acc, -1) = {lft} "
+        f"AND x = {rgt} "
+        f"THEN concat(slice(acc, 1, size(acc) - 1), array({merged})) "
+        f"ELSE concat(acc, array(x)) END)"
     )
 
 
@@ -830,12 +858,14 @@ def bpe_train(
                 break
         for left, right, c in batch:
             merges.append((len(merges), left, right, c))
-        folded = F.col("syms")
+        # one parsed SQL string for the whole batch's fold chain (see
+        # _bpe_merge_fold_sql: ~0.22 s/round of py4j plan-build saved)
+        folded_sql = "syms"
         for left, right, _ in batch:
-            folded = _bpe_merge_fold(folded, left, right)
+            folded_sql = _bpe_merge_fold_sql(folded_sql, left, right)
         prev_words = words
         words = words.select(
-            folded.alias("syms"), "w_count"
+            F.expr(folded_sql).alias("syms"), "w_count"
         ).localCheckpoint(eager=True)
         # new round's word table is materialized; free the previous
         # round's checkpoint blocks instead of accumulating one
@@ -1291,7 +1321,7 @@ def gopher_rules(
     scan has ≫ cores splits and the spread no-ops — optimization
     guide §2.6 idle-capacity rule).
     """
-    df = spread_for_cpu(df)
+    df = spread_for_cpu(df, chunk_bytes=CPU_CHUNK_BYTES)
     m = _gopher_metrics(text_col)
     base = df.select(
         F.col(id_col),
@@ -1495,7 +1525,7 @@ def c4_line_filter(
     CPU-bound per row, so the few-split scan gets the same
     ``spread_for_cpu`` treatment as gopher_rules (no-op at scale).
     """
-    df = spread_for_cpu(df)
+    df = spread_for_cpu(df, chunk_bytes=CPU_CHUNK_BYTES)
     lines = F.split(F.col(text_col), r"\n")
     kept = c4_kept_lines(text_col, min_line_words)
     n_kept = F.size(kept)

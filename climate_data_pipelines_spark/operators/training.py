@@ -20,7 +20,10 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from climate_data_pipelines_spark.functions.text import shingles, tokens
-from climate_data_pipelines_spark.operators.scale import spread_for_cpu
+from climate_data_pipelines_spark.operators.scale import (
+    CPU_CHUNK_BYTES,
+    spread_for_cpu,
+)
 
 
 def _md5_bucket(col, seed: str, n_buckets: int):
@@ -342,7 +345,7 @@ def bloom_decontaminate(
     # (the minhash lesson, operators/scale.py). Derived post-shuffle
     # inputs short-circuit inside spread_for_cpu itself (no plan→RDD
     # probe), so this is safe for any caller.
-    train_sh = spread_for_cpu(train).select(
+    train_sh = spread_for_cpu(train, chunk_bytes=CPU_CHUNK_BYTES).select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(text_col, k))).alias("shingle"),
     )
@@ -496,7 +499,7 @@ def length_bucket_batches(
     Returns (len_bucket, batch, n_docs, max_tok, sum_tok,
     padding_frac)."""
     toks = (
-        spread_for_cpu(df)
+        spread_for_cpu(df, chunk_bytes=CPU_CHUNK_BYTES)
         .select(F.col(id_col), F.size(tokens(text_col)).alias("n_tok"))
         .filter(F.col("n_tok") > 0)
         .withColumn("len_bucket", F.ceil(F.log2("n_tok")).cast("long"))
@@ -929,7 +932,7 @@ def _exclusive_prefix_tokens(
     docstring for the full plan argument)."""
     # the tokenize pass is the map-side CPU stage; spread it past a
     # small file's single scan split (SCALEPROOF.md Finding 7 pattern)
-    toks = spread_for_cpu(df).select(
+    toks = spread_for_cpu(df, chunk_bytes=CPU_CHUNK_BYTES).select(
         F.col(id_col), F.size(tokens(text_col)).alias("n_tok")
     ).withColumn(
         # integer DIV, never double division: (id / 4096).cast("long")
@@ -1284,14 +1287,20 @@ def trigram_lm_score(
     # measured 160 s -> ~25 s at the x100 fixture). The repartition
     # exchange is identical across c3/c2/c1, so ReusedExchange serves
     # all three from one shuffle write; at 100 TB the guard no-ops.
-    train = spread_for_cpu(df.filter((F.col(id_col) % heldout_mod) != 0))
+    train = spread_for_cpu(
+        df.filter((F.col(id_col) % heldout_mod) != 0),
+        chunk_bytes=CPU_CHUNK_BYTES,
+    )
     # score_all (the CCNet deployment shape): the LM still trains on
     # the %heldout_mod reference split, but EVERY scoreable doc gets a
     # fluency score — perplexity_bucket_mix ranks the whole corpus
     held_src = df if score_all else df.filter(
         (F.col(id_col) % heldout_mod) == 0
     )
-    held = spread_for_cpu(held_src.filter(F.size(tokens(text_col)) >= 3))
+    held = spread_for_cpu(
+        held_src.filter(F.size(tokens(text_col)) >= 3),
+        chunk_bytes=CPU_CHUNK_BYTES,
+    )
 
     # count tables aggregate on xxhash64 of the gram; the backoff
     # probe hash (functionally dependent on the gram) rides through
@@ -1512,7 +1521,7 @@ def contamination_report(
         F.explode(F.array_distinct(shingles(text_col, k))).alias("shingle")
     ).distinct()
     hits = (
-        spread_for_cpu(train)
+        spread_for_cpu(train, chunk_bytes=CPU_CHUNK_BYTES)
         .select(
             F.col(id_col),
             F.col(by),

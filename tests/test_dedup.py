@@ -108,6 +108,31 @@ def test_connected_components_chain_and_singletons(spark):
     assert out[20] == 20 and out[30] == 30
 
 
+def test_connected_components_local_vs_distributed_parity(spark):
+    # the driver-local union-find fast path must produce EXACTLY the
+    # distributed min-label propagation's output on the same graph —
+    # chains, merges, duplicate/reversed edges, and singletons
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)]
+        + [(11, 12), (12, 11), (11, 12), (40, 41), (42, 41), (40, 42)],
+        "id_a long, id_b long",
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in list(range(1, 9)) + [11, 12, 20, 40, 41, 42]],
+        "doc_id long",
+    )
+    local = sorted(
+        (r.node, r.component)
+        for r in dedup.connected_components(edges, nodes).collect()
+    )
+    dist = sorted(
+        (r.node, r.component)
+        for r in dedup.connected_components(edges, nodes, local_max=0).collect()
+    )
+    assert local == dist
+    assert dict(local)[42] == 40
+
+
 def test_connected_components_transitive_merge(spark):
     # A~B and B~C but never A~C: all three must share one component
     edges = spark.createDataFrame([(3, 2), (2, 1)], "id_a long, id_b long")
@@ -123,8 +148,10 @@ def test_connected_components_raises_when_iteration_bound_hit(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 6)], "id_a long, id_b long"
     )
+    # local_max=0 pins the DISTRIBUTED path: the driver-local
+    # union-find (default for graphs this small) always converges
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup.connected_components(edges, max_iter=1)
+        dedup.connected_components(edges, max_iter=1, local_max=0)
 
 
 def test_exact_dedup_best_keeps_highest_score_then_min_id(spark):

@@ -746,3 +746,34 @@ def test_c4_line_filter_zero_keyed_shuffles(spark):
     )
     assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
     assert plan.count("Exchange") <= 1  # at most the round-robin spread
+
+
+def test_bpe_fold_sql_matches_column_fold(spark):
+    # the SQL-string fold (bpe_train's hot loop) must equal the
+    # Column fold (_bpe_merge_fold, bpe_encode's form) — including on
+    # symbols that need SQL literal escaping
+    from pyspark.sql import functions as F
+
+    rows = [
+        (["a", "a", "a", "</w>"],),
+        (["a", "b", "a", "b", "</w>"],),
+        (["'", "\\", "'", "\\", "</w>"],),
+        ([],),
+    ]
+    df = spark.createDataFrame(rows, "syms array<string>")
+    for left, right in [("a", "a"), ("a", "b"), ("'", "\\")]:
+        col_out = [
+            r["o"]
+            for r in df.select(
+                textops._bpe_merge_fold(F.col("syms"), left, right).alias("o")
+            ).collect()
+        ]
+        sql_out = [
+            r["o"]
+            for r in df.select(
+                F.expr(
+                    textops._bpe_merge_fold_sql("syms", left, right)
+                ).alias("o")
+            ).collect()
+        ]
+        assert col_out == sql_out, (left, right)
