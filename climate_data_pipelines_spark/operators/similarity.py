@@ -1243,9 +1243,21 @@ def kmeans_clusters(
         total_d2 = float(pdf.loc[pdf["dim"] == 0, "sd2"].sum())
         inertia.append(float(total_d2))
         nonempty = counts > 0
+        C_prev = C
         C = np.where(
             nonempty[:, None], sums / np.maximum(counts, 1)[:, None], C
         )
+        if nonempty.all() and np.array_equal(C, C_prev):
+            # exact fixpoint (and no reseed pending): every remaining
+            # round would recompute the identical assignment, the
+            # identical per-round inertia, and the identical
+            # centroids, so the final assignment below is unchanged —
+            # stop paying a full corpus pass per no-op round. The
+            # inertia trajectory those rounds would report is the
+            # fixpoint value, so pad it (contract: one entry per
+            # requested iteration)
+            inertia.extend([inertia[-1]] * (iters - len(inertia)))
+            break
         if not nonempty.all():
             # deterministic re-seed: the |empty| DISTINCT farthest
             # points (desc d2, min-id tiebreak) in ONE pass — seeding

@@ -3766,8 +3766,16 @@ def q141(spark, sf_dir):
     is_base = F.col("source").rlike("^src[0-9]$")
     base = docs.filter(is_base)
     new = docs.filter(~is_base)
-    sb = dedup.minhash_signatures(base, k=3, n_hashes=MINHASH_N)
-    sn = dedup.minhash_signatures(new, k=3, n_hashes=MINHASH_N)
+    # ONE signature pass over the whole corpus, split afterwards:
+    # per-doc signatures are frame-independent, so filtering the
+    # shared sig table is bit-identical to signing each split — and
+    # the shuffle under the signature agg is an identical subtree for
+    # both branches, so ReusedExchange serves base+new from one
+    # shingle/digest pass instead of two (r13; oracle-pinned)
+    sigs = dedup.minhash_signatures(docs, k=3, n_hashes=MINHASH_N)
+    flag = docs.select("doc_id", is_base.alias("_is_base"))
+    sb = sigs.join(F.broadcast(flag.filter("_is_base")), "doc_id", "left_semi")
+    sn = sigs.join(F.broadcast(flag.filter("NOT _is_base")), "doc_id", "left_semi")
     cand = dedup.minhash_lsh_candidates_cross(
         sn, sb, n_hashes=MINHASH_N, bands=MINHASH_BANDS
     ).localCheckpoint(eager=True)  # referenced twice by the verify stage
