@@ -1109,6 +1109,13 @@ def connected_components(
             .select(F.col(node_col), F.col(node_col).alias("component"))
         )
         labels = labels.unionByName(singletons)
+    else:
+        # no singleton attachment → nothing in the returned plan
+        # references the symmetric edge table; free its checkpoint
+        # now instead of pinning an edge-table-sized block for the
+        # session (with `nodes`, base = distinct(sym) stays
+        # reachable from the returned plan and must persist)
+        unpersist_checkpoint(sym)
     return labels
 
 
