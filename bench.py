@@ -517,9 +517,16 @@ def main() -> None:
         elif canary_med and sf == 0.1:
             canary_ratio = 1.0  # first recorded round defines the best
 
-        # only a same-sf run may stamp the round's history row (a
-        # smoke run at sf0.001 must not become r11's record)
-        if sf == 0.1:
+        # only a same-sf FULL-WIDTH run may stamp the round's history
+        # row (a smoke run at sf0.001 must not become r11's record,
+        # and the driver's reduced-core scaling pass — SPARK_GRAFT_CPUS
+        # below the machine width — must not overwrite the full-width
+        # per-query medians the cross-round history compares)
+        _cpus_env = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        full_width = _cpus_env == "*" or (
+            _cpus_env.isdigit() and int(_cpus_env) >= (os.cpu_count() or 1)
+        )
+        if sf == 0.1 and full_width:
             hist_file[cur_round] = timings
             # min-merge within the round: the canary track records the
             # BEST host window seen, so a later degraded-window run
