@@ -1102,6 +1102,95 @@ def _kmeans_assign(vec_col: str, centroids) -> F.Column:
     return assign(F.col(vec_col))
 
 
+def _kmeans_assign_frame(
+    vecs: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids,
+    keep_vec: bool = True,
+) -> DataFrame:
+    """`_kmeans_assign` as a `mapInArrow` pass over an (id, vec)
+    frame — the flat-buffer form of the same kernel (optimization
+    guide §4.2): the list column's contiguous values buffer reshapes
+    to the (n, dim) matrix in ONE `np.asarray` instead of the
+    pandas_udf path's per-row ndarray objects (`np.stack` over a
+    Series), and the vector column passes through to the output
+    batch zero-copy for the update stage's posexplode. The math is
+    the identical float64 matmul+argmin, so clusters AND d2 are
+    bitwise equal to `_kmeans_assign` (asserted in
+    tests/test_similarity.py). Irregular rows (null or wrong-dim)
+    take the old kernel's defensive row path: cluster -1, d2 null —
+    unreachable from `kmeans_clusters` (inputs pass
+    `usable_vectors`) but kept so the two kernels stay contracts-
+    equal. Output columns: (id[, vec], cluster, d2)."""
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    C = centroids.astype(np.float64)  # (k, dim)
+    c_sq = (C**2).sum(axis=1)
+    dim = C.shape[1]
+    in_fields = {f.name: f for f in vecs.schema.fields}
+    out = [in_fields[id_col]]
+    if keep_vec:
+        out.append(in_fields[vec_col])
+    out += [
+        T.StructField("cluster", T.IntegerType()),
+        T.StructField("d2", T.DoubleType()),
+    ]
+    out_schema = T.StructType(out)
+    src = vecs.select(id_col, vec_col)
+
+    def gen(batches):
+        for b in batches:
+            n = b.num_rows
+            vec = b.column(1)
+            counts = np.diff(vec.offsets.to_numpy(zero_copy_only=False))
+            ok = (counts == dim) & np.asarray(
+                vec.is_valid(), dtype=bool
+            )[: len(counts)]
+            if ok.all():
+                M = np.asarray(
+                    vec.flatten(), dtype=np.float64
+                ).reshape(n, dim)
+            else:
+                M = np.zeros((n, dim))
+                rows = vec.to_pylist()
+                for i, (o, x) in enumerate(zip(ok, rows)):
+                    if o:
+                        M[i] = np.asarray(x, dtype=np.float64)
+            d2 = (M**2).sum(axis=1, keepdims=True) + c_sq[None, :] - 2.0 * (
+                M @ C.T
+            )
+            best = d2.argmin(axis=1)
+            cl = best.astype("int32")
+            dd = d2[np.arange(n), best]
+            cols = [b.column(0)]
+            if keep_vec:
+                cols.append(vec)
+            if ok.all():
+                cols.append(pa.array(cl, type=pa.int32()))
+                cols.append(pa.array(dd, type=pa.float64()))
+            else:
+                cols.append(
+                    pa.array(
+                        [int(c) if o else -1 for c, o in zip(cl, ok)],
+                        type=pa.int32(),
+                    )
+                )
+                cols.append(
+                    pa.array(
+                        [float(v) if o else None for v, o in zip(dd, ok)],
+                        type=pa.float64(),
+                    )
+                )
+            yield pa.RecordBatch.from_arrays(
+                cols, names=[f.name for f in out_schema.fields]
+            )
+
+    return src.mapInArrow(gen, out_schema)
+
+
 def usable_vectors(
     df: DataFrame, vec_col: str = "embedding"
 ) -> tuple[DataFrame | None, int | None]:
@@ -1215,9 +1304,7 @@ def kmeans_clusters(
     inertia: list[float] = []
     assigned = None
     for _ in range(iters):
-        assigned = vecs.select(
-            id_col, vec_col, _kmeans_assign(vec_col, C).alias("a")
-        ).select(id_col, vec_col, "a.cluster", "a.d2")
+        assigned = _kmeans_assign_frame(vecs, id_col, vec_col, C)
         per_dim = (
             assigned.select("cluster", "d2", F.posexplode(vec_col).alias("dim", "x"))
             .groupBy("cluster", "dim")
@@ -1287,9 +1374,7 @@ def kmeans_clusters(
             for i, c in enumerate(empty[: len(far)]):
                 C[c] = np.asarray(far[i][vec_col], dtype=np.float64)
 
-    final = vecs.select(
-        id_col, _kmeans_assign(vec_col, C).alias("a")
-    ).select(id_col, "a.cluster", "a.d2")
+    final = _kmeans_assign_frame(vecs, id_col, vec_col, C, keep_vec=False)
     return final, inertia
 
 

@@ -580,3 +580,36 @@ def test_pca_project_nulls_stay_null(spark):
     rows = {r["vec_id"]: r["pca"] for r in similarity.pca_project(df, comps, mean).collect()}
     assert rows[1] is None
     assert rows[0] == [1.0] and rows[2] == [0.0]
+
+
+def test_kmeans_assign_frame_matches_column_kernel(spark):
+    # the mapInArrow flat-buffer kernel must equal the pandas_udf
+    # column kernel bitwise — including the defensive path for
+    # null/ragged vectors (cluster -1, d2 null)
+    import numpy as np
+
+    rows = [
+        (0, [1.0, 2.0, 3.0]),
+        (1, [4.0, 5.0, 6.0]),
+        (2, None),
+        (3, [7.0, 8.0]),  # ragged
+        (4, [0.5, 0.5, 0.5]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    C = np.array([[1.0, 2.0, 3.0], [7.0, 8.0, 9.0]])
+    col_out = sorted(
+        (r["vec_id"], r["a"]["cluster"], r["a"]["d2"])
+        for r in df.select(
+            "vec_id",
+            similarity._kmeans_assign("embedding", C).alias("a"),
+        ).collect()
+    )
+    frame_out = sorted(
+        (r["vec_id"], r["cluster"], r["d2"])
+        for r in similarity._kmeans_assign_frame(
+            df, "vec_id", "embedding", C, keep_vec=False
+        ).collect()
+    )
+    assert col_out == frame_out
+    assert dict((i, c) for i, c, _ in frame_out)[2] == -1
+    assert dict((i, c) for i, c, _ in frame_out)[3] == -1
