@@ -695,3 +695,21 @@ def test_small_in_large_df_cap_prune_metric_zero_when_cold(spark):
     assert got == {(2, 1)}
     assert res._df_cap_pruned == 0
     assert not any("df_cap" in str(w.message) for w in caught)
+
+
+def test_connected_components_local_path_string_ids(spark):
+    # the driver-local union-find is type-generic: string node ids
+    # (e.g. URL keys) get the same min-id-per-component labels
+    edges = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "y")], "id_a string, id_b string"
+    )
+    nodes = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("x",), ("y",), ("solo",)], "k string"
+    )
+    out = {
+        r.node: r.component
+        for r in dedup.connected_components(edges, nodes).collect()
+    }
+    assert out == {
+        "a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "solo": "solo"
+    }
