@@ -123,7 +123,18 @@ def minhash_signatures(
     """
     if not 1 <= n_hashes <= 64:
         raise ValueError(f"n_hashes must be in [1, 64], got {n_hashes}")
-    df = spread_for_cpu(df, chunk_bytes=HASH_CHUNK_BYTES)
+    # Hash-COST-aware spread width (r13): the size gate's bytes→tasks
+    # cap assumes the default kernel cost of ~1 digest/shingle, but a
+    # 64-hash family computes 5 digests (1 md5 + 4 sha256) per
+    # shingle, so the same bytes carry ~5x the CPU — at sf0.1 the
+    # 64-hash digest stage ran 8.3 CPU-s over the 10 tasks the
+    # byte cap allowed, leaving 22 cores idle (r13 stage profile).
+    # Scaling the chunk divisor by the digest count widens exactly
+    # the expensive families (width still capped at 1x cores by
+    # spread_for_cpu); the n_hashes<=8 single-digest path keeps the
+    # measured 64 KB default.
+    n_digests = 1 + ((n_hashes + 7) // 8) // 2  # md5 + ceil((n_pairs-1)/2) sha256
+    df = spread_for_cpu(df, chunk_bytes=max(1, HASH_CHUNK_BYTES // n_digests))
     sh = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(text_col, k))).alias("shingle"),
@@ -394,6 +405,17 @@ def jaccard_on_pairs(
             F.col(id_col),
             F.explode(F.array_distinct(shingles(text_col, k))).alias("shingle"),
         )
+        # materialize ONCE: the shingle table has FOUR consumers (the
+        # a-side and b-side common-count joins, plus sizes read as
+        # n_a and n_b) and the optimizer plans each as its own
+        # endpoint-semi-join + explode subtree with its own corpus
+        # exchange (r13 plan audit: 4x SortMergeJoin LeftSemi +
+        # Generate in the executed plan; guide §2.4). The lazy
+        # checkpoint computes the endpoint shingles once; storage is
+        # the ENDPOINT docs' shingles only (<<1% of the corpus at
+        # scale — the same table q179's shingle_sets / the persisted
+        # dedup_index materialize by design).
+        .localCheckpoint(eager=False)
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     common = (
@@ -1232,6 +1254,15 @@ def containment_on_pairs(
     # spread_for_cpu: same rationale as jaccard_on_pairs — the
     # broadcast semi-join keeps the scan's split count, so shingling
     # must not inherit a one-split file layout
+    # NOTE (r13): jaccard_on_pairs materializes its shingle table once
+    # (lazy localCheckpoint) and measured faster on every consumer
+    # (q122/q141/q191). The SAME change was applied here and measured
+    # CONSISTENTLY SLOWER for q176 across two interleaved A/B sweeps
+    # (ratio 1.07-1.18, 8 alternating reps) — q176's candidate set is
+    # tiny, so the barrier + storage round-trip costs more than the
+    # (cheap, fully parallel) 4-way endpoint recompute it saves.
+    # Reverted on evidence; at 100 TB the candidate table is persisted
+    # upstream by the curation recipe, which is the scale path.
     sh = spread_for_cpu(
         df.join(endpoints, id_col, "left_semi"),
         chunk_bytes=HASH_CHUNK_BYTES,

@@ -341,17 +341,21 @@ def line_dedup(
             ).alias("line")
         )
     )
-    keepers = lines.groupBy("line").agg(
+    # The min-struct keeper rows ARE the kept rows: ``lines`` has
+    # exactly one row per (doc_id, line_id), so the keeper tuple
+    # (k.doc_id, k.line_id, line) is bit-identical to the row a
+    # semi-join back into ``lines`` would select. Projecting keepers
+    # directly removes the join AND the second computation of the
+    # whole tok-explode + line-agg subtree (the two identical
+    # exchanges were NOT reused at runtime — measured as twin ~9.5
+    # CPU-s stages, r13 stage profile; guide §2.4 remove shuffles
+    # outright).
+    kept = lines.groupBy("line").agg(
         F.min(F.struct(F.col(id_col), F.col("line_id"))).alias("k")
-    )
-    kept = lines.join(
-        keepers.select(
-            F.col("line"),
-            F.col(f"k.{id_col}").alias(id_col),
-            F.col("k.line_id").alias("line_id"),
-        ),
-        [id_col, "line_id", "line"],
-        "left_semi",
+    ).select(
+        F.col(f"k.{id_col}").alias(id_col),
+        F.col("k.line_id").alias("line_id"),
+        F.col("line"),
     )
     return kept.groupBy(id_col).agg(
         F.count("*").alias("n_lines_kept"),
@@ -397,10 +401,17 @@ def repeated_ngrams(
     ``repeated_frac``; a report sorts by it.
     """
     df = spread_for_cpu(df, chunk_bytes=CPU_CHUNK_BYTES)
+    # gkey = unhex(md5): the digest is shuffle-internal (never output),
+    # and the 16-byte BINARY has the identical group identity as the
+    # 32-hex STRING at half the key bytes — cheaper hashing/compares in
+    # the two gkey aggs and ~40% less shuffle (r13, guide §2.5 shuffle
+    # fewer bytes / narrower types). ``pos`` was carried through the
+    # explode but never used (both consumers only count rows) — plain
+    # explode emits one row per position either way.
     g = df.select(
         F.col(id_col),
-        F.posexplode(shingles(text_col, k)).alias("pos", "gram"),
-    ).select(F.col(id_col), F.col("pos"), F.md5("gram").alias("gkey"))
+        F.explode(shingles(text_col, k)).alias("gram"),
+    ).select(F.col(id_col), F.unhex(F.md5("gram")).alias("gkey"))
     repeated = (
         g.select("gkey", id_col)
         .distinct()

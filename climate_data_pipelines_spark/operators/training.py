@@ -700,7 +700,15 @@ def bigram_lm_score(
     """
     from climate_data_pipelines_spark.functions.text import shingles, tokens
 
-    eligible = df.filter(F.size(tokens(text_col)) >= 2)
+    # spread_for_cpu: tokenizing + shingling + exploding every doc is
+    # CPU-bound on a tiny byte footprint; a single-split scan left the
+    # whole explode (and BOTH its consumers — counts and the final
+    # doc-score join side) on one core (~1.9 s of serial single-task
+    # stages, r13 stage profile; guide §2.6 idle capacity). At scale
+    # the scan has >> cores splits and the spread's guard no-ops.
+    eligible = spread_for_cpu(df, chunk_bytes=CPU_CHUNK_BYTES).filter(
+        F.size(tokens(text_col)) >= 2
+    )
     bi = eligible.select(
         F.col(id_col), F.explode(shingles(text_col, 2)).alias("bigram")
     )

@@ -3768,11 +3768,19 @@ def q141(spark, sf_dir):
     new = docs.filter(~is_base)
     # ONE signature pass over the whole corpus, split afterwards:
     # per-doc signatures are frame-independent, so filtering the
-    # shared sig table is bit-identical to signing each split — and
-    # the shuffle under the signature agg is an identical subtree for
-    # both branches, so ReusedExchange serves base+new from one
-    # shingle/digest pass instead of two (r13; oracle-pinned)
-    sigs = dedup.minhash_signatures(docs, k=3, n_hashes=MINHASH_N)
+    # shared sig table is bit-identical to signing each split. The
+    # exchange under the signature agg is an identical subtree for
+    # both branches, but PushDownLeftSemiAntiJoin rewrites each
+    # branch's agg subtree (the semi-join sinks below the aggregate),
+    # so the planned ReusedExchange never materialized — the r13
+    # stage profile showed TWIN ~4.1 CPU-s digest stages. A lazy
+    # localCheckpoint pins the sig table as one computed artifact
+    # both branches read (at 100 TB this IS the persisted signature
+    # index the incremental recipe stores anyway: n_docs x 8 longs,
+    # << corpus).
+    sigs = dedup.minhash_signatures(docs, k=3, n_hashes=MINHASH_N).localCheckpoint(
+        eager=False
+    )
     flag = docs.select("doc_id", is_base.alias("_is_base"))
     sb = sigs.join(F.broadcast(flag.filter("_is_base")), "doc_id", "left_semi")
     sn = sigs.join(F.broadcast(flag.filter("NOT _is_base")), "doc_id", "left_semi")
