@@ -49,11 +49,19 @@ def exact_dedup_keys(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     sha256 digest of the *normalized* text, so the shuffle carries
     32-byte keys + ids, not document bodies.
     """
-    h = F.sha2(normalize_text(F.col(text_col)), 256)
+    # Shuffle the 16-byte BINARY digest, not the 64-hex-char string —
+    # identical group identity at a quarter the key bytes on curation's
+    # stage-0 exchange (guide §2.5, r13); the declared hex column is
+    # re-derived per GROUP after the agg (lower(hex(unhex(x))) == x for
+    # sha2's lowercase hex, |groups| conversions vs |rows| key bytes).
+    h = F.unhex(F.sha2(normalize_text(F.col(text_col)), 256))
     return (
-        df.select(h.alias("content_hash"), F.col(id_col))
-        .groupBy("content_hash")
+        df.select(h.alias("_hbin"), F.col(id_col))
+        .groupBy("_hbin")
         .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dupes"))
+        .select(
+            F.lower(F.hex("_hbin")).alias("content_hash"), "keep_id", "n_dupes"
+        )
     )
 
 
@@ -63,14 +71,18 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     Broadcast-free: semi-join on (hash, id) against the keeper set —
     both sides shuffle on the digest, co-partitioned.
     """
-    keys = exact_dedup_keys(df, text_col, id_col).select(
-        "content_hash", F.col("keep_id").alias(id_col)
+    # binary digests end to end (the hash never surfaces here — both
+    # sides of the co-partitioned semi-join shuffle 16-byte keys)
+    hb = F.unhex(F.sha2(normalize_text(F.col(text_col)), 256))
+    keys = (
+        df.select(hb.alias("_hbin"), F.col(id_col))
+        .groupBy("_hbin")
+        .agg(F.min(id_col).alias(id_col))
     )
-    h = F.sha2(normalize_text(F.col(text_col)), 256).alias("content_hash")
     return (
-        df.withColumn("content_hash", h)
-        .join(keys, on=["content_hash", id_col], how="left_semi")
-        .drop("content_hash")
+        df.withColumn("_hbin", hb)
+        .join(keys, on=["_hbin", id_col], how="left_semi")
+        .drop("_hbin")
     )
 
 
@@ -232,9 +244,15 @@ def _band_buckets(
             "increase bands, or pass allow_correlated_bands=True"
         )
     # one parsed expression instead of bands x (struct+lit+md5+concat)
-    # Column calls — py4j round-trip economy, identical tree
+    # Column calls — py4j round-trip economy, identical tree.
+    # bh is unhex(md5): the bucket hash is join-internal (never
+    # output), and the 16-byte BINARY joins exactly like the 32-hex
+    # string (unhex is injective on md5's hex, so equality — and any
+    # collision — is bit-identical to the oracle's md5 banding) at
+    # half the key bytes on the candidate join, the minhash family's
+    # dominant exchange at scale (guide §2.5, r13).
     band_sql = ", ".join(
-        "struct({b} as band, md5(concat_ws('|', {cols})) as bh)".format(
+        "struct({b} as band, unhex(md5(concat_ws('|', {cols}))) as bh)".format(
             b=b,
             cols=", ".join(
                 f"mh{i}"
@@ -1160,10 +1178,12 @@ def exact_dedup_best(
     ``min_by`` aggregate (partial+final, no window over the dup
     group), then a co-partitioned semi-join pulls the keeper rows.
     """
-    h = F.sha2(normalize_text(F.col(text_col)), 256)
+    # binary digest keys (never surfaced) — same §2.5 narrowing as
+    # exact_dedup: 16-byte shuffle keys instead of 64-hex strings
+    h = F.unhex(F.sha2(normalize_text(F.col(text_col)), 256))
     keys = (
-        df.select(h.alias("content_hash"), F.col(id_col), F.col(score_col))
-        .groupBy("content_hash")
+        df.select(h.alias("_hbin"), F.col(id_col), F.col(score_col))
+        .groupBy("_hbin")
         .agg(
             F.min_by(
                 F.col(id_col),
@@ -1172,9 +1192,9 @@ def exact_dedup_best(
         )
     )
     return (
-        df.withColumn("content_hash", h)
-        .join(keys, ["content_hash", id_col], "left_semi")
-        .drop("content_hash")
+        df.withColumn("_hbin", h)
+        .join(keys, ["_hbin", id_col], "left_semi")
+        .drop("_hbin")
     )
 
 

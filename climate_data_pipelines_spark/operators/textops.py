@@ -483,7 +483,12 @@ def repeated_spans(
         n_toks.alias("_nt"),
         F.posexplode(shingles(text_col, k)).alias("pos", "gram"),
     ).select(
-        F.col(id_col), F.col("_nt"), F.col("pos"), F.md5("gram").alias("gkey")
+        # unhex(md5): identical group identity at half the key bytes
+        # (same §2.5 narrowing as repeated_ngrams, r13)
+        F.col(id_col),
+        F.col("_nt"),
+        F.col("pos"),
+        F.unhex(F.md5("gram")).alias("gkey"),
     )
     repeated = (
         g.select("gkey", id_col)
