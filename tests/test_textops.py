@@ -139,6 +139,70 @@ def test_line_dedup_first_occurrence_wins_and_reassembles(spark):
     assert out[2].n_lines_kept == 1 and out[2].text_dedup == "x y"
 
 
+def test_line_dedup_keeper_projection_matches_semi_join(spark):
+    # r13 optimization parity pin: line_dedup now projects the
+    # min-struct keeper rows directly instead of semi-joining them
+    # back into a second computation of the lines table. The two
+    # formulations must select the identical kept-line set (lines has
+    # exactly one row per (doc_id, line_id), so the keeper tuple IS
+    # the semi-join's selected row).
+    from pyspark.sql import functions as F
+    from climate_data_pipelines_spark.functions.text import tokens
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d a b"),     # repeats its own first line at pos 2
+            (2, "a b x y"),
+            (3, "c d a b"),
+            (4, "x y"),
+            (5, ""),                # empty doc -> no lines
+        ],
+        "doc_id long, text string",
+    )
+    # reference: the explicit semi-join formulation (pre-r13 shape)
+    tok = df.select(
+        F.col("doc_id"), F.posexplode(tokens("text")).alias("pos", "token")
+    )
+    lines = (
+        tok.withColumn("line_id", (F.col("pos") / 2).cast("int"))
+        .groupBy("doc_id", "line_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                    lambda s: s["token"],
+                ),
+                " ",
+            ).alias("line")
+        )
+    )
+    keepers = lines.groupBy("line").agg(
+        F.min(F.struct(F.col("doc_id"), F.col("line_id"))).alias("k")
+    )
+    ref_kept = lines.join(
+        keepers.select(
+            F.col("line"),
+            F.col("k.doc_id").alias("doc_id"),
+            F.col("k.line_id").alias("line_id"),
+        ),
+        ["doc_id", "line_id", "line"],
+        "left_semi",
+    )
+    ref = {
+        (r.doc_id, r.line_id, r.line) for r in ref_kept.collect()
+    }
+    # shipped operator's final output must equal the reference's
+    # reassembly of exactly that kept set
+    ref_docs = {}
+    for doc_id, line_id, line in sorted(ref):
+        ref_docs.setdefault(doc_id, []).append(line)
+    out = {r.doc_id: r for r in textops.line_dedup(df, line_tokens=2).collect()}
+    assert set(out) == set(ref_docs)
+    for doc_id, lines_kept in ref_docs.items():
+        assert out[doc_id].n_lines_kept == len(lines_kept)
+        assert out[doc_id].text_dedup == " ".join(lines_kept)
+
+
 def test_repeated_ngrams_flags_shared_spans(spark):
     from climate_data_pipelines_spark.operators import textops
 
