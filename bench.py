@@ -4,8 +4,13 @@ The LAST stdout line is ONE compact JSON record (the driver's tail
 buffer is finite — round 6 lost the headline because a single giant
 line outgrew it):
     {"metric": "headline_queries_total", "value": <total sec>,
-     "unit": "sec", "queries": {"q17_agg_suite": sec, ...},
+     "unit": "sec", "queries": {"q17": sec, ...},
      "sf": 0.1, "repeats": ..., "<ann>_recall@10": ...}
+
+(`queries` keys are the unique qNNN registry prefixes at 2-decimal
+precision — 65 full names alone outgrow the driver's ~2000-char tail
+buffer, which is exactly how r12/r13 lost the per-query map; full
+names live in the bench_detail line and the sidecar files.)
 
 Per-query detail that is useful but not driver-parsed — min-of-k
 timings, delta-vs-previous-round ratios, sample counts — goes to a
@@ -602,12 +607,25 @@ def main() -> None:
         json.dump(detail, fh, indent=1, sort_keys=True)
     print(json.dumps(detail))
 
+    # Per-query map for the ONE driver-parsed line (r13 verdict item
+    # 1): at 63+ headline queries the full-name map alone is ~2000
+    # chars, so the >=1900 fallback below silently dropped `queries`
+    # for `worst_queries` in r12/r13 — which blinded the driver's
+    # per-query comparison (n_common: 0), the scaling block and the
+    # bench's own auto-isolate deltas. Emit the UNIQUE qNNN registry
+    # prefix as the key at 2-decimal precision (~850 chars for 65
+    # queries); full names + 3-decimal medians stay in the
+    # bench_detail line above, BENCH_DETAIL.json and
+    # BENCH_HISTORY.json. Prefix collision (never true today) falls
+    # back to full names rather than merging two queries' numbers.
+    compact = {n.split("_", 1)[0]: round(s, 2) for n, s in timings.items()}
+    q_out = compact if len(compact) == len(timings) else timings
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "n_queries": len(timings),
-        "queries": timings,
+        "queries": q_out,
         "sf": sf,
         "repeats": REPEATS,
         "extra_repeats_under_sec": EXTRA_REPEATS_UNDER,
