@@ -401,67 +401,57 @@ def jaccard_on_pairs(
     verification stage that runs after LSH banding: per-pair cost, never
     all-pairs. ``pairs`` has (id_a, id_b); returns (id_a, id_b, jaccard).
 
-    Plan: shingle table (semi-joined down to pair endpoints, so only
-    candidate documents are ever shingled — at 100 TB the endpoint set
-    is ≪1% of the corpus) → two equi-joins pairs⋈shingles on the ids +
-    shingle equality → per-pair common count → sizes join → Jaccard.
-    Pairs sharing zero shingles still return (jaccard = 0) via a left
-    join, so thresholding is the caller's choice.
+    Plan: per-doc shingle-SET table (semi-joined down to pair
+    endpoints, so only candidate documents are ever shingled — at 100
+    TB the endpoint set is ≪1% of the corpus), kept as an array column
+    → two id-keyed joins pairs⋈sets → size/array_intersect expressions
+    per pair. Pairs sharing zero shingles still return (jaccard = 0)
+    via a left join, so thresholding is the caller's choice.
     """
     endpoints = pairs.select(F.col("id_a").alias(id_col)).unionByName(
         pairs.select(F.col("id_b").alias(id_col))
     ).distinct()
     # spread_for_cpu: the endpoint semi-join broadcasts (endpoints are
-    # tiny), so the shingle explode inherits the SCAN's split count —
-    # a single-file corpus shingles every endpoint doc on one core
-    sh = (
-        spread_for_cpu(
-            df.join(endpoints, id_col, "left_semi"),
-            chunk_bytes=HASH_CHUNK_BYTES,
-        )
-        .select(
-            F.col(id_col),
-            F.explode(F.array_distinct(shingles(text_col, k))).alias("shingle"),
-        )
-        # materialize ONCE: the shingle table has FOUR consumers (the
-        # a-side and b-side common-count joins, plus sizes read as
-        # n_a and n_b) and the optimizer plans each as its own
-        # endpoint-semi-join + explode subtree with its own corpus
-        # exchange (r13 plan audit: 4x SortMergeJoin LeftSemi +
-        # Generate in the executed plan; guide §2.4). The lazy
-        # checkpoint computes the endpoint shingles once; storage is
-        # the ENDPOINT docs' shingles only (<<1% of the corpus at
-        # scale — the same table q179's shingle_sets / the persisted
-        # dedup_index materialize by design).
-        .localCheckpoint(eager=False)
+    # tiny), so the shingling inherits the SCAN's split count — a
+    # single-file corpus would shingle every endpoint doc on one core.
+    #
+    # r14 (guide §2.4, verdict item 2): keep the per-doc shingle SET
+    # as an ARRAY — no explode, no groupBy, no materialization. The
+    # r13 shape exploded to (id, shingle) rows with FOUR consumers
+    # (sizes read twice + two common-count joins), patched with a lazy
+    # localCheckpoint the advisor flagged for unbounded retention
+    # inside a library operator. Sets-as-arrays removes the problem
+    # instead: per-pair arithmetic is size(array_intersect(sa, sb))
+    # over two id-keyed joins — inputs are distinct arrays, so the
+    # intersection size equals the old per-shingle equi-join count.
+    # Corpus subtrees 4 → 2, the explode + two hash aggregates and the
+    # checkpoint all gone; shuffle rows drop from |endpoint shingles|
+    # to |endpoints| at the same bytes.
+    sets = spread_for_cpu(
+        df.join(endpoints, id_col, "left_semi"),
+        chunk_bytes=HASH_CHUNK_BYTES,
+    ).select(
+        F.col(id_col),
+        F.array_distinct(shingles(text_col, k)).alias("_sh_set"),
     )
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    common = (
-        pairs.join(
-            sh.select(F.col(id_col).alias("id_a"), F.col("shingle")), "id_a"
-        )
-        .join(
-            sh.select(F.col(id_col).alias("id_b"), F.col("shingle")),
-            ["id_b", "shingle"],
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_common"))
+    sa = sets.select(F.col(id_col).alias("id_a"), F.col("_sh_set").alias("_sa"))
+    sb = sets.select(F.col(id_col).alias("id_b"), F.col("_sh_set").alias("_sb"))
+    # BOTH joins are left joins with null-safe sizes: an endpoint
+    # missing from df (or a null text, whose shingle set is null) must
+    # return the promised jaccard = 0, never drop the pair. size(NULL)
+    # is NULL under Spark 4 defaults, so the coalesces cover both;
+    # casts keep the old COUNT(*) bigint arithmetic.
+    n_common = F.coalesce(
+        F.size(F.array_intersect("_sa", "_sb")).cast("long"),
+        F.lit(0).cast("long"),
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
-    # ALL three joins are left joins: an endpoint whose text yields no
-    # shingles (shorter than k tokens, empty, null) has no sizes row,
-    # and an inner join would silently DROP the pair instead of
-    # returning the promised jaccard = 0
-    n_common = F.coalesce(F.col("n_common"), F.lit(0))
     union = (
-        F.coalesce(F.col("n_a"), F.lit(0))
-        + F.coalesce(F.col("n_b"), F.lit(0))
+        F.coalesce(F.size("_sa").cast("long"), F.lit(0).cast("long"))
+        + F.coalesce(F.size("_sb").cast("long"), F.lit(0).cast("long"))
         - n_common
     )
     return (
-        pairs.join(common, ["id_a", "id_b"], "left")
-        .join(sa, "id_a", "left")
+        pairs.join(sa, "id_a", "left")
         .join(sb, "id_b", "left")
         .select(
             "id_a",
@@ -1259,8 +1249,8 @@ def containment_on_pairs(
     Per unordered pair returns BOTH directions:
     ``cont_a = |A∩B|/|A|`` (how much of A is inside B) and ``cont_b``,
     plus the raw counts. Same verified-candidates plan shape as
-    ``jaccard_on_pairs``: endpoints semi-join → shingle only candidate
-    docs → two equi-joins → per-pair common count → sizes. Candidate
+    ``jaccard_on_pairs``: endpoints semi-join → per-doc shingle-SET
+    arrays → two id-keyed joins → size/array_intersect. Candidate
     generation stays the banded MinHash join, so recall is floored by
     the pair's JACCARD (a tiny doc inside a huge one has J → 0 and
     won't be banded); for the re-crawl/append case (B ≲ 2×A) Jaccard
@@ -1273,43 +1263,41 @@ def containment_on_pairs(
     ).distinct()
     # spread_for_cpu: same rationale as jaccard_on_pairs — the
     # broadcast semi-join keeps the scan's split count, so shingling
-    # must not inherit a one-split file layout
-    # NOTE (r13): jaccard_on_pairs materializes its shingle table once
-    # (lazy localCheckpoint) and measured faster on every consumer
-    # (q122/q141/q191). The SAME change was applied here and measured
-    # CONSISTENTLY SLOWER for q176 across two interleaved A/B sweeps
-    # (ratio 1.07-1.18, 8 alternating reps) — q176's candidate set is
-    # tiny, so the barrier + storage round-trip costs more than the
-    # (cheap, fully parallel) 4-way endpoint recompute it saves.
-    # Reverted on evidence; at 100 TB the candidate table is persisted
-    # upstream by the curation recipe, which is the scale path.
-    sh = spread_for_cpu(
+    # must not inherit a one-split file layout.
+    #
+    # r14 (guide §2.4, verdict item 2): the per-doc shingle SET stays
+    # an ARRAY — no explode, no groupBy. The r13 plan carried FOUR
+    # corpus subtrees (sizes + the two common-count joins each
+    # replanned the endpoint-semi-join + Generate; a localCheckpoint
+    # on the exploded table A/B'd SLOWER here, barrier > recompute for
+    # q176's tiny candidate set). With sets-as-arrays the per-pair
+    # arithmetic is pure expressions over two id-keyed joins:
+    # n_common = size(array_intersect(sa, sb)) — inputs are distinct,
+    # so the intersection count equals the old per-shingle join count.
+    # Corpus subtrees: 4 → 2 (one per join side), and each lost its
+    # explode + hash aggregate; shuffle rows drop from |endpoint
+    # shingles| to |endpoints|, same bytes.
+    sets = spread_for_cpu(
         df.join(endpoints, id_col, "left_semi"),
         chunk_bytes=HASH_CHUNK_BYTES,
     ).select(
         F.col(id_col),
-        F.explode(F.array_distinct(shingles(text_col, k))).alias("shingle"),
+        F.array_distinct(shingles(text_col, k)).alias("_sh_set"),
     )
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    common = (
-        pairs.join(
-            sh.select(F.col(id_col).alias("id_a"), F.col("shingle")), "id_a"
-        )
-        .join(
-            sh.select(F.col(id_col).alias("id_b"), F.col("shingle")),
-            ["id_b", "shingle"],
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_common"))
+    sa = sets.select(F.col(id_col).alias("id_a"), F.col("_sh_set").alias("_sa"))
+    sb = sets.select(F.col(id_col).alias("id_b"), F.col("_sh_set").alias("_sb"))
+    # null guards mirror the old left joins exactly: an id missing
+    # from df (or a null text, whose shingle set is null) must score
+    # n=0 / cont=0.0, never drop the pair. size(NULL) is NULL under
+    # Spark 4 defaults, so the coalesces below cover both cases; casts
+    # keep the old COUNT(*) bigint schema.
+    n_common = F.coalesce(
+        F.size(F.array_intersect("_sa", "_sb")).cast("long"), F.lit(0).cast("long")
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
-    n_common = F.coalesce(F.col("n_common"), F.lit(0))
-    n_a = F.coalesce(F.col("n_a"), F.lit(0))
-    n_b = F.coalesce(F.col("n_b"), F.lit(0))
+    n_a = F.coalesce(F.size("_sa").cast("long"), F.lit(0).cast("long"))
+    n_b = F.coalesce(F.size("_sb").cast("long"), F.lit(0).cast("long"))
     return (
-        pairs.join(common, ["id_a", "id_b"], "left")
-        .join(sa, "id_a", "left")
+        pairs.join(sa, "id_a", "left")
         .join(sb, "id_b", "left")
         .select(
             "id_a",
