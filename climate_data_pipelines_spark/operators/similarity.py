@@ -12,6 +12,8 @@ the full cross product; multiprobe = explode over neighbor buckets.
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
@@ -565,15 +567,20 @@ def semantic_dedup(
         # invariant, so hashing the normalized copy equals hashing the
         # raw vector (zero/null vectors behave identically: null sigs
         # never bucket; zero vectors normalize to themselves).
+        # LAZY checkpoints (r14, verdict item 4): the two eager
+        # barriers here serialized two full driver round-trips before
+        # the real job; lazy materializes the same blocks inside the
+        # first consuming job (every consumer is downstream of the
+        # caller's single action), with identical reuse afterwards.
         vn = df.select(
             F.col(id_col), l2_normalize(vec_col).alias("_vn")
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         b = vn.select(
             F.col(id_col),
             F.posexplode(_lsh_signatures("_vn", n_tables, n_planes)).alias(
                 "table", "bucket"
             ),
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
 
         wb = Window.partitionBy("table", "bucket")
         b_salted = b.withColumn(
@@ -792,10 +799,17 @@ def semantic_decontaminate(
         )
     train = spread_for_cpu(train)
 
+    # LAZY checkpoints (r14, verdict item 4): the three eager barriers
+    # here (train-side normalize, bench-side normalize, bench buckets)
+    # serialized three driver round-trips before the query's own job —
+    # the dominant share of q166's wall at sf0.1, where each barrier
+    # costs ~0.3 s of protocol latency. Lazy keeps the identical block
+    # storage and reuse (each table still computes once) but
+    # materializes inside the single consuming action.
     def normed(frame):
         return frame.select(
             F.col(id_col), l2_normalize(vec_col).alias("_vn")
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
 
     def bucketed(vn):
         return vn.select(
@@ -807,7 +821,7 @@ def semantic_decontaminate(
 
     vn_t, vn_b = normed(train), normed(bench)
     bt = bucketed(vn_t)
-    bb = bucketed(vn_b).localCheckpoint(eager=True)
+    bb = bucketed(vn_b).localCheckpoint(eager=False)
 
     t_ids = bt.select("table", "bucket", F.col(id_col).alias("train_id"))
     b_ids = bb.select("table", "bucket", F.col(id_col).alias("bench_id"))
@@ -1191,6 +1205,85 @@ def _kmeans_assign_frame(
     return src.mapInArrow(gen, out_schema)
 
 
+def _kmeans_round_stats(vecs: DataFrame, vec_col: str, centroids) -> DataFrame:
+    """ONE Lloyd round's assign + per-cluster sufficient statistics
+    fused into a single `mapInArrow` pass (guide §4.2; r13 verdict
+    item 3): the kernel runs the identical float64 matmul+argmin as
+    `_kmeans_assign_frame`, then accumulates (count, Σx per dim, Σd2)
+    per cluster ACROSS its partition's batches in numpy — the map-side
+    combine the old plan paid a JVM posexplode (n·dim rows) + hash
+    aggregate for. Output: k rows per TASK with columns
+    (cluster int, n long, sd2 double, sx array<double>) — corpus-size-
+    independent per task, so the whole frame is |tasks|·k rows.
+
+    Rows the assign kernel would mark invalid (null / wrong-dim — the
+    defensive path, unreachable from `kmeans_clusters` whose inputs
+    pass `usable_vectors`) are excluded from every statistic, exactly
+    as cluster -1 rows never reached the old per-dim aggregate."""
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    C = centroids.astype(np.float64)  # (k, dim)
+    c_sq = (C**2).sum(axis=1)
+    kk, dim = C.shape
+    out_schema = T.StructType(
+        [
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("sd2", T.DoubleType()),
+            T.StructField("sx", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def gen(batches):
+        counts = np.zeros(kk, dtype=np.int64)
+        sums = np.zeros((kk, dim))
+        sd2s = np.zeros(kk)
+        for b in batches:
+            n = b.num_rows
+            vec = b.column(0)
+            lens = np.diff(vec.offsets.to_numpy(zero_copy_only=False))
+            ok = (lens == dim) & np.asarray(
+                vec.is_valid(), dtype=bool
+            )[: len(lens)]
+            if ok.all():
+                M = np.asarray(vec.flatten(), dtype=np.float64).reshape(n, dim)
+            else:
+                M = np.zeros((n, dim))
+                rows = vec.to_pylist()
+                for i, (o, x) in enumerate(zip(ok, rows)):
+                    if o:
+                        M[i] = np.asarray(x, dtype=np.float64)
+            d2 = (M**2).sum(axis=1, keepdims=True) + c_sq[None, :] - 2.0 * (
+                M @ C.T
+            )
+            best = d2.argmin(axis=1)
+            dd = d2[np.arange(n), best]
+            if not ok.all():
+                best, dd, M = best[ok], dd[ok], M[ok]
+            np.add.at(counts, best, 1)
+            np.add.at(sd2s, best, dd)
+            np.add.at(sums, best, M)
+        # flat-buffer list column: one offsets array over the ravelled
+        # (k, dim) sums — no per-row Python list materialization
+        sx = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (kk + 1) * dim, dim, dtype=np.int32)),
+            pa.array(sums.ravel(), type=pa.float64()),
+        )
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(np.arange(kk, dtype=np.int32)),
+                pa.array(counts, type=pa.int64()),
+                pa.array(sd2s, type=pa.float64()),
+                sx,
+            ],
+            names=["cluster", "n", "sd2", "sx"],
+        )
+
+    return vecs.select(vec_col).mapInArrow(gen, out_schema)
+
+
 def usable_vectors(
     df: DataFrame, vec_col: str = "embedding"
 ) -> tuple[DataFrame | None, int | None]:
@@ -1228,14 +1321,15 @@ def kmeans_clusters(
     Spark-first shape, per iteration (plan depth CONSTANT — centroids
     leave the plan as numpy between rounds, so no lineage growth and
     no checkpoints):
-      - ASSIGN: one Arrow-batched matmul+argmin kernel per row
-        (`_kmeans_assign`), map-only — the corpus never shuffles for
-        assignment;
-      - UPDATE: posexplode → ONE hash aggregate keyed on
-        (cluster, dim) — k·dim groups regardless of corpus size,
-        map-side combined (the `label_centroids` plan) — collected to
-        the driver as k·dim floats + k counts. That collect is the
-        ONLY driver traffic and is corpus-size-independent (the
+      - ASSIGN + UPDATE fused: ONE Arrow-batched matmul+argmin kernel
+        (`_kmeans_round_stats`) that also accumulates per-cluster
+        (count, Σx, Σd2) sufficient statistics in numpy as it assigns
+        — the map-side combine the pre-r14 plan paid a JVM posexplode
+        (n·dim rows) + hash aggregate for. Per task the output is k
+        rows; under SPARK_GRAFT_KMEANS_DIRECT_PARTIALS total partial
+        rows they are collected directly (one map-only job per round,
+        no exchange), above it they posexplode to (cluster, dim) and
+        keep the old corpus-size-independent k·dim collect (the
         classifier's (dim+1)-float gradient precedent,
         operators/classifier.py).
       - empty clusters re-seed deterministically to up to |empty|
@@ -1287,7 +1381,11 @@ def kmeans_clusters(
     # file otherwise runs EVERY round's assign+update single-threaded
     # (measured: 6 serial 1-task stages of ~0.15 s each at sf0.1).
     # spread_for_cpu's size/shuffle guards make it a no-op at scale.
-    vecs = spread_for_cpu(vecs).localCheckpoint(eager=True)
+    # LAZY checkpoint (r14): the seed job below is the first consumer
+    # and materializes the blocks as a side effect — same storage,
+    # same per-round block reuse, one fewer serial driver round-trip
+    # than the eager barrier (the BPE-train pipelining pattern).
+    vecs = spread_for_cpu(vecs).localCheckpoint(eager=False)
 
     seed_rows = (
         vecs.select(id_col, vec_col)
@@ -1301,33 +1399,54 @@ def kmeans_clusters(
     if len(C) < k:
         C = C[np.arange(k) % len(C)]
 
+    # Per-round update path (r13 verdict item 3): assign + per-cluster
+    # sufficient statistics FUSED into one mapInArrow pass
+    # (`_kmeans_round_stats`) — the JVM posexplode (n·dim rows) + hash
+    # aggregate per round is replaced by numpy accumulation inside the
+    # kernel that was already touching every vector. Per-task output is
+    # k rows, so |tasks|·k partial rows remain. Driver traffic policy:
+    #   - |tasks|·k under SPARK_GRAFT_KMEANS_DIRECT_PARTIALS (default
+    #     8192 rows ≈ 25 MB at dim 384): toPandas the partials
+    #     directly — ONE map-only job per round, no exchange at all;
+    #   - above it (cluster scale: ~800k scan tasks would be GBs of
+    #     driver traffic): posexplode the partials to (cluster, dim)
+    #     rows and keep the old corpus-size-independent k·dim collect —
+    #     the exchange now carries |tasks|·k·dim pre-combined rows, not
+    #     the corpus.
+    direct_cap = int(
+        os.environ.get("SPARK_GRAFT_KMEANS_DIRECT_PARTIALS", "8192")
+    )
+    direct = vecs.rdd.getNumPartitions() * k <= direct_cap
     inertia: list[float] = []
-    assigned = None
     for _ in range(iters):
-        assigned = _kmeans_assign_frame(vecs, id_col, vec_col, C)
-        per_dim = (
-            assigned.select("cluster", "d2", F.posexplode(vec_col).alias("dim", "x"))
-            .groupBy("cluster", "dim")
-            .agg(F.sum("x").alias("sx"), F.count("*").alias("n"),
-                 F.sum("d2").alias("sd2"))
-        )
-        # k·dim rows — corpus-size-independent. Arrow transfer
-        # (toPandas) + vectorized fill instead of a pickled-row
-        # collect + Python loop: the row path cost ~0.38 s per round
-        # at k=16·dim=384 (6,144 Rows deserialized one by one), the
-        # Arrow path ~0.13 s — ×6 rounds that was ~1.5 s of q187's
-        # wall (optimization guide §6, Arrow for driver transfers).
-        # The centroid update is bit-identical: every sums/counts cell
-        # is a single assigned value, no re-summation happens here.
-        pdf = per_dim.toPandas()
+        stats = _kmeans_round_stats(vecs, vec_col, C)
         sums = np.zeros((k, dim))
         counts = np.zeros(k)
-        cl = pdf["cluster"].to_numpy()
-        dm = pdf["dim"].to_numpy()
-        sums[cl, dm] = pdf["sx"].to_numpy()
-        counts[cl] = pdf["n"].to_numpy()
-        # sd2 is the same total at every dim — count it once per cluster
-        total_d2 = float(pdf.loc[pdf["dim"] == 0, "sd2"].sum())
+        sd2s = np.zeros(k)
+        if direct:
+            pdf = stats.toPandas()
+            cl = pdf["cluster"].to_numpy()
+            np.add.at(counts, cl, pdf["n"].to_numpy())
+            np.add.at(sd2s, cl, pdf["sd2"].to_numpy())
+            np.add.at(sums, cl, np.stack(pdf["sx"].to_numpy()))
+        else:
+            per_dim = (
+                stats.select(
+                    "cluster", "n", "sd2",
+                    F.posexplode("sx").alias("dim", "x"),
+                )
+                .groupBy("cluster", "dim")
+                .agg(F.sum("x").alias("sx"), F.sum("n").alias("n"),
+                     F.sum("sd2").alias("sd2"))
+            )
+            pdf = per_dim.toPandas()
+            cl = pdf["cluster"].to_numpy()
+            dm = pdf["dim"].to_numpy()
+            sums[cl, dm] = pdf["sx"].to_numpy()
+            d0 = pdf["dim"] == 0
+            counts[pdf.loc[d0, "cluster"]] = pdf.loc[d0, "n"].to_numpy()
+            sd2s[pdf.loc[d0, "cluster"]] = pdf.loc[d0, "sd2"].to_numpy()
+        total_d2 = float(sd2s.sum())
         inertia.append(float(total_d2))
         nonempty = counts > 0
         C_prev = C
@@ -1351,10 +1470,14 @@ def kmeans_clusters(
             # every empty cluster with the same point would leave all
             # but one of them empty again (they tie on argmin). This
             # probe re-runs the assignment kernel over the (local-
-            # checkpointed) corpus — one extra Arrow pass per round
-            # that HAS an empty cluster, which is rare after the
-            # hash-ranked init and absent on the test fixtures.
+            # checkpointed) corpus under THIS round's pre-update
+            # centroids (C_prev — the same frame the pre-r14 loop
+            # ordered by, and the lazy frame replayed its kernel here
+            # anyway) — one extra Arrow pass per round that HAS an
+            # empty cluster, which is rare after the hash-ranked init
+            # and absent on the test fixtures.
             empty = np.flatnonzero(~nonempty)
+            assigned = _kmeans_assign_frame(vecs, id_col, vec_col, C_prev)
             far = (
                 assigned.orderBy(F.desc("d2"), F.col(id_col))
                 .select(vec_col)
@@ -1408,8 +1531,11 @@ def cluster_balanced_mix(
     # assignment kernel — the explain showed the ArrowEvalPython
     # matmul duplicated per subtree, i.e. three corpus passes for one
     # logical table (the q136/q122 candidate-table lesson). 16 bytes
-    # per row, freed by the caller's action.
-    assigned = assigned.localCheckpoint(eager=True)
+    # per row, freed by the caller's action. LAZY (r14): the count()
+    # below is the first action and materializes the blocks in the
+    # same job — one fewer serial kernel pass than the eager barrier
+    # (eager ran the kernel, then count re-read the stored blocks).
+    assigned = assigned.localCheckpoint(eager=False)
     n = assigned.count()
     cap = per_cluster_cap or -(-2 * n // k)
     w = Window.partitionBy("cluster").orderBy("d2", id_col)
