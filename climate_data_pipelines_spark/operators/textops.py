@@ -824,6 +824,17 @@ def bpe_train(
     (tools/bpe_scale_proof.py measures a 1,000-merge train).
     """
     spark = df.sparkSession
+    # LAZY checkpoints throughout the train loop (r14, guide §2.6 "one
+    # job where two ran serially"): the eager checkpoint per round was
+    # a full barrier job that materialized the folded word table and
+    # THEN ran the next round's pair-count job over it — two serial
+    # driver round-trips per round. A lazy checkpoint materializes the
+    # fold DURING the next round's pair-count job (same blocks stored,
+    # same lineage truncation), halving jobs per round; the final
+    # round's never-consumed fold is never executed at all. The
+    # previous round's blocks are freed only AFTER the collect that
+    # materialized the new table (a truncated-lineage checkpoint
+    # cannot be recomputed once unpersisted).
     words = (
         df.select(F.explode(tokens(text_col)).alias("word"))
         .groupBy("word")
@@ -834,9 +845,10 @@ def bpe_train(
             ).alias("syms"),
             "w_count",
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     merges = []
+    prev_words = None
     while len(merges) < n_merges:
         top = (
             words.select(
@@ -855,6 +867,11 @@ def bpe_train(
             .limit(max(1, batch_m * candidate_factor))
             .collect()
         )
+        # the collect above just materialized `words`' lazy checkpoint;
+        # the previous round's blocks are now safely unreferenced
+        if prev_words is not None:
+            unpersist_checkpoint(prev_words)
+            prev_words = None
         top = [r for r in top if r["c"] >= 2]
         if not top:
             break
@@ -882,14 +899,14 @@ def bpe_train(
         prev_words = words
         words = words.select(
             F.expr(folded_sql).alias("syms"), "w_count"
-        ).localCheckpoint(eager=True)
-        # new round's word table is materialized; free the previous
-        # round's checkpoint blocks instead of accumulating one
-        # vocab-sized block per merge (ADVICE r5, same as pagerank)
+        ).localCheckpoint(eager=False)
+    # the returned merge table is driver-built — the word checkpoints
+    # are unreachable from it, so free whatever is still pinned: the
+    # last-materialized table (prev_words) and, when the loop exited
+    # via the no-pairs break, the current one (unpersisting a lazy,
+    # never-materialized checkpoint is a no-op)
+    if prev_words is not None:
         unpersist_checkpoint(prev_words)
-    # the returned merge table is driver-built — the final round's word
-    # checkpoint is unreachable from it, so free that too (unlike
-    # pagerank/CC, where the final checkpoint backs the result)
     unpersist_checkpoint(words)
     # Arrow-path creation (scale.local_df): the pickled-list path
     # re-ran 32 Python-worker tasks on EVERY action over this table

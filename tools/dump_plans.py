@@ -1,11 +1,11 @@
-"""Dump `.explain("formatted")` for named queries to plans/r13/.
+"""Dump `.explain("formatted")` for named queries to plans/r14/.
 
 Usage: python tools/dump_plans.py <suffix> qNN [qMM ...]
        python tools/dump_plans.py before q122_verified_dedup_clusters
 
-Writes plans/r13/<query>_<suffix>.txt — the optimization-round
+Writes plans/r14/<query>_<suffix>.txt — the optimization-round
 deliverable (the judge diffs _before vs _after against the claims in
-OPTIMIZATION_r13.md).
+OPTIMIZATION_r14.md).
 """
 
 from __future__ import annotations
@@ -26,7 +26,7 @@ def main() -> None:
 
     spark = get_spark(app_name="dump-plans")
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out_dir = os.path.join(here, "plans", "r13")
+    out_dir = os.path.join(here, "plans", "r14")
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         spec = REGISTRY.get(name)
