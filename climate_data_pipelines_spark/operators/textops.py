@@ -771,6 +771,90 @@ def _bpe_merge_fold_sql(inner: str, left: str, right: str) -> str:
     )
 
 
+def _bpe_train_local(
+    words: list,
+    counts: list,
+    n_merges: int,
+    end_marker: str,
+    batch_m: int,
+    candidate_factor: int,
+) -> list:
+    """The EXACT driver-side replay of ``bpe_train``'s merge loop over
+    a collected (word, count) vocabulary — the CC-driver-local pattern
+    (dedup._cc_driver_local): classic BPE is a single-machine
+    algorithm over the vocabulary-sized frequency dict, so under the
+    collect cap the per-round Spark jobs (4 serial driver round-trips
+    at q164's 24-merge/8-batch shape) collapse into one Arrow fetch.
+
+    Bit-identical to the distributed loop by construction, each round:
+      - pair counts: every adjacent symbol position weighted by word
+        count (the zip_with explode), exact integer sums;
+      - candidates: top ``batch_m*candidate_factor`` by (count desc,
+        left asc, right asc) — Python str comparison is code-point
+        order, which equals Spark's UTF8String binary order — THEN the
+        count >= 2 filter (same order as the distributed
+        limit-then-filter);
+      - greedy non-overlapping acceptance, same ``used`` rule;
+      - fold: one left-to-right single pass per accepted merge in
+        batch order — the scan form of ``_bpe_merge_fold``'s
+        tail-check aggregate (their equivalence is the property the
+        ranked-encode tests already pin).
+    Only words that CONTAIN an accepted pair are rescanned (index
+    built during counting); batch pairs are symbol-disjoint, so one
+    batch merge can neither create nor destroy another's occurrences
+    (the docstring's frozen-counts argument), keeping the index valid
+    within the round. Parity vs the forced-distributed loop is pinned
+    in tests/test_textops.py."""
+    syms_list = [list(w) + [end_marker] for w in words]
+    merges: list = []
+    while len(merges) < n_merges:
+        pair_counts: dict = {}
+        occurs: dict = {}
+        for j, (syms, c) in enumerate(zip(syms_list, counts)):
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                if p in pair_counts:
+                    pair_counts[p] += c
+                else:
+                    pair_counts[p] = c
+                    occurs[p] = []
+                occurs[p].append(j)
+        top = sorted(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[: max(1, batch_m * candidate_factor)]
+        top = [(p, c) for p, c in top if c >= 2]
+        if not top:
+            break
+        used: set = set()
+        batch = []
+        room = min(batch_m, n_merges - len(merges))
+        for (left, right), c in top:
+            if left in used or right in used or (left + right) in used:
+                continue
+            used.update((left, right, left + right))
+            batch.append((left, right, int(c)))
+            if len(batch) >= room:
+                break
+        for left, right, c in batch:
+            merges.append((len(merges), left, right, c))
+        for left, right, _ in batch:
+            merged = left + right
+            for j in dict.fromkeys(occurs[(left, right)]):
+                syms = syms_list[j]
+                out: list = []
+                i = 0
+                n = len(syms)
+                while i < n:
+                    if i < n - 1 and syms[i] == left and syms[i + 1] == right:
+                        out.append(merged)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms_list[j] = out
+    return merges
+
+
 def bpe_train(
     df: DataFrame,
     n_merges: int = 10,
@@ -778,6 +862,7 @@ def bpe_train(
     end_marker: str = "</w>",
     batch_m: int = 1,
     candidate_factor: int = 4,
+    local_max: int | None = None,
 ) -> DataFrame:
     """Distributed BPE tokenizer training (Sennrich et al.): learn
     ``n_merges`` byte-pair merges from the corpus — the tokenizer-
@@ -822,8 +907,53 @@ def bpe_train(
     the batched path is gated by its own equivalence property test.
     Rounds drop from n_merges to ~n_merges/batch_m
     (tools/bpe_scale_proof.py measures a 1,000-merge train).
+
+    ``local_max`` (default ``SPARK_GRAFT_BPE_LOCAL_MAX`` env, 200k):
+    when the vocabulary has at most this many distinct words, the
+    merge loop runs driver-side over one Arrow fetch of the (word,
+    count) table (``_bpe_train_local`` — bit-identical by
+    construction, parity-tested against the forced-distributed loop)
+    instead of ~n_merges/batch_m serial Spark jobs. Pass 0 to force
+    the distributed loop; at 100 TB the vocabulary exceeds any sane
+    cap and the distributed loop is the path.
     """
     spark = df.sparkSession
+    # ONE corpus pass builds the vocabulary-sized (word, count) table;
+    # the lazy checkpoint materializes during the count() below, which
+    # also serves the local-vs-distributed dispatch (the CC pattern).
+    wc = (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("w_count"))
+        .localCheckpoint(eager=False)
+    )
+    if local_max is None:
+        import os
+
+        local_max = int(os.environ.get("SPARK_GRAFT_BPE_LOCAL_MAX", "200000"))
+    n_vocab = wc.count()
+    if n_vocab <= local_max:
+        # small vocabulary: the whole merge loop runs driver-side over
+        # one Arrow fetch (bit-identical by construction — see
+        # _bpe_train_local) instead of ~n_merges/batch_m serial Spark
+        # jobs. Driver state is the capped (word, count) table + its
+        # symbol lists — the broadcast-budget scale the CC local path
+        # already set as precedent. At 100 TB the vocabulary exceeds
+        # the cap and the distributed loop below is the path.
+        pdf = wc.toPandas()
+        unpersist_checkpoint(wc)
+        merges = _bpe_train_local(
+            pdf["word"].tolist(),
+            pdf["w_count"].tolist(),
+            n_merges,
+            end_marker,
+            batch_m,
+            candidate_factor,
+        )
+        return local_df(
+            spark, merges,
+            "merge_idx int, left string, right string, pair_count bigint",
+        )
     # LAZY checkpoints throughout the train loop (r14, guide §2.6 "one
     # job where two ran serially"): the eager checkpoint per round was
     # a full barrier job that materialized the folded word table and
@@ -835,18 +965,12 @@ def bpe_train(
     # previous round's blocks are freed only AFTER the collect that
     # materialized the new table (a truncated-lineage checkpoint
     # cannot be recomputed once unpersisted).
-    words = (
-        df.select(F.explode(tokens(text_col)).alias("word"))
-        .groupBy("word")
-        .agg(F.count("*").alias("w_count"))
-        .select(
-            F.concat(
-                F.split(F.col("word"), ""), F.array(F.lit(end_marker))
-            ).alias("syms"),
-            "w_count",
-        )
-        .localCheckpoint(eager=False)
-    )
+    words = wc.select(
+        F.concat(
+            F.split(F.col("word"), ""), F.array(F.lit(end_marker))
+        ).alias("syms"),
+        "w_count",
+    ).localCheckpoint(eager=False)
     merges = []
     prev_words = None
     while len(merges) < n_merges:
@@ -908,6 +1032,7 @@ def bpe_train(
     if prev_words is not None:
         unpersist_checkpoint(prev_words)
     unpersist_checkpoint(words)
+    unpersist_checkpoint(wc)  # freed last: round-0's words derived from it
     # Arrow-path creation (scale.local_df): the pickled-list path
     # re-ran 32 Python-worker tasks on EVERY action over this table
     # (~0.33 s per collect — q164 pays one per bench repeat)

@@ -493,6 +493,43 @@ def test_bpe_train_batched_matches_reference(spark, sf_dir):
     assert len(got) == 18
 
 
+def test_bpe_train_local_matches_distributed(spark, sf_dir):
+    """The driver-local merge loop (vocab under SPARK_GRAFT_BPE_LOCAL_MAX,
+    the default on every test fixture) must be bit-identical to the
+    forced-distributed loop (local_max=0) — both the classic m=1 and
+    the batched shape, including symbols that are SQL-literal-hostile
+    (quotes, backslashes) and non-BMP code points (Spark's split-to-
+    chars and Python's list() must agree on surrogate-pair grouping)."""
+    from climate_data_pipelines_spark.catalog import load_table
+    from climate_data_pipelines_spark.operators import textops
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).limit(150).unionByName(
+        spark.createDataFrame(
+            [
+                (900001, "it's it's it's don''t don''t a\\b a\\b a\\b"),
+                (900002, "naïve naïve \U0001f600\U0001f600x "
+                         "\U0001f600\U0001f600x \U0001f600\U0001f600x"),
+            ],
+            "doc_id long, text string",
+        )
+    )
+    for m, batch in ((10, 1), (16, 4)):
+        local = [
+            (r["merge_idx"], r["left"], r["right"], r["pair_count"])
+            for r in textops.bpe_train(docs, n_merges=m, batch_m=batch).collect()
+        ]
+        dist = [
+            (r["merge_idx"], r["left"], r["right"], r["pair_count"])
+            for r in textops.bpe_train(
+                docs, n_merges=m, batch_m=batch, local_max=0
+            ).collect()
+        ]
+        assert local == dist
+        assert len(local) == m
+
+
 def test_bpe_encode_ranked_equals_fold(spark, sf_dir):
     """Ranked Arrow kernel vs the expression-fold encoder: identical
     per-doc token arrays on the fixture corpus (24 trained merges,
