@@ -15,13 +15,14 @@ module is that step, Spark-first:
   converges to one node.
 - **The model is driver-sized, the data is not.** Weights and the
   Adagrad accumulator are (dim+1)-float vectors (a few KB); per
-  training epoch exactly ONE distributed job runs: broadcast-join the
-  weight table onto the feature rows → per-document margins (shuffle
-  on the doc key) → residuals join back → per-feature gradient
-  (shuffle on the feature key) → collect the (dim+1)-row gradient.
-  Driver traffic per epoch is the gradient vector — the same
-  bounded-by-vocabulary discipline as BPE training — so the labeled
-  corpus itself can be 100 TB.
+  training epoch exactly ONE distributed job runs: a fused Arrow
+  kernel over the doc-partitioned cached feature table computes each
+  document's margin, residual and x·resid gradient contribution in a
+  single pass (weights ride the closure) and emits (dim+1) partial
+  rows per task — collected directly under a partial-row cap, or
+  through a feat-keyed aggregate above it. Driver traffic per epoch
+  is the gradient vector — the same bounded-by-vocabulary discipline
+  as BPE training — so the labeled corpus itself can be 100 TB.
 - **Adagrad** (Duchi et al. 2011, public) does the per-feature step
   scaling full-batch logistic GD otherwise needs hundreds of epochs
   for; the accumulator lives with the weights on the driver, and the
@@ -102,6 +103,86 @@ def hashed_features(
     return feats.unionByName(bias)
 
 
+def _logreg_epoch_grad(fl: DataFrame, dim: int, w, id_col: str) -> DataFrame:
+    """ONE training epoch's margins → residuals → per-feature gradient
+    fused into a single `mapInArrow` pass (r14, the `_kmeans_round_stats`
+    pattern; guide §4.2). REQUIRES ``fl`` hash-partitioned by the doc
+    id (train_quality_classifier's repartition+persist does this): a
+    document's feature rows all live in one task, so the kernel can
+    finish each doc's margin locally, apply clamp+sigmoid, and
+    accumulate x·resid into a (dim+1)-float gradient — the work the
+    pre-r14 plan spread over a weight broadcast join, a doc-keyed
+    aggregate, a residual join and a feat-keyed aggregate (4-5 stages
+    of protocol per epoch for a vocabulary-bounded result). Math is
+    the identical clamp(±MARGIN_CLIP) → sigmoid → Σ x·resid; only
+    float summation order changes, which the parity invariant already
+    tolerates (weights match the numpy twin to ~1e-9 relative, not
+    bit-exactly). Output: (feat, g) partial rows, (dim+1) per task.
+
+    Batches of one partition can split a doc's rows, so the kernel
+    buffers (row→doc index, feat, x) per batch — compact numpy arrays,
+    the same bytes the task already holds as Arrow — and runs the
+    gradient pass after the margins are complete."""
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    wv = np.asarray(w, dtype=np.float64)
+    out_schema = T.StructType(
+        [
+            T.StructField("feat", T.IntegerType()),
+            T.StructField("g", T.DoubleType()),
+        ]
+    )
+
+    def gen(batches):
+        doc_index: dict = {}
+        margins = np.zeros(0)
+        ys = np.zeros(0)
+        bufs = []
+        for b in batches:
+            d = b.column(0).to_numpy(zero_copy_only=False)
+            f = b.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
+            x = b.column(2).to_numpy(zero_copy_only=False)
+            y = b.column(3).to_numpy(zero_copy_only=False)
+            uniq, first_idx, inv = np.unique(
+                d, return_index=True, return_inverse=True
+            )
+            local = np.empty(len(uniq), dtype=np.int64)
+            grow = 0
+            for j, dv in enumerate(uniq):  # unique docs per batch only
+                key = int(dv)
+                got = doc_index.get(key)
+                if got is None:
+                    got = len(doc_index)
+                    doc_index[key] = got
+                    grow += 1
+                local[j] = got
+            if grow:
+                margins = np.concatenate([margins, np.zeros(grow)])
+                ys = np.concatenate([ys, np.zeros(grow)])
+            ys[local] = y[first_idx]
+            rows = local[inv]
+            np.add.at(margins, rows, x * wv[f])
+            bufs.append((rows, f, x))
+        if not doc_index:
+            return
+        m = np.clip(margins, -MARGIN_CLIP, MARGIN_CLIP)
+        resid = 1.0 / (1.0 + np.exp(-m)) - ys
+        g = np.zeros(dim + 1)
+        for rows, f, x in bufs:
+            np.add.at(g, f, x * resid[rows])
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(np.arange(dim + 1, dtype=np.int32)),
+                pa.array(g, type=pa.float64()),
+            ],
+            names=["feat", "g"],
+        )
+
+    return fl.select(id_col, "feat", "x", "_y").mapInArrow(gen, out_schema)
+
+
 def train_quality_classifier(
     features: DataFrame,
     labels: DataFrame,
@@ -124,18 +205,20 @@ def train_quality_classifier(
     Loop shape (the 100 TB contract): the labeled feature table is
     repartitioned BY DOC and persisted once (r9 — ``persist``, not
     ``localCheckpoint``: a checkpoint's LogicalRDD drops the
-    outputPartitioning metadata, a cached plan keeps it), so the
-    per-epoch margin aggregate reuses the cached co-location and
-    every epoch's only LIVE exchange is the (dim+1)-row feature
-    gradient (plus the broadcast of the weights/residuals). Before
-    this, each epoch re-shuffled the corpus-sized feature table by
-    doc — at the ×100 fixture that was ~13M combined rows × 12
-    epochs of pure re-exchange. Each epoch is one lazy plan ending
-    in a (dim+1)-row collect:
+    outputPartitioning metadata, a cached plan keeps it). That
+    co-location is what the r14 fused epoch RELIES on: every
+    document's rows live in one task, so `_logreg_epoch_grad`
+    finishes margins, residuals and the gradient in one Arrow pass —
 
-        fl(cached, hash(doc)) ⋈_bcast weights → Σ per doc  [no exch]
-          → clamp ±30 → sigmoid residual → ⋈ fl on id      [bcast]
-          → Σ per feat (gradient) → collect dim+1 rows     [dim-sized]
+        fl(cached, hash(doc)) → mapInArrow kernel            [no exch]
+          → (dim+1) gradient partials per task → collect
+            (direct under SPARK_GRAFT_LOGREG_DIRECT_PARTIALS,
+             feat-keyed aggregate above it)
+
+    The pre-r14 epoch spent 4-5 stages on the same result (weights
+    broadcast join → doc-keyed margin aggregate → residual join →
+    feat-keyed aggregate → collect), ~1.4 s of protocol per epoch at
+    sf0.1 for a vocabulary-bounded vector.
 
     Weights and the Adagrad accumulator update on the driver (plain
     floats): the model is vocabulary-bounded like BPE's merge table,
@@ -173,43 +256,45 @@ def train_quality_classifier(
         fl.unpersist()
         raise ValueError("train_quality_classifier: no labeled documents")
 
+    import os
+
+    import numpy as np
+
+    # partial-collection policy, mirroring the k-means one: each epoch
+    # kernel emits (dim+1) gradient partial rows per task; when
+    # |partitions|·(dim+1) is under SPARK_GRAFT_LOGREG_DIRECT_PARTIALS
+    # (default 262144 rows ≈ 4 MB) they collect directly — ONE
+    # map-only job per epoch over the cached co-located table, no
+    # exchange at all; above it (cluster scale with thousands of
+    # cached partitions) a feat-keyed aggregate keeps driver traffic
+    # at the (dim+1)-row model size.
+    direct_cap = int(
+        os.environ.get("SPARK_GRAFT_LOGREG_DIRECT_PARTIALS", "262144")
+    )
+    direct = fl.rdd.getNumPartitions() * (dim + 1) <= direct_cap
+
     w = [0.0] * (dim + 1)
     acc = [0.0] * (dim + 1)
     for _ in range(max(1, epochs)):
-        # Arrow-path creation (scale.local_df): the pickled-list path
-        # cost 32 Python-worker tasks per epoch just to build the
-        # (dim+1)-row weight broadcast
-        wdf = local_df(
-            spark, [(i, wi) for i, wi in enumerate(w)], "feat int, w double"
-        )
-        margins = (
-            fl.join(F.broadcast(wdf), "feat")
-            .groupBy(id_col, "_y")
-            .agg(F.sum(F.col("x") * F.col("w")).alias("_m"))
-        )
-        clamped = F.greatest(
-            F.least(F.col("_m"), F.lit(MARGIN_CLIP)), F.lit(-MARGIN_CLIP)
-        )
-        resid = margins.select(
-            F.col(id_col),
-            (F.lit(1.0) / (F.lit(1.0) + F.exp(-clamped)) - F.col("_y")).alias(
-                "_r"
-            ),
-        )
-        # Measured negative result (r8): an explicit broadcast hint on
-        # resid (n rows, ~6 MB at the 500k-doc fixture) made the x1
-        # run 2× SLOWER and x100 no faster — AQE already converts this
-        # join to a broadcast at runtime from the shuffle's actual
-        # size, and the hint only added an extra per-epoch
-        # materialization job to build the broadcast eagerly. Leave
-        # the plan lazy; AQE picks the right side at every scale.
-        grad_rows = (
-            fl.join(resid, id_col)
-            .groupBy("feat")
-            .agg(F.sum(F.col("x") * F.col("_r")).alias("g"))
-            .collect()
-        )
-        grad = {r["feat"]: r["g"] for r in grad_rows}
+        # fused epoch (r14): margins, residuals and the per-feature
+        # gradient in ONE Arrow pass over the cached doc-partitioned
+        # table — see _logreg_epoch_grad. The weight vector rides the
+        # kernel closure ((dim+1) floats, the kmeans-centroid
+        # precedent), replacing the per-epoch broadcast table; the
+        # pre-r14 4-stage epoch plan (weights broadcast join → doc
+        # aggregate → residual join → feat aggregate) is retired with
+        # it.
+        stats = _logreg_epoch_grad(fl, dim, w, id_col)
+        gvec = np.zeros(dim + 1)
+        if direct:
+            pdf = stats.toPandas()
+            np.add.at(gvec, pdf["feat"].to_numpy(), pdf["g"].to_numpy())
+        else:
+            for r in stats.groupBy("feat").agg(
+                F.sum("g").alias("g")
+            ).collect():
+                gvec[r["feat"]] = r["g"]
+        grad = {i: float(gvec[i]) for i in range(dim + 1)}
         sq = 0.0
         for i in range(dim + 1):
             g = grad.get(i, 0.0) / n + l2 * w[i]
