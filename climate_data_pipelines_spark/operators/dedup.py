@@ -41,22 +41,38 @@ from climate_data_pipelines_spark.operators.scale import (
 HASH_CHUNK_BYTES = CPU_CHUNK_BYTES
 
 
+def _content_digest(text_col: str):
+    """THE exact-dedup keying digest — sha256 over normalized text as
+    a 16-byte-shuffled BINARY column (guide §2.5: identical group
+    identity at a quarter the key bytes of the 64-hex string; the
+    declared hex surface re-derives per group via lower(hex(x))).
+    Single definition shared by exact_dedup_keys / exact_dedup /
+    exact_dedup_best so a future change to normalization or digest
+    choice cannot drift between them (ADVICE r13)."""
+    return F.unhex(F.sha2(normalize_text(F.col(text_col)), 256))
+
+
+def _free_col(df: DataFrame, base: str) -> str:
+    """A staging-column name absent from ``df`` — withColumn silently
+    REPLACES an existing column, so staging the digest under a fixed
+    name would destroy a caller's same-named data (ADVICE r13; the
+    old ``content_hash`` temp column had the same latent bug)."""
+    name = base
+    while name in df.columns:
+        name = "_" + name
+    return name
+
+
 def exact_dedup_keys(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup via content hash (SURVEY.md Q36).
 
     Returns one row per distinct content: (content_hash, keep_id,
     n_dupes). Deterministic keeper = min id. The groupBy key is the
-    sha256 digest of the *normalized* text, so the shuffle carries
-    32-byte keys + ids, not document bodies.
+    sha256 digest of the *normalized* text (``_content_digest``), so
+    the shuffle carries 16-byte binary keys + ids, not bodies.
     """
-    # Shuffle the 16-byte BINARY digest, not the 64-hex-char string —
-    # identical group identity at a quarter the key bytes on curation's
-    # stage-0 exchange (guide §2.5, r13); the declared hex column is
-    # re-derived per GROUP after the agg (lower(hex(unhex(x))) == x for
-    # sha2's lowercase hex, |groups| conversions vs |rows| key bytes).
-    h = F.unhex(F.sha2(normalize_text(F.col(text_col)), 256))
     return (
-        df.select(h.alias("_hbin"), F.col(id_col))
+        df.select(_content_digest(text_col).alias("_hbin"), F.col(id_col))
         .groupBy("_hbin")
         .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dupes"))
         .select(
@@ -69,20 +85,19 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     """Keep exactly one row per distinct content (the keeper join).
 
     Broadcast-free: semi-join on (hash, id) against the keeper set —
-    both sides shuffle on the digest, co-partitioned.
+    both sides shuffle on the binary digest, co-partitioned.
     """
-    # binary digests end to end (the hash never surfaces here — both
-    # sides of the co-partitioned semi-join shuffle 16-byte keys)
-    hb = F.unhex(F.sha2(normalize_text(F.col(text_col)), 256))
+    hb = _content_digest(text_col)
+    hcol = _free_col(df, "_hbin")
     keys = (
-        df.select(hb.alias("_hbin"), F.col(id_col))
-        .groupBy("_hbin")
+        df.select(hb.alias(hcol), F.col(id_col))
+        .groupBy(hcol)
         .agg(F.min(id_col).alias(id_col))
     )
     return (
-        df.withColumn("_hbin", hb)
-        .join(keys, on=["_hbin", id_col], how="left_semi")
-        .drop("_hbin")
+        df.withColumn(hcol, hb)
+        .join(keys, on=[hcol, id_col], how="left_semi")
+        .drop(hcol)
     )
 
 
@@ -1168,12 +1183,11 @@ def exact_dedup_best(
     ``min_by`` aggregate (partial+final, no window over the dup
     group), then a co-partitioned semi-join pulls the keeper rows.
     """
-    # binary digest keys (never surfaced) — same §2.5 narrowing as
-    # exact_dedup: 16-byte shuffle keys instead of 64-hex strings
-    h = F.unhex(F.sha2(normalize_text(F.col(text_col)), 256))
+    h = _content_digest(text_col)
+    hcol = _free_col(df, "_hbin")
     keys = (
-        df.select(h.alias("_hbin"), F.col(id_col), F.col(score_col))
-        .groupBy("_hbin")
+        df.select(h.alias(hcol), F.col(id_col), F.col(score_col))
+        .groupBy(hcol)
         .agg(
             F.min_by(
                 F.col(id_col),
@@ -1182,9 +1196,9 @@ def exact_dedup_best(
         )
     )
     return (
-        df.withColumn("_hbin", h)
-        .join(keys, ["_hbin", id_col], "left_semi")
-        .drop("_hbin")
+        df.withColumn(hcol, h)
+        .join(keys, [hcol, id_col], "left_semi")
+        .drop(hcol)
     )
 
 

@@ -28,6 +28,22 @@ def test_exact_dedup_keeps_min_id_per_normalized_content(spark):
     assert keys.filter(F.col("n_dupes") == 3).first().keep_id == 1
 
 
+def test_exact_dedup_preserves_user_hbin_column(spark):
+    """ADVICE r13: the staging digest column must not clobber a
+    same-named user column — exact_dedup/exact_dedup_best stage under
+    a collision-free name and return the user's _hbin intact."""
+    df = spark.createDataFrame(
+        [(1, "same text", "keep-me-1", 5.0), (2, "same text", "keep-me-2", 9.0)],
+        "doc_id long, text string, _hbin string, score double",
+    )
+    kept = dedup.exact_dedup(df).collect()
+    assert len(kept) == 1
+    assert kept[0]["_hbin"] == "keep-me-1"
+    best = dedup.exact_dedup_best(df, score_col="score").collect()
+    assert len(best) == 1
+    assert best[0]["_hbin"] == "keep-me-2"  # highest score wins
+
+
 def test_minhash_identical_docs_share_signature(spark):
     df = _docs(spark, DOCS)
     sigs = {r.doc_id: tuple(r[i] for i in range(1, 9)) for r in
