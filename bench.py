@@ -378,7 +378,10 @@ def main() -> None:
             prev_q = prev_detail.get("queries", {})
             prev_round = "BENCH_DETAIL.json"
         else:
-            benches = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+            benches = sorted(
+                p for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+                if re.match(r"BENCH_r\d+\.json$", os.path.basename(p))
+            )
             # same-sf guard (r11): the driver artifacts are sf0.1 runs;
             # a smoke run at another sf must not diff against them (the
             # cross-sf deltas auto-isolated a phantom in testing)
@@ -475,11 +478,18 @@ def main() -> None:
         import glob as _glob
 
         # current round = one past the newest driver-recorded bench
-        # (the driver writes BENCH_r{N}.json AFTER running this script)
-        rec_rounds = sorted(
-            os.path.basename(p).replace("BENCH_", "").replace(".json", "")
+        # (the driver writes BENCH_r{N}.json AFTER running this script).
+        # Canonical round artifacts ONLY: the driver also leaves
+        # variant files like BENCH_r13_c8.json (the reduced-core pass),
+        # and "r13_c8" made int() throw here — which silently killed
+        # the ENTIRE history/canary block (no r14 stamp, canary_ratio
+        # null) because this try swallows everything (found r14).
+        _round_paths = {
+            m.group(1): p
             for p in _glob.glob(os.path.join(here, "BENCH_r*.json"))
-        )
+            if (m := re.match(r"BENCH_(r\d+)\.json$", os.path.basename(p)))
+        }
+        rec_rounds = sorted(_round_paths)
         cur_round = f"r{int(rec_rounds[-1][1:]) + 1:02d}" if rec_rounds else "r01"
         hist_path = os.path.join(here, "BENCH_HISTORY.json")
         hist_file: dict[str, dict[str, float]] = {}
@@ -487,8 +497,10 @@ def main() -> None:
             with open(hist_path) as fh:
                 hist_file = json.load(fh)
         # backfill pre-history rounds from the (thinned) driver tails
-        for path in sorted(_glob.glob(os.path.join(here, "BENCH_r*.json"))):
-            rnd = os.path.basename(path).replace("BENCH_", "").replace(".json", "")
+        # (canonical BENCH_rNN.json only — a variant artifact like the
+        # reduced-core BENCH_r13_c8.json must not become a history row)
+        for rnd in rec_rounds:
+            path = _round_paths[rnd]
             if rnd in hist_file:
                 continue
             with open(path) as fh:
